@@ -1,0 +1,284 @@
+"""Connector lifecycle: insert / retrieve_ids / load / compare.
+
+This is the orchestration layer of the reference
+(/root/reference/sql_autoloader/connector.py:81-452) restated over
+PySpark DataFrames.  Subclasses supply four physical primitives:
+
+- :meth:`fetch_schema` — introspect tables + FK references,
+- :meth:`_read_table` — the current visible contents of a table,
+- :meth:`_write_new_rows` — idempotent insert (skip rows whose natural
+  key already exists; the Spark stand-in for ``INSERT OR IGNORE`` /
+  ``ON CONFLICT DO NOTHING``),
+- :meth:`_execute_compare_query` — run a generated/user SQL string.
+
+Everything else — planning, key merging, validation — is shared and
+entirely declarative, so Catalyst owns the physical execution.
+"""
+
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from typing import Self
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_autoloader_spark.exceptions import (
+    CompareMissingRowsError,
+    InsertingDataFailedError,
+)
+from sql_autoloader_spark.ops import dataframe_ops as ops
+from sql_autoloader_spark.schema import (
+    ReferenceDict,
+    Schema,
+    TableDict,
+)
+
+logger = logging.getLogger("sql_autoloader_spark")
+
+
+class BaseConnector(ABC):
+    """Shared load/insert/retrieve/compare lifecycle over any sink."""
+
+    spark: SparkSession
+    schema: Schema
+
+    #: identifier quote character for generated SQL (Spark: backtick)
+    _quote: str = "`"
+
+    # -- physical primitives (per sink) -------------------------------------
+
+    @abstractmethod
+    def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
+        """Introspect the sink's tables and foreign-key references."""
+
+    @abstractmethod
+    def _read_table(self, table: str) -> DataFrame:
+        """Current visible contents of *table* (including uncommitted rows)."""
+
+    @abstractmethod
+    def _write_new_rows(
+        self, table: str, new_rows: DataFrame, columns: list[str]
+    ) -> None:
+        """Idempotently insert *new_rows* (distinct, restricted to *columns*)."""
+
+    @abstractmethod
+    def _execute_compare_query(self, query: str) -> DataFrame:
+        """Execute a (generated or user-supplied) SQL compare query."""
+
+    # -- schema management ----------------------------------------------------
+
+    def get_schema(self) -> Schema:
+        return Schema(self.fetch_schema)
+
+    def schema_is_empty(self) -> bool:
+        return self.schema.is_empty
+
+    def update_schema(self) -> None:
+        """Re-introspect the sink after out-of-band DDL."""
+        self.schema = self.get_schema()
+
+    def print_schema(self) -> None:
+        print(str(self.schema))  # noqa: T201
+
+    # -- context manager -------------------------------------------------------
+
+    def __enter__(self) -> Self:
+        return self
+
+    def __exit__(self, *exception: object) -> None:
+        return None
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def insert(
+        self,
+        data: DataFrame,
+        *,
+        table: str,
+        columns: dict[str, str] | None = None,
+    ) -> None:
+        """Insert the table's share of *data*, then verify it landed.
+
+        Composition (reference connector.py:181-228): rename+dedup ->
+        validate target columns -> idempotent write of the distinct
+        projection -> read back a distinct scan and assert data is a
+        subset (``exact=False`` compare).
+        """
+        self.schema.check_schema_not_empty()
+        data = ops.preprocess(data, columns)
+        common = self.schema.parse_insert(table, data.columns)
+        if not common:
+            msg = "No common columns were found."
+            raise AssertionError(msg)
+
+        logger.debug("Inserting %s into %s", common, table)
+        payload = ops.distinct_rows(data, common)
+        self._write_new_rows(table, payload, common)
+
+        check = ops.distinct_rows(self._read_table(table), common)
+        try:
+            ops.compare(payload, check, exact=False)
+        except CompareMissingRowsError as e:
+            msg = (
+                f"Encountered an error upon inserting data into table '{table}':\n"
+                f"\t{e!s}\n"
+                "This usually happens because a uniqueness constraint kept new "
+                "data out. Either clear the relevant tables or reset the "
+                "database; to update existing rows, run an UPDATE yourself."
+            )
+            raise InsertingDataFailedError(msg) from e
+
+    def retrieve_ids(
+        self,
+        data: DataFrame,
+        *,
+        table: str,
+        alias: str,
+        columns: dict[str, str] | None = None,
+        replace: bool = True,
+        allow_duplication: bool = False,
+    ) -> DataFrame:
+        """Read the table's surrogate keys and join them onto *data*.
+
+        Composition (reference connector.py:230-284): rename+dedup ->
+        validate -> key scan ``SELECT pk AS alias, common...`` -> null-safe
+        left merge -> optionally drop the now-replaced payload columns.
+        """
+        self.schema.check_schema_not_empty()
+        data = ops.preprocess(data, columns)
+
+        primary_key, common = self.schema.parse_retrieve(table, alias, data.columns)
+
+        logger.debug("Retrieving %s from %s as %s", common, table, alias)
+        snapshot = self._read_table(table)
+        db_fetch = snapshot.select(
+            F.col(primary_key).alias(alias),
+            *[F.col(c) for c in common],
+        )
+
+        data = ops.merge_ids(
+            data, db_fetch, alias, table, allow_duplication=allow_duplication
+        )
+
+        if replace:
+            data = data.drop(*self.schema.get_columns(table))
+
+        return ops.postprocess(data, columns)
+
+    def insert_and_retrieve_ids(
+        self,
+        data: DataFrame,
+        *,
+        table: str,
+        alias: str,
+        columns: dict[str, str] | None = None,
+        replace: bool = True,
+        allow_duplication: bool = False,
+    ) -> DataFrame:
+        """:meth:`insert` then :meth:`retrieve_ids` (reference connector.py:286-324)."""
+        self.insert(data, table=table, columns=columns)
+        return self.retrieve_ids(
+            data,
+            table=table,
+            alias=alias,
+            columns=columns,
+            replace=replace,
+            allow_duplication=allow_duplication,
+        )
+
+    def compare(
+        self,
+        data: DataFrame,
+        *,
+        query: str | None = None,
+        columns: dict[str, str] | None = None,
+        where: str | None = None,
+        exact: bool = True,
+    ) -> None:
+        """Validate loaded data by reconstructing the flat frame in SQL.
+
+        When *query* is omitted, one is generated from the schema DAG
+        (longest-path spine + shortest-path splices, SURVEY.md §2B-B8) and
+        executed by the sink — for the Spark sink that means Catalyst
+        plans the multi-way LEFT JOIN.
+        """
+        self.schema.check_schema_not_empty()
+        data = ops.preprocess(data, columns)
+
+        if query is None:
+            query = self.schema.get_compare_query(
+                data.columns, where=where, quote=self._quote
+            )
+        logger.debug("Comparing using query:\n%s", query)
+
+        db_data = self._execute_compare_query(query)
+
+        db_count = db_data.count()
+        if db_count == 0:
+            msg = "Compare query yielded no results."
+            raise AssertionError(msg)
+        if not ops.has_nulls(data):
+            data_count = data.count()
+            if db_count < data_count:
+                msg = (
+                    f"Compare query yielded fewer rows ({db_count}) "
+                    f"than data ({data_count})."
+                )
+                raise AssertionError(msg)
+
+        ops.compare(data, db_data, exact=exact)
+
+    def load(
+        self,
+        data: DataFrame,
+        *,
+        columns: dict[str, str] | None = None,
+        compare: bool = True,
+        compare_query: str | None = None,
+        replace: bool = True,
+        allow_duplication: bool = False,
+        where: str | None = None,
+        exact: bool = True,
+    ) -> DataFrame:
+        """Automatically load a flat DataFrame into the whole schema.
+
+        The planner (reference connector.py:376-452) derives the table
+        set from the data's columns, topologically orders it, runs
+        insert+retrieve for every keyed-and-referenced table (the running
+        DataFrame swaps payload columns for foreign keys as it goes), then
+        plain inserts, then validates against the original frame.
+
+        Returns the DataFrame with foreign keys materialized.
+        """
+        self.schema.check_schema_not_empty()
+        data = ops.preprocess(data, columns)
+
+        # Pin the running frame: each step triggers several actions and the
+        # lineage would otherwise be recomputed quadratically.
+        data = data.cache()
+        orig_data = data
+
+        plan = self.schema.get_load_instructions(data.columns)
+        logger.debug(
+            "Load plan: insert_and_retrieve=%s insert=%s",
+            plan.insert_and_retrieve_tables,
+            plan.insert_tables,
+        )
+
+        for params in plan.insert_and_retrieve:
+            data = self.insert_and_retrieve_ids(
+                data,
+                **params,
+                replace=replace,
+                allow_duplication=allow_duplication,
+            ).cache()
+
+        for params in plan.insert:
+            self.insert(data, **params)
+
+        if compare:
+            self.compare(orig_data, query=compare_query, where=where, exact=exact)
+
+        return ops.postprocess(data, columns)

@@ -1,0 +1,160 @@
+"""A small CREATE TABLE parser for the Spark-catalog sink.
+
+The reference lets users run raw DDL through the DB cursor and then
+re-introspect (/root/reference/sql_autoloader/connector.py:167-173,
+README.md:116-135).  Spark's catalog has no PK/FK/UNIQUE constraints, so
+this parser extracts them from the same DDL text and the connector stores
+them as table properties — the Spark-native substitute for
+``pragma_foreign_key_list`` / ``information_schema`` introspection
+(reference sqlite_connector.py:84-147, postgres_connector.py:67-157).
+
+Supported grammar (the subset the reference's own tests exercise):
+column defs with PRIMARY KEY / UNIQUE / NOT NULL / DEFAULT / CHECK /
+REFERENCES t (col) [ON DELETE/UPDATE ...], plus table-level UNIQUE (...),
+PRIMARY KEY (...), FOREIGN KEY (...) REFERENCES t (...).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TYPE_MAP: list[tuple[re.Pattern[str], str]] = [
+    (re.compile(r"^(INTEGER|INT|BIGINT|SMALLINT|TINYINT|SERIAL|BIGSERIAL)\b", re.I), "BIGINT"),
+    (re.compile(r"^(TEXT|VARCHAR|CHAR|CHARACTER|CLOB|STRING)\b", re.I), "STRING"),
+    (re.compile(r"^(REAL|FLOAT|DOUBLE|NUMERIC|DECIMAL)\b", re.I), "DOUBLE"),
+    (re.compile(r"^(TIMESTAMP|DATETIME)\b", re.I), "TIMESTAMP"),
+    (re.compile(r"^DATE\b", re.I), "DATE"),
+    (re.compile(r"^(BOOLEAN|BOOL)\b", re.I), "BOOLEAN"),
+    (re.compile(r"^(BLOB|BYTEA|BINARY)\b", re.I), "BINARY"),
+]
+
+_CREATE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\"'`]?(?P<name>\w+)[\"'`]?\s*\((?P<body>.*)\)\s*$",
+    re.I | re.S,
+)
+_REFERENCES_RE = re.compile(
+    r"REFERENCES\s+[\"'`]?(?P<table>\w+)[\"'`]?\s*\(\s*[\"'`]?(?P<column>\w+)[\"'`]?\s*\)",
+    re.I,
+)
+_FOREIGN_KEY_RE = re.compile(r"^FOREIGN\s+KEY\s*\(\s*(?P<cols>[^)]*)\)", re.I)
+_TABLE_UNIQUE_RE = re.compile(r"^UNIQUE\s*\(\s*(?P<cols>[^)]*)\)", re.I)
+_TABLE_PK_RE = re.compile(r"^PRIMARY\s+KEY\s*\(\s*(?P<cols>[^)]*)\)", re.I)
+
+
+@dataclass
+class ParsedTable:
+    """Everything the connector needs to create + register one table."""
+
+    name: str
+    # (column_name, spark_type) in declaration order, primary key included
+    column_types: list[tuple[str, str]] = field(default_factory=list)
+    primary_key: str = ""
+    foreign_keys: list[str] = field(default_factory=list)
+    payload_columns: list[str] = field(default_factory=list)
+    unique_constraints: list[list[str]] = field(default_factory=list)
+    # (from_key, to_table, to_key)
+    references: list[tuple[str, str, str]] = field(default_factory=list)
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a CREATE TABLE body on commas not nested inside parentheses."""
+    items, depth, current = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(current).strip())
+            current = []
+        else:
+            current.append(ch)
+    last = "".join(current).strip()
+    if last:
+        items.append(last)
+    return [i for i in items if i]
+
+
+def _spark_type(sql_type: str) -> str:
+    for pattern, spark in _TYPE_MAP:
+        if pattern.match(sql_type):
+            return spark
+    return "STRING"
+
+
+def _names(csv: str) -> list[str]:
+    return [c.strip().strip('"`\'') for c in csv.split(",") if c.strip()]
+
+
+def parse_create_table(statement: str) -> ParsedTable | None:
+    """Parse one CREATE TABLE statement; None if it is something else."""
+    match = _CREATE_RE.match(statement.strip())
+    if match is None:
+        return None
+
+    parsed = ParsedTable(name=match.group("name"))
+    body = match.group("body")
+
+    for item in _split_top_level(body):
+        upper = item.upper()
+
+        if mu := _TABLE_UNIQUE_RE.match(item):
+            parsed.unique_constraints.append(_names(mu.group("cols")))
+            continue
+        if mp := _TABLE_PK_RE.match(item):
+            cols = _names(mp.group("cols"))
+            if len(cols) == 1:
+                parsed.primary_key = cols[0]
+            continue
+        if mf := _FOREIGN_KEY_RE.match(item):
+            cols = _names(mf.group("cols"))
+            ref = _REFERENCES_RE.search(item)
+            if ref and len(cols) == 1:
+                parsed.foreign_keys.append(cols[0])
+                parsed.references.append(
+                    (cols[0], ref.group("table"), ref.group("column"))
+                )
+            continue
+        if upper.startswith(("CHECK", "CONSTRAINT")):
+            continue
+
+        # a plain column definition: <name> <type> <modifiers...>
+        tokens = item.split(None, 1)
+        col = tokens[0].strip('"`\'')
+        rest = tokens[1] if len(tokens) > 1 else ""
+        spark_type = _spark_type(rest.strip())
+        parsed.column_types.append((col, spark_type))
+
+        if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
+            parsed.primary_key = col
+        elif ref := _REFERENCES_RE.search(rest):
+            parsed.foreign_keys.append(col)
+            parsed.references.append((col, ref.group("table"), ref.group("column")))
+        else:
+            if re.search(r"\bUNIQUE\b", rest, re.I):
+                parsed.unique_constraints.append([col])
+            parsed.payload_columns.append(col)
+
+    # a column that turned out to be the PK must not stay in payload columns
+    parsed.payload_columns = [
+        c for c in parsed.payload_columns if c != parsed.primary_key
+    ]
+    # PK may have been declared only at table level: ensure it has a type
+    if parsed.primary_key and parsed.primary_key not in [
+        c for c, _ in parsed.column_types
+    ]:
+        parsed.column_types.insert(0, (parsed.primary_key, "BIGINT"))
+
+    return parsed
+
+
+def parse_script(script: str) -> list[ParsedTable]:
+    """Parse every CREATE TABLE in a ``;``-separated DDL script."""
+    tables = []
+    for statement in script.split(";"):
+        if statement.strip():
+            parsed = parse_create_table(statement)
+            if parsed is not None:
+                tables.append(parsed)
+    return tables

@@ -1,0 +1,21 @@
+"""Stateless PySpark DataFrame operations (the data plane)."""
+
+from sql_autoloader_spark.ops.dataframe_ops import (
+    compare,
+    distinct_rows,
+    has_nulls,
+    match_dtypes,
+    merge_ids,
+    postprocess,
+    preprocess,
+)
+
+__all__ = [
+    "compare",
+    "distinct_rows",
+    "has_nulls",
+    "match_dtypes",
+    "merge_ids",
+    "postprocess",
+    "preprocess",
+]

@@ -1,0 +1,238 @@
+"""Data-plane DataFrame operations, PySpark-native.
+
+Reference semantics: /root/reference/sql_autoloader/dataframe_operations.py
+and /root/reference/sql_autoloader/connector.py:26-59 — re-expressed as
+declarative DataFrame transforms so Catalyst picks the physical plan
+(hash-aggregate dedup with partial/final split, broadcast vs sort-merge
+joins, AQE skew handling).  Every function here stays distributed; nothing
+collects data to the driver except tiny failure samples for error messages.
+
+Scale notes (100 TB):
+- ``dropDuplicates``/``distinct`` compile to partial+final HashAggregate —
+  one shuffle on the dedup key, map-side combined.
+- ``merge_ids`` uses ``eqNullSafe`` (SQL ``<=>``), which Spark still treats
+  as an equi-join key, so broadcast-hash or sort-merge join both apply;
+  the retrieved key frame is usually a dimension table and is broadcast
+  when below ``spark.sql.autoBroadcastJoinThreshold`` (AQE re-plans at
+  runtime otherwise).
+- ``compare`` uses two ``subtract`` (set-difference) ops — distributed
+  anti-joins — instead of the reference's O(n*m) driver-side membership
+  loops (dataframe_operations.py:36-37).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_autoloader_spark.exceptions import (
+    CompareMissingRowsError,
+    CompareNoExactMatchError,
+    MatchDatatypesError,
+    MissingKeysAfterMergeError,
+)
+
+_SAMPLE = 20  # rows shown in failure messages
+
+
+def _q(name: str) -> str:
+    """Quote a column name for use in string expressions (dots allowed)."""
+    escaped = name.replace("`", "``")
+    return f"`{escaped}`"
+
+
+def _col(df: DataFrame, name: str) -> Column:
+    """Column reference bound to *df*, safe for dotted names."""
+    return df[_q(name)]
+
+
+def preprocess(data: DataFrame, columns: dict[str, str] | None) -> DataFrame:
+    """Rename columns per ``{old: new}`` and drop duplicate rows.
+
+    Global row dedup is a semantic requirement of the loader (the reference
+    enforces it on every entry point, connector.py:26-40).
+    """
+    if columns:
+        data = data.withColumnsRenamed(columns)
+    return data.dropDuplicates()
+
+
+def postprocess(data: DataFrame, columns: dict[str, str] | None) -> DataFrame:
+    """Undo :func:`preprocess` renaming for columns still present."""
+    if columns is not None:
+        undo = {v: k for k, v in columns.items() if v in data.columns}
+        if undo:
+            data = data.withColumnsRenamed(undo)
+    return data
+
+
+def has_nulls(data: DataFrame) -> bool:
+    """True when any cell is null; an *empty* frame also counts as nulls.
+
+    Single distributed aggregate: per-column null counts plus a row count,
+    one job, no data movement beyond the final reduce.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(_col(data, c).isNull().cast("long")).alias(f"__nulls_{i}")
+        for i, c in enumerate(data.columns)
+    ]
+    row = data.agg(*aggs).first()
+    if row is None or row["__n"] == 0:
+        return True
+    return any(row[f"__nulls_{i}"] for i in range(len(data.columns)))
+
+
+def distinct_rows(data: DataFrame, columns: list[str]) -> DataFrame:
+    """Distinct projection — the insert payload (reference ``get_rows``,
+    dataframe_operations.py:59-76) kept distributed instead of collected."""
+    missing = [c for c in columns if c not in data.columns]
+    if missing:
+        msg = f"Columns {missing} do not appear in the DataFrame."
+        raise AssertionError(msg)
+    return data.select([_col(data, c) for c in columns]).distinct()
+
+
+def match_dtypes(db_data: DataFrame, like: DataFrame) -> DataFrame:
+    """Cast columns of *db_data* to the dtypes *like* uses for shared names.
+
+    Mirrors the reference's ``match_dtypes`` (dataframe_operations.py:79-103):
+    values coming back from a database/catalog read are coerced to the user
+    frame's types so joins and comparisons line up.
+    """
+    like_types = {f.name: f.dataType for f in like.schema.fields}
+    try:
+        return db_data.select(
+            [
+                _col(db_data, c).cast(like_types[c]).alias(c)
+                if c in like_types
+                else _col(db_data, c)
+                for c in db_data.columns
+            ]
+        )
+    except AnalysisException as e:  # incompatible cast
+        msg = f"Matching dtypes failed with the following error:\n{e}"
+        raise MatchDatatypesError(msg) from e
+
+
+def merge_ids(
+    data: DataFrame,
+    db_fetch: DataFrame,
+    alias: str,
+    table: str,
+    *,
+    allow_duplication: bool = False,
+) -> DataFrame:
+    """Null-safe left equi-join of retrieved keys back onto the data.
+
+    Joins on *all* columns the two frames share, with NULL == NULL
+    semantics (``eqNullSafe`` — the Polars equivalent is
+    ``nulls_equal=True``, dataframe_operations.py:140).  Enforces the
+    reference invariants: no row loss, no duplication (unless allowed),
+    and no null ids after the merge.
+
+    ``eqNullSafe`` is an equi-join key for Catalyst, so the physical plan
+    is broadcast-hash when ``db_fetch`` is small (the usual case — it is a
+    dimension-table key scan) and sort-merge otherwise.
+    """
+    if alias not in db_fetch.columns:
+        msg = "Provided alias not found in fetch from database."
+        raise AssertionError(msg)
+
+    db_data = match_dtypes(db_fetch, data)
+    on_columns = sorted(set(data.columns) & set(db_data.columns))
+    extra_columns = [c for c in db_data.columns if c not in on_columns]
+
+    renames = {c: f"__r_{i}" for i, c in enumerate(on_columns)}
+    right = db_data.withColumnsRenamed(renames)
+
+    condition = reduce(
+        Column.__and__,
+        [
+            _col(data, c).eqNullSafe(_col(right, renames[c]))
+            for c in on_columns
+        ],
+    )
+    joined = data.join(right, on=condition, how="left").drop(
+        *[renames[c] for c in on_columns]
+    )
+
+    # One pass for the invariants, one count on the input.
+    orig_len = data.count()
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(_col(joined, alias).isNull(), 1)).alias("__null_ids"),
+    ).first()
+    new_len = stats["__n"]
+
+    if new_len < orig_len:
+        msg = "Rows were lost when joining on ids."
+        raise AssertionError(msg)
+    if new_len != orig_len and not allow_duplication:
+        msg = "Rows were duplicated when joining on ids."
+        raise AssertionError(msg)
+
+    if stats["__null_ids"] > 0:
+        sample = joined.filter(_col(joined, alias).isNull()).limit(_SAMPLE).collect()
+        rows = "\n".join(str(r.asDict()) for r in sample)
+        msg = (
+            f"When reading from {table} some ids were returned as NA:\n{rows}\n"
+            "Check the uniqueness assumptions in your database schema, or "
+            "whether your schema definitions contain a mistake."
+        )
+        raise MissingKeysAfterMergeError(msg)
+
+    return joined
+
+
+def compare(
+    data: DataFrame,
+    db_data: DataFrame,
+    *,
+    exact: bool = True,
+) -> None:
+    """Row-*set* comparison of data against a database read.
+
+    ``exact=True``: the distinct row sets must match in both directions,
+    else :class:`CompareNoExactMatchError`.  ``exact=False``: rows with any
+    null are dropped from the data first, and data must be a subset of the
+    database, else :class:`CompareMissingRowsError`.
+
+    Uses ``subtract`` (distinct set difference -> distributed anti-join),
+    replacing the reference's driver-side O(n*m) membership scan
+    (dataframe_operations.py:36-37).
+    """
+    if not exact and has_nulls(data):
+        data = data.na.drop("any")
+
+    db_aligned = match_dtypes(db_data, data).select(
+        [_col(db_data, c) for c in data.columns]
+    )
+
+    data_set = data.distinct()
+    db_set = db_aligned.distinct()
+
+    missing_sample = data_set.subtract(db_set).limit(_SAMPLE).collect()
+
+    if exact:
+        extra_sample = db_set.subtract(data_set).limit(_SAMPLE).collect()
+        if missing_sample or extra_sample:
+            missing_txt = "\n".join(str(r.asDict()) for r in missing_sample)
+            extra_txt = "\n".join(str(r.asDict()) for r in extra_sample)
+            msg = (
+                "Datasets do not match exactly.\n"
+                f"Rows in data and not in db:\n{missing_txt}\n"
+                f"Rows in db and not in data:\n{extra_txt}\n\n"
+                "Consider adding a WHERE clause to filter out irrelevant data.\n"
+                "Note: if this happens because your data contains missings and "
+                "your database does not allow those, set exact=False"
+            )
+            raise CompareNoExactMatchError(msg)
+        return
+
+    if missing_sample:
+        missing_txt = "\n".join(str(r.asDict()) for r in missing_sample)
+        msg = f"Some rows from data were not found in the database:\n{missing_txt}"
+        raise CompareMissingRowsError(msg)
