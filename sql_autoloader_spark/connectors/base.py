@@ -117,7 +117,11 @@ class BaseConnector(ABC):
         payload = ops.distinct_rows(data, common)
         self._write_new_rows(table, payload, common)
 
-        check = ops.distinct_rows(self._read_table(table), common)
+        # Verification: payload must be a subset of the table's rows.
+        # ``ops.compare`` uses ``subtract`` (EXCEPT DISTINCT — a distributed
+        # null-safe anti-join), so no full-table ``distinct()`` pass is
+        # needed here; the scan stays a bare projection Catalyst can prune.
+        check = self._read_table(table).select(*common)
         try:
             ops.compare(payload, check, exact=False)
         except CompareMissingRowsError as e:
@@ -213,22 +217,28 @@ class BaseConnector(ABC):
             )
         logger.debug("Comparing using query:\n%s", query)
 
-        db_data = self._execute_compare_query(query)
-
-        db_count = db_data.count()
-        if db_count == 0:
-            msg = "Compare query yielded no results."
-            raise AssertionError(msg)
-        if not ops.has_nulls(data):
-            data_count = data.count()
-            if db_count < data_count:
-                msg = (
-                    f"Compare query yielded fewer rows ({db_count}) "
-                    f"than data ({data_count})."
-                )
+        # The generated multi-way LEFT JOIN is the most expensive query of
+        # the whole lifecycle; it feeds a count plus up to two ``subtract``
+        # passes, so pin it once instead of recomputing the join 3x
+        # (scale-critical at 100 TB: one pass over the fact join, not three).
+        db_data = self._execute_compare_query(query).cache()
+        try:
+            db_count = db_data.count()
+            if db_count == 0:
+                msg = "Compare query yielded no results."
                 raise AssertionError(msg)
+            if not ops.has_nulls(data):
+                data_count = data.count()
+                if db_count < data_count:
+                    msg = (
+                        f"Compare query yielded fewer rows ({db_count}) "
+                        f"than data ({data_count})."
+                    )
+                    raise AssertionError(msg)
 
-        ops.compare(data, db_data, exact=exact)
+            ops.compare(data, db_data, exact=exact)
+        finally:
+            db_data.unpersist()
 
     def load(
         self,
@@ -268,12 +278,19 @@ class BaseConnector(ABC):
         )
 
         for params in plan.insert_and_retrieve:
+            previous = data
             data = self.insert_and_retrieve_ids(
                 data,
                 **params,
                 replace=replace,
                 allow_duplication=allow_duplication,
             ).cache()
+            # materialize the new step, then release the superseded cache
+            # (keep the original pinned for the final compare) — a deep
+            # schema must not pin every intermediate in executor memory
+            data.count()
+            if previous is not orig_data:
+                previous.unpersist()
 
         for params in plan.insert:
             self.insert(data, **params)
@@ -281,4 +298,7 @@ class BaseConnector(ABC):
         if compare:
             self.compare(orig_data, query=compare_query, where=where, exact=exact)
 
-        return ops.postprocess(data, columns)
+        result = ops.postprocess(data, columns)
+        if orig_data is not data:
+            orig_data.unpersist()
+        return result

@@ -126,19 +126,25 @@ def parse_create_table(statement: str) -> ParsedTable | None:
         spark_type = _spark_type(rest.strip())
         parsed.column_types.append((col, spark_type))
 
-        if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
+        is_pk = bool(re.search(r"\bPRIMARY\s+KEY\b", rest, re.I))
+        ref = _REFERENCES_RE.search(rest)
+        if is_pk:
             parsed.primary_key = col
-        elif ref := _REFERENCES_RE.search(rest):
+        if ref is not None:
+            # legal even combined with PRIMARY KEY (column is both)
             parsed.foreign_keys.append(col)
             parsed.references.append((col, ref.group("table"), ref.group("column")))
-        else:
+        if not is_pk and ref is None:
             if re.search(r"\bUNIQUE\b", rest, re.I):
                 parsed.unique_constraints.append([col])
             parsed.payload_columns.append(col)
 
-    # a column that turned out to be the PK must not stay in payload columns
+    # a column that turned out to be the PK, or was promoted to an FK by a
+    # table-level FOREIGN KEY clause, must not stay in payload columns
     parsed.payload_columns = [
-        c for c in parsed.payload_columns if c != parsed.primary_key
+        c
+        for c in parsed.payload_columns
+        if c != parsed.primary_key and c not in parsed.foreign_keys
     ]
     # PK may have been declared only at table level: ensure it has a type
     if parsed.primary_key and parsed.primary_key not in [

@@ -1,0 +1,352 @@
+"""SparkConnector — the native Spark-catalog sink.
+
+Parity target: the reference's SQLite connector lifecycle
+(/root/reference/sql_autoloader/sqlite_connector.py:150-259), restated
+over Spark tables.  Three reference mechanisms have no Spark primitive
+and are re-expressed here:
+
+1. **Idempotent insert** (``INSERT OR IGNORE``, sqlite_connector.py:10-25):
+   Spark has no unique constraints, so the natural keys declared in the
+   DDL (UNIQUE clauses) drive explicit null-safe left-anti joins — a row
+   is skipped iff some applicable unique constraint already matches an
+   existing row.  With no declared constraint the anti-join key is every
+   inserted column (idempotent re-loads, like the reference's pre-insert
+   dedup).  At scale each anti-join is a broadcast-hash join whenever the
+   existing keyed projection fits under the broadcast threshold; AQE
+   re-plans otherwise.
+
+2. **Surrogate keys** (DB autoincrement, read back via
+   sqlite_connector.py:45-61): two strategies —
+   ``key_strategy="row_number"`` (default) computes ``max(existing id) +
+   row_number() over (order by natural key)`` on the *new rows only*;
+   keyed tables are dimension/linking tables, so the single-partition
+   window covers just this load's novel dimension members (small), while
+   the max-scan stays distributed.  ``key_strategy="hash64"`` assigns
+   ``xxhash64(natural key)`` — fully distributed and deterministic, for
+   billion-row entity tables where even the novel-rows window would be a
+   bottleneck (collision probability ~n^2/2^65).
+
+3. **Transactions** (commit/rollback around the ``with`` block,
+   sqlite_connector.py:197-204): writes accumulate as *pending appends*
+   (DataFrames) layered over committed content; every read inside the
+   block sees committed + pending (a transaction sees its own writes).
+   Clean ``__exit__`` promotes pending to committed (physical mode:
+   one ``append`` write per table — never a rewrite); an exception
+   discards pending, restoring the entry state.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING, Literal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_autoloader_spark.connectors.base import BaseConnector
+from sql_autoloader_spark.connectors.ddl import ParsedTable, parse_script
+from sql_autoloader_spark.schema import ReferenceDict, Schema, TableDict
+
+if TYPE_CHECKING:
+    from typing import Self
+
+_PROP_PREFIX = "sql_autoloader."
+
+
+class SparkConnector(BaseConnector):
+    """Declarative auto-loader over Spark tables.
+
+    Parameters
+    ----------
+    spark:
+        The session to run on.
+    database:
+        When given, tables are *managed catalog tables* in this database
+        and PK/FK/UNIQUE metadata persists as table properties (the
+        Spark-native substitute for ``pragma_foreign_key_list``,
+        reference sqlite_connector.py:84-147).  When ``None`` (default)
+        tables are in-memory DataFrames registered as temp views —
+        the ``":memory:"`` analogue.
+    key_strategy:
+        Surrogate-key generation: ``"row_number"`` (exact autoincrement
+        parity) or ``"hash64"`` (fully distributed, for huge tables).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        database: str | None = None,
+        key_strategy: Literal["row_number", "hash64"] = "row_number",
+    ) -> None:
+        self.spark = spark
+        self.database = database
+        self.key_strategy = key_strategy
+        #: DDL-derived metadata per table
+        self._meta: dict[str, ParsedTable] = {}
+        #: committed content per table
+        self._committed: dict[str, DataFrame] = {}
+        #: uncommitted appends per table (in write order)
+        self._appends: dict[str, list[DataFrame]] = {}
+        self._in_tx = False
+
+        if database is not None:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+            self._load_catalog_state()
+
+        self.schema = self.get_schema()
+        self._register_views()
+
+    # -- context manager / transaction ---------------------------------------
+
+    def __enter__(self) -> Self:
+        self._in_tx = True
+        return self
+
+    def __exit__(self, exc_type: object, *exception: object) -> None:
+        self._in_tx = False
+        if exc_type is None:
+            self.commit()
+        else:
+            self.rollback()
+
+    def commit(self) -> None:
+        """Promote pending appends to committed content."""
+        for table, appends in self._appends.items():
+            if not appends:
+                continue
+            new_rows = appends[0]
+            for extra in appends[1:]:
+                new_rows = new_rows.unionByName(extra)
+            if self.database is not None:
+                new_rows.write.mode("append").saveAsTable(self._qualified(table))
+                self._committed[table] = self.spark.table(self._qualified(table))
+            else:
+                combined = self._committed[table].unionByName(new_rows)
+                # pin + truncate lineage so committed state never re-derives
+                # a long union chain (local mode; a cluster sink would be
+                # Delta/parquet where the write itself is the checkpoint)
+                self._committed[table] = combined.localCheckpoint(eager=True)
+        self._appends = {t: [] for t in self._meta}
+        self._register_views()
+
+    def rollback(self) -> None:
+        """Discard pending appends — tables revert to the entry state."""
+        self._appends = {t: [] for t in self._meta}
+        self._register_views()
+
+    # -- DDL / metadata -------------------------------------------------------
+
+    def execute_ddl(self, script: str) -> None:
+        """Create tables from a SQL DDL script and register their metadata.
+
+        The reference passes DDL straight to the DB cursor and
+        re-introspects (connector.py:167-173); here the same script is
+        parsed for PK/FK/UNIQUE structure (Spark's catalog stores none of
+        it) and each table is created empty.
+        """
+        for parsed in parse_script(script):
+            self._create_table(parsed)
+        self.update_schema()
+        self._register_views()
+
+    def _create_table(self, parsed: ParsedTable) -> None:
+        ddl_schema = ", ".join(f"`{c}` {t}" for c, t in parsed.column_types)
+        empty = self.spark.createDataFrame([], schema=ddl_schema)
+        self._meta[parsed.name] = parsed
+        self._appends.setdefault(parsed.name, [])
+        if self.database is not None:
+            qualified = self._qualified(parsed.name)
+            empty.write.mode("ignore").saveAsTable(qualified)
+            props = ", ".join(
+                f"'{_PROP_PREFIX}{key}' = '{self._escape(json.dumps(value))}'"
+                for key, value in (
+                    ("primary_key", parsed.primary_key),
+                    ("foreign_keys", parsed.foreign_keys),
+                    ("payload_columns", parsed.payload_columns),
+                    ("unique_constraints", parsed.unique_constraints),
+                    ("references", parsed.references),
+                    ("column_types", parsed.column_types),
+                )
+            )
+            self.spark.sql(f"ALTER TABLE {qualified} SET TBLPROPERTIES ({props})")
+            self._committed[parsed.name] = self.spark.table(qualified)
+        else:
+            self._committed[parsed.name] = empty
+
+    def _load_catalog_state(self) -> None:
+        """Introspect existing tables of the database from table properties."""
+        rows = self.spark.sql(f"SHOW TABLES IN {self.database}").collect()
+        for row in rows:
+            name = row.tableName
+            if row.isTemporary:
+                continue
+            props = {
+                r.key: r.value
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {self._qualified(name)}"
+                ).collect()
+            }
+            pk_prop = props.get(f"{_PROP_PREFIX}primary_key")
+            if pk_prop is None:
+                continue  # not one of ours
+            parsed = ParsedTable(
+                name=name,
+                column_types=[
+                    tuple(ct)
+                    for ct in json.loads(props[f"{_PROP_PREFIX}column_types"])
+                ],
+                primary_key=json.loads(pk_prop),
+                foreign_keys=json.loads(props[f"{_PROP_PREFIX}foreign_keys"]),
+                payload_columns=json.loads(props[f"{_PROP_PREFIX}payload_columns"]),
+                unique_constraints=json.loads(
+                    props[f"{_PROP_PREFIX}unique_constraints"]
+                ),
+                references=[
+                    tuple(r)
+                    for r in json.loads(props[f"{_PROP_PREFIX}references"])
+                ],
+            )
+            self._meta[name] = parsed
+            self._committed[name] = self.spark.table(self._qualified(name))
+            self._appends.setdefault(name, [])
+
+    def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
+        """Emit the schema-graph wire format from the registered metadata."""
+        tables: list[TableDict] = []
+        references: list[ReferenceDict] = []
+        for parsed in self._meta.values():
+            tables.append(
+                {
+                    "name": parsed.name,
+                    "columns": list(parsed.payload_columns),
+                    "primary_key": parsed.primary_key,
+                    "foreign_keys": list(parsed.foreign_keys),
+                    "unique_constraints": [
+                        list(uc) for uc in parsed.unique_constraints
+                    ],
+                }
+            )
+            references.extend(
+                {
+                    "from_table": parsed.name,
+                    "from_key": from_key,
+                    "to_table": to_table,
+                    "to_key": to_key,
+                }
+                for from_key, to_table, to_key in parsed.references
+            )
+        return tables, references
+
+    def get_schema(self) -> Schema:
+        return Schema(self.fetch_schema)
+
+    # -- physical primitives --------------------------------------------------
+
+    def _read_table(self, table: str) -> DataFrame:
+        """Committed content plus this transaction's pending appends."""
+        if table not in self._committed:
+            msg = f"table '{table}' does not exist in the Spark catalog sink."
+            raise KeyError(msg)
+        frame = self._committed[table]
+        for appended in self._appends.get(table, []):
+            frame = frame.unionByName(appended)
+        return frame
+
+    def _write_new_rows(
+        self, table: str, new_rows: DataFrame, columns: list[str]
+    ) -> None:
+        meta = self._meta[table]
+        declared = dict(meta.column_types)
+
+        # align the payload to the table's declared column types
+        payload = new_rows.select(
+            [F.col(f"`{c}`").cast(declared[c]).alias(c) for c in columns]
+        )
+
+        # INSERT OR IGNORE: drop rows an applicable unique constraint
+        # already claims.  Null-unsafe join on purpose — SQL UNIQUE treats
+        # NULLs as distinct, so null-keyed rows always insert (SQLite
+        # parity).  With no declared constraint the whole inserted row is
+        # the key, via ``subtract`` (null-safe EXCEPT) so re-loads stay
+        # idempotent.
+        existing = self._read_table(table)
+        anti_keys = [
+            uc for uc in meta.unique_constraints if set(uc) <= set(columns)
+        ]
+        if anti_keys:
+            for key in anti_keys:
+                payload = payload.join(
+                    existing.select(*key), on=key, how="left_anti"
+                )
+        else:
+            payload = payload.subtract(existing.select(*columns))
+
+        payload = self._with_surrogate_key(table, payload, columns, existing)
+
+        # widen to the full declared schema (absent columns -> typed nulls)
+        full = payload.select(
+            [
+                F.col(f"`{c}`")
+                if c in payload.columns
+                else F.lit(None).cast(t).alias(c)
+                for c, t in meta.column_types
+            ]
+        )
+        # Pin the new rows *now*: the surrogate keys and the anti-join are
+        # computed against current content, and must not re-derive after
+        # the table has since grown (lineage replay would change ids).
+        full = full.localCheckpoint(eager=True)
+        self._appends.setdefault(table, []).append(full)
+        self._register_view(table)
+
+    def _with_surrogate_key(
+        self,
+        table: str,
+        payload: DataFrame,
+        columns: list[str],
+        existing: DataFrame,
+    ) -> DataFrame:
+        meta = self._meta[table]
+        pk = meta.primary_key
+        if not pk or pk in payload.columns:
+            return payload
+        if self.key_strategy == "hash64":
+            # deterministic, fully distributed: no window, no max-scan
+            return payload.withColumn(
+                pk, F.xxhash64(*[F.col(f"`{c}`") for c in columns])
+            )
+        max_id = (
+            existing.agg(F.coalesce(F.max(F.col(pk)), F.lit(0)).alias("m"))
+            .first()["m"]
+        )
+        window = Window.orderBy(*[F.col(f"`{c}`") for c in columns])
+        return payload.withColumn(
+            pk, (F.row_number().over(window) + F.lit(max_id)).cast("bigint")
+        )
+
+    def _execute_compare_query(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- helpers ----------------------------------------------------------------
+
+    def _qualified(self, table: str) -> str:
+        return f"{self.database}.{table}" if self.database else table
+
+    @staticmethod
+    def _escape(value: str) -> str:
+        return value.replace("'", "\\'")
+
+    def _register_views(self) -> None:
+        for table in self._meta:
+            self._register_view(table)
+
+    def _register_view(self, table: str) -> None:
+        """Expose current visible content under the bare table name.
+
+        Generated compare queries reference bare names; temp views shadow
+        catalog tables in ``spark.sql`` resolution, so both storage modes
+        read transaction-consistent content.
+        """
+        self._read_table(table).createOrReplaceTempView(table)

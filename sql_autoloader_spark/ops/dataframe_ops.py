@@ -207,12 +207,14 @@ def compare(
     if not exact and has_nulls(data):
         data = data.na.drop("any")
 
-    db_aligned = match_dtypes(db_data, data).select(
-        [_col(db_data, c) for c in data.columns]
-    )
+    aligned = match_dtypes(db_data, data)
+    db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
 
-    data_set = data.distinct()
-    db_set = db_aligned.distinct()
+    # ``subtract`` is EXCEPT DISTINCT: set semantics (duplicate-insensitive,
+    # NULL-safe) with no separate ``distinct()`` pass needed — one shuffle per
+    # side instead of two.
+    data_set = data
+    db_set = db_aligned
 
     missing_sample = data_set.subtract(db_set).limit(_SAMPLE).collect()
 

@@ -105,7 +105,7 @@ class Schema:
     def _get_table_name_by_column(self, column_name: str) -> str:
         """Resolve a (possibly ``table.column``-prefixed) column to its table."""
         if "." in column_name:
-            table_name, _ = column_name.split(".")
+            table_name, _ = column_name.split(".", 1)
             table = self._get_table(table_name)
             if column_name not in table:
                 msg = f"Column '{column_name}' does not exist for {table_name}."

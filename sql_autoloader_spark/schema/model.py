@@ -26,6 +26,7 @@ class TableDict(TypedDict, total=False):
     columns: list[str]
     primary_key: str
     foreign_keys: list[str]
+    unique_constraints: list[list[str]]
 
 
 class ReferenceDict(TypedDict):
@@ -91,8 +92,13 @@ class Table:
         )
 
     def get_common_columns(self, columns: list[str]) -> list[str]:
-        """Bare column names shared between *columns* and this table."""
-        return list(set(columns) & set(self.columns_and_foreign_keys))
+        """Bare column names shared between *columns* and this table.
+
+        Sorted to pin insert-column order run-to-run (the reference's
+        set-intersection order is hash-randomized; deterministic order is
+        load-bearing for generated plans, _itertools.py docstring).
+        """
+        return sorted(set(columns) & set(self.columns_and_foreign_keys))
 
     def get_prefixed_columns(self, columns: list[str]) -> list[tuple[str, str]]:
         """For each input column on this table, ``(prefixed_name, as_given)``.
