@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a full declarative auto-load of a star
+schema through :class:`SparkConnector` (the engine's reason to exist),
+returning the generated multi-way-join reconstruction.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2A/§2G): loader DataFrame ops, analytics over the
+TPC-H-ish tables, and the LLM-pipeline operators (dedup, similarity
+search, text analysis).  Every aggregate is computed in DECIMAL (exact,
+order-insensitive) and cast to DOUBLE at the end, so the Spark result
+and the DuckDB oracle match bit-for-bit; ratios are exact integer
+divisions in double precision.  Operators whose hashing is
+Spark-specific (xxhash64-based MinHash/SimHash/LSH) have no portable
+oracle and are registered rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +20,675 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_autoloader_spark.functions import dedup, similarity, text
+from sql_autoloader_spark.ops import dataframe_ops as ops
+
+_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read the raw int64 nanos and truncate to microseconds
+        # (identical to DuckDB/Arrow ns→us truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(12,{scale})")
+
+
+# --------------------------------------------------------------------------
+# Loader-op queries (SURVEY §2A as runnable queries over the fixtures)
+# --------------------------------------------------------------------------
+
+
+def q_preprocess_rename_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: rename per mapping + global row dedup."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    return ops.preprocess(
+        li, {"l_returnflag": "returnflag", "l_linestatus": "linestatus"}
+    )
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: distinct projection (the insert payload)."""
+    return ops.distinct_rows(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the null-profile aggregate behind ``has_nulls``."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"nulls_{c}")
+            for c in ["user_id", "event_type", "value", "props"]
+        ],
+    )
+
+
+def q_nullsafe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: null-safe left equi-join (merge_ids' join shape)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = cust.join(
+        nat, on=cust["c_nationkey"].eqNullSafe(nat["n_nationkey"]), how="left"
+    )
+    return joined.select(
+        "c_custkey", F.col("n_name").alias("nation_name")
+    )
+
+
+def q_compare_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: set-difference (the compare primitive) — customers with no
+    order in 2001."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.subtract(recent)
+
+
+def q_load_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: the full declarative auto-load lifecycle.
+
+    Flattened nation⨝region names load into a 2-table star via
+    ``SparkConnector.load`` (plan → idempotent insert → surrogate keys →
+    FK merge → generated-join validation); the returned frame is the
+    generated compare-query reconstruction, which must equal the
+    distinct input.
+    """
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    flat = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_name").alias("name"), F.col("r_name").alias("region"))
+
+    connector = SparkConnector(spark)
+    connector.execute_ddl(
+        """
+        CREATE TABLE dim_region (
+            id INTEGER PRIMARY KEY,
+            region TEXT UNIQUE
+        );
+        CREATE TABLE dim_nation (
+            id INTEGER PRIMARY KEY,
+            name TEXT UNIQUE,
+            region_id INTEGER REFERENCES dim_region (id)
+        );
+        """
+    )
+    with connector:
+        connector.load(flat)
+    query = connector.schema.get_compare_query(["name", "region"], quote="`")
+    return spark.sql(query)
+
+
+# --------------------------------------------------------------------------
+# Analytics queries (TPC-H-shaped; exercise agg/join/window/sort/limit)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .withColumnsRenamed(
+            {"l_returnflag": "returnflag", "l_linestatus": "linestatus"}
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .withColumnsRenamed({"n_name": "nation"})
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            "rnk",
+        )
+    )
+
+
+def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline queries (SURVEY §2G)
+# --------------------------------------------------------------------------
+
+
+def q_docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_dedup_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_obs"),
+    )
+
+
+def q_docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_features(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        "space_ratio",
+        "avg_token_len",
+        "quality_score",
+    )
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.language_id(docs, "text").select(
+        "doc_id", "pred_lang", "score_en", "score_es", "score_de", "score_fr"
+    )
+
+
+def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.9,
+        shingle_words=1,
+    )
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+# -- rows-only (Spark-specific hashing; no portable SQL oracle) ------------
+
+
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.4,
+        shingle_words=3,
+    )
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        max_hamming=12,
+    )
+
+
+def q_docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.rolling_fingerprint(F.col("text")).alias("roll_fp")
+    )
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", dim=64, k=5
+    )
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        threshold=0.3,
+    )
+
+
+# --------------------------------------------------------------------------
+# Contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: declarative star-schema auto-load + validation at sf0.001."""
+    return q_load_star_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # loader ops (SURVEY §2A/E)
+        "preprocess_rename_dedup": q_preprocess_rename_dedup,
+        "distinct_rows": q_distinct_rows,
+        "null_profile": q_null_profile,
+        "nullsafe_merge": q_nullsafe_merge,
+        "compare_except": q_compare_except,
+        "load_star_roundtrip": q_load_star_roundtrip,
+        # analytics
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "orders_monthly": q_orders_monthly,
+        # LLM-pipeline ops (SURVEY §2G)
+        "docs_fingerprint_dedup": q_docs_fingerprint_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_lang_profile": q_docs_lang_profile,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "events_hourly": q_events_hourly,
+        "events_dedup_first": q_events_dedup_first,
+        "events_user_stats": q_events_user_stats,
+        # rows-only (Spark-specific hashing)
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_rolling_fp": q_docs_rolling_fp,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_DEC = "DECIMAL(12,2)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    disc_price = f"CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))"
+    charge = f"{disc_price} * (1 + CAST(l_tax AS {_DEC}))"
+    normalized = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    n_tokens = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+    )
+
+    def occ(hay: str, needle: str) -> str:
+        n = needle.replace("'", "''")
+        return (
+            f"CAST((length({hay}) - length(replace({hay}, '{n}', '')))"
+            f" / {len(needle)} AS BIGINT)"
+        )
+
+    padded = "(' ' || lower(text) || ' ')"
+    lang_score = {
+        lang: " + ".join(occ(padded, m) for m in text.LANG_MARKERS[lang])
+        for lang in text.LANG_ORDER
+    }
+    best = f"greatest({', '.join(f'({s})' for s in lang_score.values())})"
+    cjk = "CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT)"
+    pred_lang = (
+        f"CASE WHEN {cjk} > 0 THEN 'zh' WHEN {best} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN ({lang_score[lang]}) = {best} THEN '{lang}'"
+            for lang in text.LANG_ORDER
+        )
+        + " END"
+    )
+
+    return {
+        "preprocess_rename_dedup": (
+            "SELECT DISTINCT l_returnflag AS returnflag,"
+            " l_linestatus AS linestatus FROM lineitem"
+        ),
+        "distinct_rows": (
+            "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+        ),
+        "null_profile": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            " CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,"
+            " CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,"
+            " CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,"
+            " CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props"
+            " FROM events"
+        ),
+        "nullsafe_merge": (
+            "SELECT c_custkey, n_name AS nation_name FROM customer"
+            " LEFT JOIN nation ON c_nationkey IS NOT DISTINCT FROM n_nationkey"
+        ),
+        "compare_except": (
+            "SELECT c_custkey AS custkey FROM customer"
+            " EXCEPT"
+            " SELECT o_custkey AS custkey FROM orders"
+            " WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'"
+        ),
+        "load_star_roundtrip": (
+            "SELECT DISTINCT n_name AS name, r_name AS region"
+            " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": f"""
+            SELECT n_name AS nation, CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "top_customers_per_nation": """
+            SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+                   c_custkey AS custkey, c_acctbal AS acctbal,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey
+                       ) AS rnk
+                FROM customer
+            ) WHERE rnk <= 3
+        """,
+        "orders_monthly": f"""
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total_revenue
+            FROM orders GROUP BY 1
+        """,
+        "docs_fingerprint_dedup": f"""
+            SELECT md5({normalized}) AS fp,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "docs_token_stats": f"""
+            SELECT doc_id, {n_tokens} AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs
+            FROM documents
+        """,
+        "docs_lang_profile": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_quality": f"""
+            SELECT doc_id,
+                   {n_tokens} AS n_tokens,
+                   round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS space_ratio,
+                   round(CAST(length(trim(text)) - greatest({n_tokens} - 1, 0) AS DOUBLE)
+                         / greatest({n_tokens}, 1), 6) AS avg_token_len,
+                   round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                         * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                            + CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE))
+                         / greatest(length(text), 1), 6) AS quality_score
+            FROM documents
+        """,
+        "docs_lang_id": f"""
+            SELECT doc_id, {pred_lang} AS pred_lang,
+                   ({lang_score['en']}) AS score_en,
+                   ({lang_score['es']}) AS score_es,
+                   ({lang_score['de']}) AS score_de,
+                   ({lang_score['fr']}) AS score_fr
+            FROM documents
+        """,
+        "docs_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ts
+                FROM documents WHERE trim(text) <> ''
+            ),
+            exploded AS (
+                SELECT doc_id, unnest(ts) AS s FROM toks
+            ),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM exploded a JOIN exploded b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(inter AS DOUBLE) /
+                         (len(ta.ts) + len(tb.ts) - inter), 6) AS jaccard
+            FROM inter
+            JOIN toks ta ON ta.doc_id = id_a
+            JOIN toks tb ON tb.doc_id = id_b
+            WHERE round(CAST(inter AS DOUBLE) /
+                        (len(ta.ts) + len(tb.ts) - inter), 6) >= 0.9
+        """,
+        "emb_cosine_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(
+                           list_zip(q.embedding, c.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                       ))
+                       / (sqrt(list_sum(list_transform(q.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(c.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS sim_raw
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim_raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim_raw DESC, neighbor_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   round(sim_raw, 6) AS sim
+            FROM ranked WHERE rank <= 5
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_dedup_first": """
+            SELECT user_id, event_type, event_id, ts
+            FROM (
+                SELECT user_id, event_type, event_id, ts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "events_user_stats": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        """,
+    }

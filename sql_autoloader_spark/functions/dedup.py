@@ -1,0 +1,362 @@
+"""Deduplication operators: exact → fingerprint → fuzzy (MinHash/SimHash).
+
+Design rules for 100 TB:
+- **Never all-pairs.** Every fuzzy family generates *candidate pairs* by
+  joining on a bucketing key (band signature / fingerprint chunk / shared
+  token), so the shuffle is keyed and skew is bounded by bucket size; the
+  exact similarity is then verified only on candidates.
+- **Exact dedup is one keyed shuffle**: ``groupBy(fingerprint)`` compiles
+  to partial+final HashAggregate (map-side combined).
+- All hashing uses ``xxhash64`` (JVM-side, codegen). No Python in the hot
+  path anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_autoloader_spark.functions.text import (
+    fingerprint_md5,
+    tokens,
+    word_shingles,
+)
+
+# The 31-bit Mersenne prime: with h folded into [0, p) and a, b < p the
+# permutation product a*h < 2^62 stays inside int64 even under ANSI
+# overflow checking (a 61-bit prime would overflow the multiply).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, subset: list[str], *, id_col: str
+) -> DataFrame:
+    """Keep exactly one row (minimal *id_col*) per distinct *subset* value.
+
+    ``min_by`` keeps the whole row in one aggregation pass — one shuffle
+    on the dedup key, no self-join, no window (a window over the key would
+    shuffle identically but sort within groups for no benefit).
+    """
+    others = [c for c in df.columns if c not in subset]
+    aggs = [F.min(id_col).alias(id_col)] + [
+        F.min_by(c, id_col).alias(c) for c in others if c != id_col
+    ]
+    return df.groupBy(*subset).agg(*aggs).select(*df.columns)
+
+
+def fingerprint_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Group documents by normalized-text fingerprint.
+
+    Returns ``(fp, keep_id, n_copies)`` — the survivor id plus duplicate
+    count per fingerprint. One keyed shuffle; the md5 fingerprint (32-hex)
+    is the shuffle key, so data volume after the map side is ~48 bytes/doc
+    regardless of document size.
+    """
+    return (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fp"),
+            F.col(id_col),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_words: int = 1,
+) -> DataFrame:
+    """Exact Jaccard similarity over token (or word-shingle) *sets* for
+    every document pair sharing at least one token.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
+    ``jaccard >= threshold``.
+
+    Plan shape: explode distinct shingles → self-equi-join on the shingle
+    (keyed shuffle; candidate generation) → count intersections per pair →
+    join per-doc set sizes (broadcast — the size table is one row per doc)
+    → exact Jaccard filter.  The join key is the shingle, so ubiquitous
+    shingles create skew: at 100 TB, drop the top-frequency shingles
+    (stop-shingles) before the self-join — they generate candidate pairs
+    that near-certainly fail the threshold anyway.  This exact variant is
+    the *oracle*; :func:`minhash_lsh_pairs` is the sub-quadratic scale path.
+    """
+    shingle = (
+        tokens(F.col(text_col))
+        if shingle_words == 1
+        else word_shingles(F.col(text_col), shingle_words)
+    )
+    sets = df.select(
+        F.col(id_col).alias("doc"), F.array_distinct(shingle).alias("sh")
+    )
+    sizes = sets.select("doc", F.size("sh").cast("bigint").alias("sz"))
+    exploded = sets.select("doc", F.explode("sh").alias("s"))
+
+    left = exploded.withColumnsRenamed({"doc": "id_a"})
+    right = exploded.withColumnsRenamed({"doc": "id_b"})
+    inter = (
+        left.join(right, on="s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"})), on="id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"})), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    shingles: Column, *, num_hashes: int, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint>, length *num_hashes*).
+
+    Universal-hash permutations ``(a_i * h + b_i) mod p`` over the
+    xxhash64 of each shingle, folded into ``[0, p)`` first so the modular
+    products stay positive.  Entirely ``transform``/``aggregate`` — JVM
+    expression tree, no UDF, no shuffle.
+    """
+    import random
+
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+    base = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (
+                        (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE31)
+                    ),
+                )
+            )
+            for a, b in params
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Candidate pairs = documents agreeing on *any* band of the signature
+    (band = ``num_hashes // bands`` consecutive minhashes, hashed to one
+    bucket key).  With r rows/band, P(candidate) = 1-(1-j^r)^bands — the
+    classic S-curve; 32 hashes / 8 bands targets j ≳ 0.6.
+
+    Scale: the only shuffles are (1) the band-bucket self-join, keyed on
+    ``(band_index, bucket_hash)``; (2) the candidate-pair dedup.  Bucket
+    skew (giant near-dup clusters) is the known hazard — cap bucket
+    width upstream or salt the key.  With ``verify=True`` candidates are
+    confirmed with the exact shingle-set Jaccard, computed via an
+    ``array_intersect`` on the (re-joined) shingle arrays — a broadcast
+    join per side when the candidate set is small.
+
+    Returns ``(id_a, id_b[, jaccard])``, ``id_a < id_b``.
+    """
+    rows_per_band = num_hashes // bands
+    shingle = (
+        tokens(F.col(text_col))
+        if shingle_words == 1
+        else word_shingles(F.col(text_col), shingle_words)
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingle).alias("sh"),
+    ).where(F.size("sh") > 0)
+    signed = docs.select(
+        "doc",
+        "sh",
+        minhash_signature(F.col("sh"), num_hashes=num_hashes).alias("sig"),
+    )
+
+    banded = signed.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.doc") < F.col("r.doc"),
+            ],
+        )
+        .select(
+            F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b")
+        )
+        .distinct()
+    )
+
+    if not verify:
+        return pairs
+
+    sh = signed.select("doc", "sh")
+    return (
+        pairs.join(sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"doc": "id_b", "sh": "sh_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: Column, *, bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset.
+
+    Per token: xxhash64 → for each bit position add +1/-1 to the position
+    counter; fingerprint bit = sign of the counter.  Expressed as one
+    ``aggregate`` over an int64-vector accumulator — no shuffle, no UDF.
+    """
+    toks = tokens(col)
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    # bit positions are unrolled as Python ints (shift amounts must be
+    # literals); the per-token ±1 vector is one array expression
+    acc = F.aggregate(
+        toks,
+        zero,
+        lambda a, t: F.zip_with(
+            a,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1).cast("bigint"),
+                    ).otherwise(F.lit(-1).cast("bigint"))
+                    for i in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        # bit 63 is the int64 sign bit: its set-value is -2^63
+        bit_value = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(F.element_at(acc, i + 1) > 0, F.lit(bit_value))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ *max_hamming*.
+
+    Pigeonhole bucketing: split the 64-bit fingerprint into *chunks*
+    16-bit chunks; any pair within Hamming distance ``chunks - 1`` agrees
+    on at least one chunk, so the candidate join is keyed on
+    ``(chunk_index, chunk_value)`` — never all-pairs.  Verification =
+    ``bit_count(xor)``.
+
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    fingerprinted = df.select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp")
+    )
+    chunked = fingerprinted.select(
+        "doc",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("fp"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc", "fp", "ch.ci", "ch.cv")
+
+    return (
+        chunked.alias("l")
+        .join(
+            chunked.alias("r"),
+            on=[
+                F.col("l.ci") == F.col("r.ci"),
+                F.col("l.cv") == F.col("r.cv"),
+                F.col("l.doc") < F.col("r.doc"),
+            ],
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.bit_count(
+                F.col("l.fp").bitwiseXOR(F.col("r.fp"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,327 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Baseline: brute-force cosine top-k (exact; broadcast the query set, one
+pass over the corpus, per-partition top-k then global top-k).  Scale
+paths: random-hyperplane LSH bucketing (sub-linear candidate generation)
+and IVF-style centroid routing.  All dot products are built-in
+``zip_with``/``aggregate`` expressions in double precision — JVM codegen,
+no UDF, deterministic (sequential sum in index order, so a DuckDB oracle
+computing the same left-to-right sum matches bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbours for every query vector.
+
+    Plan: broadcast the (small) query set → one scan of the corpus
+    computing all query-corpus similarities map-side → per-query top-k via
+    ``row_number`` window.  The window shuffles on ``query_id`` (small:
+    |queries| × |corpus| candidate rows are first cut to |queries| × k per
+    partition would require partial top-k; at 100 TB add a per-partition
+    ``mapInPandas`` heap or an AQE-friendly two-stage
+    ``groupBy(query).agg(max_by)`` cascade — the window form is exact and
+    adequate while candidates fit the shuffle).
+
+    Returns ``(query_id, neighbor_id, rank, sim)`` with deterministic
+    ``(sim desc, neighbor_id)`` ordering.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on=F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+def hyperplane_signature(
+    vec: Column, *, dim: int, planes: int, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH signature as a *planes*-bit integer.
+
+    Hyperplane components are deterministic pseudo-random ±1 (driver-side
+    seeded), folded into a sign-pattern integer: bit_i = [v · h_i > 0].
+    P(bit match) = 1 - angle/π, so bucket collision concentrates
+    high-cosine pairs.
+    """
+    import random
+
+    rng = random.Random(seed)
+    signs = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(planes)
+    ]
+    bits = []
+    for i, plane in enumerate(signs):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(s) for s in plane]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    Candidates = corpus vectors sharing a signature with the query in any
+    of *tables* independent hash tables; exact cosine re-ranks candidates.
+    The join is keyed on ``(table, signature)`` — sub-linear in corpus
+    size, and the 100 TB path: signatures are computed map-side in one
+    scan, the per-bucket join replaces the full cross product.  Recall is
+    tunable via (planes, tables).
+
+    Returns the same shape as :func:`brute_force_topk`.
+    """
+    def signed(df: DataFrame, idname: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v")
+        )
+        sigs = F.array(
+            *[
+                hyperplane_signature(
+                    F.col(f"{idname}_v"), dim=dim, planes=planes, seed=1000 + t
+                )
+                for t in range(tables)
+            ]
+        )
+        return out.select(
+            idname,
+            f"{idname}_v",
+            F.posexplode(sigs).alias("tbl", "sig"),
+        )
+
+    q = signed(queries, "query_id")
+    c = signed(corpus, "neighbor_id")
+    candidates = (
+        q.join(c, on=["tbl", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("sim_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: route via coarse centroids.
+
+    Centroids are a deterministic corpus sample (every ⌈n/C⌉-th vector by
+    id — at scale, replace with a k-means fit on a sample; the routing
+    plan is identical).  Corpus vectors are assigned to their nearest
+    centroid (one broadcast join, map-side); each query probes its
+    *n_probe* nearest centroids and scores only those partitions'
+    vectors.  The scoring join is keyed on ``centroid_id`` — the classic
+    inverted-file layout, shuffle ∝ probed fraction of the corpus.
+    """
+    n = corpus.count()
+    step = max(n // n_centroids, 1)
+    centroids = (
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid")
+        )
+        .where((F.col("cid") % step == 0))
+        .limit(n_centroids)
+    )
+
+    def assign(df: DataFrame, idname: str, probe: int) -> DataFrame:
+        """Top-*probe* nearest centroids per vector (broadcast join)."""
+        scored = (
+            df.select(
+                F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v")
+            )
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                idname,
+                f"{idname}_v",
+                "cid",
+                cosine(F.col(f"{idname}_v"), F.col("centroid")).alias("csim"),
+            )
+        )
+        w = Window.partitionBy(idname).orderBy(
+            F.col("csim").desc(), F.col("cid")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= probe)
+            .drop("r", "csim")
+        )
+
+    assigned_corpus = assign(corpus, "neighbor_id", 1)
+    probed_queries = assign(queries, "query_id", n_probe)
+
+    scored = (
+        probed_queries.join(assigned_corpus, on="cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias(
+                "sim_raw"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 12,
+    tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ *threshold*).
+
+    LSH-bucketed self-join (same machinery as :func:`lsh_topk`), exact
+    cosine verification on candidates.  Returns ``(id_a, id_b, sim)``
+    with ``id_a < id_b``.
+    """
+    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    sigs = F.array(
+        *[
+            hyperplane_signature(F.col("v"), dim=dim, planes=planes, seed=2000 + t)
+            for t in range(tables)
+        ]
+    )
+    banded = base.select("doc", "v", F.posexplode(sigs).alias("tbl", "sig"))
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.tbl") == F.col("r.tbl"),
+                F.col("l.sig") == F.col("r.sig"),
+                F.col("l.doc") < F.col("r.doc"),
+            ],
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

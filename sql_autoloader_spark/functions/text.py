@@ -1,0 +1,191 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs.  Each operator is a narrow
+projection so Catalyst prunes the parquet scan down to the text column.
+
+Scale notes (100 TB):
+- Every function here is a *map-side* transform: zero shuffles, embarrassingly
+  parallel over input splits, limited only by scan bandwidth.
+- ``language_id``'s replace-based counting is O(len(text) * n_keywords) per
+  row inside codegen — no regex backtracking, no dictionary broadcast needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker sets per language, chosen to be disjoint enough for a
+# deterministic arg-max. Scoring = total occurrence count of ``_ word _``
+# patterns; the padded-space trick avoids regexes in the hot path.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "es": [" el ", " que ", " los ", " una ", " por "],
+    "de": [" der ", " und ", " die ", " nicht ", " ist "],
+    "fr": [" le ", " et ", " les ", " des ", " une "],
+}
+# Order decides ties: first language with the max score wins.
+LANG_ORDER: list[str] = ["en", "es", "de", "fr"]
+
+_CJK_RANGE = "[一-鿿]"
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Occurrence count of *needle* in *col* via length arithmetic.
+
+    ``(len(s) - len(replace(s, needle, ''))) / len(needle)`` — pure string
+    ops, deterministic, expressible identically in any SQL dialect (the
+    DuckDB correctness oracle uses the same formula).
+    """
+    removed = F.replace(col, F.lit(needle))
+    return (
+        (F.length(col) - F.length(removed)) / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace-token count; empty/blank text counts 0 tokens."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("bigint")
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokens as an array (empty array for blank)."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Word n-gram shingles (space-joined) as an array of strings.
+
+    Built from ``transform`` over token indices — stays JVM-side; the
+    shingle array feeds minhash/Jaccard dedup downstream.
+    """
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), count - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+    )
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Character n-grams of the lower-cased text as an array of strings."""
+    s = F.lower(col)
+    count = F.greatest(F.length(s) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), count - F.lit(1)),
+        lambda i: F.substring(s, i + F.lit(1), n),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality-scoring features.
+
+    Adds: ``n_chars_obs``, ``n_tokens``, ``alpha_ratio``, ``digit_ratio``,
+    ``space_ratio``, ``avg_token_len``, ``quality_score`` (a simple
+    length+alpha heuristic in [0,1]).  All ratios are exact integer
+    divisions in double precision (deterministic across engines).
+    """
+    col = F.col(text_col)
+    n = F.greatest(F.length(col), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(col, "[^a-zA-Z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(col, "[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(col, "[^ ]", "")).cast("double")
+    n_tok = token_count(col)
+    return (
+        df.withColumn("n_chars_obs", F.length(col).cast("bigint"))
+        .withColumn("n_tokens", n_tok)
+        .withColumn("alpha_ratio", F.round(alpha / n, 6))
+        .withColumn("digit_ratio", F.round(digit / n, 6))
+        .withColumn("space_ratio", F.round(space / n, 6))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                (F.length(F.trim(col)) - F.greatest(n_tok - 1, F.lit(0)))
+                .cast("double")
+                / F.greatest(n_tok, F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+                * (alpha + space)
+                / n,
+                6,
+            ),
+        )
+    )
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-occurrence scores (plus CJK char count)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scores = {
+        lang: sum(
+            (occurrences(padded, marker) for marker in markers),
+            start=F.lit(0).cast("bigint"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    cjk = F.length(col) - F.length(F.regexp_replace(col, _CJK_RANGE, ""))
+    scores["zh"] = cjk.cast("bigint")
+    return scores
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language identification (n-gram/stopword scoring).
+
+    CJK characters dominate (any CJK → ``zh``); otherwise the language
+    with the highest marker score wins, ties broken by ``LANG_ORDER``;
+    all-zero scores → ``und`` (undetermined).
+    """
+    scores = language_scores(F.col(text_col))
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.when(scores["zh"] > 0, F.lit("zh"))
+    cond = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        cond = cond.when(scores[lang] == best, F.lit(lang))
+    pred = pred.otherwise(cond)
+    out = df.withColumn("pred_lang", pred)
+    for lang in ("zh", *LANG_ORDER):
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lower, alnum+space only,
+    collapsed whitespace."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, "[^a-z0-9\\s]", " ")
+    s = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return s
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(col))
+
+
+def rolling_fingerprint(col: Column, *, window: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min of xxhash64 over
+    character windows of the normalized text (a winnowing-style selector —
+    robust to local edits, unlike a whole-document hash).
+
+    xxhash64 is Spark-specific, so correctness checks for this operator
+    are rows-only (no portable SQL oracle).
+    """
+    s = normalized(col)
+    count = F.greatest(F.length(s) - F.lit(window - 1), F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(0), count - F.lit(1)),
+        lambda i: F.xxhash64(F.substring(s, i + F.lit(1), window)),
+    )
+    return F.array_min(windows)
