@@ -55,6 +55,9 @@ class ParsedTable:
     unique_constraints: list[list[str]] = field(default_factory=list)
     # (from_key, to_table, to_key)
     references: list[tuple[str, str, str]] = field(default_factory=list)
+    # columns declared NOT NULL — rows violating them are silently
+    # skipped on insert, matching INSERT OR IGNORE constraint behavior
+    not_null: list[str] = field(default_factory=list)
 
 
 def _split_top_level(body: str) -> list[str]:
@@ -127,6 +130,8 @@ def parse_create_table(statement: str) -> ParsedTable | None:
         parsed.column_types.append((col, spark_type))
 
         is_pk = bool(re.search(r"\bPRIMARY\s+KEY\b", rest, re.I))
+        if re.search(r"\bNOT\s+NULL\b", rest, re.I):
+            parsed.not_null.append(col)
         ref = _REFERENCES_RE.search(rest)
         if is_pk:
             parsed.primary_key = col

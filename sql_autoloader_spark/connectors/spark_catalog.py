@@ -168,6 +168,7 @@ class SparkConnector(BaseConnector):
                     ("unique_constraints", parsed.unique_constraints),
                     ("references", parsed.references),
                     ("column_types", parsed.column_types),
+                    ("not_null", parsed.not_null),
                 )
             )
             self.spark.sql(f"ALTER TABLE {qualified} SET TBLPROPERTIES ({props})")
@@ -207,6 +208,9 @@ class SparkConnector(BaseConnector):
                     tuple(r)
                     for r in json.loads(props[f"{_PROP_PREFIX}references"])
                 ],
+                not_null=json.loads(
+                    props.get(f"{_PROP_PREFIX}not_null", "[]")
+                ),
             )
             self._meta[name] = parsed
             self._committed[name] = self.spark.table(self._qualified(name))
@@ -264,6 +268,13 @@ class SparkConnector(BaseConnector):
         payload = new_rows.select(
             [F.col(f"`{c}`").cast(declared[c]).alias(c) for c in columns]
         )
+
+        # NOT NULL enforcement: INSERT OR IGNORE silently skips rows that
+        # violate any constraint (reference sqlite_connector.py:10-25 +
+        # SQLite semantics), so null-in-NOT-NULL rows are filtered out here.
+        for nn in meta.not_null:
+            if nn in payload.columns:
+                payload = payload.where(F.col(f"`{nn}`").isNotNull())
 
         # INSERT OR IGNORE: drop rows an applicable unique constraint
         # already claims.  Null-unsafe join on purpose — SQL UNIQUE treats

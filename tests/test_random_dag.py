@@ -1,0 +1,164 @@
+"""Port of the reference's randomized end-to-end simulation
+(/root/reference/tests/test_sqlite_connector.py:288-446 with
+tests/generators.py): random DAG → random DDL + flat data → ``load`` →
+generated compare query → round-trip equality.
+
+Spark adaptations: names are lowercase (Spark SQL identifiers are
+case-insensitive, the reference's mixed-case names would collide),
+example count is bounded (each example is a full Spark load), and the
+round-trip check compares row sets via ``collect`` instead of polars
+``assert_frame_equal``.
+"""
+
+from __future__ import annotations
+
+import string
+from collections import Counter
+from dataclasses import dataclass
+
+import hypothesis.strategies as st
+import networkx as nx
+import pytest
+from hypothesis import HealthCheck, assume, given, settings
+from pyspark.sql import SparkSession
+
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+from sql_autoloader_spark.exceptions import EmptySchemaError
+
+LETTERS = string.ascii_lowercase
+# SQL keywords and Spark reserved-ish names to dodge
+NOT_ALLOWED = {"null", "table", "set", "if", "then", "else", "not", "exists",
+               "and", "or", "order", "group", "select", "from", "where", "all",
+               "as", "by", "in", "is", "on", "to", "use", "end", "for", "int"}
+
+
+@st.composite
+def names_generator(
+    draw: st.DrawFn, min_size: int = 3, max_size: int = 5
+) -> list[str]:
+    return draw(
+        st.lists(
+            st.text(LETTERS, min_size=3, max_size=5),
+            min_size=min_size,
+            max_size=max_size,
+            unique=True,
+        )
+    )
+
+
+@st.composite
+def dag_generator(
+    draw: st.DrawFn, nodes: list[str], *, no_isolates: bool = False
+) -> nx.DiGraph:
+    """Random DAG via a strictly-lower-triangular random adjacency matrix."""
+    n = len(nodes)
+    graph = nx.DiGraph()
+    graph.add_nodes_from(nodes)
+    for i in range(n):
+        for j in range(i):
+            if draw(st.booleans()):
+                graph.add_edge(nodes[j], nodes[i])
+    assume(nx.is_directed_acyclic_graph(graph))
+    if no_isolates:
+        assume(nx.number_of_isolates(graph) == 0)
+        assume(len(list(nx.weakly_connected_components(graph))) == 1)
+    return graph
+
+
+@dataclass
+class Scenario:
+    ddl: str
+    rows: list[dict]
+    columns: list[str]
+    no_isolates: bool
+
+
+@st.composite
+def scenario(draw: st.DrawFn) -> Scenario:
+    no_isolates = draw(st.booleans())
+    table_names = draw(names_generator(min_size=3, max_size=6))
+    assume(all(t not in NOT_ALLOWED for t in table_names))
+    graph = draw(dag_generator(table_names, no_isolates=no_isolates))
+
+    ddl_parts: list[str] = []
+    primary_keys: dict[str, str] = {}
+    payload: dict[str, list[str]] = {}
+    all_columns: list[str] = []
+
+    for table in nx.topological_sort(graph):
+        successors = list(graph.successors(table))
+        predecessors = list(graph.predecessors(table))
+
+        pk = 1 if successors else draw(st.booleans())
+        num_cols = max(1, pk + 1)
+        cols = [
+            f"_{c}" for c in draw(names_generator(num_cols, num_cols + 2))
+        ]
+        assume(all(c not in NOT_ALLOWED for c in cols))
+
+        primary_key = ""
+        if pk:
+            primary_key, cols = cols[0], cols[1:]
+            primary_keys[table] = primary_key
+
+        defs = []
+        if primary_key:
+            defs.append(f"{primary_key} INTEGER PRIMARY KEY")
+        defs += [
+            f"{pred}_id INTEGER REFERENCES {pred} ({primary_keys[pred]})"
+            for pred in predecessors
+        ]
+        defs += [f"{col} TEXT" for col in cols]
+        ddl_parts.append(f"CREATE TABLE {table} ({', '.join(defs)});")
+        payload[table] = cols
+        all_columns += cols
+
+    freq = Counter(all_columns)
+    column_names = [
+        f"{t}.{c}" if freq[c] > 1 else c
+        for t in payload
+        for c in payload[t]
+    ]
+    assume(column_names)
+
+    n_rows = draw(st.integers(3, 5))
+    n = len(column_names)
+    values = [str(v) for v in range(n * n_rows)]
+    rows = [
+        dict(zip(column_names, values[i * n : (i + 1) * n]))
+        for i in range(n_rows)
+    ]
+    return Scenario("\n".join(ddl_parts), rows, column_names, no_isolates)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(sc=scenario())
+def test_random_dag_roundtrip(spark: SparkSession, sc: Scenario) -> None:
+    data = spark.createDataFrame(
+        sc.rows, ", ".join(f"`{c}` string" for c in sc.columns)
+    )
+
+    db = SparkConnector(spark)
+    with pytest.raises(EmptySchemaError):
+        db.load(data)
+
+    db.execute_ddl(sc.ddl)
+    if sc.no_isolates:
+        with db:
+            db.load(data, compare=True, exact=False)
+        compare_query = db.schema.get_compare_query(sc.columns, quote="`")
+        db_rows = {
+            tuple(r) for r in spark.sql(compare_query).select(sc.columns).collect()
+        }
+        in_rows = {tuple(r) for r in data.select(sc.columns).collect()}
+        assert in_rows <= db_rows, (
+            f"round-trip lost rows\nquery:\n{compare_query}"
+        )
+    else:
+        with db:
+            db.load(data, compare=False)

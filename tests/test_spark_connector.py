@@ -1,0 +1,249 @@
+"""Port of /root/reference/tests/test_sqlite_connector.py integration
+tests against :class:`SparkConnector` (the native Spark-catalog sink).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+from sql_autoloader_spark.exceptions import (
+    EmptySchemaError,
+    InsertingDataFailedError,
+)
+
+CAR_SCHEMA = """
+CREATE TABLE eigenaar (id INTEGER PRIMARY KEY, naam TEXT UNIQUE NOT NULL);
+
+CREATE TABLE merk (id INTEGER PRIMARY KEY, naam TEXT UNIQUE NOT NULL);
+
+CREATE TABLE voertuig_type (id INTEGER PRIMARY KEY, naam TEXT UNIQUE NOT NULL);
+
+CREATE TABLE dealer (id INTEGER PRIMARY KEY, naam TEXT UNIQUE NOT NULL);
+
+CREATE TABLE voertuig (
+  id INTEGER PRIMARY KEY,
+  type_id INTEGER REFERENCES voertuig_type (id),
+  merk_id INTEGER REFERENCES merk (id),
+  UNIQUE (type_id, merk_id)
+);
+
+CREATE TABLE merk_dealer (
+  id INTEGER PRIMARY KEY,
+  merk_id INTEGER REFERENCES merk (id),
+  dealer_id INTEGER REFERENCES dealer (id),
+  UNIQUE (merk_id, dealer_id)
+);
+
+CREATE TABLE voertuig_eigenaar (
+  eigenaar_id INTEGER REFERENCES eigenaar (id),
+  voertuig_id INTEGER REFERENCES voertuig (id),
+  UNIQUE (voertuig_id, eigenaar_id)
+);
+
+CREATE TABLE aankoop (
+  id INTEGER PRIMARY KEY,
+  voertuig_id INTEGER REFERENCES voertuig (id),
+  merk_dealer_id INTEGER REFERENCES merk_dealer (id),
+  datum TEXT,
+  UNIQUE (voertuig_id, merk_dealer_id, datum)
+);
+"""
+
+
+def rowset(df) -> set[tuple]:
+    return {tuple(r) for r in df.collect()}
+
+
+def test_insert_and_retrieve(spark: SparkSession) -> None:
+    """Reference tests/test_sqlite_connector.py:52-93."""
+    ddl = """
+    CREATE TABLE a (id INTEGER PRIMARY KEY, a TEXT UNIQUE NOT NULL);
+    CREATE TABLE b (a_id INTEGER REFERENCES a (id), b TEXT UNIQUE NOT NULL);
+    """
+    data = spark.createDataFrame(
+        [("one", "een"), ("two", "twee"), ("three", "drie")],
+        "a string, b string",
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(ddl)
+    with db:
+        replaced = db.insert_and_retrieve_ids(data, table="a", alias="a_id")
+        assert "a_id" in replaced.columns
+        assert "a" not in replaced.columns
+
+        renamed = db.insert_and_retrieve_ids(
+            data, table="a", alias="a_id", columns={"a": "weg", "b": "a"}
+        )
+        assert "a_id" in renamed.columns
+        assert "b" not in renamed.columns
+
+        retrieved = db.insert_and_retrieve_ids(
+            data, table="a", alias="a_id", replace=False
+        )
+        assert "a_id" in retrieved.columns
+        assert "a" in retrieved.columns
+
+
+def test_empty_schema(spark: SparkSession) -> None:
+    with SparkConnector(spark) as db:
+        assert db.schema_is_empty()
+
+
+def test_failed_insert_raises(spark: SparkSession) -> None:
+    """Uniqueness conflict (reference :104-127): same natural key, new
+    payload — must refuse and raise InsertingDataFailedError."""
+    ddl = """
+    CREATE TABLE a (
+        id INTEGER PRIMARY KEY,
+        naam TEXT UNIQUE NOT NULL,
+        waarde INT NOT NULL
+    );
+    """
+    first = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "naam string, waarde long"
+    )
+    second = spark.createDataFrame(
+        [("a", 4), ("b", 5), ("c", 6)], "naam string, waarde long"
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(ddl)
+    with db:
+        db.load(first)
+    assert not db.schema_is_empty()
+    with pytest.raises(InsertingDataFailedError), db:
+        db.load(second)
+    # rollback: the failed load leaves the table at its committed content
+    assert db._read_table("a").count() == 3
+
+
+def test_basic_integration(spark: SparkSession) -> None:
+    """Golden car-sales round-trip (reference :130-234)."""
+    data = spark.createDataFrame(
+        [
+            ("Luc", "fiets", "Batavus", "Kees Klappertand", "2024-03-01"),
+            ("Dave", "auto", "Renault", "Zoest Occasions", "2021-06-25"),
+            ("Erwin", "auto", "Toyota", "Zoest Occasions", "2022-10-13"),
+            ("Erwin", "motor", "Kawasaki", "Berts Tweewielers", "2020-02-03"),
+        ],
+        "eigenaar string, soort_voertuig string, merk string,"
+        " dealer string, aankoop string",
+    )
+    columns = {
+        "eigenaar": "eigenaar.naam",
+        "soort_voertuig": "voertuig_type.naam",
+        "merk": "merk.naam",
+        "dealer": "dealer.naam",
+        "aankoop": "datum",
+    }
+    db = SparkConnector(spark)
+    with pytest.raises(EmptySchemaError):
+        db.load(data, columns=columns)
+
+    db.execute_ddl(CAR_SCHEMA)
+    with db:
+        db.load(data, columns=columns)
+
+    compare_query = """
+    SELECT
+      eigenaar.naam as eigenaar,
+      voertuig_type.naam as soort_voertuig,
+      merk.naam as merk,
+      dealer.naam as dealer,
+      aankoop.datum as aankoop
+    FROM
+      eigenaar
+      LEFT JOIN voertuig_eigenaar ON voertuig_eigenaar.eigenaar_id = eigenaar.id
+      LEFT JOIN voertuig ON voertuig_eigenaar.voertuig_id = voertuig.id
+      LEFT JOIN voertuig_type ON voertuig.type_id = voertuig_type.id
+      LEFT JOIN merk ON voertuig.merk_id = merk.id
+      LEFT JOIN merk_dealer ON merk_dealer.merk_id = merk.id
+      LEFT JOIN dealer ON merk_dealer.dealer_id = dealer.id
+      LEFT JOIN aankoop ON aankoop.voertuig_id = voertuig.id
+    """
+    db_data = spark.sql(compare_query)
+    assert rowset(db_data) == rowset(data)
+
+
+def test_missing_integration(spark: SparkSession) -> None:
+    """Round-trip with missing values — exercises eqNullSafe end-to-end
+    (reference :237-285)."""
+    ddl = """
+    CREATE TABLE a (id INTEGER PRIMARY KEY, a_num TEXT UNIQUE NOT NULL);
+    CREATE TABLE b (
+        a_id INTEGER REFERENCES a (id),
+        b_num TEXT NOT NULL,
+        UNIQUE (a_id, b_num)
+    );
+    CREATE TABLE c (
+        a_id INTEGER REFERENCES a (id),
+        naam TEXT NOT NULL,
+        UNIQUE (a_id, naam)
+    );
+    """
+    data = spark.createDataFrame(
+        [
+            ("A1", "B1", "ab1"),
+            ("A2", "B3", "ab3"),
+            ("A3", "B4", None),
+            ("A4", None, "ab4"),
+            ("A5", None, None),
+        ],
+        "a_num string, b_num string, naam string",
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(ddl)
+    with db:
+        db.load(data)
+
+    query = """
+    SELECT a.a_num as a_num, b.b_num as b_num, c.naam as naam
+    FROM a
+    LEFT JOIN b ON b.a_id = a.id
+    LEFT JOIN c ON c.a_id = a.id
+    """
+    assert rowset(spark.sql(query)) == rowset(data)
+
+
+def test_idempotent_reload(spark: SparkSession) -> None:
+    """Loading the same frame twice must not grow any table."""
+    data = spark.createDataFrame(
+        [("Luc", "fiets", "Batavus", "Kees", "2024-03-01")],
+        "eigenaar string, soort_voertuig string, merk string,"
+        " dealer string, aankoop string",
+    )
+    columns = {
+        "eigenaar": "eigenaar.naam",
+        "soort_voertuig": "voertuig_type.naam",
+        "merk": "merk.naam",
+        "dealer": "dealer.naam",
+        "aankoop": "datum",
+    }
+    db = SparkConnector(spark)
+    db.execute_ddl(CAR_SCHEMA)
+    with db:
+        db.load(data, columns=columns)
+    counts = {t: db._read_table(t).count() for t in db._meta}
+    with db:
+        db.load(data, columns=columns)
+    assert counts == {t: db._read_table(t).count() for t in db._meta}
+
+
+def test_hash64_key_strategy(spark: SparkSession) -> None:
+    """The distributed surrogate-key strategy round-trips the same data."""
+    ddl = """
+    CREATE TABLE a (id INTEGER PRIMARY KEY, a TEXT UNIQUE NOT NULL);
+    CREATE TABLE b (a_id INTEGER REFERENCES a (id), b TEXT UNIQUE NOT NULL);
+    """
+    data = spark.createDataFrame(
+        [("one", "een"), ("two", "twee")], "a string, b string"
+    )
+    db = SparkConnector(spark, key_strategy="hash64")
+    db.execute_ddl(ddl)
+    with db:
+        db.load(data)
+    joined = spark.sql(
+        "SELECT a.a as a, b.b as b FROM a LEFT JOIN b ON b.a_id = a.id"
+    )
+    assert rowset(joined) == rowset(data)
