@@ -7,6 +7,11 @@ broadcast-able small sides, no all-pairs comparisons, no driver-side
 loops.
 """
 
-from sql_autoloader_spark.functions import dedup, similarity, text
+from sql_autoloader_spark.functions import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,191 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media assets are opaque ``binary`` columns travelling with typed
+metadata — the Spark-native layout for heterogeneous 100 TB corpora:
+
+- content: ``BinaryType`` (parquet keeps it out of dictionary encoding)
+- metadata: plain typed columns (``media_type``, ``width``, ...) so
+  Catalyst can prune/filter *without touching the bytes*
+
+Heavy per-asset work (decode, resize, feature extraction, frame
+sampling) runs as Arrow-batched ``mapInPandas`` — the schema, batch
+shape, and partitioning here are production-real; only the innermost
+codec call is stubbed (``_decode_image_bytes``), because no image/audio
+library ships in this container.  Swap the stub for PIL/ffmpeg and
+nothing else changes.
+
+Scale notes:
+- ``mapInPandas`` keeps the pipeline streaming per Arrow batch —
+  bounded memory regardless of asset count; tune
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` for large assets.
+- Decode is embarrassingly parallel: no shuffle anywhere in this
+  module; repartition upstream only to balance asset-size skew
+  (``df.repartitionByRange("n_bytes")`` is the usual fix).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: canonical media-table schema: opaque bytes + typed, prunable metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("content", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def _decode_image_bytes(content: bytes) -> list[float]:
+    """STUB — deterministic fake decode.
+
+    A real deployment replaces this with e.g. ``PIL.Image.open`` +
+    pixel statistics; the container ships no codec libraries, so a
+    deterministic byte-histogram stands in.  The function signature
+    (bytes → fixed-dim float vector) is the real contract.
+    """
+    if content is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; "
+            "content=None cannot be decoded"
+        )
+    histogram = [0] * FEATURE_DIM
+    for byte in content:
+        histogram[byte % FEATURE_DIM] += 1
+    total = max(len(content), 1)
+    return [count / total for count in histogram]
+
+
+def attach_byte_stats(df: DataFrame) -> DataFrame:
+    """Cheap metadata columns computed JVM-side (no Python): byte length
+    and a content hash for exact dedup of assets."""
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length("content").cast("long"),
+            "content_hash": F.sha2(F.col("content"), 256),
+        }
+    )
+
+
+def extract_features(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
+    """Per-asset feature vectors via Arrow-batched ``mapInPandas``.
+
+    Output: ``(media_id, feature array<float>)`` — feeds the similarity
+    operators (:mod:`sql_autoloader_spark.functions.similarity`) for
+    near-duplicate detection over media.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "feature": [
+                        _decode_image_bytes(c) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(
+        batches, schema=_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame sampling for video assets (STUB codec).
+
+    The real implementation seeks keyframes via the container index;
+    the stub slices the byte stream at fixed strides — the *plumbing*
+    (one input row → up to ``max_frames`` output rows, streamed per
+    Arrow batch) is the production shape for a frame-explosion stage.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            indexes: list[int] = []
+            frames: list[bytes | None] = []
+            for media_id, content in zip(pdf[id_col], pdf["content"]):
+                if content is None:
+                    continue
+                for i in range(min(max_frames, max(len(content) // every_n_bytes, 1))):
+                    ids.append(media_id)
+                    indexes.append(i)
+                    frames.append(
+                        bytes(content[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": indexes, "frame": frames}
+            )
+
+    return df.select(id_col, "content").mapInPandas(
+        batches, schema=_FRAMES_SCHEMA
+    )
+
+
+def media_neardup_pairs(
+    df: DataFrame, *, threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate media pairs: extract features, then reuse the
+    embedding LSH machinery (decode once, bucket, verify)."""
+    from sql_autoloader_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    feats = extract_features(df)
+    return embedding_neardup_pairs(
+        feats,
+        id_col="media_id",
+        vec_col="feature",
+        dim=FEATURE_DIM,
+        threshold=threshold,
+    )

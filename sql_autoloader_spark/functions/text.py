@@ -67,20 +67,25 @@ def word_shingles(col: Column, n: int) -> Column:
     shingle array feeds minhash/Jaccard dedup downstream.
     """
     toks = tokens(col)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), count - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence(0, -1) would count *down*; guard the too-short case
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+        )
     )
 
 
 def char_ngrams(col: Column, n: int) -> Column:
     """Character n-grams of the lower-cased text as an array of strings."""
     s = F.lower(col)
-    count = F.greatest(F.length(s) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), count - F.lit(1)),
-        lambda i: F.substring(s, i + F.lit(1), n),
+    count = F.length(s) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - F.lit(1)),
+            lambda i: F.substring(s, i + F.lit(1), n),
+        )
     )
 
 

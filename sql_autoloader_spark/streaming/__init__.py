@@ -1,0 +1,16 @@
+"""Structured Streaming surface: streaming auto-load and event-stream
+operators (SURVEY §2G event/stream ops)."""
+
+from sql_autoloader_spark.streaming.pipeline import (
+    autoload_stream,
+    dedup_stream,
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "autoload_stream",
+    "dedup_stream",
+    "sessionized_counts",
+    "windowed_event_counts",
+]

@@ -1,0 +1,219 @@
+"""Unit tests for the LLM-pipeline operator families (SURVEY §2G):
+text analysis, dedup (exact → fuzzy), similarity search, multimodal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from sql_autoloader_spark.functions import dedup, multimodal, similarity, text
+
+# --- text -------------------------------------------------------------------
+
+
+def test_token_count(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("single",)], "text string"
+    )
+    out = [r[0] for r in df.select(text.token_count(F.col("text"))).collect()]
+    assert out == [3, 0, 0, 1]
+
+
+def test_word_shingles(spark: SparkSession) -> None:
+    df = spark.createDataFrame([("the quick brown fox",)], "text string")
+    out = df.select(text.word_shingles(F.col("text"), 2)).first()[0]
+    assert out == ["the quick", "quick brown", "brown fox"]
+    short = spark.createDataFrame([("one",)], "text string")
+    assert short.select(text.word_shingles(F.col("text"), 3)).first()[0] == []
+
+
+def test_char_ngrams(spark: SparkSession) -> None:
+    df = spark.createDataFrame([("abcd",)], "text string")
+    assert df.select(text.char_ngrams(F.col("text"), 3)).first()[0] == [
+        "abc",
+        "bcd",
+    ]
+
+
+def test_language_id_markers(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el gato que vive en los arboles por la noche"),
+            (3, "der hund und die katze ist nicht da"),
+            (4, "le chat et les chiens des villes une fois"),
+            (5, "你好世界"),
+            (6, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_fingerprints_stable(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",)], "text string"
+    )
+    fps = [r[0] for r in df.select(text.fingerprint_md5(F.col("text"))).collect()]
+    assert fps[0] == fps[1]  # normalization collapses case/punct/space
+    rolls = [
+        r[0] for r in df.select(text.rolling_fingerprint(F.col("text"))).collect()
+    ]
+    assert rolls[0] == rolls[1]
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_exact_dedup(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, key string, val double",
+    )
+    out = dedup.exact_dedup(df, ["key"], id_col="id")
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {(1, "a", 10.0), (3, "b", 30.0)}
+
+
+def test_fingerprint_dedup_stats(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [(1, "Same text!"), (2, "same  text"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup.fingerprint_dedup_stats(df, "text", "doc_id").collect()
+    }
+    assert out == {1: 2, 3: 1}
+
+
+def test_token_jaccard_pairs(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = dedup.token_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["jaccard"] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+def test_minhash_lsh_finds_neardups(spark: SparkSession) -> None:
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.3
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_zero_distance(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unrelated stuff")],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_pairs(
+        df, id_col="doc_id", text_col="text", max_hamming=0
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out} == {(1, 2, 0)}
+
+
+# --- similarity -------------------------------------------------------------
+
+
+@pytest.fixture
+def vectors(spark: SparkSession):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.99, 0.1, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+        ]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+
+def test_brute_force_topk(spark: SparkSession, vectors) -> None:
+    queries = vectors.where(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(vectors, queries, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[0]["sim"] > 0.99
+
+
+def test_lsh_topk_agrees_with_brute_force_on_top1(
+    spark: SparkSession, vectors
+) -> None:
+    queries = vectors.where(F.col("vec_id") == 0)
+    out = similarity.lsh_topk(
+        vectors, queries, dim=3, k=1, planes=4, tables=8
+    ).collect()
+    # with 8 tables of 4 planes, the near-identical vector is found
+    assert out and out[0]["neighbor_id"] == 1
+
+
+def test_embedding_neardup_pairs(spark: SparkSession, vectors) -> None:
+    out = similarity.embedding_neardup_pairs(
+        vectors, dim=3, threshold=0.95, planes=4, tables=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@pytest.fixture
+def media(spark: SparkSession):
+    rows = [
+        Row(media_id=1, media_type="image", mime="image/png",
+            content=bytes(range(64)) * 64, n_bytes=None, width=8, height=8,
+            duration_ms=None),
+        Row(media_id=2, media_type="image", mime="image/png",
+            content=bytes(range(64)) * 64, n_bytes=None, width=8, height=8,
+            duration_ms=None),
+        Row(media_id=3, media_type="video", mime="video/mp4",
+            content=bytes([7, 9, 11]) * 2048, n_bytes=None, width=None,
+            height=None, duration_ms=4000),
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_attach_byte_stats(spark: SparkSession, media) -> None:
+    out = multimodal.attach_byte_stats(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 64 * 64
+    assert rows[1]["content_hash"] == rows[2]["content_hash"]
+    assert rows[1]["content_hash"] != rows[3]["content_hash"]
+
+
+def test_extract_features_shape(spark: SparkSession, media) -> None:
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 3
+    for r in out:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6
+
+
+def test_media_neardup(spark: SparkSession, media) -> None:
+    out = multimodal.media_neardup_pairs(media, threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_sample_frames(spark: SparkSession, media) -> None:
+    out = multimodal.sample_frames(
+        media.where(F.col("media_type") == "video"),
+        every_n_bytes=1024,
+        max_frames=4,
+    ).collect()
+    assert len(out) == 4
+    assert all(len(r["frame"]) == 1024 for r in out)

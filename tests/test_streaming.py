@@ -1,0 +1,150 @@
+"""Streaming-module tests: file-source micro-batch streams with
+``availableNow`` triggers, checked against their batch equivalents.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+from sql_autoloader_spark.streaming import (
+    autoload_stream,
+    dedup_stream,
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+ROWS = [
+    (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+    (2, "2024-01-01 10:05:00", 1, "click", 2.0),
+    (3, "2024-01-01 10:20:00", 2, "view", 3.0),
+    (4, "2024-01-01 11:10:00", 1, "click", 4.0),
+    (2, "2024-01-01 10:05:00", 1, "click", 2.0),  # exact duplicate of event 2
+    (5, "2024-01-01 12:00:00", 2, "view", 5.0),
+]
+
+
+@pytest.fixture
+def events_dir(spark: SparkSession, tmp_path: Path) -> str:
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v) for e, ts, u, t, v in ROWS],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(out)
+    return out
+
+
+def _read_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def _run_to_memory(df: DataFrame, name: str, tmp_path: Path):
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return query
+
+
+def test_windowed_event_counts(
+    spark: SparkSession, events_dir: str, tmp_path: Path
+) -> None:
+    stream = _read_stream(spark, events_dir)
+    agg = windowed_event_counts(stream, window_duration="1 hour")
+    _run_to_memory(agg, "win_counts", tmp_path)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.table("win_counts").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == 3  # incl. duplicate row
+    assert got[("2024-01-01 10:00:00", "view")] == 1
+    assert got[("2024-01-01 11:00:00", "click")] == 1
+    assert got[("2024-01-01 12:00:00", "view")] == 1
+
+
+def test_sessionized_counts(
+    spark: SparkSession, events_dir: str, tmp_path: Path
+) -> None:
+    stream = _read_stream(spark, events_dir)
+    agg = sessionized_counts(stream, gap="30 minutes")
+    _run_to_memory(agg, "sessions", tmp_path)
+    rows = spark.table("sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    # user 1: events at 10:00/10:05 (+dup) in one session, 11:10 in another
+    assert sorted(by_user[1]) == [1, 3]
+    # user 2: 10:20 and 12:00 are separate sessions
+    assert sorted(by_user[2]) == [1, 1]
+
+
+def test_dedup_stream(
+    spark: SparkSession, events_dir: str, tmp_path: Path
+) -> None:
+    stream = _read_stream(spark, events_dir)
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="1 day")
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.table("deduped").collect())
+    assert ids == [1, 2, 3, 4, 5]
+
+
+def test_autoload_stream(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """Streaming auto-load: micro-batches land in the relational schema
+    idempotently; content equals the batch-load result."""
+    flat = spark.createDataFrame(
+        [("Toyota", "Corolla"), ("Ford", "Focus"), ("Toyota", "Yaris")],
+        "brand string, model string",
+    )
+    src = str(tmp_path / "flat")
+    flat.write.parquet(src)
+
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE s_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE s_car (
+            id INTEGER PRIMARY KEY,
+            model TEXT UNIQUE,
+            brand_id INTEGER REFERENCES s_brand (id)
+        );
+        """
+    )
+    stream = spark.readStream.schema("brand string, model string").parquet(src)
+    query = autoload_stream(
+        db, stream, checkpoint_dir=str(tmp_path / "ckpt_load")
+    )
+    query.awaitTermination(120)
+
+    assert db._read_table("s_brand").count() == 2
+    assert db._read_table("s_car").count() == 3
+    joined = spark.sql(
+        "SELECT s_brand.brand AS brand, s_car.model AS model "
+        "FROM s_car LEFT JOIN s_brand ON s_car.brand_id = s_brand.id"
+    )
+    assert {tuple(r) for r in joined.collect()} == {
+        tuple(r) for r in flat.collect()
+    }
