@@ -58,6 +58,37 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warmup: touch every table and JIT the operator classes
+    # (codegen, Arrow, shuffle paths) with trivial work so the timed
+    # numbers measure the queries, not first-use JVM compilation.
+    from pyspark.sql import functions as F
+
+    for t in entry_mod._TABLES:
+        entry_mod._t(spark, sf_dir, t).limit(1).count()
+    warm = entry_mod._t(spark, sf_dir, "region")
+    warm.groupBy("r_name").count().count()
+    warm.alias("a").join(warm.alias("b"), on="r_regionkey").count()
+    warm.select(F.md5(F.col("r_name"))).count()
+    warm.select(
+        F.transform(F.split("r_name", " "), lambda x: F.xxhash64(x))
+    ).count()
+    warm.select(
+        F.regexp_replace(F.lower("r_name"), "[^a-z0-9\\s]", " ")
+    ).count()
+    # warm the loader lifecycle (anti-join, window keys, checkpoint paths)
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    wdb = SparkConnector(spark)
+    wdb.execute_ddl(
+        "CREATE TABLE __warm_a (id INTEGER PRIMARY KEY, a TEXT UNIQUE);"
+        "CREATE TABLE __warm_b (a_id INTEGER REFERENCES __warm_a (id),"
+        " b TEXT UNIQUE);"
+    )
+    with wdb:
+        wdb.load(
+            spark.createDataFrame([("x", "y")], "a string, b string")
+        )
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

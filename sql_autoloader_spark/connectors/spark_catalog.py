@@ -89,6 +89,8 @@ class SparkConnector(BaseConnector):
         self._committed: dict[str, DataFrame] = {}
         #: uncommitted appends per table (in write order)
         self._appends: dict[str, list[DataFrame]] = {}
+        #: committed union-chain depth per table (for periodic compaction)
+        self._chain_depth: dict[str, int] = {}
         self._in_tx = False
 
         if database is not None:
@@ -123,11 +125,18 @@ class SparkConnector(BaseConnector):
                 new_rows.write.mode("append").saveAsTable(self._qualified(table))
                 self._committed[table] = self.spark.table(self._qualified(table))
             else:
+                # The appended frames are already individually pinned
+                # (localCheckpoint in _write_new_rows), so the union is a
+                # shallow lineage over materialized partitions — cheap to
+                # keep lazy.  Only compact once the chain grows deep
+                # (many commits), to bound plan size.
                 combined = self._committed[table].unionByName(new_rows)
-                # pin + truncate lineage so committed state never re-derives
-                # a long union chain (local mode; a cluster sink would be
-                # Delta/parquet where the write itself is the checkpoint)
-                self._committed[table] = combined.localCheckpoint(eager=True)
+                depth = self._chain_depth.get(table, 0) + 1
+                if depth >= 16:
+                    combined = combined.localCheckpoint(eager=True)
+                    depth = 0
+                self._chain_depth[table] = depth
+                self._committed[table] = combined
         self._appends = {t: [] for t in self._meta}
         self._register_views()
 

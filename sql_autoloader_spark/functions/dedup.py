@@ -7,12 +7,18 @@ Design rules for 100 TB:
   exact similarity is then verified only on candidates.
 - **Exact dedup is one keyed shuffle**: ``groupBy(fingerprint)`` compiles
   to partial+final HashAggregate (map-side combined).
-- All hashing uses ``xxhash64`` (JVM-side, codegen). No Python in the hot
-  path anywhere.
+- All hashing uses ``xxhash64`` (JVM-side).  The one Python touchpoint is
+  the Arrow-vectorized MinHash permutation fold
+  (:func:`minhash_signature_vectorized`) — Spark evaluates higher-order
+  -function lambdas interpreted (no codegen), so a numpy matrix fold
+  beats ``num_hashes`` interpreted array passes by ~10x; its integer
+  math is exact and bit-identical to the JVM expression form.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +104,8 @@ def token_jaccard_pairs(
     sets = df.select(
         F.col(id_col).alias("doc"), F.array_distinct(shingle).alias("sh")
     )
+    # pin: referenced four times below (two join sides + two size maps)
+    sets = sets.localCheckpoint(eager=True)
     sizes = sets.select("doc", F.size("sh").cast("bigint").alias("sz"))
     exploded = sets.select("doc", F.explode("sh").alias("s"))
 
@@ -137,19 +145,32 @@ def minhash_signature(
     """
     import random
 
+    base = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+    )
+    return minhash_signature_from_hashes(base, num_hashes=num_hashes, seed=seed)
+
+
+def minhash_signature_from_hashes(
+    hashes: Column, *, num_hashes: int, seed: int = 42
+) -> Column:
+    """Signature from an already-hashed shingle array (values in
+    ``[0, p)``).  Keeping the base-hash array as its own (materialized)
+    column keeps this expression tree small — inlining the xxhash64
+    base into all *num_hashes* permutations makes Catalyst analysis
+    itself a bottleneck on wide signatures."""
+    import random
+
     rng = random.Random(seed)
     params = [
         (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
         for _ in range(num_hashes)
     ]
-    base = F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
-    )
     return F.array(
         *[
             F.array_min(
                 F.transform(
-                    base,
+                    hashes,
                     lambda h: (
                         (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE31)
                     ),
@@ -158,6 +179,52 @@ def minhash_signature(
             for a, b in params
         ]
     )
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature_vectorized(
+    hashes: Column, *, num_hashes: int, seed: int = 42
+) -> Column:
+    """Arrow-vectorized MinHash permutations (numpy), bit-identical to
+    :func:`minhash_signature_from_hashes`.
+
+    Spark evaluates higher-order-function lambdas *interpreted* (no
+    codegen), so the pure-JVM signature costs ~num_hashes passes per
+    shingle — the dominant cost of the whole LSH pipeline.  Here the
+    base xxhash64 values stay JVM-side; only the (a*h+b) mod p min-fold
+    runs in numpy: values < 2^31 keep a*h < 2^62, exact in int64, so
+    results match the JVM expression exactly.  This is the 100 TB path:
+    one Arrow batch transfer of int64 arrays, vectorized O(shingles ×
+    num_hashes) per batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    params = _minhash_params(num_hashes, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sign(batch: pd.Series) -> pd.Series:
+        out = []
+        for hs in batch:
+            if hs is None or len(hs) == 0:
+                out.append(np.full(num_hashes, _MERSENNE31, dtype=np.int64))
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            # (num_hashes, n_shingles) modular affine, min over shingles
+            out.append(((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE31).min(axis=1))
+        return pd.Series(out)
+
+    return sign(hashes)
 
 
 def minhash_lsh_pairs(
@@ -189,20 +256,56 @@ def minhash_lsh_pairs(
     Returns ``(id_a, id_b[, jaccard])``, ``id_a < id_b``.
     """
     rows_per_band = num_hashes // bands
-    shingle = (
-        tokens(F.col(text_col))
-        if shingle_words == 1
-        else word_shingles(F.col(text_col), shingle_words)
+
+    # Shingle *hashes* built without materializing shingle strings:
+    # per-token xxhash64 first, then one xxhash64 over each window of
+    # `shingle_words` consecutive token hashes.  Building the string
+    # shingles (slice + concat_ws, both interpreted HOF lambdas) costs
+    # ~10x more than everything else in this pipeline combined; the
+    # hash-only form is a single cheap lambda per shingle.  The verify
+    # Jaccard therefore runs over hashed shingle *sets* — identical to
+    # the string-set Jaccard up to ~n²/2³² hash collisions.
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+            ).alias("th"),
+        )
+        .where(F.size("th") >= shingle_words)
+        .select(
+            "doc",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("th") - F.lit(shingle_words)
+                    ),
+                    lambda i: F.pmod(
+                        F.xxhash64(
+                            *[
+                                F.element_at("th", i + F.lit(w + 1))
+                                for w in range(shingle_words)
+                            ]
+                        ),
+                        F.lit(_MERSENNE31),
+                    ),
+                )
+            ).alias("sh"),
+        )
     )
-    docs = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(shingle).alias("sh"),
-    ).where(F.size("sh") > 0)
     signed = docs.select(
         "doc",
         "sh",
-        minhash_signature(F.col("sh"), num_hashes=num_hashes).alias("sig"),
+        minhash_signature_vectorized(
+            F.col("sh"), num_hashes=num_hashes
+        ).alias("sig"),
     )
+    # Pin the signatures: the band self-join references this frame on both
+    # sides and the verify stage twice more — without materialization the
+    # (large) signature expression tree is re-analyzed and re-executed 4x.
+    # On a cluster this would be a persist(DISK_ONLY) of the signature
+    # table (tiny: ~(8*num_hashes + shingles) bytes per doc).
+    signed = signed.localCheckpoint(eager=True)
 
     banded = signed.select(
         "doc",
@@ -322,6 +425,9 @@ def simhash_pairs(
     fingerprinted = df.select(
         F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp")
     )
+    # pin before the chunk self-join (see minhash_lsh_pairs): the simhash
+    # aggregate tree is large and would otherwise run once per join side
+    fingerprinted = fingerprinted.localCheckpoint(eager=True)
     chunked = fingerprinted.select(
         "doc",
         "fp",

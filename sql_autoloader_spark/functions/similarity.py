@@ -11,6 +11,8 @@ computing the same left-to-right sum matches bit-for-bit).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -124,6 +126,55 @@ def hyperplane_signature(
     return out
 
 
+def _hyperplane_matrix(dim: int, planes: int, seed: int) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(planes)
+    ]
+
+
+def hyperplane_signatures_vectorized(
+    vec: Column, *, dim: int, planes: int, tables: int, seed_base: int
+) -> Column:
+    """All *tables* hyperplane signatures in one Arrow-vectorized pass.
+
+    The JVM expression form costs ``tables × planes`` interpreted
+    dim-length folds per row (higher-order functions don't codegen);
+    here a single numpy matmul computes every projection at once.
+    Uses the same ±1 hyperplanes as :func:`hyperplane_signature` (same
+    seeded draws), so bucket assignments agree up to float-summation
+    order on projections within ~1e-13 of zero.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    matrix = np.array(
+        [
+            row
+            for t in range(tables)
+            for row in _hyperplane_matrix(dim, planes, seed_base + t)
+        ],
+        dtype=np.float64,
+    )  # (tables*planes, dim)
+    weights = np.left_shift(
+        np.ones(planes, dtype=np.int64), np.arange(planes, dtype=np.int64)
+    )
+
+    @pandas_udf("array<bigint>")
+    def sign(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype=object)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
+        proj = vecs @ matrix.T  # (n, tables*planes)
+        bits = (proj > 0).reshape(len(vecs), tables, planes)
+        sigs = (bits * weights[None, None, :]).sum(axis=2)  # (n, tables)
+        return pd.Series(list(sigs))
+
+    return sign(vec)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,13 +201,12 @@ def lsh_topk(
         out = df.select(
             F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v")
         )
-        sigs = F.array(
-            *[
-                hyperplane_signature(
-                    F.col(f"{idname}_v"), dim=dim, planes=planes, seed=1000 + t
-                )
-                for t in range(tables)
-            ]
+        sigs = hyperplane_signatures_vectorized(
+            F.col(f"{idname}_v"),
+            dim=dim,
+            planes=planes,
+            tables=tables,
+            seed_base=1000,
         )
         return out.select(
             idname,
@@ -292,13 +342,13 @@ def embedding_neardup_pairs(
     with ``id_a < id_b``.
     """
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
-    sigs = F.array(
-        *[
-            hyperplane_signature(F.col("v"), dim=dim, planes=planes, seed=2000 + t)
-            for t in range(tables)
-        ]
+    sigs = hyperplane_signatures_vectorized(
+        F.col("v"), dim=dim, planes=planes, tables=tables, seed_base=2000
     )
     banded = base.select("doc", "v", F.posexplode(sigs).alias("tbl", "sig"))
+    # pin before the self-join: the hyperplane-signature tree (tables ×
+    # planes dot products) would otherwise execute once per join side
+    banded = banded.localCheckpoint(eager=True)
     pairs = (
         banded.alias("l")
         .join(

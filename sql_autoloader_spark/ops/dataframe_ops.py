@@ -204,7 +204,9 @@ def compare(
     replacing the reference's driver-side O(n*m) membership scan
     (dataframe_operations.py:36-37).
     """
-    if not exact and has_nulls(data):
+    if not exact:
+        # unconditional: dropping nulls from null-free data is a no-op,
+        # and skipping the has_nulls pre-scan saves a full pass over data
         data = data.na.drop("any")
 
     aligned = match_dtypes(db_data, data)
