@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sql_autoloader_spark.functions import dedup, similarity, text
+from sql_autoloader_spark.functions import dedup, events, similarity, text
 from sql_autoloader_spark.ops import dataframe_ops as ops
 
 _TABLES = [
@@ -344,11 +344,41 @@ def q_events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the latest prior click of
+    the same user (inclusive)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return events.as_of_join(
+        purchases, clicks, on=["user_id"], suffix="_click"
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("click_id_click").alias("click_id"),
+        F.col("ts_click").alias("click_ts"),
+    )
+
+
 def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct estimation via HyperLogLog++ (rows-only: HLL estimates
+    are engine-specific; the exact variant is ``events_user_stats``)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
 
 
@@ -442,8 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "events_hourly": q_events_hourly,
         "events_dedup_first": q_events_dedup_first,
+        "events_asof_attribution": q_events_asof_attribution,
         "events_user_stats": q_events_user_stats,
-        # rows-only (Spark-specific hashing)
+        # rows-only (Spark-specific hashing / estimation)
+        "events_approx_users": q_events_approx_users,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_rolling_fp": q_docs_rolling_fp,
@@ -684,6 +716,13 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "events_asof_attribution": """
+            SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                   c.event_id AS click_id, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "events_user_stats": """
             SELECT event_type,

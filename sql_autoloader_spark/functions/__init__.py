@@ -9,9 +9,10 @@ loops.
 
 from sql_autoloader_spark.functions import (
     dedup,
+    events,
     multimodal,
     similarity,
     text,
 )
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "events", "multimodal", "similarity", "text"]

@@ -169,6 +169,48 @@ def test_embedding_neardup_pairs(spark: SparkSession, vectors) -> None:
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
 
 
+# --- events (as-of join) ----------------------------------------------------
+
+
+def test_as_of_join(spark: SparkSession) -> None:
+    from sql_autoloader_spark.functions import events
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00"),
+            (2, 1, "2024-01-01 12:00:00"),
+            (3, 2, "2024-01-01 09:00:00"),
+        ],
+        "pid long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 09:30:00"),
+            (11, 1, "2024-01-01 11:00:00"),
+            (12, 2, "2024-01-01 09:00:00"),  # equal ts -> inclusive match
+            (13, 3, "2024-01-01 08:00:00"),
+        ],
+        "cid long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = events.as_of_join(left, right, on=["user_id"], suffix="_r")
+    got = {r["pid"]: r["cid_r"] for r in out.collect()}
+    assert got == {1: 10, 2: 11, 3: 12}
+
+
+def test_as_of_join_no_prior(spark: SparkSession) -> None:
+    from sql_autoloader_spark.functions import events
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 08:00:00")], "pid long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, 1, "2024-01-01 09:00:00")], "cid long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = events.as_of_join(left, right, on=["user_id"], suffix="_r").collect()
+    assert out[0]["cid_r"] is None and out[0]["ts_r"] is None
+
+
 # --- multimodal -------------------------------------------------------------
 
 
