@@ -80,6 +80,7 @@ def token_jaccard_pairs(
     text_col: str,
     threshold: float,
     shingle_words: int = 1,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over token (or word-shingle) *sets* for
     every document pair sharing at least one token.
@@ -91,10 +92,15 @@ def token_jaccard_pairs(
     (keyed shuffle; candidate generation) → count intersections per pair →
     join per-doc set sizes (broadcast — the size table is one row per doc)
     → exact Jaccard filter.  The join key is the shingle, so ubiquitous
-    shingles create skew: at 100 TB, drop the top-frequency shingles
-    (stop-shingles) before the self-join — they generate candidate pairs
-    that near-certainly fail the threshold anyway.  This exact variant is
-    the *oracle*; :func:`minhash_lsh_pairs` is the sub-quadratic scale path.
+    shingles create skew: *max_shingle_freq* drops shingles appearing in
+    more than that many documents (stop-shingles) before the self-join —
+    a shingle in f docs generates f·(f-1)/2 candidate pairs that
+    near-certainly fail the threshold anyway.  NOTE: with the cap set,
+    stop-shingles are excluded from the intersection counts too, so
+    reported Jaccard is biased *low* (conservative) for pairs sharing
+    stop-shingles; leave the cap off for exact results (the default,
+    used by the sf0.01 oracle).  :func:`minhash_lsh_pairs` is the
+    sub-quadratic scale path.
     """
     shingle = (
         tokens(F.col(text_col))
@@ -108,6 +114,15 @@ def token_jaccard_pairs(
     sets = sets.localCheckpoint(eager=True)
     sizes = sets.select("doc", F.size("sh").cast("bigint").alias("sz"))
     exploded = sets.select("doc", F.explode("sh").alias("s"))
+
+    if max_shingle_freq is not None:
+        hot = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") > max_shingle_freq)
+            .select("s")
+        )
+        exploded = exploded.join(F.broadcast(hot), on="s", how="left_anti")
 
     left = exploded.withColumnsRenamed({"doc": "id_a"})
     right = exploded.withColumnsRenamed({"doc": "id_b"})

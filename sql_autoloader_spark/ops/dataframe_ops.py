@@ -218,13 +218,29 @@ def compare(
     data_set = data
     db_set = db_aligned
 
-    missing_sample = data_set.subtract(db_set).limit(_SAMPLE).collect()
-
     if exact:
-        extra_sample = db_set.subtract(data_set).limit(_SAMPLE).collect()
+        # both directions in ONE job: tag each side's sample and union
+        tagged = (
+            data_set.subtract(db_set)
+            .limit(_SAMPLE)
+            .withColumn("__side", F.lit("m"))
+            .unionByName(
+                db_set.subtract(data_set)
+                .limit(_SAMPLE)
+                .withColumn("__side", F.lit("e"))
+            )
+            .collect()
+        )
+        missing_sample = [r for r in tagged if r["__side"] == "m"]
+        extra_sample = [r for r in tagged if r["__side"] == "e"]
         if missing_sample or extra_sample:
-            missing_txt = "\n".join(str(r.asDict()) for r in missing_sample)
-            extra_txt = "\n".join(str(r.asDict()) for r in extra_sample)
+            def _fmt(r):  # drop the tag column from the message
+                d = r.asDict()
+                d.pop("__side", None)
+                return str(d)
+
+            missing_txt = "\n".join(_fmt(r) for r in missing_sample)
+            extra_txt = "\n".join(_fmt(r) for r in extra_sample)
             msg = (
                 "Datasets do not match exactly.\n"
                 f"Rows in data and not in db:\n{missing_txt}\n"
@@ -236,6 +252,7 @@ def compare(
             raise CompareNoExactMatchError(msg)
         return
 
+    missing_sample = data_set.subtract(db_set).limit(_SAMPLE).collect()
     if missing_sample:
         missing_txt = "\n".join(str(r.asDict()) for r in missing_sample)
         msg = f"Some rows from data were not found in the database:\n{missing_txt}"
