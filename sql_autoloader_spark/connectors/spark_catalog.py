@@ -71,6 +71,15 @@ class SparkConnector(BaseConnector):
     key_strategy:
         Surrogate-key generation: ``"row_number"`` (exact autoincrement
         parity) or ``"hash64"`` (fully distributed, for huge tables).
+    dtype_adapters:
+        The Spark analogue of the reference's custom-dtype passthrough
+        (``allow_custom_dtypes`` + sqlite3 adapters/converters,
+        sqlite_connector.py:156-193): ``{column_name: (encode, decode)}``
+        where *encode* maps the user's column to the declared storage
+        type on write, and *decode* maps it back on every read — so
+        joins, key retrieval, and generated compare queries all see the
+        user-typed values.  E.g. store ``array<int>`` in a TEXT column:
+        ``{"tags": (F.to_json, lambda c: F.from_json(c, "array<int>"))}``.
     """
 
     def __init__(
@@ -79,10 +88,12 @@ class SparkConnector(BaseConnector):
         *,
         database: str | None = None,
         key_strategy: Literal["row_number", "hash64"] = "row_number",
+        dtype_adapters: dict[str, tuple] | None = None,
     ) -> None:
         self.spark = spark
         self.database = database
         self.key_strategy = key_strategy
+        self.dtype_adapters = dtype_adapters or {}
         #: DDL-derived metadata per table
         self._meta: dict[str, ParsedTable] = {}
         #: committed content per table
@@ -262,6 +273,18 @@ class SparkConnector(BaseConnector):
         if table not in self._committed:
             msg = f"table '{table}' does not exist in the Spark catalog sink."
             raise KeyError(msg)
+        frame = self._read_table_raw(table)
+        for col, (_encode, decode) in self.dtype_adapters.items():
+            if col in frame.columns:
+                frame = frame.withColumn(col, decode(F.col(f"`{col}`")))
+        return frame
+
+    def _read_table_raw(self, table: str) -> DataFrame:
+        """Visible content in *storage* form (no dtype-adapter decode) —
+        the write path compares encoded payloads against this."""
+        if table not in self._committed:
+            msg = f"table '{table}' does not exist in the Spark catalog sink."
+            raise KeyError(msg)
         frame = self._committed[table]
         for appended in self._appends.get(table, []):
             frame = frame.unionByName(appended)
@@ -272,6 +295,12 @@ class SparkConnector(BaseConnector):
     ) -> None:
         meta = self._meta[table]
         declared = dict(meta.column_types)
+
+        # custom-dtype passthrough: encode user-typed columns into their
+        # declared storage form before the cast
+        for col, (encode, _decode) in self.dtype_adapters.items():
+            if col in new_rows.columns:
+                new_rows = new_rows.withColumn(col, encode(F.col(f"`{col}`")))
 
         # align the payload to the table's declared column types
         payload = new_rows.select(
@@ -290,8 +319,9 @@ class SparkConnector(BaseConnector):
         # NULLs as distinct, so null-keyed rows always insert (SQLite
         # parity).  With no declared constraint the whole inserted row is
         # the key, via ``subtract`` (null-safe EXCEPT) so re-loads stay
-        # idempotent.
-        existing = self._read_table(table)
+        # idempotent.  Raw (storage-form) read: the payload is already
+        # encoded, so both join sides must be.
+        existing = self._read_table_raw(table)
         anti_keys = [
             uc for uc in meta.unique_constraints if set(uc) <= set(columns)
         ]

@@ -230,6 +230,40 @@ def test_idempotent_reload(spark: SparkSession) -> None:
     assert counts == {t: db._read_table(t).count() for t in db._meta}
 
 
+def test_dtype_adapters_roundtrip(spark: SparkSession) -> None:
+    """Custom-dtype passthrough (reference allow_custom_dtypes,
+    sqlite_connector.py:156-193): an array column stored as JSON TEXT
+    round-trips through load + retrieve as the user type."""
+    from pyspark.sql import functions as F
+
+    ddl = """
+    CREATE TABLE a (id INTEGER PRIMARY KEY, a TEXT UNIQUE NOT NULL);
+    CREATE TABLE b (a_id INTEGER REFERENCES a (id), tags TEXT);
+    """
+    data = spark.createDataFrame(
+        [("one", [1, 2]), ("two", [3])], "a string, tags array<int>"
+    )
+    db = SparkConnector(
+        spark,
+        dtype_adapters={
+            "tags": (
+                F.to_json,
+                lambda c: F.from_json(c, "array<int>"),
+            )
+        },
+    )
+    db.execute_ddl(ddl)
+    with db:
+        db.load(data, compare=False)
+
+    stored = db._read_table_raw("b").select("tags").first()[0]
+    assert isinstance(stored, str) and stored.startswith("[")  # JSON text
+    decoded = {
+        tuple(r["tags"]) for r in db._read_table("b").select("tags").collect()
+    }
+    assert decoded == {(1, 2), (3,)}
+
+
 def test_hash64_key_strategy(spark: SparkSession) -> None:
     """The distributed surrogate-key strategy round-trips the same data."""
     ddl = """
