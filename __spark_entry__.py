@@ -266,6 +266,34 @@ def q_docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keyed dedup: one surviving row (min doc_id) per distinct text."""
+    return dedup.exact_dedup(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source"),
+        ["text"],
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source")
+
+
+def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding cosine >= threshold (the oracle for the
+    LSH-bucketed variant; quadratic — correctness-scale only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                similarity.cosine(F.col("va"), F.col("vb")), 6
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.3)
+    )
+
+
 def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -464,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_monthly": q_orders_monthly,
         # LLM-pipeline ops (SURVEY §2G)
         "docs_fingerprint_dedup": q_docs_fingerprint_dedup,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "emb_neardup_exact": q_emb_neardup_exact,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_profile": q_docs_lang_profile,
         "docs_quality": q_docs_quality,
@@ -613,6 +643,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "docs_exact_dedup": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   arg_min(lang, doc_id) AS lang,
+                   arg_min(source, doc_id) AS source
+            FROM documents GROUP BY text
+        """,
+        "emb_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                       list_sum(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                       ))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       6) AS sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(
+                       list_sum(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                       ))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       6) >= 0.3
         """,
         "docs_token_stats": f"""
             SELECT doc_id, {n_tokens} AS n_tokens,

@@ -102,6 +102,11 @@ class SparkConnector(BaseConnector):
         self._appends: dict[str, list[DataFrame]] = {}
         #: committed union-chain depth per table (for periodic compaction)
         self._chain_depth: dict[str, int] = {}
+        #: tables whose committed content is KNOWN empty (fresh DDL, no
+        #: committed appends) — lets the write path skip the existing-side
+        #: anti-join and the surrogate max-scan without running jobs.
+        #: Conservative: catalog-loaded tables are never assumed empty.
+        self._committed_empty: dict[str, bool] = {}
         self._in_tx = False
 
         if database is not None:
@@ -129,6 +134,7 @@ class SparkConnector(BaseConnector):
         for table, appends in self._appends.items():
             if not appends:
                 continue
+            self._committed_empty[table] = False
             new_rows = appends[0]
             for extra in appends[1:]:
                 new_rows = new_rows.unionByName(extra)
@@ -176,6 +182,7 @@ class SparkConnector(BaseConnector):
         empty = self.spark.createDataFrame([], schema=ddl_schema)
         self._meta[parsed.name] = parsed
         self._appends.setdefault(parsed.name, [])
+        self._committed_empty[parsed.name] = True
         if self.database is not None:
             qualified = self._qualified(parsed.name)
             empty.write.mode("ignore").saveAsTable(qualified)
@@ -235,6 +242,7 @@ class SparkConnector(BaseConnector):
             self._meta[name] = parsed
             self._committed[name] = self.spark.table(self._qualified(name))
             self._appends.setdefault(name, [])
+            self._committed_empty[name] = False  # unknown content
 
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
         """Emit the schema-graph wire format from the registered metadata."""
@@ -321,19 +329,25 @@ class SparkConnector(BaseConnector):
         # the key, via ``subtract`` (null-safe EXCEPT) so re-loads stay
         # idempotent.  Raw (storage-form) read: the payload is already
         # encoded, so both join sides must be.
+        table_known_empty = self._committed_empty.get(
+            table, False
+        ) and not self._appends.get(table)
         existing = self._read_table_raw(table)
-        anti_keys = [
-            uc for uc in meta.unique_constraints if set(uc) <= set(columns)
-        ]
-        if anti_keys:
-            for key in anti_keys:
-                payload = payload.join(
-                    existing.select(*key), on=key, how="left_anti"
-                )
-        else:
-            payload = payload.subtract(existing.select(*columns))
+        if not table_known_empty:
+            anti_keys = [
+                uc for uc in meta.unique_constraints if set(uc) <= set(columns)
+            ]
+            if anti_keys:
+                for key in anti_keys:
+                    payload = payload.join(
+                        existing.select(*key), on=key, how="left_anti"
+                    )
+            else:
+                payload = payload.subtract(existing.select(*columns))
 
-        payload = self._with_surrogate_key(table, payload, columns, existing)
+        payload = self._with_surrogate_key(
+            table, payload, columns, existing, known_empty=table_known_empty
+        )
 
         # widen to the full declared schema (absent columns -> typed nulls)
         full = payload.select(
@@ -357,6 +371,8 @@ class SparkConnector(BaseConnector):
         payload: DataFrame,
         columns: list[str],
         existing: DataFrame,
+        *,
+        known_empty: bool = False,
     ) -> DataFrame:
         meta = self._meta[table]
         pk = meta.primary_key
@@ -368,8 +384,11 @@ class SparkConnector(BaseConnector):
                 pk, F.xxhash64(*[F.col(f"`{c}`") for c in columns])
             )
         max_id = (
-            existing.agg(F.coalesce(F.max(F.col(pk)), F.lit(0)).alias("m"))
-            .first()["m"]
+            0
+            if known_empty
+            else existing.agg(
+                F.coalesce(F.max(F.col(pk)), F.lit(0)).alias("m")
+            ).first()["m"]
         )
         window = Window.orderBy(*[F.col(f"`{c}`") for c in columns])
         return payload.withColumn(
