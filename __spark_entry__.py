@@ -244,6 +244,39 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO share of revenue for one ship-month."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_share"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order counts by status, status+priority, total."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
 def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -489,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "top_customers_per_nation": q_top_customers_per_nation,
+        "q14_promo_revenue": q14_promo_revenue,
+        "orders_rollup": q_orders_rollup,
         "orders_monthly": q_orders_monthly,
         # LLM-pipeline ops (SURVEY §2G)
         "docs_fingerprint_dedup": q_docs_fingerprint_dedup,
@@ -631,6 +666,22 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM customer
             ) WHERE rnk <= 3
+        """,
+        "q14_promo_revenue": f"""
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN {disc_price} ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
+                   / CAST(SUM({disc_price}) AS DOUBLE) AS promo_share,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+        """,
+        "orders_rollup": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "orders_monthly": f"""
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
