@@ -169,6 +169,31 @@ def test_embedding_neardup_pairs(spark: SparkSession, vectors) -> None:
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
 
 
+def test_approx_topk_recall_on_fixtures(spark: SparkSession) -> None:
+    """LSH and IVF top-k must recover a reasonable share of the exact
+    brute-force neighbours on the real embedding fixtures."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(
+            emb, queries, dim=64, k=5, planes=6, tables=12
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    assert len(lsh & exact) / len(exact) > 0.3
+    assert len(ivf & exact) / len(exact) > 0.3
+
+
 # --- events (as-of join) ----------------------------------------------------
 
 
