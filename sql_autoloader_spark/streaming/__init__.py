@@ -5,6 +5,7 @@ from sql_autoloader_spark.streaming.pipeline import (
     autoload_stream,
     dedup_stream,
     sessionized_counts,
+    user_activity_state,
     windowed_event_counts,
 )
 
@@ -12,5 +13,6 @@ __all__ = [
     "autoload_stream",
     "dedup_stream",
     "sessionized_counts",
+    "user_activity_state",
     "windowed_event_counts",
 ]

@@ -119,6 +119,78 @@ def sessionized_counts(
     )
 
 
+def user_activity_state(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user activity totals (event count, value sum, first/last seen)
+    emitted when the user goes quiet for *timeout_ms* of processing time.
+
+    This is the escape hatch for aggregation semantics the built-in
+    windows can't express (emit-on-timeout with arbitrary state shape).
+    State per key is one small tuple; the state store is bounded by
+    |active users|, and timeouts evict.  Arrow-batched like any pandas
+    exchange.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    output_schema = (
+        f"{user_col} long, n_events bigint, sum_value double,"
+        " first_seen timestamp, last_seen timestamp"
+    )
+    state_schema = (
+        "n bigint, total double, first_seen timestamp, last_seen timestamp"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.hasTimedOut:
+            (n, total, first_seen, last_seen) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [total],
+                    "first_seen": [first_seen],
+                    "last_seen": [last_seen],
+                }
+            )
+            return
+        n, total, first_seen, last_seen = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            batch_min = pdf[ts_col].min()
+            batch_max = pdf[ts_col].max()
+            first_seen = batch_min if first_seen is None else min(first_seen, batch_min)
+            last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+        state.update((n, total, first_seen, last_seen))
+        state.setTimeoutDuration(timeout_ms)
+        yield from ()  # nothing emitted until timeout
+
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     *,

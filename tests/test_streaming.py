@@ -110,6 +110,61 @@ def test_dedup_stream(
     assert ids == [1, 2, 3, 4, 5]
 
 
+def test_user_activity_state(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """applyInPandasWithState: per-user totals emit when the user goes
+    quiet (processing-time timeout fires on a later micro-batch)."""
+    import time
+
+    from sql_autoloader_spark.streaming import user_activity_state
+
+    src = str(tmp_path / "state_events")
+    first = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 2.0),
+         (2, "2024-01-01 10:01:00", 7, "click", 3.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = user_activity_state(stream, timeout_ms=10)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("user_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # let batch 1 set state, then push a later batch so the
+        # (already-expired) timeout for user 7 fires
+        time.sleep(4)
+        spark.createDataFrame(
+            [(3, "2024-01-01 11:00:00", 8, "view", 1.0)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("user_state").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+
+    assert rows, "timeout emission never arrived"
+    row = {r["user_id"]: r for r in rows}[7]
+    assert row["n_events"] == 2
+    assert row["sum_value"] == 5.0
+
+
 def test_autoload_stream(
     spark: SparkSession, tmp_path: Path
 ) -> None:
