@@ -426,6 +426,39 @@ def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column + keyed aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).cast("bigint").alias("n_high"),
+        )
+    )
+
+
+def q_big_spenders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING shape (TPC-H Q18 flavor): customers whose
+    total order value exceeds a threshold."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("total_dec"))
+        .where(F.col("total_dec") > 1_500_000)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("total_dec").cast("double").alias("total_spent"),
+        )
+    )
+
+
 def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -538,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_dedup_first": q_events_dedup_first,
         "events_asof_attribution": q_events_asof_attribution,
+        "events_props_extract": q_events_props_extract,
+        "big_spenders_having": q_big_spenders_having,
         "events_user_stats": q_events_user_stats,
         # rows-only (Spark-specific hashing / estimation)
         "events_approx_users": q_events_approx_users,
@@ -835,6 +870,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                              THEN 1 END) AS BIGINT) AS n_high
+            FROM events GROUP BY event_type
+        """,
+        "big_spenders_having": f"""
+            SELECT c_custkey AS custkey, c_name AS name,
+                   CAST(total_dec AS DOUBLE) AS total_spent
+            FROM (
+                SELECT o_custkey, SUM(CAST(o_totalprice AS {_DEC})) AS total_dec
+                FROM orders GROUP BY o_custkey
+                HAVING SUM(CAST(o_totalprice AS {_DEC})) > 1500000
+            ) JOIN customer ON o_custkey = c_custkey
         """,
         "events_user_stats": """
             SELECT event_type,
