@@ -167,6 +167,10 @@ def merge_ids(
     ).first()
     new_len = stats["__n"]
 
+    # NOTE: count-based invariants share the reference's theoretical
+    # weakness (dataframe_operations.py:143-149): N lost + N duplicated
+    # rows would offset.  In practice a LEFT join cannot lose rows, so
+    # only duplication is observable — parity by design.
     if new_len < orig_len:
         msg = "Rows were lost when joining on ids."
         raise AssertionError(msg)
