@@ -182,9 +182,20 @@ class SparkConnector(BaseConnector):
         empty = self.spark.createDataFrame([], schema=ddl_schema)
         self._meta[parsed.name] = parsed
         self._appends.setdefault(parsed.name, [])
-        self._committed_empty[parsed.name] = True
+
+        # CREATE TABLE IF NOT EXISTS semantics: re-running a DDL script
+        # against content this connector already tracks (or a populated
+        # catalog table) must NOT wipe it or mark it empty — the
+        # known-empty fast path would then skip the idempotent-insert
+        # anti-join and restart surrogate keys at 1.
+        already_tracked = parsed.name in self._committed
         if self.database is not None:
             qualified = self._qualified(parsed.name)
+            pre_existed = self.spark.catalog.tableExists(qualified)
+            if not already_tracked and not pre_existed:
+                self._committed_empty[parsed.name] = True
+            elif parsed.name not in self._committed_empty:
+                self._committed_empty[parsed.name] = False  # unknown content
             empty.write.mode("ignore").saveAsTable(qualified)
             props = ", ".join(
                 f"'{_PROP_PREFIX}{key}' = '{self._escape(json.dumps(value))}'"
@@ -200,8 +211,9 @@ class SparkConnector(BaseConnector):
             )
             self.spark.sql(f"ALTER TABLE {qualified} SET TBLPROPERTIES ({props})")
             self._committed[parsed.name] = self.spark.table(qualified)
-        else:
+        elif not already_tracked:
             self._committed[parsed.name] = empty
+            self._committed_empty[parsed.name] = True
 
     def _load_catalog_state(self) -> None:
         """Introspect existing tables of the database from table properties."""

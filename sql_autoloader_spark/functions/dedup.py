@@ -163,7 +163,9 @@ def minhash_signature(
     base = F.transform(
         shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
     )
-    return minhash_signature_from_hashes(base, num_hashes=num_hashes, seed=seed)
+    return minhash_signature_from_hashes(
+        base, num_hashes=num_hashes, seed=seed
+    )
 
 
 def minhash_signature_from_hashes(
@@ -174,13 +176,7 @@ def minhash_signature_from_hashes(
     column keeps this expression tree small — inlining the xxhash64
     base into all *num_hashes* permutations makes Catalyst analysis
     itself a bottleneck on wide signatures."""
-    import random
-
-    rng = random.Random(seed)
-    params = [
-        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
-        for _ in range(num_hashes)
-    ]
+    params = _minhash_params(num_hashes, seed)
     return F.array(
         *[
             F.array_min(
@@ -425,18 +421,36 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ *max_hamming*.
 
     Pigeonhole bucketing: split the 64-bit fingerprint into *chunks*
-    16-bit chunks; any pair within Hamming distance ``chunks - 1`` agrees
-    on at least one chunk, so the candidate join is keyed on
-    ``(chunk_index, chunk_value)`` — never all-pairs.  Verification =
-    ``bit_count(xor)``.
+    pieces; any pair within Hamming distance ``chunks - 1`` agrees on at
+    least one chunk, so the candidate join is keyed on
+    ``(chunk_index, chunk_value)`` — never all-pairs.  The recall
+    guarantee therefore REQUIRES ``chunks >= max_hamming + 1``; by
+    default chunks is derived as exactly that, and an explicit smaller
+    value is rejected.  Verification = ``bit_count(xor)``.
 
     Returns ``(id_a, id_b, hamming)``.
     """
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks < max_hamming + 1:
+        msg = (
+            f"chunks={chunks} cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need chunks >= max_hamming + 1."
+        )
+        raise ValueError(msg)
+    # 2..64 chunks: a single 64-bit chunk would need an unrepresentable
+    # (1<<64)-1 mask, and two chunks are equivalent for max_hamming=0
+    chunks = min(max(chunks, 2), 64)
+    # distribute the 64 bits into exactly `chunks` contiguous pieces
+    # (sizes differ by at most 1), so the pigeonhole count is honest
+    base, extra = divmod(64, chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(chunks)]
+    offsets = [sum(widths[:i]) for i in range(chunks)]
     fingerprinted = df.select(
         F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp")
     )
@@ -451,8 +465,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright(F.col("fp"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("fp"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("cv"),
                     )
                     for i in range(chunks)

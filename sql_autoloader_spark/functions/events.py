@@ -45,6 +45,13 @@ def as_of_join(
             c for c in right.columns if c not in on and c != right_ts
         ]
 
+    # SQL semantics: a NULL join key never matches (`l.k = r.k` is not
+    # true for NULLs) and a NULL right timestamp satisfies no `<=`
+    # predicate — such right rows can never be the as-of match, so drop
+    # them up front.  Left rows with NULL keys then simply find nothing
+    # in their (NULL-keyed) window partition.
+    right = right.na.drop(subset=[*on, right_ts])
+
     # the whole right row travels as ONE struct so every carried payload
     # column comes from the same (latest) right row, even when some of
     # its payload values are null

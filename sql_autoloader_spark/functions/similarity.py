@@ -42,8 +42,13 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbours for every query vector.
+
+    ``exclude_self`` drops corpus rows whose id equals the query id —
+    correct when queries are drawn FROM the corpus (the default use);
+    set False when the two id spaces are unrelated datasets.
 
     Plan: broadcast the (small) query set → one scan of the corpus
     computing all query-corpus similarities map-side → per-query top-k via
@@ -65,7 +70,12 @@ def brute_force_topk(
     )
     scored = (
         F.broadcast(q)
-        .join(c, on=F.col("query_id") != F.col("neighbor_id"))
+        .join(
+            c,
+            on=F.col("query_id") != F.col("neighbor_id")
+            if exclude_self
+            else F.lit(True),
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -97,13 +107,7 @@ def hyperplane_signature(
     P(bit match) = 1 - angle/π, so bucket collision concentrates
     high-cosine pairs.
     """
-    import random
-
-    rng = random.Random(seed)
-    signs = [
-        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
-        for _ in range(planes)
-    ]
+    signs = _hyperplane_matrix(dim, planes, seed)
     bits = []
     for i, plane in enumerate(signs):
         proj = F.aggregate(
@@ -185,6 +189,7 @@ def lsh_topk(
     k: int = 5,
     planes: int = 8,
     tables: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
@@ -218,7 +223,11 @@ def lsh_topk(
     c = signed(corpus, "neighbor_id")
     candidates = (
         q.join(c, on=["tbl", "sig"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            if exclude_self
+            else F.lit(True)
+        )
         .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
         .distinct()
     )
@@ -251,6 +260,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: route via coarse centroids.
 
@@ -298,9 +308,16 @@ def ivf_topk(
     assigned_corpus = assign(corpus, "neighbor_id", 1)
     probed_queries = assign(queries, "query_id", n_probe)
 
+    # each corpus vector has exactly one centroid and each query probes
+    # distinct centroids, so (query, neighbor) pairs are already unique —
+    # no distinct() needed (it would be a full extra shuffle)
     scored = (
         probed_queries.join(assigned_corpus, on="cid")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            if exclude_self
+            else F.lit(True)
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -308,7 +325,6 @@ def ivf_topk(
                 "sim_raw"
             ),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_raw").desc(), F.col("neighbor_id")
