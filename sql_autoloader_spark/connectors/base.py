@@ -67,6 +67,16 @@ class BaseConnector(ABC):
     def _execute_compare_query(self, query: str) -> DataFrame:
         """Execute a (generated or user-supplied) SQL compare query."""
 
+    def _insert_verification_unneeded(
+        self, table: str, payload: DataFrame, columns: list[str]
+    ) -> bool:
+        """Sink hook: True when the post-insert subset check is provably
+        redundant (e.g. a known-empty target with no applicable unique
+        constraint and lossless storage, so the write lands the payload
+        verbatim).  Must be evaluated *before* the write.  Default: never
+        skip."""
+        return False
+
     # -- schema management ----------------------------------------------------
 
     def get_schema(self) -> Schema:
@@ -98,16 +108,18 @@ class BaseConnector(ABC):
         *,
         table: str,
         columns: dict[str, str] | None = None,
+        _deduped: bool = False,
     ) -> None:
         """Insert the table's share of *data*, then verify it landed.
 
         Composition (reference connector.py:181-228): rename+dedup ->
         validate target columns -> idempotent write of the distinct
         projection -> read back a distinct scan and assert data is a
-        subset (``exact=False`` compare).
+        subset (``exact=False`` compare).  ``_deduped`` is the internal
+        fast path for ``load`` (input already deduplicated once).
         """
         self.schema.check_schema_not_empty()
-        data = ops.preprocess(data, columns)
+        data = ops.preprocess(data, columns, dedup=not _deduped)
         common = self.schema.parse_insert(table, data.columns)
         if not common:
             msg = "No common columns were found."
@@ -115,7 +127,11 @@ class BaseConnector(ABC):
 
         logger.debug("Inserting %s into %s", common, table)
         payload = ops.distinct_rows(data, common)
+        # must be decided BEFORE the write flips the sink's emptiness state
+        skip_check = self._insert_verification_unneeded(table, payload, common)
         self._write_new_rows(table, payload, common)
+        if skip_check:
+            return
 
         # Verification: payload must be a subset of the table's rows.
         # ``ops.compare`` uses ``subtract`` (EXCEPT DISTINCT — a distributed
@@ -150,8 +166,39 @@ class BaseConnector(ABC):
         validate -> key scan ``SELECT pk AS alias, common...`` -> null-safe
         left merge -> optionally drop the now-replaced payload columns.
         """
+        result, _ = self._retrieve_ids_counted(
+            data,
+            table=table,
+            alias=alias,
+            columns=columns,
+            replace=replace,
+            allow_duplication=allow_duplication,
+        )
+        return result
+
+    def _retrieve_ids_counted(
+        self,
+        data: DataFrame,
+        *,
+        table: str,
+        alias: str,
+        columns: dict[str, str] | None = None,
+        replace: bool = True,
+        allow_duplication: bool = False,
+        deduped: bool = False,
+        known_count: int | None = None,
+        cache_result: bool = False,
+    ) -> tuple[DataFrame, int]:
+        """:meth:`retrieve_ids` plus the internal fast paths ``load`` uses.
+
+        The merge invariants are verified on the *final* frame (post
+        drop/rename) in a single aggregate, which both materializes the
+        optional cache and returns the row count — so ``load`` needs no
+        separate ``count()`` per step and no pre-join count when
+        ``known_count`` threads through from the previous step.
+        """
         self.schema.check_schema_not_empty()
-        data = ops.preprocess(data, columns)
+        data = ops.preprocess(data, columns, dedup=not deduped)
 
         primary_key, common = self.schema.parse_retrieve(table, alias, data.columns)
 
@@ -162,14 +209,29 @@ class BaseConnector(ABC):
             *[F.col(c) for c in common],
         )
 
-        data = ops.merge_ids(
-            data, db_fetch, alias, table, allow_duplication=allow_duplication
-        )
-
+        db_data = ops.match_dtypes(db_fetch, data)
+        joined = ops.merge_join(data, db_data)
+        result = joined
         if replace:
-            data = data.drop(*self.schema.get_columns(table))
+            result = result.drop(*self.schema.get_columns(table))
+        result = ops.postprocess(result, columns)
+        if cache_result:
+            result = result.cache()
 
-        return ops.postprocess(data, columns)
+        # postprocess may have renamed the alias column back
+        alias_out = alias
+        if columns:
+            alias_out = {v: k for k, v in columns.items()}.get(alias, alias)
+        orig_len = known_count if known_count is not None else data.count()
+        new_len = ops.check_merge_invariants(
+            result,
+            alias_out,
+            table,
+            orig_len,
+            allow_duplication=allow_duplication,
+            sample_frame=joined,
+        )
+        return result, new_len
 
     def insert_and_retrieve_ids(
         self,
@@ -182,14 +244,40 @@ class BaseConnector(ABC):
         allow_duplication: bool = False,
     ) -> DataFrame:
         """:meth:`insert` then :meth:`retrieve_ids` (reference connector.py:286-324)."""
-        self.insert(data, table=table, columns=columns)
-        return self.retrieve_ids(
+        result, _ = self._insert_and_retrieve_counted(
             data,
             table=table,
             alias=alias,
             columns=columns,
             replace=replace,
             allow_duplication=allow_duplication,
+        )
+        return result
+
+    def _insert_and_retrieve_counted(
+        self,
+        data: DataFrame,
+        *,
+        table: str,
+        alias: str,
+        columns: dict[str, str] | None = None,
+        replace: bool = True,
+        allow_duplication: bool = False,
+        deduped: bool = False,
+        known_count: int | None = None,
+        cache_result: bool = False,
+    ) -> tuple[DataFrame, int]:
+        self.insert(data, table=table, columns=columns, _deduped=deduped)
+        return self._retrieve_ids_counted(
+            data,
+            table=table,
+            alias=alias,
+            columns=columns,
+            replace=replace,
+            allow_duplication=allow_duplication,
+            deduped=deduped,
+            known_count=known_count,
+            cache_result=cache_result,
         )
 
     def compare(
@@ -200,6 +288,7 @@ class BaseConnector(ABC):
         columns: dict[str, str] | None = None,
         where: str | None = None,
         exact: bool = True,
+        _deduped: bool = False,
     ) -> None:
         """Validate loaded data by reconstructing the flat frame in SQL.
 
@@ -209,7 +298,7 @@ class BaseConnector(ABC):
         plans the multi-way LEFT JOIN.
         """
         self.schema.check_schema_not_empty()
-        data = ops.preprocess(data, columns)
+        data = ops.preprocess(data, columns, dedup=not _deduped)
 
         if query is None:
             query = self.schema.get_compare_query(
@@ -227,14 +316,14 @@ class BaseConnector(ABC):
             if db_count == 0:
                 msg = "Compare query yielded no results."
                 raise AssertionError(msg)
-            if not ops.has_nulls(data):
-                data_count = data.count()
-                if db_count < data_count:
-                    msg = (
-                        f"Compare query yielded fewer rows ({db_count}) "
-                        f"than data ({data_count})."
-                    )
-                    raise AssertionError(msg)
+            # count + null scan fused into one aggregate job
+            data_count, data_has_nulls = ops.count_and_has_nulls(data)
+            if not data_has_nulls and db_count < data_count:
+                msg = (
+                    f"Compare query yielded fewer rows ({db_count}) "
+                    f"than data ({data_count})."
+                )
+                raise AssertionError(msg)
 
             ops.compare(data, db_data, exact=exact)
         finally:
@@ -277,26 +366,41 @@ class BaseConnector(ABC):
             plan.insert_tables,
         )
 
+        # One count up front (materializes the pinned input); every
+        # subsequent step's count comes back from its own invariant
+        # aggregate, which also materializes that step's cache — so each
+        # merge step costs exactly one extra job beyond its write.
+        running: int | None = None
         for params in plan.insert_and_retrieve:
+            if running is None:
+                running = data.count()
             previous = data
-            data = self.insert_and_retrieve_ids(
+            data, running = self._insert_and_retrieve_counted(
                 data,
                 **params,
                 replace=replace,
                 allow_duplication=allow_duplication,
-            ).cache()
-            # materialize the new step, then release the superseded cache
-            # (keep the original pinned for the final compare) — a deep
-            # schema must not pin every intermediate in executor memory
-            data.count()
+                deduped=True,
+                known_count=running,
+                cache_result=True,
+            )
+            # the invariant aggregate materialized the new cache; release
+            # the superseded one (keep the original pinned for the final
+            # compare) — a deep schema must not pin every intermediate
             if previous is not orig_data:
                 previous.unpersist()
 
         for params in plan.insert:
-            self.insert(data, **params)
+            self.insert(data, **params, _deduped=True)
 
         if compare:
-            self.compare(orig_data, query=compare_query, where=where, exact=exact)
+            self.compare(
+                orig_data,
+                query=compare_query,
+                where=where,
+                exact=exact,
+                _deduped=True,
+            )
 
         result = ops.postprocess(data, columns)
         if orig_data is not data:

@@ -345,10 +345,10 @@ class SparkConnector(BaseConnector):
             table, False
         ) and not self._appends.get(table)
         existing = self._read_table_raw(table)
+        anti_keys = [
+            uc for uc in meta.unique_constraints if set(uc) <= set(columns)
+        ]
         if not table_known_empty:
-            anti_keys = [
-                uc for uc in meta.unique_constraints if set(uc) <= set(columns)
-            ]
             if anti_keys:
                 for key in anti_keys:
                     payload = payload.join(
@@ -356,6 +356,31 @@ class SparkConnector(BaseConnector):
                     )
             else:
                 payload = payload.subtract(existing.select(*columns))
+
+        # Intra-payload unique conflicts: INSERT OR IGNORE inserts rows one
+        # at a time, so of two payload rows sharing a unique key only the
+        # first lands and the post-insert check raises
+        # InsertingDataFailedError.  Keep one deterministic row per key
+        # (smallest by all columns) so the verification sees the conflict;
+        # rows with any NULL in the key are exempt (SQL UNIQUE treats NULLs
+        # as distinct).
+        for key in anti_keys:
+            key_has_null = F.greatest(
+                *[F.col(f"`{c}`").isNull() for c in key]
+            ) if len(key) > 1 else F.col(f"`{key[0]}`").isNull()
+            w = Window.partitionBy(*[F.col(f"`{c}`") for c in key]).orderBy(
+                *[F.col(f"`{c}`") for c in payload.columns]
+            )
+            payload = (
+                payload.withColumn(
+                    "__rn",
+                    F.when(key_has_null, F.lit(1)).otherwise(
+                        F.row_number().over(w)
+                    ),
+                )
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
 
         payload = self._with_surrogate_key(
             table, payload, columns, existing, known_empty=table_known_empty
@@ -370,10 +395,15 @@ class SparkConnector(BaseConnector):
                 for c, t in meta.column_types
             ]
         )
-        # Pin the new rows *now*: the surrogate keys and the anti-join are
-        # computed against current content, and must not re-derive after
-        # the table has since grown (lineage replay would change ids).
-        full = full.localCheckpoint(eager=True)
+        # Pin the new rows: surrogate keys and the anti-join are computed
+        # against current content and must not change under lineage replay.
+        # The lineage is deterministic (the max-id is a baked-in Python
+        # value, `existing` is a snapshot of stable committed frames, and
+        # row_number orders by the full distinct natural key), so a LAZY
+        # checkpoint is safe — it materializes inside the first consuming
+        # job (the post-insert check or the key-retrieval merge) instead of
+        # costing a dedicated eager job per table.
+        full = full.localCheckpoint(eager=False)
         self._appends.setdefault(table, []).append(full)
         self._register_view(table)
 
@@ -409,6 +439,41 @@ class SparkConnector(BaseConnector):
 
     def _execute_compare_query(self, query: str) -> DataFrame:
         return self.spark.sql(query)
+
+    def _insert_verification_unneeded(
+        self, table: str, payload: DataFrame, columns: list[str]
+    ) -> bool:
+        """The post-insert subset check is redundant iff the write provably
+        lands the payload verbatim: target known empty (no conflict with
+        existing rows possible), no applicable unique constraint (no
+        intra-payload conflict possible), no dtype adapter on an inserted
+        column, and every cast to the declared storage type is an identity
+        (no value can change in flight).  NOT NULL filtering is exempt:
+        rows it removes contain a null, and the subset check drops
+        null-containing rows from the payload side anyway (exact=False
+        compare semantics).
+        """
+        known_empty = self._committed_empty.get(
+            table, False
+        ) and not self._appends.get(table)
+        if not known_empty:
+            return False
+        meta = self._meta[table]
+        if any(set(uc) <= set(columns) for uc in meta.unique_constraints):
+            return False
+        if any(c in self.dtype_adapters for c in columns):
+            return False
+        declared = dict(meta.column_types)
+        src_types = dict(payload.dtypes)
+        cast_types = dict(
+            payload.select(
+                [
+                    F.col(f"`{c}`").cast(declared[c]).alias(c)
+                    for c in columns
+                ]
+            ).dtypes
+        )
+        return all(cast_types[c] == src_types[c] for c in columns)
 
     # -- helpers ----------------------------------------------------------------
 

@@ -49,15 +49,21 @@ def _col(df: DataFrame, name: str) -> Column:
     return df[_q(name)]
 
 
-def preprocess(data: DataFrame, columns: dict[str, str] | None) -> DataFrame:
+def preprocess(
+    data: DataFrame, columns: dict[str, str] | None, *, dedup: bool = True
+) -> DataFrame:
     """Rename columns per ``{old: new}`` and drop duplicate rows.
 
     Global row dedup is a semantic requirement of the loader (the reference
-    enforces it on every entry point, connector.py:26-40).
+    enforces it on every entry point, connector.py:26-40).  ``dedup=False``
+    is an internal fast path for callers that already hold a deduplicated
+    frame (``load`` dedups once up front): renaming cannot introduce
+    duplicates, so re-shuffling for a second ``dropDuplicates`` would be
+    pure overhead in every downstream job's lineage.
     """
     if columns:
         data = data.withColumnsRenamed(columns)
-    return data.dropDuplicates()
+    return data.dropDuplicates() if dedup else data
 
 
 def postprocess(data: DataFrame, columns: dict[str, str] | None) -> DataFrame:
@@ -69,11 +75,12 @@ def postprocess(data: DataFrame, columns: dict[str, str] | None) -> DataFrame:
     return data
 
 
-def has_nulls(data: DataFrame) -> bool:
-    """True when any cell is null; an *empty* frame also counts as nulls.
+def count_and_has_nulls(data: DataFrame) -> tuple[int, bool]:
+    """``(row count, any cell is null)`` in a single distributed aggregate.
 
-    Single distributed aggregate: per-column null counts plus a row count,
-    one job, no data movement beyond the final reduce.
+    Per-column null counts plus a row count: one job, no data movement
+    beyond the final reduce.  An *empty* frame counts as has-nulls
+    (reference dataframe_operations.py:12-16).
     """
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(_col(data, c).isNull().cast("long")).alias(f"__nulls_{i}")
@@ -81,8 +88,15 @@ def has_nulls(data: DataFrame) -> bool:
     ]
     row = data.agg(*aggs).first()
     if row is None or row["__n"] == 0:
-        return True
-    return any(row[f"__nulls_{i}"] for i in range(len(data.columns)))
+        return 0, True
+    return row["__n"], any(
+        row[f"__nulls_{i}"] for i in range(len(data.columns))
+    )
+
+
+def has_nulls(data: DataFrame) -> bool:
+    """True when any cell is null; an *empty* frame also counts as nulls."""
+    return count_and_has_nulls(data)[1]
 
 
 def distinct_rows(data: DataFrame, columns: list[str]) -> DataFrame:
@@ -124,6 +138,7 @@ def merge_ids(
     table: str,
     *,
     allow_duplication: bool = False,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Null-safe left equi-join of retrieved keys back onto the data.
 
@@ -136,15 +151,32 @@ def merge_ids(
     ``eqNullSafe`` is an equi-join key for Catalyst, so the physical plan
     is broadcast-hash when ``db_fetch`` is small (the usual case — it is a
     dimension-table key scan) and sort-merge otherwise.
+
+    ``known_count``, when the caller already knows ``data``'s row count
+    (``load`` counts once and threads it through every step), elides the
+    pre-join count job — the invariants then cost a single aggregate.
     """
     if alias not in db_fetch.columns:
         msg = "Provided alias not found in fetch from database."
         raise AssertionError(msg)
 
     db_data = match_dtypes(db_fetch, data)
-    on_columns = sorted(set(data.columns) & set(db_data.columns))
-    extra_columns = [c for c in db_data.columns if c not in on_columns]
+    joined = merge_join(data, db_data)
 
+    orig_len = known_count if known_count is not None else data.count()
+    check_merge_invariants(
+        joined,
+        alias,
+        table,
+        orig_len,
+        allow_duplication=allow_duplication,
+    )
+    return joined
+
+
+def merge_join(data: DataFrame, db_data: DataFrame) -> DataFrame:
+    """The bare null-safe left equi-join of :func:`merge_ids` (no checks)."""
+    on_columns = sorted(set(data.columns) & set(db_data.columns))
     renames = {c: f"__r_{i}" for i, c in enumerate(on_columns)}
     right = db_data.withColumnsRenamed(renames)
 
@@ -155,15 +187,30 @@ def merge_ids(
             for c in on_columns
         ],
     )
-    joined = data.join(right, on=condition, how="left").drop(
+    return data.join(right, on=condition, how="left").drop(
         *[renames[c] for c in on_columns]
     )
 
-    # One pass for the invariants, one count on the input.
-    orig_len = data.count()
-    stats = joined.agg(
+
+def check_merge_invariants(
+    frame: DataFrame,
+    alias: str,
+    table: str,
+    orig_len: int,
+    *,
+    allow_duplication: bool = False,
+    sample_frame: DataFrame | None = None,
+) -> int:
+    """Enforce the merge invariants on *frame* in one aggregate job.
+
+    Returns the post-merge row count (so callers can thread it to the
+    next step instead of re-counting).  *sample_frame*, when given, is
+    used for the failure sample only — callers that check a projection
+    can still report the full pre-projection rows.
+    """
+    stats = frame.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.count(F.when(_col(joined, alias).isNull(), 1)).alias("__null_ids"),
+        F.count(F.when(_col(frame, alias).isNull(), 1)).alias("__null_ids"),
     ).first()
     new_len = stats["__n"]
 
@@ -179,7 +226,8 @@ def merge_ids(
         raise AssertionError(msg)
 
     if stats["__null_ids"] > 0:
-        sample = joined.filter(_col(joined, alias).isNull()).limit(_SAMPLE).collect()
+        src = sample_frame if sample_frame is not None else frame
+        sample = src.filter(_col(src, alias).isNull()).limit(_SAMPLE).collect()
         rows = "\n".join(str(r.asDict()) for r in sample)
         msg = (
             f"When reading from {table} some ids were returned as NA:\n{rows}\n"
@@ -188,7 +236,7 @@ def merge_ids(
         )
         raise MissingKeysAfterMergeError(msg)
 
-    return joined
+    return new_len
 
 
 def compare(

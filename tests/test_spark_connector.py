@@ -118,6 +118,37 @@ def test_failed_insert_raises(spark: SparkSession) -> None:
     assert db._read_table("a").count() == 3
 
 
+def test_intra_payload_unique_conflict(spark: SparkSession) -> None:
+    """Two payload rows sharing a UNIQUE key but differing elsewhere:
+    INSERT OR IGNORE lands only one, so the post-insert check must raise
+    InsertingDataFailedError — even on a freshly created (empty) table —
+    and rollback must leave the table empty."""
+    ddl = """
+    CREATE TABLE a (
+        id INTEGER PRIMARY KEY,
+        naam TEXT UNIQUE,
+        waarde INT
+    );
+    """
+    conflicted = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "naam string, waarde long"
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(ddl)
+    with pytest.raises(InsertingDataFailedError), db:
+        db.load(conflicted)
+    assert db._read_table("a").count() == 0
+
+    # NULL keys are exempt: SQL UNIQUE treats NULLs as distinct, so two
+    # null-keyed rows with different payloads both insert.
+    nulls = spark.createDataFrame(
+        [(None, 1), (None, 2), ("c", 3)], "naam string, waarde long"
+    )
+    with db:
+        db.load(nulls)
+    assert db._read_table("a").count() == 3
+
+
 def test_basic_integration(spark: SparkSession) -> None:
     """Golden car-sales round-trip (reference :130-234)."""
     data = spark.createDataFrame(
