@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sql_autoloader_spark.functions import dedup, events, similarity, text
+from sql_autoloader_spark.functions import (
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    text,
+)
 from sql_autoloader_spark.ops import dataframe_ops as ops
 
 _TABLES = [
@@ -476,6 +482,357 @@ def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Analytics round 2: semi/anti joins, scalar subqueries, correlated
+# aggregates, count-distinct, window frames, sessionization (TPC-H
+# Q4/Q6/Q7/Q10/Q13/Q15/Q16/Q17/Q18/Q19/Q22 shapes on the fixture schema)
+# --------------------------------------------------------------------------
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + scalar aggregate (the
+    pushdown-friendliest query in the suite)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q4_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one line
+    shipped >60 days after the order date, counted per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by ship year (two
+    broadcast dimension joins with a symmetric pair predicate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey"))
+        .limit(20)
+    )
+
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over customers via a
+    LEFT OUTER join (customers with zero qualifying orders included)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue
+    (scalar-subquery max, exact DECIMAL equality)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_dec"))
+    mx = rev.agg(F.max("total_dec").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_dec") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute
+    bucket (COUNT DISTINCT after a fact-dim join)."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").cast("int").alias("size"),
+            "supplier_cnt",
+        )
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — revenue from lines
+    whose quantity is below half the part's average quantity.
+
+    The per-part average is an exact DECIMAL sum divided in DOUBLE, so
+    the threshold is bit-identical across engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    half_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)) / F.lit(2.0)
+        ).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(half_avg, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 (HAVING
+    on a fact rollup, joined back to dimensions), top 100."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .where(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey"))
+        .limit(100)
+    )
+
+
+def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges evaluated on a broadcast fact-dim join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q22_idle_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery average + anti-join — customers
+    with above-average balance and no orders since 2001, per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: per-customer running order total (cumulative DECIMAL
+    sum over an ordered frame)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >6 h gap;
+    lag + cumulative-sum windows, then a per-session rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 6 * 3600 * 1_000_000), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("session_id", F.sum(new_sess).over(cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal queries (SURVEY §2G): opaque binary content + typed metadata
+# --------------------------------------------------------------------------
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from documents: the text bytes stand in
+    for an opaque asset blob (no codec libs ship in this container)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side media metadata: byte length + SHA-256 content hash for
+    exact asset dedup (no Python in the plan)."""
+    media = _media_frame(spark, sf_dir)
+    return multimodal.attach_byte_stats(media).select(
+        "media_id", "n_bytes", "content_hash"
+    )
+
+
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through Arrow-batched ``mapInPandas`` (one asset →
+    up to 4 frames of 64 bytes), rolled up per asset.  The oracle
+    computes the expected frame count/bytes arithmetically — an
+    end-to-end check on the mapInPandas explosion."""
+    media = _media_frame(spark, sf_dir)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.octet_length("frame")).cast("bigint").alias("frame_bytes"),
+    )
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media via stub decode → feature vector → LSH
+    bucketing (rows-only: feature space is the stub byte histogram)."""
+    media = _media_frame(spark, sf_dir)
+    return multimodal.media_neardup_pairs(media, threshold=0.995)
+
+
 # -- rows-only (Spark-specific hashing; no portable SQL oracle) ------------
 
 
@@ -574,6 +931,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": q_events_props_extract,
         "big_spenders_having": q_big_spenders_having,
         "events_user_stats": q_events_user_stats,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q4_late_shipping": q4_late_shipping,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
+        "q13_custdist": q13_custdist,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_or_predicates": q19_or_predicates,
+        "q22_idle_big_spenders": q22_idle_big_spenders,
+        "orders_running_total": q_orders_running_total,
+        "events_sessionize": q_events_sessionize,
+        # multimodal (SURVEY §2G)
+        "media_byte_stats": q_media_byte_stats,
+        "media_frame_stats": q_media_frame_stats,
         # rows-only (Spark-specific hashing / estimation)
         "events_approx_users": q_events_approx_users,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -582,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "media_neardup": q_media_neardup,
     }
 
 
@@ -893,5 +1267,192 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q6_revenue_forecast": f"""
+            SELECT CAST(SUM(CAST(l_extendedprice AS {_DEC})
+                            * CAST(l_discount AS {_DEC})) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q4_late_shipping": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+                   n_name AS nation,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, custkey
+            LIMIT 20
+        """,
+        "q13_custdist": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey,
+                       CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                             AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey, SUM({disc_price}) AS total_dec
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey AS suppkey, s_name AS name,
+                   CAST(total_dec AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_dec = (SELECT MAX(total_dec) FROM rev)
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand AS brand, p_type AS type,
+                   CAST(p_size AS INTEGER) AS size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size <= 25
+            GROUP BY 1, 2, 3
+        """,
+        "q17_small_qty_revenue": f"""
+            WITH half_avg AS (
+                SELECT l_partkey AS a_partkey,
+                       CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE)
+                           / COUNT(*) / 2.0 AS half_avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / 7.0
+                       AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN half_avg ON l_partkey = a_partkey
+            WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+              AND l_quantity < half_avg_qty
+        """,
+        "q18_large_orders": f"""
+            WITH big AS (
+                SELECT l_orderkey, SUM(CAST(l_quantity AS {_DEC})) AS sum_qty_dec
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS {_DEC})) > 300
+            )
+            SELECT c_name AS name, c_custkey AS custkey,
+                   o_orderkey AS orderkey, o_orderdate AS orderdate,
+                   o_totalprice AS totalprice,
+                   CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice DESC, orderkey
+            LIMIT 100
+        """,
+        "q19_or_predicates": f"""
+            SELECT CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "q22_idle_big_spenders": f"""
+            SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) / COUNT(*)
+                FROM customer WHERE c_acctbal > 0
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            )
+            GROUP BY 1
+        """,
+        "orders_running_total": f"""
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   o_orderdate AS orderdate,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 21600000000
+                            OR lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM sess GROUP BY 1, 2
+        """,
+        "media_byte_stats": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_hash
+            FROM documents
+        """,
+        "media_frame_stats": """
+            SELECT doc_id AS media_id,
+                   CAST(least(4, greatest(octet_length(encode(text)) // 64, 1))
+                        AS BIGINT) AS n_frames,
+                   CAST(least(octet_length(encode(text)),
+                              least(4, greatest(octet_length(encode(text)) // 64, 1))
+                              * 64) AS BIGINT) AS frame_bytes
+            FROM documents
         """,
     }
