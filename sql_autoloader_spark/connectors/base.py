@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from sql_autoloader_spark.exceptions import (
     CompareMissingRowsError,
     InsertingDataFailedError,
+    MissingKeysAfterMergeError,
 )
 from sql_autoloader_spark.ops import dataframe_ops as ops
 from sql_autoloader_spark.schema import (
@@ -109,6 +110,7 @@ class BaseConnector(ABC):
         table: str,
         columns: dict[str, str] | None = None,
         _deduped: bool = False,
+        _check_covered_by_merge: bool = False,
     ) -> None:
         """Insert the table's share of *data*, then verify it landed.
 
@@ -117,6 +119,14 @@ class BaseConnector(ABC):
         projection -> read back a distinct scan and assert data is a
         subset (``exact=False`` compare).  ``_deduped`` is the internal
         fast path for ``load`` (input already deduplicated once).
+
+        ``_check_covered_by_merge``: when a key retrieval immediately
+        follows (``insert_and_retrieve_ids``), any payload row that
+        failed to land — uniqueness conflict, intra-payload conflict,
+        value-mangling cast — joins to no table row and surfaces as a
+        NULL id in the merge-invariant aggregate, so the separate
+        subset-check scan of the table is provably redundant and skipped
+        (one fewer full-table pass per keyed table at scale).
         """
         self.schema.check_schema_not_empty()
         data = ops.preprocess(data, columns, dedup=not _deduped)
@@ -128,7 +138,9 @@ class BaseConnector(ABC):
         logger.debug("Inserting %s into %s", common, table)
         payload = ops.distinct_rows(data, common)
         # must be decided BEFORE the write flips the sink's emptiness state
-        skip_check = self._insert_verification_unneeded(table, payload, common)
+        skip_check = _check_covered_by_merge or self._insert_verification_unneeded(
+            table, payload, common
+        )
         self._write_new_rows(table, payload, common)
         if skip_check:
             return
@@ -267,18 +279,38 @@ class BaseConnector(ABC):
         known_count: int | None = None,
         cache_result: bool = False,
     ) -> tuple[DataFrame, int]:
-        self.insert(data, table=table, columns=columns, _deduped=deduped)
-        return self._retrieve_ids_counted(
+        self.insert(
             data,
             table=table,
-            alias=alias,
             columns=columns,
-            replace=replace,
-            allow_duplication=allow_duplication,
-            deduped=deduped,
-            known_count=known_count,
-            cache_result=cache_result,
+            _deduped=deduped,
+            _check_covered_by_merge=True,
         )
+        try:
+            return self._retrieve_ids_counted(
+                data,
+                table=table,
+                alias=alias,
+                columns=columns,
+                replace=replace,
+                allow_duplication=allow_duplication,
+                deduped=deduped,
+                known_count=known_count,
+                cache_result=cache_result,
+            )
+        except MissingKeysAfterMergeError as e:
+            # With the insert-time subset check folded into this merge, a
+            # NULL id here means the row never landed (the reference's
+            # post-insert failure, connector.py:215-228) — report it as
+            # such rather than as a bare merge anomaly.
+            msg = (
+                f"Encountered an error upon inserting data into table '{table}':\n"
+                f"\t{e!s}\n"
+                "This usually happens because a uniqueness constraint kept new "
+                "data out. Either clear the relevant tables or reset the "
+                "database; to update existing rows, run an UPDATE yourself."
+            )
+            raise InsertingDataFailedError(msg) from e
 
     def compare(
         self,
@@ -307,27 +339,13 @@ class BaseConnector(ABC):
         logger.debug("Comparing using query:\n%s", query)
 
         # The generated multi-way LEFT JOIN is the most expensive query of
-        # the whole lifecycle; it feeds a count plus up to two ``subtract``
-        # passes, so pin it once instead of recomputing the join 3x
-        # (scale-critical at 100 TB: one pass over the fact join, not three).
-        db_data = self._execute_compare_query(query).cache()
-        try:
-            db_count = db_data.count()
-            if db_count == 0:
-                msg = "Compare query yielded no results."
-                raise AssertionError(msg)
-            # count + null scan fused into one aggregate job
-            data_count, data_has_nulls = ops.count_and_has_nulls(data)
-            if not data_has_nulls and db_count < data_count:
-                msg = (
-                    f"Compare query yielded fewer rows ({db_count}) "
-                    f"than data ({data_count})."
-                )
-                raise AssertionError(msg)
-
-            ops.compare(data, db_data, exact=exact)
-        finally:
-            db_data.unpersist()
+        # the whole lifecycle.  All validation — both raw counts, the
+        # data-side null scan, and both set differences — is fused into a
+        # single union+group-by aggregate, so the join is computed exactly
+        # once, streamed, and never cached (scale-critical at 100 TB: one
+        # pass over the fact join, not three passes over a materialization).
+        db_data = self._execute_compare_query(query)
+        ops.validate_load_compare(data, db_data, exact=exact)
 
     def load(
         self,

@@ -8,6 +8,7 @@ from sql_autoloader_spark.ops.dataframe_ops import (
     merge_ids,
     postprocess,
     preprocess,
+    validate_load_compare,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "merge_ids",
     "postprocess",
     "preprocess",
+    "validate_load_compare",
 ]

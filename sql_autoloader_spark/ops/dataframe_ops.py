@@ -239,6 +239,67 @@ def check_merge_invariants(
     return new_len
 
 
+def _compare_grouped(data: DataFrame, db_aligned: DataFrame) -> DataFrame:
+    """The single-shuffle primitive behind all row-set comparison.
+
+    Union both sides with per-side markers and group by *every* column:
+    the output has one row per distinct row value with per-side
+    multiplicities ``__n_d`` / ``__n_b``.  GROUP BY treats NULLs as
+    equal, matching ``subtract``'s null-safe set semantics — but where
+    two ``subtract`` calls shuffle each input twice, this shuffles the
+    union exactly once (the 100 TB path: one streaming pass over the
+    reconstruction join, map-side combined, no caching needed).
+    """
+    cols = data.columns
+    tagged = data.select(
+        *[_col(data, c) for c in cols],
+        F.lit(1).alias("__d"),
+        F.lit(0).alias("__b"),
+    ).unionByName(
+        db_aligned.select(
+            *[_col(db_aligned, c) for c in cols],
+            F.lit(0).alias("__d"),
+            F.lit(1).alias("__b"),
+        )
+    )
+    return tagged.groupBy(*[F.col(_q(c)) for c in cols]).agg(
+        F.sum("__d").alias("__n_d"), F.sum("__b").alias("__n_b")
+    )
+
+
+def _missing() -> Column:
+    return (F.col("__n_d") > 0) & (F.col("__n_b") == 0)
+
+
+def _extra() -> Column:
+    return (F.col("__n_b") > 0) & (F.col("__n_d") == 0)
+
+
+def _sample_rows(grouped: DataFrame, predicate: Column, cols: list[str]) -> str:
+    """Failure-path sample: re-runs the grouped plan filtered to offenders."""
+    rows = (
+        grouped.where(predicate)
+        .select([F.col(_q(c)) for c in cols])
+        .limit(_SAMPLE)
+        .collect()
+    )
+    return "\n".join(str(r.asDict()) for r in rows)
+
+
+def _raise_no_exact_match(grouped: DataFrame, cols: list[str]) -> None:
+    missing_txt = _sample_rows(grouped, _missing(), cols)
+    extra_txt = _sample_rows(grouped, _extra(), cols)
+    msg = (
+        "Datasets do not match exactly.\n"
+        f"Rows in data and not in db:\n{missing_txt}\n"
+        f"Rows in db and not in data:\n{extra_txt}\n\n"
+        "Consider adding a WHERE clause to filter out irrelevant data.\n"
+        "Note: if this happens because your data contains missings and "
+        "your database does not allow those, set exact=False"
+    )
+    raise CompareNoExactMatchError(msg)
+
+
 def compare(
     data: DataFrame,
     db_data: DataFrame,
@@ -252,9 +313,10 @@ def compare(
     null are dropped from the data first, and data must be a subset of the
     database, else :class:`CompareMissingRowsError`.
 
-    Uses ``subtract`` (distinct set difference -> distributed anti-join),
-    replacing the reference's driver-side O(n*m) membership scan
-    (dataframe_operations.py:36-37).
+    Replaces the reference's driver-side O(n*m) membership scan
+    (dataframe_operations.py:36-37) with one distributed union+group-by
+    pass (:func:`_compare_grouped`): the happy path is a single aggregate
+    job with a single shuffle.
     """
     if not exact:
         # unconditional: dropping nulls from null-free data is a no-op,
@@ -263,49 +325,70 @@ def compare(
 
     aligned = match_dtypes(db_data, data)
     db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
-
-    # ``subtract`` is EXCEPT DISTINCT: set semantics (duplicate-insensitive,
-    # NULL-safe) with no separate ``distinct()`` pass needed — one shuffle per
-    # side instead of two.
-    data_set = data
-    db_set = db_aligned
+    grouped = _compare_grouped(data, db_aligned)
 
     if exact:
-        # both directions in ONE job: tag each side's sample and union
-        tagged = (
-            data_set.subtract(db_set)
-            .limit(_SAMPLE)
-            .withColumn("__side", F.lit("m"))
-            .unionByName(
-                db_set.subtract(data_set)
-                .limit(_SAMPLE)
-                .withColumn("__side", F.lit("e"))
-            )
-            .collect()
-        )
-        missing_sample = [r for r in tagged if r["__side"] == "m"]
-        extra_sample = [r for r in tagged if r["__side"] == "e"]
-        if missing_sample or extra_sample:
-            def _fmt(r):  # drop the tag column from the message
-                d = r.asDict()
-                d.pop("__side", None)
-                return str(d)
-
-            missing_txt = "\n".join(_fmt(r) for r in missing_sample)
-            extra_txt = "\n".join(_fmt(r) for r in extra_sample)
-            msg = (
-                "Datasets do not match exactly.\n"
-                f"Rows in data and not in db:\n{missing_txt}\n"
-                f"Rows in db and not in data:\n{extra_txt}\n\n"
-                "Consider adding a WHERE clause to filter out irrelevant data.\n"
-                "Note: if this happens because your data contains missings and "
-                "your database does not allow those, set exact=False"
-            )
-            raise CompareNoExactMatchError(msg)
+        stats = grouped.agg(
+            F.count(F.when(_missing(), 1)).alias("__missing"),
+            F.count(F.when(_extra(), 1)).alias("__extra"),
+        ).first()
+        if stats["__missing"] or stats["__extra"]:
+            _raise_no_exact_match(grouped, data.columns)
         return
 
-    missing_sample = data_set.subtract(db_set).limit(_SAMPLE).collect()
-    if missing_sample:
-        missing_txt = "\n".join(str(r.asDict()) for r in missing_sample)
+    n_missing = grouped.agg(
+        F.count(F.when(_missing(), 1)).alias("__missing")
+    ).first()["__missing"]
+    if n_missing:
+        missing_txt = _sample_rows(grouped, _missing(), data.columns)
+        msg = f"Some rows from data were not found in the database:\n{missing_txt}"
+        raise CompareMissingRowsError(msg)
+
+
+def validate_load_compare(
+    data: DataFrame, db_data: DataFrame, *, exact: bool = True
+) -> None:
+    """The full post-load validation in ONE aggregate job.
+
+    Fuses what the reference runs as four separate passes
+    (connector.py:326-374: db count, data count, null scan, two
+    membership scans) over the generated reconstruction join into a
+    single union+group-by aggregate: raw per-side counts, a data-side
+    null flag, and both set differences all come back in one row.
+    Failure paths re-run the grouped plan to sample offending rows.
+    """
+    aligned = match_dtypes(db_data, data)
+    db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
+    grouped = _compare_grouped(data, db_aligned)
+
+    null_row = reduce(
+        Column.__or__, [F.col(_q(c)).isNull() for c in data.columns]
+    )
+    stats = grouped.agg(
+        F.sum("__n_d").alias("__n_data"),
+        F.sum("__n_b").alias("__n_db"),
+        F.max(
+            F.when(null_row & (F.col("__n_d") > 0), 1).otherwise(0)
+        ).alias("__has_nulls"),
+        F.count(F.when(_missing(), 1)).alias("__missing"),
+        F.count(F.when(_extra(), 1)).alias("__extra"),
+        F.count(F.when(_missing() & ~null_row, 1)).alias("__missing_nonnull"),
+    ).first()
+
+    n_data = stats["__n_data"] or 0
+    n_db = stats["__n_db"] or 0
+    has_nulls = bool(stats["__has_nulls"]) or n_data == 0
+    if n_db == 0:
+        msg = "Compare query yielded no results."
+        raise AssertionError(msg)
+    if not has_nulls and n_db < n_data:
+        msg = f"Compare query yielded fewer rows ({n_db}) than data ({n_data})."
+        raise AssertionError(msg)
+
+    if exact:
+        if stats["__missing"] or stats["__extra"]:
+            _raise_no_exact_match(grouped, data.columns)
+    elif stats["__missing_nonnull"]:
+        missing_txt = _sample_rows(grouped, _missing() & ~null_row, data.columns)
         msg = f"Some rows from data were not found in the database:\n{missing_txt}"
         raise CompareMissingRowsError(msg)
