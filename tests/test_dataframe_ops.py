@@ -187,3 +187,67 @@ def test_compare_null_safe(spark: SparkSession) -> None:
     data = df_of(spark, [{"a": None}, {"a": "x"}], "a string")
     db = df_of(spark, [{"a": "x"}, {"a": None}], "a string")
     ops.compare(data, db, exact=True)
+
+
+# --- validate_load_compare (the fused single-job lifecycle validation) -------
+
+
+def test_validate_load_compare_ok(spark: SparkSession) -> None:
+    data = df_of(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": None}], "a int, b string")
+    db = df_of(spark, [{"a": 2, "b": None}, {"a": 1, "b": "x"}], "a int, b string")
+    ops.validate_load_compare(data, db, exact=True)
+    ops.validate_load_compare(data, db, exact=False)
+
+
+def test_validate_load_compare_empty_db(spark: SparkSession) -> None:
+    data = df_of(spark, [{"a": 1}], "a int")
+    db = spark.createDataFrame([], "a int")
+    with pytest.raises(AssertionError, match="no results"):
+        ops.validate_load_compare(data, db, exact=True)
+
+
+def test_validate_load_compare_fewer_rows(spark: SparkSession) -> None:
+    """Null-free data with more raw rows than the db read must fail fast."""
+    data = df_of(spark, [{"a": 1}, {"a": 2}, {"a": 3}], "a int")
+    db = df_of(spark, [{"a": 1}, {"a": 2}], "a int")
+    with pytest.raises(AssertionError, match="fewer rows"):
+        ops.validate_load_compare(data, db, exact=True)
+
+
+def test_validate_load_compare_nulls_relax_count(spark: SparkSession) -> None:
+    """Data containing nulls skips the raw-count sanity check (reference
+    connector.py:351-358) but exact compare still applies."""
+    data = df_of(
+        spark, [{"a": 1, "b": None}, {"a": 2, "b": "x"}, {"a": 3, "b": "y"}],
+        "a int, b string",
+    )
+    db = df_of(
+        spark, [{"a": 1, "b": None}, {"a": 2, "b": "x"}, {"a": 3, "b": "y"}],
+        "a int, b string",
+    )
+    ops.validate_load_compare(data, db, exact=True)
+
+
+def test_validate_load_compare_exact_mismatch(spark: SparkSession) -> None:
+    data = df_of(spark, [{"a": 1}, {"a": 2}], "a int")
+    db = df_of(spark, [{"a": 1}, {"a": 3}], "a int")
+    with pytest.raises(CompareNoExactMatchError):
+        ops.validate_load_compare(data, db, exact=True)
+
+
+def test_validate_load_compare_subset_ignores_null_rows(
+    spark: SparkSession,
+) -> None:
+    """exact=False: data rows containing nulls are exempt from the subset
+    requirement, non-null rows are not."""
+    data = df_of(
+        spark, [{"a": 1, "b": None}, {"a": 2, "b": "x"}], "a int, b string"
+    )
+    db = df_of(spark, [{"a": 2, "b": "x"}, {"a": 9, "b": "z"}], "a int, b string")
+    ops.validate_load_compare(data, db, exact=False)
+
+    bad = df_of(
+        spark, [{"a": 1, "b": None}, {"a": 5, "b": "q"}], "a int, b string"
+    )
+    with pytest.raises(CompareMissingRowsError):
+        ops.validate_load_compare(bad, db, exact=False)
