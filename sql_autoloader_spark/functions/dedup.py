@@ -248,6 +248,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_words: int = 3,
     verify: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -258,9 +259,15 @@ def minhash_lsh_pairs(
 
     Scale: the only shuffles are (1) the band-bucket self-join, keyed on
     ``(band_index, bucket_hash)``; (2) the candidate-pair dedup.  Bucket
-    skew (giant near-dup clusters) is the known hazard — cap bucket
-    width upstream or salt the key.  With ``verify=True`` candidates are
-    confirmed with the exact shingle-set Jaccard, computed via an
+    skew (giant near-dup clusters — boilerplate pages, empty documents)
+    is the known hazard: a bucket of f members makes f·(f-1)/2 pairs.
+    ``max_bucket_size`` bounds that: buckets over the cap switch from
+    all-pairs to a *representative star* — every member pairs with the
+    bucket's minimum doc id only (linear in bucket size).  Cluster
+    membership ("this doc duplicates something") is preserved; only
+    pairwise completeness *inside* giant clusters is given up, which is
+    the standard trade at web scale.  With ``verify=True`` candidates
+    are confirmed with the exact shingle-set Jaccard, computed via an
     ``array_intersect`` on the (re-joined) shingle arrays — a broadcast
     join per side when the candidate set is small.
 
@@ -338,6 +345,30 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 
+    if max_bucket_size is not None:
+        # one map-side-combined count per (band, bucket); the join back is
+        # on the same key the self-join uses, so no extra repartitioning
+        counts = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__f"),
+            F.min("doc").alias("__rep"),
+        )
+        sized = banded.join(counts, on=["band", "bucket"])
+        banded = sized.where(F.col("__f") <= max_bucket_size).drop(
+            "__f", "__rep"
+        )
+        star = (
+            sized.where(
+                (F.col("__f") > max_bucket_size)
+                & (F.col("doc") > F.col("__rep"))
+            )
+            .select(
+                F.col("__rep").alias("id_a"), F.col("doc").alias("id_b")
+            )
+            .distinct()
+        )
+    else:
+        star = None
+
     pairs = (
         banded.alias("l")
         .join(
@@ -353,6 +384,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star).distinct()
 
     if not verify:
         return pairs
@@ -422,6 +455,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ *max_hamming*.
 
@@ -432,6 +466,9 @@ def simhash_pairs(
     guarantee therefore REQUIRES ``chunks >= max_hamming + 1``; by
     default chunks is derived as exactly that, and an explicit smaller
     value is rejected.  Verification = ``bit_count(xor)``.
+    ``max_bucket_size`` bounds chunk-bucket skew exactly like
+    :func:`minhash_lsh_pairs`: oversized buckets pair each member with
+    the bucket minimum only (linear in cluster size).
 
     Returns ``(id_a, id_b, hamming)``.
     """
@@ -475,7 +512,33 @@ def simhash_pairs(
         ).alias("ch"),
     ).select("doc", "fp", "ch.ci", "ch.cv")
 
-    return (
+    star = None
+    if max_bucket_size is not None:
+        counts = chunked.groupBy("ci", "cv").agg(
+            F.count(F.lit(1)).alias("__f"),
+            F.min("doc").alias("__rep"),
+            F.min_by("fp", "doc").alias("__rep_fp"),
+        )
+        sized = chunked.join(counts, on=["ci", "cv"])
+        chunked = sized.where(F.col("__f") <= max_bucket_size).drop(
+            "__f", "__rep", "__rep_fp"
+        )
+        star = (
+            sized.where(
+                (F.col("__f") > max_bucket_size)
+                & (F.col("doc") > F.col("__rep"))
+            )
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("doc").alias("id_b"),
+                F.bit_count(
+                    F.col("fp").bitwiseXOR(F.col("__rep_fp"))
+                ).cast("int").alias("hamming"),
+            )
+            .distinct()
+        )
+
+    cand = (
         chunked.alias("l")
         .join(
             chunked.alias("r"),
@@ -493,5 +556,7 @@ def simhash_pairs(
             ).cast("int").alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
+    if star is not None:
+        cand = cand.unionByName(star).distinct()
+    return cand.where(F.col("hamming") <= max_hamming)

@@ -350,12 +350,16 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: int = 12,
     tables: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ *threshold*).
 
     LSH-bucketed self-join (same machinery as :func:`lsh_topk`), exact
-    cosine verification on candidates.  Returns ``(id_a, id_b, sim)``
-    with ``id_a < id_b``.
+    cosine verification on candidates.  ``max_bucket_size`` bounds
+    bucket skew exactly like ``minhash_lsh_pairs``: oversized buckets
+    (giant duplicate clusters) pair each member with the bucket's
+    minimum id only — linear, not quadratic, in cluster size.  Returns
+    ``(id_a, id_b, sim)`` with ``id_a < id_b``.
     """
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     sigs = hyperplane_signatures_vectorized(
@@ -365,6 +369,32 @@ def embedding_neardup_pairs(
     # pin before the self-join: the hyperplane-signature tree (tables ×
     # planes dot products) would otherwise execute once per join side
     banded = banded.localCheckpoint(eager=True)
+
+    star = None
+    if max_bucket_size is not None:
+        counts = banded.groupBy("tbl", "sig").agg(
+            F.count(F.lit(1)).alias("__f"),
+            F.min("doc").alias("__rep"),
+            F.min_by("v", "doc").alias("__rep_v"),
+        )
+        sized = banded.join(counts, on=["tbl", "sig"])
+        banded = sized.where(F.col("__f") <= max_bucket_size).drop(
+            "__f", "__rep", "__rep_v"
+        )
+        star = (
+            sized.where(
+                (F.col("__f") > max_bucket_size)
+                & (F.col("doc") > F.col("__rep"))
+            )
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("doc").alias("id_b"),
+                F.col("__rep_v").alias("va"),
+                F.col("v").alias("vb"),
+            )
+            .distinct()
+        )
+
     pairs = (
         banded.alias("l")
         .join(
@@ -383,6 +413,8 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star).distinct()
     return (
         pairs.select(
             "id_a",

@@ -284,3 +284,63 @@ def test_sample_frames(spark: SparkSession, media) -> None:
     ).collect()
     assert len(out) == 4
     assert all(len(r["frame"]) == 1024 for r in out)
+
+
+def test_minhash_bucket_cap_star_fallback(spark: SparkSession) -> None:
+    """Buckets over max_bucket_size switch to representative-star pairs:
+    every member of a giant duplicate cluster still links to the cluster
+    minimum, and normal-sized buckets keep exact all-pairs behavior."""
+    cluster = [
+        (i, "the same boilerplate page content repeated everywhere online")
+        for i in range(20)
+    ]
+    near = [
+        (100, "a genuinely unique document about distributed query engines"),
+        (101, "a genuinely unique document about distributed query planes"),
+    ]
+    df = spark.createDataFrame(cluster + near, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.4,
+        shingle_words=3,
+        max_bucket_size=5,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every cluster member links to the representative (doc 0)
+    assert {(0, i) for i in range(1, 20)} <= got
+    # no quadratic blowup inside the capped cluster
+    assert not any(a != 0 and a < 20 and b < 20 for a, b in got)
+    # the normal near-dup pair is untouched by the cap
+    assert (100, 101) in got
+
+
+def test_simhash_bucket_cap_star_fallback(spark: SparkSession) -> None:
+    """Identical docs land in one chunk bucket; with a cap the cluster
+    still fully links to its representative at hamming 0."""
+    cluster = [(i, "identical boilerplate text block") for i in range(12)]
+    df = spark.createDataFrame(cluster, "doc_id long, text string")
+    pairs = dedup.simhash_pairs(
+        df, id_col="doc_id", text_col="text", max_hamming=3, max_bucket_size=4
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert {(0, i) for i in range(1, 12)} <= set(got)
+    assert all(h == 0 for h in got.values())
+    assert not any(a != 0 for a, _ in got)
+
+
+def test_embedding_neardup_bucket_cap(spark: SparkSession) -> None:
+    """Identical vectors share every LSH bucket; the cap keeps the
+    cluster linked via its minimum id with exact cosine intact."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)] + [
+        (50, [0.0, 1.0, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_neardup_pairs(
+        df, dim=4, threshold=0.99, max_bucket_size=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs.collect()}
+    assert {(0, i) for i in range(1, 10)} <= set(got)
+    assert all(abs(s - 1.0) < 1e-6 for s in got.values())
+    assert not any(a != 0 for a, _ in got)
