@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_revenue_forecast",
+    "q18_large_orders",
     "top_customers_per_nation",
     "orders_monthly",
     "docs_fingerprint_dedup",
@@ -37,6 +39,8 @@ HEADLINE = [
     "emb_lsh_topk",
     "events_hourly",
     "events_dedup_first",
+    "events_sessionize",
+    "media_byte_stats",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Plan-quality regression tests: the physical plans the engine relies
+on at 100 TB — parquet filter pushdown, column pruning, and broadcast
+join selection — asserted at sf0.001 so a refactor cannot silently
+regress them (see SCALE.md)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark: SparkSession) -> dict[str, str]:
+    queries = entry_mod.queries()
+    names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "q6_revenue_forecast",
+        "docs_token_stats",
+    ]
+    return {n: formatted_plan(queries[n](spark, SF_DIR)) for n in names}
+
+
+def test_filters_pushed_to_parquet_scan(plans: dict[str, str]) -> None:
+    assert "LessThanOrEqual(l_shipdate" in plans["q1_pricing_summary"]
+    assert "EqualTo(c_mktsegment,BUILDING)" in plans["q3_shipping_priority"]
+    assert "EqualTo(r_name,ASIA)" in plans["q5_region_revenue"]
+    assert "GreaterThanOrEqual(l_shipdate" in plans["q6_revenue_forecast"]
+
+
+def test_columns_pruned_at_scan(plans: dict[str, str]) -> None:
+    """The q1 lineitem scan must not read join keys it never uses."""
+    schemas = re.findall(r"ReadSchema: (\S+)", plans["q1_pricing_summary"])
+    assert schemas, "no ReadSchema in plan"
+    assert all("l_orderkey" not in s and "l_partkey" not in s for s in schemas)
+    # the q5 customer scan reads only the two join keys
+    cust = [
+        s
+        for s in re.findall(r"ReadSchema: (\S+)", plans["q5_region_revenue"])
+        if "c_custkey" in s
+    ]
+    assert cust and all("c_name" not in s and "c_acctbal" not in s for s in cust)
+
+
+def test_dimension_joins_broadcast(plans: dict[str, str]) -> None:
+    """Multi-way star joins must pick broadcast-hash for dimensions, not
+    shuffle both sides (sort-merge) at this scale."""
+    assert plans["q5_region_revenue"].count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plans["q5_region_revenue"]
+    assert plans["q3_shipping_priority"].count("BroadcastHashJoin") >= 2
+
+
+def test_text_ops_stay_single_stage(plans: dict[str, str]) -> None:
+    """Text analysis is a pure map pipeline: no exchange, no UDF."""
+    assert "Exchange" not in plans["docs_token_stats"]
+    assert "BatchEvalPython" not in plans["docs_token_stats"]
+    assert "ArrowEvalPython" not in plans["docs_token_stats"]
