@@ -789,6 +789,106 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of regional revenue
+    per year (conditional aggregate over a 6-way star join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    nation5 = F.when(F.col("supp_nation") == "NATION_5", revenue).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation5).cast("double") / F.sum(revenue).cast("double")
+            ).alias("mkt_share"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year.  The fixture
+    schema has no partsupp, so supply cost is proxied as 60% of the
+    part's retail price — the join/aggregate shape is unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cost = (
+        _dec("l_quantity")
+        * _dec("p_retailprice")
+        * F.lit("0.6").cast("decimal(2,1)")
+    )
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - cost
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated
+    min subquery.  No partsupp table exists, so per-(part, supplier)
+    cost is the average observed sale price from lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price")
+        )
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("avg_price").alias("min_price")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("avg_price") == F.col("min_price")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("avg_price", 6).alias("cost"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal queries (SURVEY §2G): opaque binary content + typed metadata
 # --------------------------------------------------------------------------
@@ -944,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_big_spenders": q22_idle_big_spenders,
         "orders_running_total": q_orders_running_total,
         "events_sessionize": q_events_sessionize,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -1439,6 +1542,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    MIN(ts) AS session_start, MAX(ts) AS session_end
             FROM sess GROUP BY 1, 2
+        """,
+        "q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                            THEN {disc_price} ELSE CAST(0 AS {_DEC}) END)
+                        AS DOUBLE)
+                       / CAST(SUM({disc_price}) AS DOUBLE) AS mkt_share,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS o_year,
+                   CAST(SUM({disc_price}
+                            - CAST(l_quantity AS {_DEC})
+                              * CAST(p_retailprice AS {_DEC})
+                              * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+                           / COUNT(*) AS avg_price
+                FROM lineitem GROUP BY 1, 2
+            ),
+            mc AS (
+                SELECT l_partkey AS m_partkey, MIN(avg_price) AS min_price
+                FROM cost GROUP BY 1
+            )
+            SELECT p_partkey AS partkey, p_name AS name,
+                   l_suppkey AS suppkey, round(avg_price, 6) AS cost
+            FROM cost
+            JOIN mc ON l_partkey = m_partkey AND avg_price = min_price
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 15 AND p_type = 'LARGE'
         """,
         "media_byte_stats": """
             SELECT doc_id AS media_id,
