@@ -789,6 +789,44 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: the events parquet replayed as a
+    file stream through watermarked tumbling-window aggregation
+    (``streaming.windowed_event_counts``) with an availableNow trigger
+    into a memory sink.  Complete-mode output over a finite replay is
+    deterministic and equals the batch GROUP BY — so this streaming
+    pipeline is verified against the same SQL oracle as a batch query.
+    """
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+    )
+    agg = streaming.windowed_event_counts(stream, watermark="1 minute")
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).withColumn(
+        "sum_value", F.col("sum_value").cast("double")
+    )
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of regional revenue
     per year (conditional aggregate over a 6-way star join)."""
@@ -1047,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
+        # Structured Streaming, verified against the batch SQL oracle
+        "events_stream_hourly": q_events_stream_hourly,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -1576,6 +1616,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "events_stream_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR
+                        AS TIMESTAMP) AS window_end,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2, 3
         """,
         "q2_min_cost_supplier": f"""
             WITH cost AS (

@@ -152,10 +152,13 @@ def test_random_dag_roundtrip(spark: SparkSession, sc: Scenario) -> None:
         with db:
             db.load(data, compare=True, exact=False)
         compare_query = db.schema.get_compare_query(sc.columns, quote="`")
+        # quote: prefix-disambiguated columns contain dots, which a bare
+        # string select would parse as table.column
+        quoted = [f"`{c}`" for c in sc.columns]
         db_rows = {
-            tuple(r) for r in spark.sql(compare_query).select(sc.columns).collect()
+            tuple(r) for r in spark.sql(compare_query).select(quoted).collect()
         }
-        in_rows = {tuple(r) for r in data.select(sc.columns).collect()}
+        in_rows = {tuple(r) for r in data.select(quoted).collect()}
         assert in_rows <= db_rows, (
             f"round-trip lost rows\nquery:\n{compare_query}"
         )
