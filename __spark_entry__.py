@@ -789,6 +789,23 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_TERMS = ["join", "hash", "filter"]
+
+
+def q_docs_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance search over documents for a fixed term list
+    (smoothed idf, fixed-order summation — deterministic doubles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.tfidf_term_scores(
+            docs, _TFIDF_TERMS, id_col="doc_id", text_col="text"
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
 def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: the events parquet replayed as a
     file stream through watermarked tumbling-window aggregation
@@ -1085,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
+        "docs_tfidf_search": q_docs_tfidf_search,
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
         # multimodal (SURVEY §2G)
@@ -1616,6 +1634,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "docs_tfidf_search": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+                FROM documents WHERE trim(text) <> ''
+            ),
+            per_doc AS (
+                SELECT doc, COUNT(*) AS n,
+                       COUNT(*) FILTER (t = 'join') AS c0,
+                       COUNT(*) FILTER (t = 'hash') AS c1,
+                       COUNT(*) FILTER (t = 'filter') AS c2
+                FROM toks GROUP BY doc
+            ),
+            g AS (
+                SELECT COUNT(DISTINCT doc) AS nd,
+                       COUNT(DISTINCT doc) FILTER (t = 'join') AS df0,
+                       COUNT(DISTINCT doc) FILTER (t = 'hash') AS df1,
+                       COUNT(DISTINCT doc) FILTER (t = 'filter') AS df2
+                FROM toks
+            )
+            SELECT doc AS doc_id,
+                   round(
+                       (CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (ln(CAST(nd + 1 AS DOUBLE) / (df0 + 1)) + 1.0)
+                     + (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (ln(CAST(nd + 1 AS DOUBLE) / (df1 + 1)) + 1.0)
+                     + (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (ln(CAST(nd + 1 AS DOUBLE) / (df2 + 1)) + 1.0),
+                   6) AS score
+            FROM per_doc, g
+            WHERE c0 + c1 + c2 > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         "events_stream_hourly": """
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -194,3 +194,60 @@ def rolling_fingerprint(col: Column, *, window: int = 8) -> Column:
         lambda i: F.xxhash64(F.substring(s, i + F.lit(1), window)),
     )
     return F.array_min(windows)
+
+
+def tfidf_term_scores(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """TF-IDF relevance of each document to a fixed term list.
+
+    ``score = Σ_i (tf_i / n_tokens) · (ln((N+1)/(df_i+1)) + 1)`` — the
+    smoothed-idf form, summed in *fixed term order* so the floating-point
+    result is deterministic across engines (a groupBy-SUM over per-term
+    doubles would be summation-order-dependent).
+
+    Plan shape: one explode + one per-doc aggregate (term counts as
+    conditional sums — one shuffle on the doc id), one global aggregate
+    for the document frequencies (broadcast back as a single row).  No
+    UDF; linear in corpus size.
+
+    Returns ``(id_col, score)`` for documents with score > 0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    per_doc = toks.groupBy("__doc").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.count(F.when(F.col("__t") == t, 1)).alias(f"__c{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    globals_ = toks.agg(
+        F.count_distinct("__doc").alias("__nd"),
+        *[
+            F.count_distinct(F.when(F.col("__t") == t, F.col("__doc"))).alias(
+                f"__df{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    )
+    score = None
+    for i in range(len(terms)):
+        idf = (
+            F.log((F.col("__nd") + 1).cast("double") / (F.col(f"__df{i}") + 1))
+            + F.lit(1.0)
+        )
+        part = (
+            F.col(f"__c{i}").cast("double") / F.col("__n").cast("double")
+        ) * idf
+        score = part if score is None else score + part
+    return (
+        per_doc.join(F.broadcast(globals_))
+        .select(F.col("__doc").alias(id_col), score.alias("score"))
+        .where(F.col("score") > 0)
+    )

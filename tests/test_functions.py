@@ -344,3 +344,29 @@ def test_embedding_neardup_bucket_cap(spark: SparkSession) -> None:
     assert {(0, i) for i in range(1, 10)} <= set(got)
     assert all(abs(s - 1.0) < 1e-6 for s in got.values())
     assert not any(a != 0 for a, _ in got)
+
+
+def test_tfidf_term_scores(spark: SparkSession) -> None:
+    """A term appearing in fewer docs carries higher idf; docs without
+    any query term are excluded."""
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common common common"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in text.tfidf_term_scores(
+            df, ["rare", "common"], id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert set(scores) == {1, 2}
+    import math
+
+    idf_rare = math.log(4 / 2) + 1
+    idf_common = math.log(4 / 3) + 1
+    assert abs(scores[1] - ((1 / 3) * idf_rare + (2 / 3) * idf_common)) < 1e-9
+    assert abs(scores[2] - idf_common) < 1e-9
