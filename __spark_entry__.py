@@ -789,6 +789,60 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: per user, first click → first purchase strictly
+    after it → conversion stats per nation-sized user bucket."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        firsts.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("first_click")),
+            "left",
+        )
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase_after"))
+    )
+    return first_purchase.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("first_click").cast("bigint").alias("n_clicked"),
+        F.count("first_purchase_after").cast("bigint").alias("n_converted"),
+        (
+            F.count("first_purchase_after").cast("double")
+            / F.count("first_click").cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all grouping-set combinations of status and
+    priority (the ROLLUP query's lattice-complete sibling)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+def q_orders_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: exact interpolated percentiles of order
+    value per priority (sort-based, deterministic)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.max("o_totalprice").alias("p_max"),
+    )
+
+
 _TFIDF_TERMS = ["join", "hash", "filter"]
 
 
@@ -1103,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "docs_tfidf_search": q_docs_tfidf_search,
+        "events_funnel": q_events_funnel,
+        "orders_cube": q_orders_cube,
+        "orders_percentiles": q_orders_percentiles,
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
         # multimodal (SURVEY §2G)
@@ -1634,6 +1691,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "events_funnel": """
+            WITH firsts AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'click' THEN ts END)
+                           AS first_click
+                FROM events GROUP BY user_id
+            ),
+            fp AS (
+                SELECT f.user_id, f.first_click, MIN(p.ts) AS first_purchase_after
+                FROM firsts f
+                LEFT JOIN (
+                    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+                ) p ON p.user_id = f.user_id AND p.ts > f.first_click
+                GROUP BY f.user_id, f.first_click
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COUNT(first_click) AS BIGINT) AS n_clicked,
+                   CAST(COUNT(first_purchase_after) AS BIGINT) AS n_converted,
+                   CAST(COUNT(first_purchase_after) AS DOUBLE)
+                       / CAST(COUNT(first_click) AS DOUBLE) AS conversion_rate
+            FROM fp
+        """,
+        "orders_cube": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "orders_percentiles": """
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   MAX(o_totalprice) AS p_max
+            FROM orders GROUP BY o_orderpriority
         """,
         "docs_tfidf_search": """
             WITH toks AS (
