@@ -157,6 +157,52 @@ def q_load_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(query)
 
 
+def q_load_star3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 on a 3-level chain: flattened customer⨝nation⨝region loads into
+    customer→nation→region dimensions — two FK hops, so the planner
+    orders three insert-and-retrieve steps and the running frame swaps
+    payload for keys twice before validation."""
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    flat = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    connector = SparkConnector(spark)
+    connector.execute_ddl(
+        """
+        CREATE TABLE dim_region (
+            id INTEGER PRIMARY KEY,
+            region TEXT UNIQUE
+        );
+        CREATE TABLE dim_nation (
+            id INTEGER PRIMARY KEY,
+            nation TEXT UNIQUE,
+            region_id INTEGER REFERENCES dim_region (id)
+        );
+        CREATE TABLE dim_customer (
+            id INTEGER PRIMARY KEY,
+            customer TEXT UNIQUE,
+            nation_id INTEGER REFERENCES dim_nation (id)
+        );
+        """
+    )
+    with connector:
+        connector.load(flat)
+    query = connector.schema.get_compare_query(
+        ["customer", "nation", "region"], quote="`"
+    )
+    return spark.sql(query)
+
+
 # --------------------------------------------------------------------------
 # Analytics queries (TPC-H-shaped; exercise agg/join/window/sort/limit)
 # --------------------------------------------------------------------------
@@ -1116,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nullsafe_merge": q_nullsafe_merge,
         "compare_except": q_compare_except,
         "load_star_roundtrip": q_load_star_roundtrip,
+        "load_star3_roundtrip": q_load_star3_roundtrip,
         # analytics
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1244,6 +1291,13 @@ def oracle_sql() -> dict[str, str]:
         "load_star_roundtrip": (
             "SELECT DISTINCT n_name AS name, r_name AS region"
             " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "load_star3_roundtrip": (
+            "SELECT DISTINCT c_name AS customer, n_name AS nation,"
+            " r_name AS region"
+            " FROM customer"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
         ),
         "q1_pricing_summary": f"""
             SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
