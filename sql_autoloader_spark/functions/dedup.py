@@ -34,6 +34,23 @@ from sql_autoloader_spark.functions.text import (
 _MERSENNE31 = (1 << 31) - 1
 
 
+def _spread_for_compute(df: DataFrame) -> DataFrame:
+    """Repartition a frame whose partition count is far below the
+    cluster's parallelism before a CPU-bound per-row stage.
+
+    Parquet splits are sized by bytes (``maxPartitionBytes``), so a
+    small-but-compute-heavy input (short docs, expensive hashing) can
+    arrive as one split and serialize the whole signature stage onto
+    one core.  The shuffle moved here is the *raw* rows — far cheaper
+    than computing signatures single-threaded.  No-op when the input is
+    already reasonably split (the 100 TB case: thousands of splits).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, subset: list[str], *, id_col: str
 ) -> DataFrame:
@@ -284,7 +301,7 @@ def minhash_lsh_pairs(
     # Jaccard therefore runs over hashed shingle *sets* — identical to
     # the string-set Jaccard up to ~n²/2³² hash collisions.
     docs = (
-        df.select(
+        _spread_for_compute(df).select(
             F.col(id_col).alias("doc"),
             F.transform(
                 tokens(F.col(text_col)), lambda t: F.xxhash64(t)
@@ -488,7 +505,7 @@ def simhash_pairs(
     base, extra = divmod(64, chunks)
     widths = [base + (1 if i < extra else 0) for i in range(chunks)]
     offsets = [sum(widths[:i]) for i in range(chunks)]
-    fingerprinted = df.select(
+    fingerprinted = _spread_for_compute(df).select(
         F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp")
     )
     # pin before the chunk self-join (see minhash_lsh_pairs): the simhash
