@@ -312,3 +312,36 @@ def test_hash64_key_strategy(spark: SparkSession) -> None:
         "SELECT a.a as a, b.b as b FROM a LEFT JOIN b ON b.a_id = a.id"
     )
     assert rowset(joined) == rowset(data)
+
+
+def test_failed_insert_and_retrieve_raises(spark: SparkSession) -> None:
+    """Uniqueness conflict on a KEYED table (insert-and-retrieve path):
+    with the subset check folded into the key merge, the conflict must
+    still surface as InsertingDataFailedError, and rollback must hold."""
+    ddl = """
+    CREATE TABLE a (
+        id INTEGER PRIMARY KEY,
+        naam TEXT UNIQUE NOT NULL,
+        waarde INT NOT NULL
+    );
+    CREATE TABLE b (
+        a_id INTEGER REFERENCES a (id),
+        opm TEXT NOT NULL,
+        UNIQUE (a_id, opm)
+    );
+    """
+    first = spark.createDataFrame(
+        [("x", 1, "een"), ("y", 2, "twee")],
+        "naam string, waarde long, opm string",
+    )
+    second = spark.createDataFrame(
+        [("x", 99, "drie")], "naam string, waarde long, opm string"
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(ddl)
+    with db:
+        db.load(first)
+    with pytest.raises(InsertingDataFailedError), db:
+        db.load(second)
+    assert db._read_table("a").count() == 2
+    assert db._read_table("b").count() == 2
