@@ -96,10 +96,11 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-2: the container shares a noisy host; the minimum
-        # measures the code, the max measures the neighbors
+        # best-of-3: the container shares a noisy host (identical code
+        # measures ±50% across runs); the minimum measures the code, the
+        # max measures the neighbors
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             n = df.count()
