@@ -835,6 +835,20 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers ordering in both 1996 and 2001
+    (INTERSECT — the compare primitive's dual to ``compare_except``)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_custs(y: int) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year_custs(1996).intersect(year_custs(2001))
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel: per user, first click → first purchase strictly
     after it → conversion stats per nation-sized user bucket."""
@@ -1204,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "docs_tfidf_search": q_docs_tfidf_search,
+        "repeat_customers": q_repeat_customers,
         "events_funnel": q_events_funnel,
         "orders_cube": q_orders_cube,
         "orders_percentiles": q_orders_percentiles,
@@ -1745,6 +1760,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "repeat_customers": """
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
         """,
         "events_funnel": """
             WITH firsts AS (
