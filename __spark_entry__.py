@@ -835,6 +835,34 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep pipeline: quality filter → language
+    filter → exact dedup by fingerprint (keep min id) → per-source
+    corpus stats.  Composes the §2G text/dedup operators the way a real
+    100 TB pre-training pipeline chains them, in one Catalyst plan."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.quality_features(text.language_id(docs), "text")
+    kept = scored.where(
+        (F.col("quality_score") >= 0.3)
+        & (F.col("pred_lang") == "en")
+        & (F.col("n_tokens") >= 5)
+    )
+    deduped = dedup.exact_dedup(
+        kept.select(
+            "doc_id", "source", "n_tokens", text.fingerprint_md5(F.col("text")).alias("fp")
+        ),
+        ["fp"],
+        id_col="doc_id",
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
+    )
+
+
 def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set intersection: customers ordering in both 1996 and 2001
     (INTERSECT — the compare primitive's dual to ``compare_except``)."""
@@ -1218,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "docs_tfidf_search": q_docs_tfidf_search,
+        "docs_clean_corpus": q_docs_clean_corpus,
         "repeat_customers": q_repeat_customers,
         "events_funnel": q_events_funnel,
         "orders_cube": q_orders_cube,
@@ -1760,6 +1789,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "docs_clean_corpus": f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       {n_tokens} AS n_tokens,
+                       round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                             * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                                + CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE))
+                             / greatest(length(text), 1), 6) AS quality_score,
+                       {pred_lang} AS pred_lang,
+                       md5({normalized}) AS fp
+                FROM documents
+            ),
+            kept AS (
+                SELECT * FROM scored
+                WHERE quality_score >= 0.3 AND pred_lang = 'en'
+                  AND n_tokens >= 5
+            ),
+            deduped AS (
+                SELECT arg_min(source, doc_id) AS source,
+                       arg_min(n_tokens, doc_id) AS n_tokens
+                FROM kept GROUP BY fp
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+            FROM deduped GROUP BY source
         """,
         "repeat_customers": """
             SELECT o_custkey AS custkey FROM orders
