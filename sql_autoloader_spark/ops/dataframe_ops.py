@@ -253,26 +253,26 @@ def _compare_grouped(data: DataFrame, db_aligned: DataFrame) -> DataFrame:
     cols = data.columns
     tagged = data.select(
         *[_col(data, c) for c in cols],
-        F.lit(1).alias("__d"),
-        F.lit(0).alias("__b"),
+        F.lit(1).alias("__cmp_d"),
+        F.lit(0).alias("__cmp_b"),
     ).unionByName(
         db_aligned.select(
             *[_col(db_aligned, c) for c in cols],
-            F.lit(0).alias("__d"),
-            F.lit(1).alias("__b"),
+            F.lit(0).alias("__cmp_d"),
+            F.lit(1).alias("__cmp_b"),
         )
     )
     return tagged.groupBy(*[F.col(_q(c)) for c in cols]).agg(
-        F.sum("__d").alias("__n_d"), F.sum("__b").alias("__n_b")
+        F.sum("__cmp_d").alias("__cmp_n_d"), F.sum("__cmp_b").alias("__cmp_n_b")
     )
 
 
 def _missing() -> Column:
-    return (F.col("__n_d") > 0) & (F.col("__n_b") == 0)
+    return (F.col("__cmp_n_d") > 0) & (F.col("__cmp_n_b") == 0)
 
 
 def _extra() -> Column:
-    return (F.col("__n_b") > 0) & (F.col("__n_d") == 0)
+    return (F.col("__cmp_n_b") > 0) & (F.col("__cmp_n_d") == 0)
 
 
 def _sample_rows(grouped: DataFrame, predicate: Column, cols: list[str]) -> str:
@@ -365,10 +365,10 @@ def validate_load_compare(
         Column.__or__, [F.col(_q(c)).isNull() for c in data.columns]
     )
     stats = grouped.agg(
-        F.sum("__n_d").alias("__n_data"),
-        F.sum("__n_b").alias("__n_db"),
+        F.sum("__cmp_n_d").alias("__n_data"),
+        F.sum("__cmp_n_b").alias("__n_db"),
         F.max(
-            F.when(null_row & (F.col("__n_d") > 0), 1).otherwise(0)
+            F.when(null_row & (F.col("__cmp_n_d") > 0), 1).otherwise(0)
         ).alias("__has_nulls"),
         F.count(F.when(_missing(), 1)).alias("__missing"),
         F.count(F.when(_extra(), 1)).alias("__extra"),
