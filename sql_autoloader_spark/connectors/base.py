@@ -39,6 +39,17 @@ from sql_autoloader_spark.schema import (
 logger = logging.getLogger("sql_autoloader_spark")
 
 
+def _insert_failed(table: str, cause: Exception) -> InsertingDataFailedError:
+    msg = (
+        f"Encountered an error upon inserting data into table '{table}':\n"
+        f"\t{cause!s}\n"
+        "This usually happens because a uniqueness constraint kept new "
+        "data out. Either clear the relevant tables or reset the "
+        "database; to update existing rows, run an UPDATE yourself."
+    )
+    return InsertingDataFailedError(msg)
+
+
 class BaseConnector(ABC):
     """Shared load/insert/retrieve/compare lifecycle over any sink."""
 
@@ -146,21 +157,14 @@ class BaseConnector(ABC):
             return
 
         # Verification: payload must be a subset of the table's rows.
-        # ``ops.compare`` uses ``subtract`` (EXCEPT DISTINCT — a distributed
-        # null-safe anti-join), so no full-table ``distinct()`` pass is
-        # needed here; the scan stays a bare projection Catalyst can prune.
+        # ``ops.compare`` runs one union+group-by aggregate with null-safe
+        # set semantics, so no full-table ``distinct()`` pass is needed
+        # here; the scan stays a bare projection Catalyst can prune.
         check = self._read_table(table).select(*common)
         try:
             ops.compare(payload, check, exact=False)
         except CompareMissingRowsError as e:
-            msg = (
-                f"Encountered an error upon inserting data into table '{table}':\n"
-                f"\t{e!s}\n"
-                "This usually happens because a uniqueness constraint kept new "
-                "data out. Either clear the relevant tables or reset the "
-                "database; to update existing rows, run an UPDATE yourself."
-            )
-            raise InsertingDataFailedError(msg) from e
+            raise _insert_failed(table, e) from e
 
     def retrieve_ids(
         self,
@@ -303,14 +307,7 @@ class BaseConnector(ABC):
             # NULL id here means the row never landed (the reference's
             # post-insert failure, connector.py:215-228) — report it as
             # such rather than as a bare merge anomaly.
-            msg = (
-                f"Encountered an error upon inserting data into table '{table}':\n"
-                f"\t{e!s}\n"
-                "This usually happens because a uniqueness constraint kept new "
-                "data out. Either clear the relevant tables or reset the "
-                "database; to update existing rows, run an UPDATE yourself."
-            )
-            raise InsertingDataFailedError(msg) from e
+            raise _insert_failed(table, e) from e
 
     def compare(
         self,

@@ -44,9 +44,19 @@ def _spread_for_compute(df: DataFrame) -> DataFrame:
     one core.  The shuffle moved here is the *raw* rows — far cheaper
     than computing signatures single-threaded.  No-op when the input is
     already reasonably split (the 100 TB case: thousands of splits).
+
+    The probe uses ``inputFiles()`` (pure metadata) rather than
+    ``df.rdd.getNumPartitions()`` — under AQE the latter finalizes the
+    physical plan and *executes* upstream shuffle stages just to read a
+    count, and that work is not reused by the real query.  A derived
+    frame with upstream shuffles reports its source files here; if it
+    was shuffled it already carries ``spark.sql.shuffle.partitions``
+    parallelism, and the repartition this would add is a no-op-sized
+    shuffle of raw rows either way.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files * 2 <= target:
         return df.repartition(target)
     return df
 
@@ -280,10 +290,13 @@ def minhash_lsh_pairs(
     is the known hazard: a bucket of f members makes f·(f-1)/2 pairs.
     ``max_bucket_size`` bounds that: buckets over the cap switch from
     all-pairs to a *representative star* — every member pairs with the
-    bucket's minimum doc id only (linear in bucket size).  Cluster
-    membership ("this doc duplicates something") is preserved; only
-    pairwise completeness *inside* giant clusters is given up, which is
-    the standard trade at web scale.  With ``verify=True`` candidates
+    bucket's minimum doc id only (linear in bucket size).  This is a
+    deliberate recall trade: star pairs still pass exact verification,
+    so a member whose similarity TO THE REPRESENTATIVE is below
+    *threshold* drops out even if it is a true near-dup of some other
+    bucket member.  Size the cap so only degenerate buckets (boilerplate
+    / empty-text clusters, where members are near-identical and any
+    representative works) exceed it — the standard trade at web scale.  With ``verify=True`` candidates
     are confirmed with the exact shingle-set Jaccard, computed via an
     ``array_intersect`` on the (re-joined) shingle arrays — a broadcast
     join per side when the candidate set is small.
@@ -485,7 +498,11 @@ def simhash_pairs(
     value is rejected.  Verification = ``bit_count(xor)``.
     ``max_bucket_size`` bounds chunk-bucket skew exactly like
     :func:`minhash_lsh_pairs`: oversized buckets pair each member with
-    the bucket minimum only (linear in cluster size).
+    the bucket minimum only (linear in cluster size).  NOTE this trades
+    the pigeonhole recall guarantee *inside* capped buckets: a member
+    with ``hamming(rep, doc) > max_hamming`` loses its star link even
+    when it is within ``max_hamming`` of another member — size the cap
+    so only degenerate near-identical clusters exceed it.
 
     Returns ``(id_a, id_b, hamming)``.
     """

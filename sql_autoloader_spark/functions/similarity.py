@@ -358,7 +358,9 @@ def embedding_neardup_pairs(
     cosine verification on candidates.  ``max_bucket_size`` bounds
     bucket skew exactly like ``minhash_lsh_pairs``: oversized buckets
     (giant duplicate clusters) pair each member with the bucket's
-    minimum id only — linear, not quadratic, in cluster size.  Returns
+    minimum id only — linear, not quadratic, in cluster size, trading
+    recall for members not similar to the representative (size the cap
+    so only degenerate near-identical clusters exceed it).  Returns
     ``(id_a, id_b, sim)`` with ``id_a < id_b``.
     """
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))

@@ -215,8 +215,13 @@ def tfidf_term_scores(
     for the document frequencies (broadcast back as a single row).  No
     UDF; linear in corpus size.
 
-    Returns ``(id_col, score)`` for documents with score > 0.
+    Returns ``(id_col, score)`` for documents with score > 0.  A term
+    listed twice contributes twice (callers dedupe if that is not the
+    intent).
     """
+    if not terms:
+        msg = "tfidf_term_scores requires at least one term."
+        raise ValueError(msg)
     toks = df.select(
         F.col(id_col).alias("__doc"), F.explode(tokens(F.col(text_col))).alias("__t")
     )

@@ -15,9 +15,11 @@ Scale notes (100 TB):
   the retrieved key frame is usually a dimension table and is broadcast
   when below ``spark.sql.autoBroadcastJoinThreshold`` (AQE re-plans at
   runtime otherwise).
-- ``compare`` uses two ``subtract`` (set-difference) ops — distributed
-  anti-joins — instead of the reference's O(n*m) driver-side membership
-  loops (dataframe_operations.py:36-37).
+- ``compare``/``validate_load_compare`` run all row-set comparison as ONE
+  union+group-by aggregate (:func:`_compare_grouped`) — a single shuffle
+  replaces the reference's O(n*m) driver-side membership loops
+  (dataframe_operations.py:36-37) and the two-``subtract`` formulation's
+  double shuffle of each input.
 """
 
 from __future__ import annotations
@@ -214,17 +216,11 @@ def check_merge_invariants(
     ).first()
     new_len = stats["__n"]
 
-    # NOTE: count-based invariants share the reference's theoretical
-    # weakness (dataframe_operations.py:143-149): N lost + N duplicated
-    # rows would offset.  In practice a LEFT join cannot lose rows, so
-    # only duplication is observable — parity by design.
-    if new_len < orig_len:
-        msg = "Rows were lost when joining on ids."
-        raise AssertionError(msg)
-    if new_len != orig_len and not allow_duplication:
-        msg = "Rows were duplicated when joining on ids."
-        raise AssertionError(msg)
-
+    # Null ids are checked FIRST: a row the idempotent insert rejected
+    # (uniqueness conflict) surfaces as a null id here, and callers that
+    # fold the insert check into this merge translate the error into
+    # InsertingDataFailedError — a concurrent duplication anomaly must
+    # not mask that root cause.
     if stats["__null_ids"] > 0:
         src = sample_frame if sample_frame is not None else frame
         sample = src.filter(_col(src, alias).isNull()).limit(_SAMPLE).collect()
@@ -235,6 +231,17 @@ def check_merge_invariants(
             "whether your schema definitions contain a mistake."
         )
         raise MissingKeysAfterMergeError(msg)
+
+    # NOTE: count-based invariants share the reference's theoretical
+    # weakness (dataframe_operations.py:143-149): N lost + N duplicated
+    # rows would offset.  In practice a LEFT join cannot lose rows, so
+    # only duplication is observable — parity by design.
+    if new_len < orig_len:
+        msg = "Rows were lost when joining on ids."
+        raise AssertionError(msg)
+    if new_len != orig_len and not allow_duplication:
+        msg = "Rows were duplicated when joining on ids."
+        raise AssertionError(msg)
 
     return new_len
 
@@ -276,7 +283,12 @@ def _extra() -> Column:
 
 
 def _sample_rows(grouped: DataFrame, predicate: Column, cols: list[str]) -> str:
-    """Failure-path sample: re-runs the grouped plan filtered to offenders."""
+    """Failure-path sample: re-runs the grouped plan filtered to offenders.
+
+    Callers that sample more than once should ``cache()`` *grouped*
+    first — the happy path never pays for it, but re-deriving the
+    reconstruction join per sample would double the failure cost.
+    """
     rows = (
         grouped.where(predicate)
         .select([F.col(_q(c)) for c in cols])
@@ -287,8 +299,14 @@ def _sample_rows(grouped: DataFrame, predicate: Column, cols: list[str]) -> str:
 
 
 def _raise_no_exact_match(grouped: DataFrame, cols: list[str]) -> None:
-    missing_txt = _sample_rows(grouped, _missing(), cols)
-    extra_txt = _sample_rows(grouped, _extra(), cols)
+    # two samples needed: pin the grouped plan so the (expensive)
+    # upstream join executes once more, not twice more
+    grouped = grouped.cache()
+    try:
+        missing_txt = _sample_rows(grouped, _missing(), cols)
+        extra_txt = _sample_rows(grouped, _extra(), cols)
+    finally:
+        grouped.unpersist()
     msg = (
         "Datasets do not match exactly.\n"
         f"Rows in data and not in db:\n{missing_txt}\n"
