@@ -835,6 +835,80 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified by an aggregate subquery —
+    those who shipped more than 400 units of 'red' parts in 1997."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    qualified = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 400)
+    )
+    return (
+        supp.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the same fact —
+    suppliers with a returned line in a multi-supplier order where no
+    OTHER supplier in that order had a return."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    mine = li.select("l_orderkey", "l_suppkey").distinct()
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    ).distinct()
+    returned = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    returned_others = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    ).distinct()
+    base = (
+        returned
+        # EXISTS: some other supplier in the same order
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        # NOT EXISTS: no other supplier with a returned line
+        .join(
+            returned_others,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_suppkey") != F.col("r_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        base.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "numwait",
+        )
+        .orderBy(F.col("numwait").desc(), F.col("suppkey"))
+        .limit(25)
+    )
+
+
 def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep pipeline: quality filter → language
     filter → exact dedup by fingerprint (keep min id) → per-source
@@ -1246,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "docs_tfidf_search": q_docs_tfidf_search,
+        "q20_heavy_red_suppliers": q20_heavy_red_suppliers,
+        "q21_sole_returned_supplier": q21_sole_returned_supplier,
         "docs_clean_corpus": q_docs_clean_corpus,
         "repeat_customers": q_repeat_customers,
         "events_funnel": q_events_funnel,
@@ -1789,6 +1865,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "q20_heavy_red_suppliers": f"""
+            SELECT s_suppkey AS suppkey, s_name AS name, n_name AS nation
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%red%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l_suppkey
+                HAVING SUM(CAST(l_quantity AS {_DEC})) > 400
+            )
+        """,
+        "q21_sole_returned_supplier": """
+            WITH returned AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_returnflag = 'R'
+            ),
+            base AS (
+                SELECT r.l_orderkey, r.l_suppkey
+                FROM returned r
+                WHERE EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = r.l_orderkey
+                      AND l2.l_suppkey <> r.l_suppkey
+                )
+                AND NOT EXISTS (
+                    SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = r.l_orderkey
+                      AND l3.l_suppkey <> r.l_suppkey
+                      AND l3.l_returnflag = 'R'
+                )
+            )
+            SELECT s_suppkey AS suppkey, s_name AS name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM base JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, suppkey
+            LIMIT 25
         """,
         "docs_clean_corpus": f"""
             WITH scored AS (
