@@ -1,0 +1,92 @@
+"""Generate PLANS.md: physical-plan audit of every registered query.
+
+For each query: parquet filter pushdown, scan schema width, join
+strategies, and exchange count at sf0.001 — the evidence that filters
+reach the scan, dimensions broadcast, and nothing falls back to a
+cartesian product.  Regenerate after plan-affecting changes:
+``python tools/plan_audit.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+# streaming/lifecycle queries execute work on construction; plans of the
+# *returned* frame are not the interesting part — skip them here
+SKIP = {"events_stream_hourly", "load_star_roundtrip", "load_star3_roundtrip"}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    lines = [
+        "# PLANS — physical-plan audit (auto-generated)",
+        "",
+        "`python tools/plan_audit.py` regenerates this file.  Per query:",
+        "join strategies chosen by Catalyst, exchange (shuffle) count,",
+        "whether Python appears in the plan, and every parquet scan's",
+        "pushed filters — the properties SCALE.md argues from, checked",
+        "mechanically (regression-tested for key queries in",
+        "tests/test_plans.py).",
+        "",
+        "| query | joins | exchanges | python | pushed filters (beyond IsNotNull) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, fn in entry_mod.queries().items():
+        if name in SKIP:
+            lines.append(f"| {name} | (lifecycle/streaming — executes on build) | | | |")
+            continue
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(mode)
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        bnl = plan.count("BroadcastNestedLoopJoin")
+        exch = plan.count("Exchange")
+        py = (
+            "arrow"
+            if "ArrowEvalPython" in plan or "MapInPandas" in plan
+            else ("row!" if "BatchEvalPython" in plan else "—")
+        )
+        joins = ", ".join(
+            p
+            for p, n in [("BHJ", bhj), ("SMJ", smj), ("BNLJ", bnl)]
+            if n
+            for p in [f"{p}×{n}"]
+        ) or "—"
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        interesting = sorted(
+            {
+                f.strip()
+                for grp in pushed
+                for f in re.split(r",\s*(?=[A-Z][A-Za-z]*\()", grp)
+                if f.strip() and not f.strip().startswith("IsNotNull")
+            }
+        )
+        shown = "; ".join(interesting)[:120] or "—"
+        lines.append(f"| {name} | {joins} | {exch} | {py} | {shown} |")
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote PLANS.md ({len(lines)} lines)")
+
+
+if __name__ == "__main__":
+    main()
