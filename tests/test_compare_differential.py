@@ -1,0 +1,98 @@
+"""Differential certification of the fused row-set comparison.
+
+The union+group-by rewrite (ops._compare_grouped) must agree with the
+textbook subtract-based formulation on every input — including nulls,
+duplicates, and empty frames.  Hypothesis drives both implementations
+and asserts identical outcomes (pass / exception type)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import SparkSession
+
+from sql_autoloader_spark.exceptions import (
+    CompareMissingRowsError,
+    CompareNoExactMatchError,
+)
+from sql_autoloader_spark.ops import dataframe_ops as ops
+
+ROW = st.tuples(
+    st.one_of(st.none(), st.integers(0, 3)),
+    st.one_of(st.none(), st.sampled_from(["x", "y"])),
+)
+ROWS = st.lists(ROW, min_size=0, max_size=5)
+
+
+def frame(spark: SparkSession, rows):
+    return spark.createDataFrame(rows, "a int, b string")
+
+
+def naive_outcome(spark, data_rows, db_rows, *, exact):
+    """The subtract-based reference semantics, driver-side."""
+    data = set(data_rows if exact else [r for r in data_rows if None not in r])
+    db = set(db_rows)
+    if exact:
+        return None if data <= db and db <= data else CompareNoExactMatchError
+    return None if data <= db else CompareMissingRowsError
+
+
+def fused_outcome(spark, data_rows, db_rows, *, exact):
+    try:
+        ops.compare(
+            frame(spark, data_rows), frame(spark, db_rows), exact=exact
+        )
+    except (CompareNoExactMatchError, CompareMissingRowsError) as e:
+        return type(e)
+    return None
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data_rows=ROWS, db_rows=ROWS, exact=st.booleans())
+def test_compare_matches_set_semantics(
+    spark: SparkSession, data_rows, db_rows, exact
+) -> None:
+    expected = naive_outcome(spark, data_rows, db_rows, exact=exact)
+    got = fused_outcome(spark, data_rows, db_rows, exact=exact)
+    assert got is expected or got == expected
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data_rows=ROWS, db_rows=ROWS, exact=st.booleans())
+def test_validate_load_compare_matches_legacy_checks(
+    spark: SparkSession, data_rows, db_rows, exact
+) -> None:
+    """The single-aggregate lifecycle validation must reproduce the
+    legacy sequence: empty-db assert, fewer-rows assert (null/empty
+    data relaxes it), then the set comparison."""
+    def legacy():
+        if len(db_rows) == 0:
+            return AssertionError
+        has_nulls = len(data_rows) == 0 or any(
+            None in r for r in data_rows
+        )
+        if not has_nulls and len(db_rows) < len(data_rows):
+            return AssertionError
+        return naive_outcome(spark, data_rows, db_rows, exact=exact)
+
+    try:
+        ops.validate_load_compare(
+            frame(spark, data_rows), frame(spark, db_rows), exact=exact
+        )
+        got = None
+    except (CompareNoExactMatchError, CompareMissingRowsError, AssertionError) as e:
+        got = type(e) if not isinstance(e, AssertionError) else AssertionError
+    assert got == legacy()
