@@ -388,6 +388,17 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counts (the cheap proxy for model token
+    counts) alongside whitespace tokens, per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
 def q_docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -1292,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "emb_neardup_exact": q_emb_neardup_exact,
         "docs_token_stats": q_docs_token_stats,
+        "docs_bpe_token_stats": q_docs_bpe_token_stats,
         "docs_lang_profile": q_docs_lang_profile,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
@@ -1530,6 +1542,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": f"""
             SELECT doc_id, {n_tokens} AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_obs
+            FROM documents
+        """,
+        "docs_bpe_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                        AS BIGINT) AS n_bpe_tokens,
+                   {n_tokens} AS n_ws_tokens
             FROM documents
         """,
         "docs_lang_profile": """

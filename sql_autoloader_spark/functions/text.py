@@ -256,3 +256,26 @@ def tfidf_term_scores(
         .select(F.col("__doc").alias(id_col), score.alias("score"))
         .where(F.col("score") > 0)
     )
+
+
+#: BPE-style pre-tokenization pattern (GPT-2 flavor, simplified to the
+#: regex subset Java and RE2 interpret identically): a token is an
+#: optionally space-prefixed letter run, digit run, or punctuation run.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-style pre-tokens (array<string>) via one regex extraction.
+
+    The pattern is the word/number/punctuation split every byte-pair
+    tokenizer applies before merges — counting these pre-tokens is the
+    standard cheap proxy for model token counts at corpus scale (the
+    real BPE merge table would be a broadcast lookup in a pandas UDF).
+    JVM-side ``regexp_extract_all``; no UDF, no shuffle.
+    """
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (see :func:`bpe_ish_tokens`)."""
+    return F.size(bpe_ish_tokens(col)).cast("bigint")

@@ -370,3 +370,18 @@ def test_tfidf_term_scores(spark: SparkSession) -> None:
     idf_common = math.log(4 / 3) + 1
     assert abs(scores[1] - ((1 / 3) * idf_rare + (2 / 3) * idf_common)) < 1e-9
     assert abs(scores[2] - idf_common) < 1e-9
+
+
+def test_bpe_ish_tokens(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [("Hello, world42 it's 2024!",), ("",)], ["text"]
+    )
+    rows = df.select(
+        text.bpe_ish_tokens(F.col("text")).alias("t"),
+        text.bpe_ish_token_count(F.col("text")).alias("n"),
+    ).collect()
+    assert rows[0]["t"] == [
+        "Hello", ",", " world", "42", " it", "'", "s", " 2024", "!",
+    ]
+    assert rows[0]["n"] == 9
+    assert rows[1]["t"] == [] and rows[1]["n"] == 0
