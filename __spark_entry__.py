@@ -1271,6 +1271,201 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Analytics round 3: gap-filled time rollup, pivot, window gaps, range
+# join, deterministic hash split, bigram mining, stable correlation,
+# quantized vector centroids
+# --------------------------------------------------------------------------
+
+
+def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup with gap fill: a dense hourly series
+    (min→max hour, generated, no data skipped) left-joined to the hourly
+    aggregate, empty hours as zero.  The generated calendar is tiny and
+    broadcasts; the only shuffle is the hourly groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    return (
+        F.broadcast(hours)
+        .join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type (explicit
+    pivot values keep the plan a single groupBy — no extra distinct
+    pass to discover the columns)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)).cast("bigint"))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def q_events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats via a lag window (ts ties broken by
+    event_id; gap aggregates are invariant to the tie order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    return (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", gap)
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)).alias(
+                "avg_gap_s"
+            ),
+            (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
+        )
+    )
+
+
+def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: the first md5 byte of the text
+    buckets each document (hex compares lexically = numerically), so the
+    assignment is stable across engines, runs, and partitionings — the
+    way a 100 TB corpus is split without a shuffle or a random seed."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+_PRICE_BANDS = [
+    ("band_0_100k", 0.0, 100_000.0),
+    ("band_100k_200k", 100_000.0, 200_000.0),
+    ("band_200k_300k", 200_000.0, 300_000.0),
+    ("band_300k_400k", 300_000.0, 400_000.0),
+    ("band_400k_up", 400_000.0, 1e18),
+]
+
+
+def q_orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders against a banded price dimension on
+    ``lo <= price < hi``.  The band table broadcasts, so the non-equi
+    join is a BroadcastNestedLoop over 5 rows — per-row band lookup,
+    no shuffle, no cartesian blowup."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+def q_docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency mining over normalized text (corpus-statistics
+    building block for contamination checks / n-gram LMs).  The
+    frequency floor scales with corpus size, so the result is a
+    fixed-density head at any SF."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    bigrams = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+        " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"
+    )
+    return (
+        docs.where(F.trim("text") != "")
+        .select(F.split(text.normalized(F.col("text")), " ").alias("ws"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(cnt))
+        .where(F.col("n") * 50 >= F.col("n_docs"))
+        .select("bigram", "n")
+    )
+
+
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs. extended price per return
+    flag, from exact decimal moment sums (bit-deterministic across
+    engines and partitionings — the built-in ``corr`` streams doubles
+    and is neither)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column via fixed-point
+    quantization: floor(x·10⁶) as int64 sums exactly in any order and
+    engine (a float→decimal cast does not — engines round the cast
+    differently at the ulp).  This is the k-means/IVF centroid update
+    step, shuffled once on (label, pos)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("bigint")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", "pos", q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "label",
+            "pos",
+            (F.col("sq").cast("double") / F.lit(1000000.0) / F.col("n").cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -1339,6 +1534,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "orders_cube": q_orders_cube,
         "orders_percentiles": q_orders_percentiles,
+        "events_gapfill_hourly": q_events_gapfill_hourly,
+        "events_pivot_daily": q_events_pivot_daily,
+        "events_user_gaps": q_events_user_gaps,
+        "docs_hash_split": q_docs_hash_split,
+        "orders_price_bands": q_orders_price_bands,
+        "docs_top_bigrams": q_docs_top_bigrams,
+        "lineitem_corr": q_lineitem_corr,
+        "emb_label_centroids": q_emb_label_centroids,
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
         # multimodal (SURVEY §2G)
@@ -2074,5 +2277,112 @@ def oracle_sql() -> dict[str, str]:
                               least(4, greatest(octet_length(encode(text)) // 64, 1))
                               * 64) AS BIGINT) AS frame_bytes
             FROM documents
+        """,
+        "events_gapfill_hourly": """
+            WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                              date_trunc('hour', max(ts)) AS hi FROM events),
+            hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                             AS hour FROM b),
+            hourly AS (SELECT date_trunc('hour', ts) AS hour,
+                              CAST(count(*) AS BIGINT) AS n,
+                              SUM(CAST(value AS DECIMAL(18,6))) AS sv
+                       FROM events GROUP BY 1)
+            SELECT hours.hour AS hour,
+                   COALESCE(n, CAST(0 AS BIGINT)) AS n_events,
+                   CAST(COALESCE(sv, 0) AS DOUBLE) AS sum_value
+            FROM hours LEFT JOIN hourly ON hours.hour = hourly.hour
+        """,
+        "events_pivot_daily": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS {t}"
+                for t in _EVENT_TYPES
+            )
+            + " FROM events GROUP BY 1"
+        ),
+        "events_user_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap_us) AS DOUBLE) / count(*) / 1000000.0
+                       AS avg_gap_s,
+                   CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        "docs_hash_split": """
+            SELECT CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+                        WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY 1
+        """,
+        "orders_price_bands": (
+            "SELECT band, CAST(count(*) AS BIGINT) AS n_orders,"
+            f" CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS revenue"
+            " FROM orders JOIN (VALUES "
+            + ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in _PRICE_BANDS)
+            + ") AS bands(band, lo, hi)"
+            " ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band"
+        ),
+        "docs_top_bigrams": f"""
+            WITH w AS (
+                SELECT string_split({normalized}, ' ') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ),
+            bg AS (
+                SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+                FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM w)
+            ),
+            c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+                  FROM bg GROUP BY 1)
+            SELECT bigram, n FROM c
+            WHERE n * 50 >= (SELECT count(*) FROM documents)
+        """,
+        "lineitem_corr": f"""
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)
+                           AS sy,
+                       CAST(SUM(CAST(CAST(l_quantity AS {_DEC})
+                                     * CAST(l_extendedprice AS {_DEC})
+                                     AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(CAST(l_quantity AS {_DEC})
+                                     * CAST(l_quantity AS {_DEC})
+                                     AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS {_DEC})
+                                     * CAST(l_extendedprice AS {_DEC})
+                                     AS DECIMAL(28,4))) AS DOUBLE) AS syy
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag AS returnflag, CAST(n AS BIGINT) AS n_rows,
+                   (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                       AS corr_qty_price
+            FROM s
+        """,
+        "emb_label_centroids": """
+            WITH e AS (SELECT label, unnest(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS pos
+                       FROM embeddings),
+            s AS (SELECT label, pos - 1 AS pos,
+                         SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS sq,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2)
+            SELECT label, pos,
+                   CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+                       AS centroid
+            FROM s
         """,
     }
