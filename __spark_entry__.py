@@ -1415,6 +1415,48 @@ def q_docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination check: which distinct test-split
+    bigrams also occur in the train split.  Composes the deterministic
+    md5 split with bigram mining in ONE shuffle — per-bigram split
+    membership flags from a single groupBy, no self-join of the corpus
+    against itself."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.substring(F.md5("text"), 1, 2)
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    bigrams = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+        " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"
+    )
+    flags = (
+        docs.where(F.trim("text") != "")
+        .select(
+            split.alias("split"),
+            F.split(text.normalized(F.col("text")), " ").alias("ws"),
+        )
+        .select("split", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "in_train"
+            ),
+            F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                "in_test"
+            ),
+        )
+    )
+    return flags.agg(
+        F.sum("in_test").cast("bigint").alias("n_test_bigrams"),
+        F.sum(F.col("in_test") * F.col("in_train")).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        (
+            F.sum(F.col("in_test") * F.col("in_train")).cast("double")
+            / F.sum("in_test")
+        ).alias("contamination_rate"),
+    )
+
+
 def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of quantity vs. extended price per return
     flag, from exact decimal moment sums (bit-deterministic across
@@ -1540,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": q_docs_hash_split,
         "orders_price_bands": q_orders_price_bands,
         "docs_top_bigrams": q_docs_top_bigrams,
+        "docs_split_contamination": q_docs_split_contamination,
         "lineitem_corr": q_lineitem_corr,
         "emb_label_centroids": q_emb_label_centroids,
         # Structured Streaming, verified against the batch SQL oracle
@@ -2346,6 +2389,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM bg GROUP BY 1)
             SELECT bigram, n FROM c
             WHERE n * 50 >= (SELECT count(*) FROM documents)
+        """,
+        "docs_split_contamination": f"""
+            WITH w AS (
+                SELECT CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+                            WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                            ELSE 'test' END AS split,
+                       string_split({normalized}, ' ') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ),
+            bg AS (
+                SELECT split, ws[i] || ' ' || ws[i + 1] AS bigram
+                FROM (SELECT split, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM w)
+            ),
+            fl AS (
+                SELECT bigram,
+                       MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                           AS in_train,
+                       MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                           AS in_test
+                FROM bg GROUP BY 1
+            )
+            SELECT CAST(SUM(in_test) AS BIGINT) AS n_test_bigrams,
+                   CAST(SUM(in_test * in_train) AS BIGINT) AS n_contaminated,
+                   CAST(SUM(in_test * in_train) AS DOUBLE) / SUM(in_test)
+                       AS contamination_rate
+            FROM fl
         """,
         "lineitem_corr": f"""
             WITH s AS (

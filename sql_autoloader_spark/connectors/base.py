@@ -122,6 +122,7 @@ class BaseConnector(ABC):
         columns: dict[str, str] | None = None,
         _deduped: bool = False,
         _check_covered_by_merge: bool = False,
+        _check_covered_by_compare: bool = False,
     ) -> None:
         """Insert the table's share of *data*, then verify it landed.
 
@@ -138,6 +139,13 @@ class BaseConnector(ABC):
         NULL id in the merge-invariant aggregate, so the separate
         subset-check scan of the table is provably redundant and skipped
         (one fewer full-table pass per keyed table at scale).
+
+        ``_check_covered_by_compare``: when ``load`` will run the
+        generated compare afterwards, the reconstruction join traverses
+        every inserted table, so a row this insert dropped or mangled
+        goes missing from the reconstructed data set and the compare
+        aggregate reports it — the same failure surface, one fewer
+        full-table scan per plain-insert (fact/linking) table.
         """
         self.schema.check_schema_not_empty()
         data = ops.preprocess(data, columns, dedup=not _deduped)
@@ -149,8 +157,10 @@ class BaseConnector(ABC):
         logger.debug("Inserting %s into %s", common, table)
         payload = ops.distinct_rows(data, common)
         # must be decided BEFORE the write flips the sink's emptiness state
-        skip_check = _check_covered_by_merge or self._insert_verification_unneeded(
-            table, payload, common
+        skip_check = (
+            _check_covered_by_merge
+            or _check_covered_by_compare
+            or self._insert_verification_unneeded(table, payload, common)
         )
         self._write_new_rows(table, payload, common)
         if skip_check:
@@ -318,6 +328,7 @@ class BaseConnector(ABC):
         where: str | None = None,
         exact: bool = True,
         _deduped: bool = False,
+        _missing_first: bool = False,
     ) -> None:
         """Validate loaded data by reconstructing the flat frame in SQL.
 
@@ -342,7 +353,9 @@ class BaseConnector(ABC):
         # once, streamed, and never cached (scale-critical at 100 TB: one
         # pass over the fact join, not three passes over a materialization).
         db_data = self._execute_compare_query(query)
-        ops.validate_load_compare(data, db_data, exact=exact)
+        ops.validate_load_compare(
+            data, db_data, exact=exact, missing_first=_missing_first
+        )
 
     def load(
         self,
@@ -405,17 +418,39 @@ class BaseConnector(ABC):
             if previous is not orig_data:
                 previous.unpersist()
 
+        # The generated compare reconstructs the flat frame through every
+        # inserted table, so it subsumes each plain insert's subset check:
+        # a row a write dropped (uniqueness conflict, cast mangling) goes
+        # missing from the reconstruction and the compare aggregate reports
+        # it.  Delegating saves one full-table scan per fact/linking table
+        # per load — only valid for the *generated* unfiltered query.
+        compare_covers = compare and compare_query is None and where is None
         for params in plan.insert:
-            self.insert(data, **params, _deduped=True)
+            self.insert(
+                data,
+                **params,
+                _deduped=True,
+                _check_covered_by_compare=compare_covers,
+            )
 
         if compare:
-            self.compare(
-                orig_data,
-                query=compare_query,
-                where=where,
-                exact=exact,
-                _deduped=True,
-            )
+            delegated = bool(compare_covers and plan.insert)
+            try:
+                self.compare(
+                    orig_data,
+                    query=compare_query,
+                    where=where,
+                    exact=exact,
+                    _deduped=True,
+                    _missing_first=delegated,
+                )
+            except CompareMissingRowsError as e:
+                if delegated:
+                    # rows missing from the reconstruction of a load that
+                    # just inserted them = rows that never landed
+                    tables = ", ".join(p["table"] for p in plan.insert)
+                    raise _insert_failed(tables, e) from e
+                raise
 
         result = ops.postprocess(data, columns)
         if orig_data is not data:

@@ -364,7 +364,11 @@ def compare(
 
 
 def validate_load_compare(
-    data: DataFrame, db_data: DataFrame, *, exact: bool = True
+    data: DataFrame,
+    db_data: DataFrame,
+    *,
+    exact: bool = True,
+    missing_first: bool = False,
 ) -> None:
     """The full post-load validation in ONE aggregate job.
 
@@ -374,6 +378,12 @@ def validate_load_compare(
     single union+group-by aggregate: raw per-side counts, a data-side
     null flag, and both set differences all come back in one row.
     Failure paths re-run the grouped plan to sample offending rows.
+
+    ``missing_first``: report non-null data-side missing rows as
+    :class:`CompareMissingRowsError` even under ``exact=True`` —
+    ``load`` sets this when the per-insert subset checks were delegated
+    to this compare, so a row that never landed keeps its insert-failure
+    identity instead of folding into the generic exact-mismatch error.
     """
     aligned = match_dtypes(db_data, data)
     db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
@@ -396,6 +406,14 @@ def validate_load_compare(
     n_data = stats["__n_data"] or 0
     n_db = stats["__n_db"] or 0
     has_nulls = bool(stats["__has_nulls"]) or n_data == 0
+    # Delegated insert checks report before the row-count sanity gates:
+    # a conflict-dropped insert row makes the reconstruction smaller than
+    # data, and must surface as the insert failure it is, not as the
+    # generic count assertion.
+    if missing_first and stats["__missing_nonnull"]:
+        missing_txt = _sample_rows(grouped, _missing() & ~null_row, data.columns)
+        msg = f"Some rows from data were not found in the database:\n{missing_txt}"
+        raise CompareMissingRowsError(msg)
     if n_db == 0:
         msg = "Compare query yielded no results."
         raise AssertionError(msg)

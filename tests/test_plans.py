@@ -70,3 +70,34 @@ def test_text_ops_stay_single_stage(plans: dict[str, str]) -> None:
     assert "Exchange" not in plans["docs_token_stats"]
     assert "BatchEvalPython" not in plans["docs_token_stats"]
     assert "ArrowEvalPython" not in plans["docs_token_stats"]
+
+
+def test_range_join_broadcasts_band_table(spark: SparkSession) -> None:
+    """The non-equi price-band join must broadcast the 5-row dimension —
+    never shuffle or cartesian the fact side."""
+    plan = formatted_plan(
+        entry_mod.queries()["orders_price_bands"](spark, SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_calendar_broadcasts(spark: SparkSession) -> None:
+    """The generated hourly calendar is the broadcast side; the events
+    aggregate is the only shuffle."""
+    plan = formatted_plan(
+        entry_mod.queries()["events_gapfill_hourly"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_is_single_aggregation(spark: SparkSession) -> None:
+    """The md5 split never shuffles the corpus by document — only the
+    3-row split aggregate exchanges."""
+    plan = formatted_plan(entry_mod.queries()["docs_hash_split"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # partial aggregate before the exchange: map-side combine is on
+    assert re.search(r"HashAggregate.*\n(.|\n)*Exchange", plan)

@@ -345,3 +345,70 @@ def test_failed_insert_and_retrieve_raises(spark: SparkSession) -> None:
         db.load(second)
     assert db._read_table("a").count() == 2
     assert db._read_table("b").count() == 2
+
+
+def test_load_delegates_plain_insert_checks_to_compare(
+    spark: SparkSession, monkeypatch: pytest.MonkeyPatch
+) -> None:
+    """A ``load`` with the generated compare enabled must never run the
+    per-insert subset check (``ops.compare``): the merge steps fold it
+    into the key-merge invariant and the plain inserts delegate to the
+    final reconstruction compare — one fewer full-table scan per table."""
+    from sql_autoloader_spark.ops import dataframe_ops as ops
+
+    calls: list[str] = []
+    orig = ops.compare
+
+    def spy(*args, **kwargs):
+        calls.append("compare")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ops, "compare", spy)
+    ddl = """
+    CREATE TABLE a (id INTEGER PRIMARY KEY, naam TEXT UNIQUE);
+    CREATE TABLE b (
+        a_id INTEGER REFERENCES a (id),
+        opm TEXT
+    );
+    """
+    data = spark.createDataFrame(
+        [("x", "een"), ("y", "twee")], "naam string, opm string"
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(ddl)
+    with db:
+        db.load(data)
+    assert calls == [], "per-insert subset check ran despite delegation"
+    # compare=False restores the per-insert check for plain inserts
+    data2 = spark.createDataFrame([("z", "drie")], "naam string, opm string")
+    with db:
+        db.load(data2, compare=False)
+    assert calls == ["compare"]
+
+
+def test_load_plain_insert_conflict_surfaces_through_compare(
+    spark: SparkSession,
+) -> None:
+    """A uniqueness conflict on a PLAIN-insert table (no key retrieval
+    follows) must still raise InsertingDataFailedError when its subset
+    check is delegated to the final compare, and rollback must hold."""
+    ddl = """
+    CREATE TABLE a (
+        id INTEGER PRIMARY KEY,
+        naam TEXT UNIQUE NOT NULL,
+        waarde INT NOT NULL
+    );
+    """
+    first = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "naam string, waarde long"
+    )
+    conflicting = spark.createDataFrame(
+        [("a", 99)], "naam string, waarde long"
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(ddl)
+    with db:
+        db.load(first)
+    with pytest.raises(InsertingDataFailedError), db:
+        db.load(conflicting)
+    assert db._read_table("a").count() == 2
