@@ -1484,6 +1484,42 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user rolling 7-day value sum at
+    every event (ties in ts are inside one frame, so the result is
+    tie-order invariant — unlike a ROWS frame)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ("
+        "  PARTITION BY user_id ORDER BY ts"
+        "  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW"
+        ") AS DOUBLE) AS rolling_7d_value",
+    )
+
+
+def q_orders_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month, order
+    activity per (cohort, month).  The first-order aggregate is
+    customer-sized — it broadcasts back onto the fact scan."""
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    return (
+        orders.join(F.broadcast(first), "o_custkey")
+        .groupBy(
+            F.date_trunc("month", "first_dt").alias("cohort_month"),
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column via fixed-point
     quantization: floor(x·10⁶) as int64 sums exactly in any order and
@@ -1585,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_contamination": q_docs_split_contamination,
         "lineitem_corr": q_lineitem_corr,
         "emb_label_centroids": q_emb_label_centroids,
+        "events_rolling_7d": q_events_rolling_7d,
+        "orders_cohorts": q_orders_cohorts,
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
         # multimodal (SURVEY §2G)
@@ -2441,6 +2479,31 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                        AS corr_qty_price
             FROM s
+        """,
+        "events_rolling_7d": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                             AND CURRENT ROW
+                   ) AS DOUBLE) AS rolling_7d_value
+            FROM events
+        """,
+        "orders_cohorts": f"""
+            WITH fo AS (
+                SELECT o_custkey, MIN(o_orderdate) AS first_dt
+                FROM orders GROUP BY 1
+            )
+            SELECT CAST(date_trunc('month', first_dt) AS TIMESTAMP)
+                       AS cohort_month,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS order_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                       AS revenue
+            FROM orders JOIN fo USING (o_custkey)
+            GROUP BY 1, 2
         """,
         "emb_label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS x,
