@@ -1,0 +1,121 @@
+"""Differential test: SparkConnector's idempotent-insert semantics vs
+the real thing — Python's ``sqlite3`` running actual ``INSERT OR
+IGNORE`` (the engine the reference delegates to,
+/root/reference/sql_autoloader/sqlite_connector.py:10-25).
+
+For random payloads over a random UNIQUE constraint (with NULLs, which
+SQL UNIQUE treats as distinct), both engines perform the same two-batch
+insert; then:
+
+- both must agree on whether the load is *conflicted* (some distinct
+  payload row absent from the table afterwards — the condition the
+  reference's post-insert subset check raises on), and
+- when clean, the payload-column contents must be identical row sets,
+  and surrogate keys unique on both sides.
+
+Surrogate key *values* are not compared: SQLite assigns rowids in
+insertion order while the Spark sink assigns max+row_number over the
+natural-key sort (documented divergence, SCALE.md).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import SparkSession
+
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+from sql_autoloader_spark.exceptions import InsertingDataFailedError
+
+COLS = ["a", "b", "c"]
+
+
+@st.composite
+def scenario(draw: st.DrawFn):
+    unique = draw(
+        st.lists(st.sampled_from(COLS), min_size=1, max_size=2, unique=True)
+    )
+    # tiny value domain → frequent intra- and cross-batch conflicts
+    val = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
+    row = st.tuples(*[val for _ in COLS])
+    batch1 = draw(st.lists(row, min_size=0, max_size=5))
+    batch2 = draw(st.lists(row, min_size=0, max_size=5))
+    return sorted(set(unique)), batch1, batch2
+
+
+def _sqlite_state(
+    unique: list[str], batches: list[list[tuple]]
+) -> tuple[bool, list[tuple], bool]:
+    """(conflicted, payload rows, ids unique) after INSERT OR IGNORE."""
+    con = sqlite3.connect(":memory:")
+    cols = ", ".join(COLS)
+    con.execute(
+        f"CREATE TABLE t (id INTEGER PRIMARY KEY, {cols},"
+        f" UNIQUE ({', '.join(unique)}))"
+    )
+    conflicted = False
+    for batch in batches:
+        distinct = list(dict.fromkeys(batch))  # reference dedups payload
+        con.executemany(
+            f"INSERT OR IGNORE INTO t ({cols}) VALUES (?, ?, ?)", distinct
+        )
+        # the reference's post-insert subset check: every distinct payload
+        # row (nulls exempt under exact=False) must now be in the table
+        table = set(con.execute(f"SELECT {cols} FROM t").fetchall())
+        wanted = [r for r in distinct if None not in r]
+        if any(r not in table for r in wanted):
+            conflicted = True
+    rows = con.execute(f"SELECT {cols} FROM t ORDER BY 1, 2, 3").fetchall()
+    ids = [r[0] for r in con.execute("SELECT id FROM t").fetchall()]
+    return conflicted, rows, len(ids) == len(set(ids))
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario())
+def test_insert_or_ignore_matches_sqlite(spark: SparkSession, sc) -> None:
+    unique, batch1, batch2 = sc
+
+    sqlite_conflicted, sqlite_rows, sqlite_ids_ok = _sqlite_state(
+        unique, [batch1, batch2]
+    )
+    assert sqlite_ids_ok
+
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        f"CREATE TABLE t (id INTEGER PRIMARY KEY,"
+        f" {', '.join(f'{c} INT' for c in COLS)},"
+        f" UNIQUE ({', '.join(unique)}));"
+    )
+    spark_conflicted = False
+    for batch in (batch1, batch2):
+        if not batch:
+            continue
+        frame = spark.createDataFrame(
+            batch, ", ".join(f"{c} int" for c in COLS)
+        )
+        try:
+            with db:
+                db.insert(frame, table="t")
+        except InsertingDataFailedError:
+            spark_conflicted = True
+
+    assert spark_conflicted == sqlite_conflicted
+
+    result = db._read_table("t").collect()
+    ids = [r["id"] for r in result]
+    assert len(ids) == len(set(ids)), "surrogate keys collided"
+    if not sqlite_conflicted:
+        got = sorted(
+            (tuple(r[c] for c in COLS) for r in result),
+            key=repr,
+        )
+        want = sorted(sqlite_rows, key=repr)
+        assert got == want
