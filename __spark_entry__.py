@@ -437,6 +437,22 @@ def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components (iterative min-label
+    propagation) over the exact-Jaccard candidate pairs — the pairs→
+    groups step that lets a keep-one policy run per cluster."""
+    pairs = dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.9,
+        shingle_words=1,
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1581,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "emb_cosine_topk": q_emb_cosine_topk,
         "events_hourly": q_events_hourly,
         "events_dedup_first": q_events_dedup_first,
@@ -1641,6 +1658,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _DEC = "DECIMAL(12,2)"
+
+_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ts
+        FROM documents WHERE trim(text) <> ''
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(ts) AS s FROM toks
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM exploded a JOIN exploded b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) /
+                 (len(ta.ts) + len(tb.ts) - inter), 6) AS jaccard
+    FROM inter
+    JOIN toks ta ON ta.doc_id = id_a
+    JOIN toks tb ON tb.doc_id = id_b
+    WHERE round(CAST(inter AS DOUBLE) /
+                (len(ta.ts) + len(tb.ts) - inter), 6) >= 0.9
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1865,30 +1908,18 @@ def oracle_sql() -> dict[str, str]:
                    ({lang_score['fr']}) AS score_fr
             FROM documents
         """,
-        "docs_jaccard_pairs": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ts
-                FROM documents WHERE trim(text) <> ''
-            ),
-            exploded AS (
-                SELECT doc_id, unnest(ts) AS s FROM toks
-            ),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CAST(COUNT(*) AS BIGINT) AS inter
-                FROM exploded a JOIN exploded b
-                  ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
+        "docs_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            n AS (SELECT DISTINCT a AS id FROM e),
+            reach AS (
+                SELECT id, id AS r FROM n
+                UNION
+                SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
             )
-            SELECT id_a, id_b,
-                   round(CAST(inter AS DOUBLE) /
-                         (len(ta.ts) + len(tb.ts) - inter), 6) AS jaccard
-            FROM inter
-            JOIN toks ta ON ta.doc_id = id_a
-            JOIN toks tb ON tb.doc_id = id_b
-            WHERE round(CAST(inter AS DOUBLE) /
-                        (len(ta.ts) + len(tb.ts) - inter), 6) >= 0.9
+            SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
         """,
         "emb_cosine_topk": """
             WITH scored AS (

@@ -594,3 +594,76 @@ def simhash_pairs(
     if star is not None:
         cand = cand.unionByName(star).distinct()
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over a
+    candidate-pair edge list (the step after :func:`minhash_lsh_pairs` /
+    :func:`token_jaccard_pairs` that turns pairs into dedup groups, so a
+    keep-one policy can be applied per cluster).
+
+    Min-label propagation: every node starts labeled with its own id and
+    repeatedly takes the minimum label in its neighborhood until a full
+    round changes nothing.  Rounds needed = graph diameter; near-dup
+    clusters are shallow (stars/short chains), so this converges in a
+    handful of rounds even at corpus scale — each round is one keyed
+    shuffle of the *edge list* (pairs-sized, far smaller than the
+    corpus).  Each round's labels are pinned with ``localCheckpoint`` to
+    keep the plan flat (iterative lineage otherwise grows exponentially).
+    For adversarially long chains, switch to large-star/small-star
+    (halves the effective diameter per round); not needed for dedup
+    workloads.
+
+    Returns ``(id, component)`` for every node in *pairs*, where
+    ``component`` is the smallest node id in the cluster.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("a")
+        .distinct()
+        .select(F.col("a").alias("id"), F.col("a").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.withColumnsRenamed({"id": "b", "comp": "nbr_comp"}),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+            .withColumnsRenamed({"a": "id"})
+        )
+        new_labels = (
+            labels.join(nbr, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("min_nbr", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnsRenamed({"comp": "old"}), on="id"
+            )
+            .where(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))

@@ -385,3 +385,31 @@ def test_bpe_ish_tokens(spark: SparkSession) -> None:
     ]
     assert rows[0]["n"] == 9
     assert rows[1]["t"] == [] and rows[1]["n"] == 0
+
+
+def test_connected_components_hand_graph(spark) -> None:
+    """Two chains and an isolated pair: labels converge to the min id of
+    each component."""
+    from sql_autoloader_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain_converges(spark) -> None:
+    """A 12-node path needs diameter-many rounds — must converge inside
+    the iteration cap and label everything with the chain head."""
+    from sql_autoloader_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = dedup.connected_components(pairs).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 13

@@ -18,7 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.001"
 # streaming/lifecycle queries execute work on construction; plans of the
 # *returned* frame are not the interesting part — skip them here
-SKIP = {"events_stream_hourly", "load_star_roundtrip", "load_star3_roundtrip"}
+SKIP = {
+    "events_stream_hourly",
+    "load_star_roundtrip",
+    "load_star3_roundtrip",
+    "docs_dup_clusters",  # iterative: label rounds execute on build
+}
 
 
 def main() -> None:
