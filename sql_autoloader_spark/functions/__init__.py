@@ -11,8 +11,9 @@ from sql_autoloader_spark.functions import (
     dedup,
     events,
     multimodal,
+    scale,
     similarity,
     text,
 )
 
-__all__ = ["dedup", "events", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "events", "multimodal", "scale", "similarity", "text"]

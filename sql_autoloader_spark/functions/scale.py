@@ -1,0 +1,79 @@
+"""Cluster-scale join utilities: bucketed co-location and skew salting.
+
+Neither has a reference counterpart (the reference delegates all joins
+to the target RDBMS); these are the Spark-side mechanics that keep the
+engine's join-heavy paths (key retrieval, compare reconstruction,
+candidate-pair self-joins) viable at 100 TB:
+
+- **Bucketing** pre-shuffles a table once at write time
+  (``bucketBy`` + ``sortBy``).  Two tables bucketed on the same key
+  with the same bucket count join with ZERO runtime exchange — the
+  shuffle was paid once, amortized over every subsequent join.  The
+  plan proof lives in tests/test_plans.py
+  (``test_bucketed_join_has_no_exchange``).
+- **Salting** splits a skewed hot key across *n* sub-keys: the fact
+  side appends a deterministic salt in ``[0, n)``, the dimension side
+  is replicated *n* times (dimension-sized — cheap), and the join key
+  becomes ``(key, salt)``.  A key holding 1/k of all rows then spreads
+  over n tasks instead of one straggler.  AQE's skew-join splitting
+  handles moderate skew automatically; salting is for the pathological
+  keys AQE cannot split (single giant hash bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_bucketed", "salted_join"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    *,
+    keys: list[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist *df* as a bucketed+sorted catalog table on *keys*.
+
+    Join/groupBy on *keys* against another table bucketed identically
+    requires no exchange (and no sort, thanks to ``sortBy``) — Spark's
+    equivalent of co-located storage.  Bucket count is part of the
+    contract: both sides must match.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(name)
+    )
+
+
+def salted_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    *,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join of a fact frame against a dimension frame.
+
+    The fact side derives a deterministic salt from the row's own
+    content (``xxhash64`` over all columns, mod *n_salts*) — no RNG, so
+    the plan is reproducible and retry-safe.  The dimension side is
+    exploded ×*n_salts* (dimension-sized, broadcastable).  Result
+    columns match ``facts.join(dims, on, how)``.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts)
+    ).cast("int")
+    salted_facts = facts.withColumn("__salt", salt)
+    salted_dims = dims.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_facts.join(salted_dims, on=[on, "__salt"], how=how).drop(
+        "__salt"
+    )

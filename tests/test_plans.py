@@ -101,3 +101,57 @@ def test_hash_split_is_single_aggregation(spark: SparkSession) -> None:
     assert "ArrowEvalPython" not in plan
     # partial aggregate before the exchange: map-side combine is on
     assert re.search(r"HashAggregate.*\n(.|\n)*Exchange", plan)
+
+
+def test_bucketed_join_has_no_exchange(spark: SparkSession) -> None:
+    """Two tables bucketed on the same key join with zero runtime
+    shuffle AND zero sort — the write-time bucketing paid it once."""
+    from sql_autoloader_spark.functions import scale
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    scale.write_bucketed(cust, "bkt_customer", keys=["c_custkey"], num_buckets=4)
+    scale.write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "bkt_orders",
+        keys=["c_custkey"],
+        num_buckets=4,
+    )
+    # at sf0.001 both sides fit the broadcast threshold, which would hide
+    # the bucketing; disable it to surface the big-table plan shape
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_customer").join(
+            spark.table("bkt_orders"), "c_custkey"
+        )
+        plan = formatted_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_salted_join_matches_plain_join(spark: SparkSession) -> None:
+    """Salting must not change results: same rows as the plain join,
+    fact rows spread across (key, salt) sub-keys."""
+    from sql_autoloader_spark.functions import scale
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    plain = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_name")
+    salted = scale.salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        on="c_custkey",
+        n_salts=4,
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
