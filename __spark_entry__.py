@@ -453,6 +453,36 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline: candidate pairs → connected components →
+    keep-one-per-cluster policy (longest document wins, doc_id breaks
+    ties; singletons keep themselves).  Returns the surviving corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = dedup.token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.9,
+        shingle_words=1,
+    )
+    comp = dedup.connected_components(pairs)
+    labeled = docs.join(
+        comp, docs["doc_id"] == comp["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "component", "n_chars")
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1598,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "emb_cosine_topk": q_emb_cosine_topk,
         "events_hourly": q_events_hourly,
         "events_dedup_first": q_events_dedup_first,
@@ -1909,6 +1940,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "docs_dedup_keep_best": f"""
+            WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            n AS (SELECT DISTINCT a AS id FROM e),
+            reach AS (
+                SELECT id, id AS r FROM n
+                UNION
+                SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
+            ),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+            labeled AS (
+                SELECT d.doc_id,
+                       COALESCE(c.component, d.doc_id) AS component,
+                       d.n_chars
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            )
+            SELECT doc_id, component, n_chars
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY component
+                      ORDER BY n_chars DESC, doc_id
+                  ) AS rn FROM labeled)
+            WHERE rn = 1
+        """,
         "docs_dup_clusters": f"""
             WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
             e AS (SELECT id_a AS a, id_b AS b FROM p

@@ -13,9 +13,17 @@ insert; then:
 - when clean, the payload-column contents must be identical row sets,
   and surrogate keys unique on both sides.
 
-Surrogate key *values* are not compared: SQLite assigns rowids in
-insertion order while the Spark sink assigns max+row_number over the
-natural-key sort (documented divergence, SCALE.md).
+Two documented divergences are exempt:
+
+- surrogate key *values*: SQLite assigns rowids in insertion order,
+  the Spark sink max+row_number over the natural-key sort;
+- which row survives an *intra-batch* unique-key collision whose rows
+  contain NULLs: such rows are exempt from the conflict error (the
+  reference's subset check skips null-bearing rows under exact=False),
+  and SQLite keeps the first in payload order while the Spark sink
+  keeps the deterministic minimum — a DataFrame payload has no
+  insertion order to preserve.  Content equality is skipped for those
+  scenarios; conflict-flag agreement is still asserted.
 """
 
 from __future__ import annotations
@@ -73,6 +81,26 @@ def _sqlite_state(
     return conflicted, rows, len(ids) == len(set(ids))
 
 
+def _has_ambiguous_intra_batch_collision(
+    unique: list[str], batches: list[list[tuple]]
+) -> bool:
+    """True when some batch holds >1 distinct rows on one unique key and
+    a collided row carries a NULL — the case where the surviving row is
+    engine-defined (see module docstring)."""
+    ki = [COLS.index(c) for c in unique]
+    for batch in batches:
+        groups: dict[tuple, list[tuple]] = {}
+        for row in dict.fromkeys(batch):
+            key = tuple(row[i] for i in ki)
+            if None in key:  # SQL UNIQUE: null keys never collide
+                continue
+            groups.setdefault(key, []).append(row)
+        for rows in groups.values():
+            if len(rows) > 1 and any(None in r for r in rows):
+                return True
+    return False
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
@@ -112,7 +140,9 @@ def test_insert_or_ignore_matches_sqlite(spark: SparkSession, sc) -> None:
     result = db._read_table("t").collect()
     ids = [r["id"] for r in result]
     assert len(ids) == len(set(ids)), "surrogate keys collided"
-    if not sqlite_conflicted:
+    if not sqlite_conflicted and not _has_ambiguous_intra_batch_collision(
+        unique, [batch1, batch2]
+    ):
         got = sorted(
             (tuple(r[c] for c in COLS) for r in result),
             key=repr,

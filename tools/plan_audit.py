@@ -23,6 +23,7 @@ SKIP = {
     "load_star_roundtrip",
     "load_star3_roundtrip",
     "docs_dup_clusters",  # iterative: label rounds execute on build
+    "docs_dedup_keep_best",
 }
 
 
