@@ -62,6 +62,29 @@ def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
     return c.cast(f"decimal(12,{scale})")
 
 
+# md5-bucket split boundaries: hex bytes compare lexically = numerically;
+# '00'..'cc' = train (~80%), 'cd'..'e5' = val (~10%), rest = test.
+_SPLIT_TRAIN_HI = "cd"
+_SPLIT_VAL_HI = "e6"
+
+
+def _split_col() -> F.Column:
+    b = F.substring(F.md5("text"), 1, 2)
+    return (
+        F.when(b < _SPLIT_TRAIN_HI, "train")
+        .when(b < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+
+
+#: bigrams of a pre-split words column named ``ws`` (0-based transform
+#: index i pairs word i with 1-based element_at i+2)
+_BIGRAMS_EXPR = (
+    "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+    " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"
+)
+
+
 # --------------------------------------------------------------------------
 # Loader-op queries (SURVEY §2A as runnable queries over the fixtures)
 # --------------------------------------------------------------------------
@@ -1326,8 +1349,10 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup with gap fill: a dense hourly series
     (min→max hour, generated, no data skipped) left-joined to the hourly
-    aggregate, empty hours as zero.  The generated calendar is tiny and
-    broadcasts; the only shuffle is the hourly groupBy."""
+    aggregate, empty hours as zero.  The hourly aggregate is hour-count
+    sized at any data scale, so it is the broadcast (build) side — the
+    calendar is the preserved side of the left join, which
+    BroadcastHashJoin cannot build.  The only shuffle is the groupBy."""
     ev = _t(spark, sf_dir, "events")
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1341,8 +1366,7 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
     )
     return (
-        F.broadcast(hours)
-        .join(hourly, "hour", "left")
+        hours.join(F.broadcast(hourly), "hour", "left")
         .select(
             "hour",
             F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
@@ -1397,12 +1421,8 @@ def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is stable across engines, runs, and partitionings — the
     way a 100 TB corpus is split without a shuffle or a random seed."""
     docs = _t(spark, sf_dir, "documents")
-    b = F.substring(F.md5("text"), 1, 2)
-    split = (
-        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "n_chars", "source")
+        docs.select(_split_col().alias("split"), "n_chars", "source")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1445,10 +1465,7 @@ def q_docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-density head at any SF."""
     docs = _t(spark, sf_dir, "documents")
     cnt = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    bigrams = F.expr(
-        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
-        " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"
-    )
+    bigrams = F.expr(_BIGRAMS_EXPR)
     return (
         docs.where(F.trim("text") != "")
         .select(F.split(text.normalized(F.col("text")), " ").alias("ws"))
@@ -1468,16 +1485,11 @@ def q_docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership flags from a single groupBy, no self-join of the corpus
     against itself."""
     docs = _t(spark, sf_dir, "documents")
-    b = F.substring(F.md5("text"), 1, 2)
-    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-    bigrams = F.expr(
-        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
-        " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"
-    )
+    bigrams = F.expr(_BIGRAMS_EXPR)
     flags = (
         docs.where(F.trim("text") != "")
         .select(
-            split.alias("split"),
+            _split_col().alias("split"),
             F.split(text.normalized(F.col("text")), " ").alias("ws"),
         )
         .select("split", F.explode(bigrams).alias("bigram"))
@@ -2482,9 +2494,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
             FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
         """,
-        "docs_hash_split": """
-            SELECT CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
-                        WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        "docs_hash_split": f"""
+            SELECT CASE WHEN substr(md5(text), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                        WHEN substr(md5(text), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
                         ELSE 'test' END AS split,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2516,8 +2528,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_split_contamination": f"""
             WITH w AS (
-                SELECT CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
-                            WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                SELECT CASE WHEN substr(md5(text), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                            WHEN substr(md5(text), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
                             ELSE 'test' END AS split,
                        string_split({normalized}, ' ') AS ws
                 FROM documents WHERE trim(text) <> ''

@@ -620,6 +620,14 @@ def connected_components(
     (halves the effective diameter per round); not needed for dedup
     workloads.
 
+    Raises ``RuntimeError`` if the cap is hit before a full round runs
+    clean — silently returning half-propagated labels would split one
+    real duplicate cluster into several and let extra "best" docs
+    survive a keep-one policy.  Each round pins ~one pairs-sized label
+    set (localCheckpoint storage is released with the session; on a
+    long-lived cluster session, checkpoint to a reaper-managed dir
+    instead if diameter × label size matters).
+
     Returns ``(id, component)`` for every node in *pairs*, where
     ``component`` is the smallest node id in the cluster.
     """
@@ -635,6 +643,7 @@ def connected_components(
         .select(F.col("a").alias("id"), F.col("a").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(
@@ -665,5 +674,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — the pair graph has a longer path than expected for "
+            "near-dup clusters; raise max_iterations (rounds needed = "
+            "graph diameter)."
+        )
+        raise RuntimeError(msg)
     return labels.select("id", F.col("comp").alias("component"))

@@ -51,6 +51,13 @@ def write_bucketed(
     )
 
 
+#: join types whose semantics survive dimension-side replication: the
+#: fact side keeps one salt per row, so fact-preserving and matched-only
+#: joins are unchanged — but right/full outer would emit one null-padded
+#: row per *replica* of an unmatched dimension row (n copies, not 1).
+_SALT_SAFE_JOINS = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+
+
 def salted_join(
     facts: DataFrame,
     dims: DataFrame,
@@ -65,8 +72,18 @@ def salted_join(
     content (``xxhash64`` over all columns, mod *n_salts*) — no RNG, so
     the plan is reproducible and retry-safe.  The dimension side is
     exploded ×*n_salts* (dimension-sized, broadcastable).  Result
-    columns match ``facts.join(dims, on, how)``.
+    columns match ``facts.join(dims, on, how)`` for the supported
+    (fact-preserving) join types; right/full outer joins would
+    duplicate unmatched dimension rows per salt replica and are
+    rejected.
     """
+    if how not in _SALT_SAFE_JOINS:
+        msg = (
+            f"salted_join supports {sorted(_SALT_SAFE_JOINS)} joins; "
+            f"'{how}' would emit one row per salt replica of an "
+            "unmatched dimension row"
+        )
+        raise ValueError(msg)
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts)
     ).cast("int")

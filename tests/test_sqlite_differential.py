@@ -22,8 +22,10 @@ Two documented divergences are exempt:
   reference's subset check skips null-bearing rows under exact=False),
   and SQLite keeps the first in payload order while the Spark sink
   keeps the deterministic minimum — a DataFrame payload has no
-  insertion order to preserve.  Content equality is skipped for those
-  scenarios; conflict-flag agreement is still asserted.
+  insertion order to preserve.  Both the content check AND the
+  conflict-flag check are skipped for those scenarios: which row
+  survives also decides whether the *other* (non-null) collided row is
+  "missing" afterwards, so the flag itself is engine-defined there.
 """
 
 from __future__ import annotations
@@ -135,14 +137,14 @@ def test_insert_or_ignore_matches_sqlite(spark: SparkSession, sc) -> None:
         except InsertingDataFailedError:
             spark_conflicted = True
 
-    assert spark_conflicted == sqlite_conflicted
+    ambiguous = _has_ambiguous_intra_batch_collision(unique, [batch1, batch2])
+    if not ambiguous:
+        assert spark_conflicted == sqlite_conflicted
 
     result = db._read_table("t").collect()
     ids = [r["id"] for r in result]
     assert len(ids) == len(set(ids)), "surrogate keys collided"
-    if not sqlite_conflicted and not _has_ambiguous_intra_batch_collision(
-        unique, [batch1, batch2]
-    ):
+    if not sqlite_conflicted and not spark_conflicted and not ambiguous:
         got = sorted(
             (tuple(r[c] for c in COLS) for r in result),
             key=repr,
