@@ -1140,6 +1140,45 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through the CONNECTOR: the events parquet
+    replayed as a file stream, each micro-batch auto-loaded into an
+    event-type dim + fact star via ``streaming.autoload_stream``
+    (foreachBatch → plan → idempotent insert → key merge, replay-safe).
+    Returns the generated compare-query reconstruction, which must equal
+    the distinct input projection — so the whole streaming load
+    lifecycle is verified against a plain batch SQL oracle."""
+    import tempfile
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE st_etype (id INTEGER PRIMARY KEY, event_type TEXT UNIQUE);
+        CREATE TABLE st_event (
+            event_id BIGINT,
+            etype_id INTEGER REFERENCES st_etype (id),
+            value DOUBLE
+        );
+        """
+    )
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    query = streaming.autoload_stream(
+        db, stream, checkpoint_dir=tempfile.mkdtemp()
+    )
+    query.awaitTermination()
+    compare_sql = db.schema.get_compare_query(
+        ["event_type", "event_id", "value"], quote="`"
+    )
+    return spark.sql(compare_sql)
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of regional revenue
     per year (conditional aggregate over a 6-way star join)."""
@@ -1685,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohorts": q_orders_cohorts,
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
+        "events_stream_autoload": q_events_stream_autoload,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -2423,6 +2463,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "events_stream_autoload": """
+            SELECT DISTINCT event_type,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(value AS DOUBLE) AS value
+            FROM events
         """,
         "q2_min_cost_supplier": f"""
             WITH cost AS (

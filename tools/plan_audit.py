@@ -20,6 +20,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # *returned* frame are not the interesting part — skip them here
 SKIP = {
     "events_stream_hourly",
+    "events_stream_autoload",
     "load_star_roundtrip",
     "load_star3_roundtrip",
     "docs_dup_clusters",  # iterative: label rounds execute on build
