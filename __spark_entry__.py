@@ -331,7 +331,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(12,2)")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -756,7 +756,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .select(
@@ -785,7 +785,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(half_avg, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
@@ -847,7 +847,7 @@ def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -926,7 +926,7 @@ def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     qualified = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
         .where(F.col("qty_dec") > 400)
@@ -1233,7 +1233,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - cost
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -1269,7 +1269,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("m_partkey"))
             & (F.col("avg_price") == F.col("min_price")),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.col("p_partkey").alias("partkey"),
             F.col("p_name").alias("name"),
@@ -1599,12 +1599,13 @@ def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_orders_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: customers bucketed by first-order month, order
-    activity per (cohort, month).  The first-order aggregate is
-    customer-sized — it broadcasts back onto the fact scan."""
+    activity per (cohort, month).  First-order date comes from a window
+    over the customer key — one shuffle, no self-join, no broadcast of
+    a customer-sized aggregate (which would not fit at 100 TB)."""
     orders = _t(spark, sf_dir, "orders")
-    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    w = Window.partitionBy("o_custkey")
     return (
-        orders.join(F.broadcast(first), "o_custkey")
+        orders.withColumn("first_dt", F.min("o_orderdate").over(w))
         .groupBy(
             F.date_trunc("month", "first_dt").alias("cohort_month"),
             F.date_trunc("month", "o_orderdate").alias("order_month"),
@@ -2635,8 +2636,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_cohorts": f"""
             WITH fo AS (
-                SELECT o_custkey, MIN(o_orderdate) AS first_dt
-                FROM orders GROUP BY 1
+                SELECT o_custkey, o_orderdate, o_totalprice,
+                       MIN(o_orderdate) OVER (PARTITION BY o_custkey)
+                           AS first_dt
+                FROM orders
             )
             SELECT CAST(date_trunc('month', first_dt) AS TIMESTAMP)
                        AS cohort_month,
@@ -2646,7 +2649,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                    CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
                        AS revenue
-            FROM orders JOIN fo USING (o_custkey)
+            FROM fo
             GROUP BY 1, 2
         """,
         "emb_label_centroids": """

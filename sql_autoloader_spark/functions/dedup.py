@@ -117,7 +117,8 @@ def token_jaccard_pairs(
 
     Plan shape: explode distinct shingles → self-equi-join on the shingle
     (keyed shuffle; candidate generation) → count intersections per pair →
-    join per-doc set sizes (broadcast — the size table is one row per doc)
+    join per-doc set sizes (AQE-chosen strategy — the size table is one
+    row per doc, corpus-proportional, so never force-broadcast)
     → exact Jaccard filter.  The join key is the shingle, so ubiquitous
     shingles create skew: *max_shingle_freq* drops shingles appearing in
     more than that many documents (stop-shingles) before the self-join —
@@ -159,9 +160,11 @@ def token_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
+    # sizes is one row per doc — corpus-proportional, so no forced
+    # broadcast: AQE broadcasts it at small scale and shuffles at 100 TB
     return (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"})), on="id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"})), on="id_b")
+        inter.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"}), on="id_b")
         .withColumn(
             "jaccard",
             F.round(
