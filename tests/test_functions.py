@@ -413,3 +413,36 @@ def test_connected_components_long_chain_converges(spark) -> None:
     got = dedup.connected_components(pairs).collect()
     assert all(r["component"] == 0 for r in got)
     assert len(got) == 13
+
+
+def test_connected_components_matches_networkx(spark) -> None:
+    """Differential: random-ish edge sets vs networkx's reference
+    implementation (min node id per component)."""
+    import networkx as nx
+
+    from sql_autoloader_spark.functions import dedup
+
+    # deterministic pseudo-random edge set: hash-derived pairs over 40
+    # nodes, densities from sparse forest to near-connected
+    for seed, n_edges in [(1, 8), (2, 20), (3, 45)]:
+        edges = []
+        x = seed
+        for _ in range(n_edges):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            a = x % 40
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            b = x % 40
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        g = nx.Graph(edges)
+        want = {}
+        for comp in nx.connected_components(g):
+            root = min(comp)
+            for node in comp:
+                want[node] = root
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == want, f"seed={seed}"
