@@ -1179,6 +1179,42 @@ def q_events_stream_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(compare_sql)
 
 
+def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` with watermark eviction: per-user
+    30-minute-gap sessions over the replayed events stream, append mode
+    — only sessions the watermark has closed emit.  The oracle is the
+    batch island analysis with the empirically pinned boundaries: an
+    exact-gap event still merges (break is strictly ``> gap``) and a
+    session whose end equals the final watermark is emitted (``<=``)."""
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = streaming.sessionized_counts(
+        stream, gap="30 minutes", watermark="0 seconds"
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of regional revenue
     per year (conditional aggregate over a 6-way star join)."""
@@ -1726,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
         "events_stream_autoload": q_events_stream_autoload,
+        "events_stream_sessions": q_events_stream_sessions,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -2470,6 +2507,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) AS event_id,
                    CAST(value AS DOUBLE) AS value
             FROM events
+        """,
+        "events_stream_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ),
+            sess AS (
+                SELECT user_id,
+                       MIN(ts) AS session_start,
+                       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT session_start, session_end, user_id, n_events
+            FROM sess WHERE session_end <= (SELECT max(ts) FROM events)
         """,
         "q2_min_cost_supplier": f"""
             WITH cost AS (

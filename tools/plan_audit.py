@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 SKIP = {
     "events_stream_hourly",
     "events_stream_autoload",
+    "events_stream_sessions",
     "load_star_roundtrip",
     "load_star3_roundtrip",
     "docs_dup_clusters",  # iterative: label rounds execute on build
