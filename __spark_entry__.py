@@ -1654,6 +1654,23 @@ def q_orders_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value distribution: bucket =
+    floor(value / 50) — a single map-side expression + tiny aggregate
+    (the profiling primitive for choosing quantile/clip thresholds)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value").cast("double") / F.lit(50.0)).cast("bigint")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(F.col("value").cast("double")).alias("lo"),
+            F.max(F.col("value").cast("double")).alias("hi"),
+        )
+    )
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column via fixed-point
     quantization: floor(x·10⁶) as int64 sums exactly in any order and
@@ -1759,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": q_emb_label_centroids,
         "events_rolling_7d": q_events_rolling_7d,
         "orders_cohorts": q_orders_cohorts,
+        "events_value_histogram": q_events_value_histogram,
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
         "events_stream_autoload": q_events_stream_autoload,
@@ -2713,6 +2731,14 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM fo
             GROUP BY 1, 2
+        """,
+        "events_value_histogram": """
+            SELECT CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   MIN(CAST(value AS DOUBLE)) AS lo,
+                   MAX(CAST(value AS DOUBLE)) AS hi
+            FROM events WHERE value IS NOT NULL GROUP BY 1
         """,
         "emb_label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS x,
