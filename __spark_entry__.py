@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from sql_autoloader_spark.functions import (
@@ -46,14 +47,28 @@ _TABLES = [
 ]
 
 
+def _fix_event_ts(ev: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a timestamp column regardless of how the
+    fixture was generated: older data ships TIMESTAMP(NANOS) (read as raw
+    int64 under ``nanosAsLong`` and truncated ns→us, matching DuckDB/Arrow
+    truncation); newer data ships native timestamp[us] and passes through.
+    """
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us] fixtures land as TIMESTAMP_NTZ; cast to TIMESTAMP so
+    # instant functions (unix_micros, watermarks) accept it.  The session
+    # timezone is pinned to UTC, making the cast value-preserving and
+    # identical to DuckDB's naive reading.
+    ev.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
-        # rejects; read the raw int64 nanos and truncate to microseconds
-        # (identical to DuckDB/Arrow ns→us truncation).
+        # Legacy conf is a no-op for timestamp[us] fixtures; it only kicks
+        # in when the parquet physically stores TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _fix_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1117,13 +1132,11 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = _fix_event_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("value", F.col("value").cast("decimal(18,6)"))
-    )
+    ).withColumn("value", F.col("value").cast("decimal(18,6)"))
     agg = streaming.windowed_event_counts(stream, watermark="1 minute")
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     query = (
@@ -1193,11 +1206,10 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = _fix_event_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = streaming.sessionized_counts(
         stream, gap="30 minutes", watermark="0 seconds"
