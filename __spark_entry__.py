@@ -725,6 +725,53 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total lineitem value exceeds an
+    above-average share of the global total (GROUP BY + HAVING against a
+    scalar subquery).  The fixtures ship no partsupp table, so stock
+    value is proxied by sum(extendedprice * quantity) per part; the
+    share predicate stays engine-exact by cross-multiplying DECIMAL sums
+    instead of comparing to a double fraction."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = _dec("l_extendedprice") * F.col("l_quantity").cast("decimal(12,2)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_dec") * 1600 > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among lines shipped long after their order was
+    placed, how many belong to high- vs low-priority orders, per line
+    status (two-way conditional aggregation over the fact-fact join).
+    The fixtures carry no l_shipmode/l_receiptdate, so "late" is a ship
+    date more than 30 days past o_orderdate and the grouping key is
+    l_linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
 def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: order-count distribution over customers via a
     LEFT OUTER join (customers with zero qualifying orders included)."""
@@ -1757,6 +1804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_late_shipping": q4_late_shipping,
         "q7_volume_shipping": q7_volume_shipping,
         "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_lines": q12_late_lines,
         "q13_custdist": q13_custdist,
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_cnt": q16_supplier_cnt,
@@ -2217,6 +2266,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, custkey
             LIMIT 20
+        """,
+        "q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS value
+            FROM per_part
+            WHERE value_dec * 1600 > (SELECT SUM(value_dec) FROM per_part)
+            ORDER BY value DESC, partkey
+        """,
+        "q12_late_lines": """
+            SELECT l_linestatus AS linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
         """,
         "q13_custdist": """
             SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
