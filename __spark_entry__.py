@@ -1274,6 +1274,79 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events file stream unioned with
+    itself — every row arrives twice — through ``streaming.dedup_stream``
+    (``withWatermark`` + ``dropDuplicatesWithinWatermark`` on the natural
+    key), so the appended output must equal the batch table exactly: one
+    state entry per key collapses both arrivals.  Survivors are
+    bit-identical to their duplicates, making the result deterministic
+    and SQL-oracle-able.  The watermark delay exceeds the fixture's time
+    span so no state is evicted mid-replay; production pipelines size it
+    to the real late-data horizon instead (bounded state at 100 TB)."""
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return _fix_event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    deduped = streaming.dedup_stream(
+        src().unionAll(src()), keys=["event_id"], watermark="3650 days"
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the explicit form rollup/cube are sugar over:
+    three grouping shapes ((status, priority), (status), (year)) computed
+    in one pass over orders, one shuffle total."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["order_year"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+            "order_year",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "order_year",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of regional revenue
     per year (conditional aggregate over a 6-way star join)."""
@@ -1842,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_hourly": q_events_stream_hourly,
         "events_stream_autoload": q_events_stream_autoload,
         "events_stream_sessions": q_events_stream_sessions,
+        "events_stream_dedup": q_events_stream_dedup,
+        "orders_grouping_sets": q_orders_grouping_sets,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -2635,6 +2710,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT session_start, session_end, user_id, n_events
             FROM sess WHERE session_end <= (SELECT max(ts) FROM events)
+        """,
+        "events_stream_dedup": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                   order_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS revenue
+            FROM (SELECT *, CAST(year(o_orderdate) AS INTEGER) AS order_year
+                  FROM orders)
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), (order_year))
         """,
         "q2_min_cost_supplier": f"""
             WITH cost AS (
