@@ -1274,6 +1274,35 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 at fact scale: the whole events table auto-loaded into an
+    event-type dim + fact star in one batch ``load``.  Unlike the
+    dimension-shaped star loads (25–150k dedup-heavy rows), this drives
+    the loader's fact path — a full-width append plus a key merge
+    against a broadcast-sized dim — which is the shape that must scale
+    linearly to 100 TB.  Returns the generated compare-query
+    reconstruction (equals the distinct input projection)."""
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE be_etype (id INTEGER PRIMARY KEY, event_type TEXT UNIQUE);
+        CREATE TABLE be_event (
+            event_id BIGINT,
+            etype_id INTEGER REFERENCES be_etype (id),
+            value DOUBLE
+        );
+        """
+    )
+    with db:
+        db.load(ev)
+    return spark.sql(
+        db.schema.get_compare_query(["event_type", "event_id", "value"], quote="`")
+    )
+
+
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the events file stream unioned with
     itself — every row arrives twice — through ``streaming.dedup_stream``
@@ -1917,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": q_events_stream_sessions,
         "events_stream_dedup": q_events_stream_dedup,
         "orders_grouping_sets": q_orders_grouping_sets,
+        "load_events_star": q_load_events_star,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -2713,6 +2743,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup": """
             SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+        """,
+        "load_events_star": """
+            SELECT DISTINCT event_type,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(value AS DOUBLE) AS value
             FROM events
         """,
         "orders_grouping_sets": """

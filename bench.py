@@ -24,6 +24,7 @@ import __spark_entry__ as entry_mod
 
 HEADLINE = [
     "load_star_roundtrip",
+    "load_events_star",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

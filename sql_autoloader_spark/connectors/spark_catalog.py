@@ -80,6 +80,15 @@ class SparkConnector(BaseConnector):
         joins, key retrieval, and generated compare queries all see the
         user-typed values.  E.g. store ``array<int>`` in a TEXT column:
         ``{"tags": (F.to_json, lambda c: F.from_json(c, "array<int>"))}``.
+    partition_by:
+        ``{table_name: [column, ...]}`` — physical partitioning for
+        managed catalog tables (the 100 TB layout knob the reference's
+        RDBMS sinks cannot express).  Fact tables partitioned by a
+        low-cardinality column (date bucket, region) get partition
+        pruning on every filtered scan and append-only writes touch only
+        the partitions present in the payload.  Persisted as a table
+        property so reopened connectors keep appending partitioned.
+        Ignored in temp-view mode (in-memory frames have no layout).
     """
 
     def __init__(
@@ -89,11 +98,13 @@ class SparkConnector(BaseConnector):
         database: str | None = None,
         key_strategy: Literal["row_number", "hash64"] = "row_number",
         dtype_adapters: dict[str, tuple] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> None:
         self.spark = spark
         self.database = database
         self.key_strategy = key_strategy
         self.dtype_adapters = dtype_adapters or {}
+        self.partition_by = partition_by or {}
         #: DDL-derived metadata per table
         self._meta: dict[str, ParsedTable] = {}
         #: committed content per table
@@ -139,7 +150,10 @@ class SparkConnector(BaseConnector):
             for extra in appends[1:]:
                 new_rows = new_rows.unionByName(extra)
             if self.database is not None:
-                new_rows.write.mode("append").saveAsTable(self._qualified(table))
+                writer = new_rows.write.mode("append")
+                if parts := self.partition_by.get(table):
+                    writer = writer.partitionBy(*parts)
+                writer.saveAsTable(self._qualified(table))
                 self._committed[table] = self.spark.table(self._qualified(table))
             else:
                 # The appended frames are already individually pinned
@@ -183,6 +197,16 @@ class SparkConnector(BaseConnector):
         self._meta[parsed.name] = parsed
         self._appends.setdefault(parsed.name, [])
 
+        declared = {c for c, _t in parsed.column_types}
+        if unknown := [
+            c for c in self.partition_by.get(parsed.name, []) if c not in declared
+        ]:
+            msg = (
+                f"partition_by for table '{parsed.name}' names columns "
+                f"{unknown} not declared in its DDL."
+            )
+            raise ValueError(msg)
+
         # CREATE TABLE IF NOT EXISTS semantics: re-running a DDL script
         # against content this connector already tracks (or a populated
         # catalog table) must NOT wipe it or mark it empty — the
@@ -196,7 +220,10 @@ class SparkConnector(BaseConnector):
                 self._committed_empty[parsed.name] = True
             elif parsed.name not in self._committed_empty:
                 self._committed_empty[parsed.name] = False  # unknown content
-            empty.write.mode("ignore").saveAsTable(qualified)
+            create_writer = empty.write.mode("ignore")
+            if parts := self.partition_by.get(parsed.name):
+                create_writer = create_writer.partitionBy(*parts)
+            create_writer.saveAsTable(qualified)
             props = ", ".join(
                 f"'{_PROP_PREFIX}{key}' = '{self._escape(json.dumps(value))}'"
                 for key, value in (
@@ -207,6 +234,7 @@ class SparkConnector(BaseConnector):
                     ("references", parsed.references),
                     ("column_types", parsed.column_types),
                     ("not_null", parsed.not_null),
+                    ("partition_by", self.partition_by.get(parsed.name, [])),
                 )
             )
             self.spark.sql(f"ALTER TABLE {qualified} SET TBLPROPERTIES ({props})")
@@ -255,6 +283,10 @@ class SparkConnector(BaseConnector):
             self._committed[name] = self.spark.table(self._qualified(name))
             self._appends.setdefault(name, [])
             self._committed_empty[name] = False  # unknown content
+            if parts := json.loads(
+                props.get(f"{_PROP_PREFIX}partition_by", "[]")
+            ):
+                self.partition_by.setdefault(name, parts)
 
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
         """Emit the schema-graph wire format from the registered metadata."""

@@ -41,3 +41,61 @@ def test_database_mode_roundtrip_and_reopen(spark: SparkSession) -> None:
         db2.load(data)
     assert db2._read_table("p_brand").count() == 2
     assert db2._read_table("p_car").count() == 2
+
+
+def test_partitioned_fact_table_layout_and_reopen(spark: SparkSession) -> None:
+    """partition_by lands managed tables physically partitioned, the
+    spec survives reopen via table properties, and filtered scans prune
+    partitions (the 100 TB fact-table layout path)."""
+    from pyspark.sql import functions as F
+
+    data = spark.createDataFrame(
+        [("NL", "a"), ("NL", "b"), ("DE", "c")],
+        "country string, payload string",
+    )
+    db = SparkConnector(
+        spark, database="parttest", partition_by={"pt_fact": ["country"]}
+    )
+    db.execute_ddl(
+        """
+        CREATE TABLE pt_fact (
+            id INTEGER PRIMARY KEY,
+            payload TEXT UNIQUE,
+            country TEXT
+        );
+        """
+    )
+    with db:
+        db.load(data)
+    assert db._read_table("pt_fact").count() == 3
+
+    cols = spark.catalog.listColumns("pt_fact", "parttest")
+    assert [c.name for c in cols if c.isPartition] == ["country"]
+
+    scan = spark.table("parttest.pt_fact").where(F.col("country") == "NL")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "country" in plan.split("PartitionFilters", 1)[-1].split("\n")[0]
+    assert scan.count() == 2
+
+    # a reopened connector restores the partition spec from properties
+    # and keeps appending into the partitioned layout, idempotently
+    db2 = SparkConnector(spark, database="parttest")
+    assert db2.partition_by == {"pt_fact": ["country"]}
+    more = spark.createDataFrame(
+        [("NL", "a"), ("FR", "d")], "country string, payload string"
+    )
+    with db2:
+        db2.load(more, exact=False)
+    assert db2._read_table("pt_fact").count() == 4
+
+
+def test_partition_by_unknown_column_rejected(spark: SparkSession) -> None:
+    db = SparkConnector(
+        spark, database="parttest2", partition_by={"pt_bad": ["nope"]}
+    )
+    try:
+        db.execute_ddl("CREATE TABLE pt_bad (id INTEGER PRIMARY KEY, x TEXT);")
+    except ValueError as err:
+        assert "nope" in str(err)
+    else:
+        raise AssertionError("expected ValueError for unknown partition column")

@@ -35,6 +35,10 @@ PROBES = [
     "events_sessionize",       # window functions
     "emb_lsh_topk",            # hyperplane LSH top-k
     "docs_hash_split",         # map-side split + tiny aggregate
+    "events_hourly",           # time-bucket aggregate
+    "load_events_star",        # connector load, fact path (scales 10x)
+    "load_star3_roundtrip",    # connector load, dedup-heavy dim path
+    "events_stream_dedup",     # streaming dedup state (bounded per key)
 ]
 
 # key columns to offset per table so replicas stay disjoint
@@ -53,33 +57,38 @@ OFFSETS = {
 
 
 def build_blowup(spark) -> None:
-    from pyspark.sql import functions as F
+    """Replicate each table with disjoint key offsets into SINGLE parquet
+    files (DuckDB COPY): streaming probes glob ``events.parquet`` as a
+    file, so a Spark-written directory would silently stream 0 rows."""
+    import duckdb
 
+    con = duckdb.connect()
     for table, keys in OFFSETS.items():
         dst = f"{OUT}/{table}.parquet"
         if os.path.exists(dst):
             continue
-        if table == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{BASE}/{table}.parquet")
+        src = f"{BASE}/{table}.parquet"
         if not keys:  # fixed-cardinality dims replicate as-is (dedup'd)
-            df.write.mode("overwrite").parquet(dst)
+            con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
             continue
-        span = {
-            k: (df.agg(F.max(k)).first()[0] or 0) + 1 for k in keys
+        spans = {
+            k: con.sql(
+                f"SELECT COALESCE(MAX({k}), 0) + 1 FROM '{src}'"
+            ).fetchone()[0]
+            for k in keys
         }
-        parts = []
-        for i in range(REPLICAS):
-            part = df
-            for k in keys:
-                part = part.withColumn(
-                    k, (F.col(k) + F.lit(i * span[k])).cast(df.schema[k].dataType)
-                )
-            parts.append(part)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(dst)
+        cols = [
+            r[0]
+            for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        ]
+        select = ", ".join(
+            f"CAST({c} + i * {spans[c]} AS BIGINT) AS {c}" if c in spans else c
+            for c in cols
+        )
+        con.sql(
+            f"COPY (SELECT {select} FROM '{src}', range({REPLICAS}) t(i)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
 
 
 def main() -> None:
@@ -109,7 +118,10 @@ def main() -> None:
         times = {}
         for label, sf_dir in [("small", BASE), ("big", OUT)]:
             best = float("inf")
-            for _ in range(2):
+            # best-of-3: the container shares a noisy host — identical
+            # code measures up to 4x apart across runs; the minimum
+            # measures the code, the rest measure the neighbors
+            for _ in range(3):
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 best = min(best, time.time() - t0)
