@@ -1274,6 +1274,41 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_load_star_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 through the SQLite compatibility sink (D1 executed for real):
+    the same nation⨝region star load as ``load_star_roundtrip``, but
+    against a live sqlite3 database — PRAGMA introspection, INSERT OR
+    IGNORE under real UNIQUE constraints, genuine autoincrement
+    surrogate keys, and the generated compare query executed by SQLite
+    itself (double-quote dialect)."""
+    from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    flat = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_name").alias("name"), F.col("r_name").alias("region"))
+
+    db = SQLiteConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE dim_region (
+            id INTEGER PRIMARY KEY,
+            region TEXT UNIQUE
+        );
+        CREATE TABLE dim_nation (
+            id INTEGER PRIMARY KEY,
+            name TEXT UNIQUE,
+            region_id INTEGER REFERENCES dim_region (id)
+        );
+        """
+    )
+    with db:
+        db.load(flat)
+    query = db.schema.get_compare_query(["name", "region"], quote='"')
+    return db._execute_compare_query(query)
+
+
 def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 at fact scale: the whole events table auto-loaded into an
     event-type dim + fact star in one batch ``load``.  Unlike the
@@ -1947,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "orders_grouping_sets": q_orders_grouping_sets,
         "load_events_star": q_load_events_star,
+        "load_star_sqlite": q_load_star_sqlite,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -2751,6 +2787,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(value AS DOUBLE) AS value
             FROM events
         """,
+        "load_star_sqlite": (
+            "SELECT DISTINCT n_name AS name, r_name AS region"
+            " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
         "orders_grouping_sets": """
             SELECT o_orderstatus AS status, o_orderpriority AS priority,
                    order_year,

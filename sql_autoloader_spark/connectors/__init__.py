@@ -7,11 +7,13 @@ from sql_autoloader_spark.connectors.jdbc import (
     SQLiteDialect,
 )
 from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
 
 __all__ = [
     "BaseConnector",
     "JDBCConnector",
     "PostgresDialect",
+    "SQLiteConnector",
     "SQLiteDialect",
     "SparkConnector",
 ]

@@ -1,0 +1,316 @@
+"""Driver-side SQLite sink: the reference-parity compatibility connector.
+
+Runs the full loader lifecycle against a live ``sqlite3`` database using
+the standard-library driver (no JDBC jar required), so every semantic
+the reference relies on executes for real rather than being emulated:
+
+- schema introspection from the database itself via PRAGMAs
+  (reference sqlite_connector.py:84-147 — table_info / foreign_key_list
+  / index_list classify each column as PK, FK, or payload);
+- idempotent inserts via ``INSERT OR IGNORE`` against REAL ``UNIQUE``
+  constraints (reference sqlite_connector.py:10-25) — a uniqueness
+  conflict keeps rows out at the database layer and surfaces as
+  :class:`InsertingDataFailedError` through the shared lifecycle;
+- surrogate keys from SQLite's own ``INTEGER PRIMARY KEY`` rowid
+  autoincrement and read back by the key-retrieval scan (reference
+  C3 semantics, sqlite_connector.py:45-61) — no engine-side key
+  generation at all;
+- generated compare queries executed by SQLite itself (double-quote
+  identifier dialect);
+- genuine transaction brackets: the ``with`` block maps to SQLite
+  BEGIN/COMMIT/ROLLBACK (reference sqlite_connector.py:197-204), so a
+  failed load leaves the database file bit-for-bit at its pre-block
+  state.
+
+Positioning at scale: this is the *compatibility* sink — data crosses
+the driver as row batches, which is exactly how the reference works and
+is appropriate for dimension-scale targets (an operational SQLite or
+small warehouse).  Fact-scale loads belong on
+:class:`~sql_autoloader_spark.connectors.spark_catalog.SparkConnector`,
+where writes stay distributed.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    DataType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sql_autoloader_spark.connectors.base import BaseConnector
+from sql_autoloader_spark.exceptions import InvalidTableError
+from sql_autoloader_spark.schema import ReferenceDict, TableDict
+
+
+def _affinity(declared: str | None) -> DataType:
+    """SQLite type affinity (https://sqlite.org/datatype3.html §3.1) to a
+    Spark type.  Values are re-coerced to the user frame's dtypes by
+    ``ops.match_dtypes`` downstream, so this only needs to be a faithful
+    superset of what the column can hold."""
+    decl = (declared or "").upper()
+    if "INT" in decl:
+        return LongType()
+    if any(token in decl for token in ("CHAR", "CLOB", "TEXT")):
+        return StringType()
+    if decl == "" or "BLOB" in decl:
+        return BinaryType()
+    return DoubleType()  # REAL / FLOA / DOUB and NUMERIC affinity
+
+
+def _coerce(value: object, dtype: DataType) -> object:
+    """Align a dynamically-typed SQLite value with the declared affinity
+    (SQLite columns may hold any type regardless of declaration)."""
+    if value is None:
+        return None
+    if isinstance(dtype, LongType):
+        return int(value)
+    if isinstance(dtype, DoubleType):
+        return float(value)
+    if isinstance(dtype, StringType):
+        return value if isinstance(value, str) else str(value)
+    return value
+
+
+class SQLiteConnector(BaseConnector):
+    """Auto-loader over a live SQLite database file (or ``:memory:``).
+
+    Parameters
+    ----------
+    spark:
+        Session used for the DataFrame side of the lifecycle (dedup,
+        null-safe key merge, compare validation) — the database side
+        runs on the stdlib ``sqlite3`` driver.
+    db_path:
+        Database file; defaults to in-memory.
+    allow_custom_dtypes:
+        Pass-through of the reference's adapter/converter opt-in
+        (sqlite_connector.py:156-193): enables
+        ``PARSE_DECLTYPES | PARSE_COLNAMES`` so ``sqlite3`` adapters
+        registered by the user apply on reads and writes.
+    """
+
+    _quote = '"'
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        db_path: str = ":memory:",
+        *,
+        allow_custom_dtypes: bool = False,
+    ) -> None:
+        self.spark = spark
+        detect = (
+            sqlite3.PARSE_DECLTYPES | sqlite3.PARSE_COLNAMES
+            if allow_custom_dtypes
+            else 0
+        )
+        self.connection = sqlite3.connect(db_path, detect_types=detect)
+        self.connection.execute("PRAGMA foreign_keys = ON")
+        self.schema = self.get_schema()
+
+    # -- transactions ---------------------------------------------------------
+
+    def __enter__(self):  # noqa: ANN204 - Self on 3.11 via base
+        return self
+
+    def __exit__(self, exc_type: object, *exception: object) -> None:
+        if exc_type is None:
+            self.connection.commit()
+        else:
+            self.connection.rollback()
+
+    def close(self) -> None:
+        self.connection.close()
+
+    # -- DDL / metadata -------------------------------------------------------
+
+    def execute_ddl(self, script: str) -> None:
+        """Run a DDL script and re-introspect (reference C5 passthrough,
+        connector.py:167-173)."""
+        self.connection.executescript(script)
+        self.connection.commit()
+        self.update_schema()
+
+    def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
+        cur = self.connection.cursor()
+        names = [
+            row[0]
+            for row in cur.execute(
+                "SELECT name FROM sqlite_master WHERE type = 'table' "
+                "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+            )
+        ]
+        tables: list[TableDict] = []
+        references: list[ReferenceDict] = []
+        pk_by_table: dict[str, str] = {}
+        pending: list[tuple[str, str, str, str | None]] = []
+
+        for table in names:
+            cols = cur.execute(f'PRAGMA table_info("{table}")').fetchall()
+            #      (cid, name, declared_type, notnull, default, pk_position)
+            pk_cols = [c[1] for c in cols if c[5]]
+            if len(pk_cols) > 1:
+                msg = (
+                    f"table '{table}' declares a composite primary key "
+                    f"{pk_cols}; only single-column keys are supported "
+                    "(reference sqlite_connector.py:132)."
+                )
+                raise InvalidTableError(msg)
+            primary_key = pk_cols[0] if pk_cols else ""
+            pk_by_table[table] = primary_key
+
+            fk_rows = cur.execute(
+                f'PRAGMA foreign_key_list("{table}")'
+            ).fetchall()
+            #      (id, seq, target_table, from_col, to_col, ...)
+            foreign_keys = []
+            for fk in fk_rows:
+                foreign_keys.append(fk[3])
+                # to_col is None for `REFERENCES t` (implicit target PK)
+                pending.append((table, fk[3], fk[2], fk[4]))
+
+            unique_constraints: list[list[str]] = []
+            for idx in cur.execute(f'PRAGMA index_list("{table}")').fetchall():
+                #  (seq, index_name, is_unique, origin, partial)
+                if not idx[2] or idx[3] != "u":
+                    continue  # only UNIQUE-constraint indexes
+                members = [
+                    r[2]
+                    for r in cur.execute(
+                        f'PRAGMA index_info("{idx[1]}")'
+                    ).fetchall()
+                ]
+                unique_constraints.append(members)
+
+            tables.append(
+                {
+                    "name": table,
+                    "columns": [
+                        c[1]
+                        for c in cols
+                        if c[1] != primary_key and c[1] not in foreign_keys
+                    ],
+                    "primary_key": primary_key,
+                    "foreign_keys": foreign_keys,
+                    "unique_constraints": unique_constraints,
+                }
+            )
+
+        for from_table, from_key, to_table, to_key in pending:
+            references.append(
+                {
+                    "from_table": from_table,
+                    "from_key": from_key,
+                    "to_table": to_table,
+                    "to_key": to_key or pk_by_table.get(to_table, ""),
+                }
+            )
+        return tables, references
+
+    # -- physical primitives --------------------------------------------------
+
+    def _declared_types(self, table: str) -> dict[str, str]:
+        return {
+            row[1]: row[2]
+            for row in self.connection.execute(
+                f'PRAGMA table_info("{table}")'
+            ).fetchall()
+        }
+
+    def _read_table(self, table: str) -> DataFrame:
+        declared = self._declared_types(table)
+        cur = self.connection.execute(f'SELECT * FROM "{table}"')
+        cols = [d[0] for d in cur.description]
+        fields = [
+            StructField(c, _affinity(declared.get(c)), nullable=True)
+            for c in cols
+        ]
+        schema = StructType(fields)
+        rows = [
+            tuple(
+                _coerce(v, f.dataType) for v, f in zip(row, fields, strict=True)
+            )
+            for row in cur.fetchall()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _write_new_rows(
+        self, table: str, new_rows: DataFrame, columns: list[str]
+    ) -> None:
+        """Idempotent insert, two layers deep:
+
+        1. rows already present (all inserted columns equal, NULLs
+           treated as equal — Python tuple equality mirrors the
+           engine's null-safe set semantics) are filtered out first, so
+           re-loading identical data never grows constraint-less
+           tables — the same guarantee the Spark sink's anti-join gives;
+        2. the remainder goes through ``INSERT OR IGNORE`` so REAL
+           ``UNIQUE`` constraints arbitrate genuine conflicts (same key,
+           different payload), exactly like the reference
+           (sqlite_connector.py:10-25).
+        """
+        quoted = ", ".join(f'"{c}"' for c in columns)
+        binds = ", ".join("?" for _ in columns)
+        existing = {
+            tuple(row)
+            for row in self.connection.execute(
+                f'SELECT DISTINCT {quoted} FROM "{table}"'
+            )
+        }
+        payload = [
+            row
+            for row in (
+                tuple(r[c] for c in columns)
+                for r in new_rows.select(*columns).collect()
+            )
+            if row not in existing
+        ]
+        self.connection.executemany(
+            f'INSERT OR IGNORE INTO "{table}" ({quoted}) VALUES ({binds})',
+            payload,
+        )
+
+    def _execute_compare_query(self, query: str) -> DataFrame:
+        cur = self.connection.execute(query)
+        cols = [d[0] for d in cur.description]
+        rows = [tuple(r) for r in cur.fetchall()]
+        return self._frame_from_rows(rows, cols)
+
+    def _frame_from_rows(
+        self, rows: list[tuple], cols: list[str]
+    ) -> DataFrame:
+        """Land driver-side rows as a DataFrame; columns whose type can't
+        be inferred (all-NULL, or no rows at all) fall back to string —
+        ``ops.match_dtypes`` re-casts against the user frame downstream."""
+        fields = []
+        for i, name in enumerate(cols):
+            sample = next(
+                (row[i] for row in rows if row[i] is not None), None
+            )
+            if isinstance(sample, bool) or sample is None:
+                dtype: DataType = StringType()
+            elif isinstance(sample, int):
+                dtype = LongType()
+            elif isinstance(sample, float):
+                dtype = DoubleType()
+            elif isinstance(sample, (bytes, bytearray)):
+                dtype = BinaryType()
+            else:
+                dtype = StringType()
+            fields.append(StructField(name, dtype, nullable=True))
+        coerced = [
+            tuple(
+                _coerce(v, f.dataType)
+                for v, f in zip(row, fields, strict=True)
+            )
+            for row in rows
+        ]
+        return self.spark.createDataFrame(coerced, StructType(fields))

@@ -1,0 +1,209 @@
+"""SQLite sink: the reference's own scenarios executed against a live
+sqlite3 database (reference tests/test_sqlite_connector.py) — real
+PRAGMA introspection, real UNIQUE-constraint conflicts, real
+autoincrement surrogate keys, real BEGIN/COMMIT/ROLLBACK."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+from pyspark.sql import SparkSession
+
+from sql_autoloader_spark import exceptions as X
+from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
+
+CAR_DDL = """
+CREATE TABLE brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+CREATE TABLE car (
+    id INTEGER PRIMARY KEY,
+    brand_id INTEGER REFERENCES brand (id),
+    model TEXT UNIQUE
+);
+CREATE TABLE owner (id INTEGER PRIMARY KEY, owner TEXT UNIQUE);
+CREATE TABLE purchase (
+    car_id INTEGER REFERENCES car (id),
+    owner_id INTEGER REFERENCES owner (id),
+    price REAL
+);
+"""
+
+
+def test_full_star_roundtrip_with_db_keys(spark: SparkSession) -> None:
+    """Load a flat frame into a 4-table star; SQLite's autoincrement
+    assigns every surrogate key and the generated compare query runs on
+    the database itself (reference tests/test_sqlite_connector.py:130-234)."""
+    flat = spark.createDataFrame(
+        [
+            ("audi", "a4", "alice", 30000.0),
+            ("audi", "a6", "bob", 40000.0),
+            ("bmw", "i3", "alice", 35000.0),
+        ],
+        "brand string, model string, owner string, price double",
+    )
+    db = SQLiteConnector(spark)
+    db.execute_ddl(CAR_DDL)
+    with db:
+        out = db.load(flat)
+
+    rows = db.connection.execute(
+        """
+        SELECT brand, model, owner, price FROM purchase
+        JOIN car ON purchase.car_id = car.id
+        JOIN brand ON car.brand_id = brand.id
+        JOIN owner ON purchase.owner_id = owner.id
+        ORDER BY price
+        """
+    ).fetchall()
+    assert rows == [
+        ("audi", "a4", "alice", 30000.0),
+        ("bmw", "i3", "alice", 35000.0),
+        ("audi", "a6", "bob", 40000.0),
+    ]
+    # keys on the returned frame came from the database
+    assert out.filter("car_id IS NULL OR owner_id IS NULL").count() == 0
+    # and are genuine sqlite autoincrement values
+    ids = sorted(r[0] for r in db.connection.execute("SELECT id FROM car"))
+    assert ids == [1, 2, 3]
+
+
+def test_idempotent_reload(spark: SparkSession) -> None:
+    flat = spark.createDataFrame(
+        [("audi", "a4", "alice", 30000.0), ("bmw", "i3", "bob", 35000.0)],
+        "brand string, model string, owner string, price double",
+    )
+    db = SQLiteConnector(spark)
+    db.execute_ddl(CAR_DDL)
+    with db:
+        db.load(flat)
+    with db:
+        db.load(flat)
+    counts = {
+        t: db.connection.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+        for t in ("brand", "car", "owner", "purchase")
+    }
+    assert counts == {"brand": 2, "car": 2, "owner": 2, "purchase": 2}
+
+
+def test_uniqueness_conflict_rolls_back_database(
+    spark: SparkSession, tmp_path
+) -> None:
+    """Same UNIQUE key, different payload: the database keeps the row
+    out, the lifecycle reports InsertingDataFailedError, and the FILE is
+    bit-for-bit back at its pre-block state after rollback (reference
+    tests/test_sqlite_connector.py:104-127, 197-204)."""
+    path = str(tmp_path / "conflict.db")
+    db = SQLiteConnector(spark, path)
+    db.execute_ddl(
+        "CREATE TABLE kv (id INTEGER PRIMARY KEY, naam TEXT UNIQUE,"
+        " waarde TEXT);"
+    )
+    with db:
+        db.load(
+            spark.createDataFrame([("a", "1")], "naam string, waarde string")
+        )
+    with pytest.raises(X.InsertingDataFailedError):
+        with db:
+            db.load(
+                spark.createDataFrame(
+                    [("a", "2")], "naam string, waarde string"
+                )
+            )
+    # an INDEPENDENT connection sees only the committed pre-block state
+    fresh = sqlite3.connect(path)
+    assert fresh.execute("SELECT naam, waarde FROM kv").fetchall() == [
+        ("a", "1")
+    ]
+    fresh.close()
+
+
+def test_missing_values_roundtrip(spark: SparkSession) -> None:
+    """NULL payloads survive the lifecycle: the null-safe merge joins
+    NULL keys back (reference tests/test_sqlite_connector.py:237-285)."""
+    flat = spark.createDataFrame(
+        [("audi", "a4"), ("audi", None), ("bmw", None)],
+        "brand string, model string",
+    )
+    db = SQLiteConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE car (
+            id INTEGER PRIMARY KEY,
+            brand_id INTEGER REFERENCES brand (id),
+            model TEXT
+        );
+        """
+    )
+    with db:
+        out = db.load(flat, exact=False)
+    assert out.filter("brand_id IS NULL").count() == 0
+    models = sorted(
+        r[0] or "-" for r in db.connection.execute("SELECT model FROM car")
+    )
+    assert models == ["-", "-", "a4"]
+
+
+def test_introspects_externally_created_database(
+    spark: SparkSession, tmp_path
+) -> None:
+    """D1 executed: a database built by a plain sqlite3 script (not by
+    this engine) introspects into the correct DAG — PK/FK/UNIQUE
+    classification straight from PRAGMAs, including an implicit
+    `REFERENCES t` target resolved to t's primary key."""
+    path = str(tmp_path / "external.db")
+    raw = sqlite3.connect(path)
+    raw.executescript(
+        """
+        CREATE TABLE genre (gid INTEGER PRIMARY KEY, genre TEXT UNIQUE);
+        CREATE TABLE album (
+            id INTEGER PRIMARY KEY,
+            title TEXT UNIQUE,
+            genre_id INTEGER REFERENCES genre
+        );
+        """
+    )
+    raw.commit()
+    raw.close()
+
+    db = SQLiteConnector(spark, path)
+    tables, references = db.fetch_schema()
+    by_name = {t["name"]: t for t in tables}
+    assert by_name["genre"]["primary_key"] == "gid"
+    assert by_name["album"]["foreign_keys"] == ["genre_id"]
+    assert by_name["album"]["unique_constraints"] == [["title"]]
+    assert references == [
+        {
+            "from_table": "album",
+            "from_key": "genre_id",
+            "to_table": "genre",
+            "to_key": "gid",
+        }
+    ]
+
+    # and the introspected schema immediately supports a load
+    with db:
+        db.load(
+            spark.createDataFrame(
+                [("rock", "album1"), ("jazz", "album2")],
+                "genre string, title string",
+            )
+        )
+    assert (
+        db.connection.execute("SELECT count(*) FROM album").fetchone()[0] == 2
+    )
+
+
+def test_composite_primary_key_rejected(spark: SparkSession) -> None:
+    db = SQLiteConnector(spark)
+    db.connection.executescript(
+        "CREATE TABLE pair (a INTEGER, b INTEGER, PRIMARY KEY (a, b));"
+    )
+    with pytest.raises(X.InvalidTableError, match="composite"):
+        db.fetch_schema()
+
+
+def test_planner_errors_surface(spark: SparkSession) -> None:
+    db = SQLiteConnector(spark)
+    with pytest.raises(X.EmptySchemaError):
+        db.load(spark.createDataFrame([("x",)], "a string"))
