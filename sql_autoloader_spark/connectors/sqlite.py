@@ -62,7 +62,12 @@ def _affinity(declared: str | None) -> DataType:
         return StringType()
     if decl == "" or "BLOB" in decl:
         return BinaryType()
-    return DoubleType()  # REAL / FLOA / DOUB and NUMERIC affinity
+    if any(token in decl for token in ("REAL", "FLOA", "DOUB")):
+        return DoubleType()
+    # NUMERIC affinity (DECIMAL, DATE, BOOLEAN, ...): values may be
+    # numbers, ISO strings, or converter-produced objects — surface as
+    # string and let match_dtypes cast to the user frame's type.
+    return StringType()
 
 
 def _coerce(value: object, dtype: DataType) -> object:

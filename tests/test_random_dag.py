@@ -29,7 +29,11 @@ LETTERS = string.ascii_lowercase
 # SQL keywords and Spark reserved-ish names to dodge
 NOT_ALLOWED = {"null", "table", "set", "if", "then", "else", "not", "exists",
                "and", "or", "order", "group", "select", "from", "where", "all",
-               "as", "by", "in", "is", "on", "to", "use", "end", "for", "int"}
+               "as", "by", "in", "is", "on", "to", "use", "end", "for", "int",
+               # SQLite keywords (the same scenarios drive the sqlite sink)
+               "check", "index", "union", "values", "into", "create", "drop",
+               "unique", "primary", "key", "default", "join", "left", "right",
+               "inner", "outer", "limit", "when", "case", "cast", "like"}
 
 
 @st.composite
@@ -168,3 +172,44 @@ def test_random_dag_roundtrip(spark: SparkSession, sc: Scenario) -> None:
     else:
         with db:
             db.load(data, compare=False)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(sc=scenario())
+def test_random_dag_roundtrip_sqlite(spark: SparkSession, sc: Scenario) -> None:
+    """The same randomized scenarios against the LIVE SQLite sink — the
+    reference's own end-to-end simulation on a real database (reference
+    tests/test_sqlite_connector.py:334-446): real DDL, real autoincrement
+    keys, and the generated compare query executed by SQLite."""
+    from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
+
+    data = spark.createDataFrame(
+        sc.rows, ", ".join(f"`{c}` string" for c in sc.columns)
+    )
+    db = SQLiteConnector(spark)
+    db.execute_ddl(sc.ddl)
+    quoted = [f"`{c}`" for c in sc.columns]
+    if sc.no_isolates:
+        with db:
+            db.load(data, compare=True, exact=False)
+        compare_query = db.schema.get_compare_query(sc.columns, quote='"')
+        db_rows = {
+            tuple(r)
+            for r in db._execute_compare_query(compare_query)
+            .select(quoted)
+            .collect()
+        }
+        in_rows = {tuple(r) for r in data.select(quoted).collect()}
+        assert in_rows <= db_rows, (
+            f"round-trip lost rows\nquery:\n{compare_query}"
+        )
+    else:
+        with db:
+            db.load(data, compare=False)
+    db.close()

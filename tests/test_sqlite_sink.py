@@ -207,3 +207,40 @@ def test_planner_errors_surface(spark: SparkSession) -> None:
     db = SQLiteConnector(spark)
     with pytest.raises(X.EmptySchemaError):
         db.load(spark.createDataFrame([("x",)], "a string"))
+
+
+def test_custom_dtypes_date_roundtrip(spark: SparkSession) -> None:
+    """allow_custom_dtypes parity (reference sqlite_connector.py:156-193):
+    with PARSE_DECLTYPES on and user-registered sqlite3 adapters, a
+    DATE-declared column round-trips DateType values through the load;
+    match_dtypes re-casts the read-back values to the user frame's type."""
+    import datetime
+
+    sqlite3.register_adapter(datetime.date, lambda d: d.isoformat())
+    sqlite3.register_converter(
+        "DATE", lambda b: datetime.date.fromisoformat(b.decode())
+    )
+    flat = spark.createDataFrame(
+        [("alice", datetime.date(2021, 3, 14)), ("bob", datetime.date(2022, 7, 1))],
+        "owner string, bought DATE",
+    )
+    db = SQLiteConnector(spark, allow_custom_dtypes=True)
+    db.execute_ddl(
+        """
+        CREATE TABLE owner (id INTEGER PRIMARY KEY, owner TEXT UNIQUE);
+        CREATE TABLE sale (
+            owner_id INTEGER REFERENCES owner (id),
+            bought DATE
+        );
+        """
+    )
+    with db:
+        out = db.load(flat)
+    assert out.filter("owner_id IS NULL").count() == 0
+    stored = db.connection.execute(
+        "SELECT bought FROM sale ORDER BY bought"
+    ).fetchall()
+    assert stored == [
+        (datetime.date(2021, 3, 14),),
+        (datetime.date(2022, 7, 1),),
+    ]
