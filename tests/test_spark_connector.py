@@ -412,3 +412,69 @@ def test_load_plain_insert_conflict_surfaces_through_compare(
     with pytest.raises(InsertingDataFailedError), db:
         db.load(conflicting)
     assert db._read_table("a").count() == 2
+
+
+def test_load_with_where_filtered_compare(spark: SparkSession) -> None:
+    """E4 `where` passthrough (reference schema.py:463-464,576 +
+    connector.py:344-345): when the target tables already hold earlier
+    loads, an exact compare of a new incremental load only succeeds with
+    a WHERE narrowing the reconstruction to the new slice."""
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE w_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE w_car (
+            id INTEGER PRIMARY KEY,
+            brand_id INTEGER REFERENCES w_brand (id),
+            model TEXT UNIQUE
+        );
+        """
+    )
+    first = spark.createDataFrame(
+        [("audi", "a4")], "brand string, model string"
+    )
+    second = spark.createDataFrame(
+        [("bmw", "i3")], "brand string, model string"
+    )
+    with db:
+        db.load(first)
+
+    from sql_autoloader_spark.exceptions import CompareNoExactMatchError
+
+    with pytest.raises(CompareNoExactMatchError):
+        with db:
+            db.load(second, exact=True)
+
+    # narrowed to its own slice, the exact compare passes (reference
+    # convention: the caller passes the full clause incl. the WHERE
+    # keyword, columns prefixed with their table — README.md:169)
+    with db:
+        db.load(second, where="WHERE w_brand.brand = 'bmw'", exact=True)
+    assert spark.table("w_brand").count() == 2
+    assert spark.table("w_car").count() == 2
+
+
+def test_load_with_user_compare_query(spark: SparkSession) -> None:
+    """E4 user-supplied query passthrough (reference connector.py:343):
+    a hand-written reconstruction replaces the generated one."""
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE u_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE u_car (
+            id INTEGER PRIMARY KEY,
+            brand_id INTEGER REFERENCES u_brand (id),
+            model TEXT UNIQUE
+        );
+        """
+    )
+    data = spark.createDataFrame(
+        [("audi", "a4"), ("bmw", "i3")], "brand string, model string"
+    )
+    query = (
+        "SELECT u_brand.brand AS brand, u_car.model AS model "
+        "FROM u_car LEFT JOIN u_brand ON u_car.brand_id = u_brand.id"
+    )
+    with db:
+        db.load(data, compare_query=query)
+    assert spark.table("u_car").count() == 2
