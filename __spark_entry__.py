@@ -1548,6 +1548,22 @@ def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize normalization through Arrow-batched ``mapInPandas`` (stub
+    codec, real plumbing): every asset lands at the fixed target shape.
+    The oracle computes the expected output size arithmetically
+    (width*height/64 bytes per asset) — an end-to-end check on the
+    per-batch map stage."""
+    media = _media_frame(spark, sf_dir)
+    out = multimodal.resize_images(media, width=224, height=224)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("resized").cast("bigint").alias("out_bytes"),
+    )
+
+
 def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media via stub decode → feature vector → LSH
     bucketing (rows-only: feature space is the stub byte histogram)."""
@@ -1986,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
+        "media_resize": q_media_resize,
         # rows-only (Spark-specific hashing / estimation)
         "events_approx_users": q_events_approx_users,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -2833,6 +2850,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(octet_length(encode(text)),
                               least(4, greatest(octet_length(encode(text)) // 64, 1))
                               * 64) AS BIGINT) AS frame_bytes
+            FROM documents
+        """,
+        "media_resize": """
+            SELECT doc_id AS media_id,
+                   CAST(224 AS INTEGER) AS width,
+                   CAST(224 AS INTEGER) AS height,
+                   CAST(224 * 224 // 64 AS BIGINT) AS out_bytes
             FROM documents
         """,
         "events_gapfill_hourly": """

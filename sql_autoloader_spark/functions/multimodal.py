@@ -133,6 +133,52 @@ def extract_features(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
     )
 
 
+def resize_images(
+    df: DataFrame,
+    *,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize assets to a fixed shape via Arrow-batched ``mapInPandas`` —
+    the standard pre-training normalization stage (decode → scale →
+    re-encode).  The codec call is STUBBED (no image libs in this
+    container): the fake "resized" payload is a deterministic function of
+    the input bytes and target shape, but the Spark-side plumbing —
+    schema ``(media_id, width, height, resized binary)``, per-batch
+    streaming, null passthrough — is the production shape.  Swap the
+    body of ``_fake_resize`` for PIL/libvips on a real cluster.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def _fake_resize(content: bytes) -> bytes:
+        # deterministic stand-in: tile/truncate the payload to w*h bytes
+        target = max(width * height // 64, 1)
+        reps = (target // max(len(content), 1)) + 1
+        return (content * reps)[:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized": [
+                        _fake_resize(c) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, resized binary"
+        ),
+    )
+
+
 def sample_frames(
     df: DataFrame,
     *,

@@ -276,6 +276,19 @@ def test_media_neardup(spark: SparkSession, media) -> None:
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
 
 
+def test_resize_images(spark: SparkSession, media) -> None:
+    out = multimodal.resize_images(media, width=16, height=16).collect()
+    assert len(out) == 3
+    rows = {r["media_id"]: r for r in out}
+    target = 16 * 16 // 64
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 16)
+        assert len(r["resized"]) == target
+    # deterministic: identical content resizes identically
+    assert bytes(rows[1]["resized"]) == bytes(rows[2]["resized"])
+    assert bytes(rows[1]["resized"]) != bytes(rows[3]["resized"])
+
+
 def test_sample_frames(spark: SparkSession, media) -> None:
     out = multimodal.sample_frames(
         media.where(F.col("media_type") == "video"),
