@@ -14,7 +14,11 @@ planning runs on the driver.
 """
 
 from sql_autoloader_spark import exceptions
-from sql_autoloader_spark.connectors import JDBCConnector, SparkConnector
+from sql_autoloader_spark.connectors import (
+    JDBCConnector,
+    SparkConnector,
+    SQLiteConnector,
+)
 from sql_autoloader_spark.schema import (
     LoadInstructions,
     Reference,
@@ -26,6 +30,7 @@ __all__ = [
     "JDBCConnector",
     "LoadInstructions",
     "Reference",
+    "SQLiteConnector",
     "Schema",
     "SparkConnector",
     "Table",
