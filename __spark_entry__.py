@@ -491,6 +491,33 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: exact cosine near-dup
+    pairs at engine-invariant rounded precision → connected components →
+    cluster labels joined onto document metadata (embeddings.vec_id is
+    documents.doc_id in the fixtures).  At 100 TB the pair source swaps
+    to the LSH-bucketed variant (``emb_neardup_lsh``); the CC step and
+    the per-cluster policy are unchanged — only candidate generation
+    scales differently."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.4)
+    )
+    comp = dedup.connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return comp.join(docs, comp["id"] == docs["doc_id"]).select(
+        "doc_id", "component", "lang", "n_chars"
+    )
+
+
 def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup pipeline: candidate pairs → connected components →
     keep-one-per-cluster policy (longest document wins, doc_id breaks
@@ -1946,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "docs_semantic_clusters": q_docs_semantic_clusters,
         "emb_cosine_topk": q_emb_cosine_topk,
         "events_hourly": q_events_hourly,
         "events_dedup_first": q_events_dedup_first,
@@ -2302,6 +2330,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
             )
             SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+        """,
+        "docs_semantic_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND round(
+                       list_sum(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)
+                       ))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       6) >= 0.4
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            n AS (SELECT DISTINCT a AS id FROM e),
+            reach AS (
+                SELECT id, id AS r FROM n
+                UNION
+                SELECT reach.id, e.b AS r FROM reach JOIN e ON e.a = reach.r
+            ),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+            SELECT comp.id AS doc_id, comp.component, d.lang, d.n_chars
+            FROM comp JOIN documents d ON comp.id = d.doc_id
         """,
         "emb_cosine_topk": """
             WITH scored AS (
