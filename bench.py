@@ -97,11 +97,11 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-3: the container shares a noisy host (identical code
-        # measures ±50% across runs); the minimum measures the code, the
-        # max measures the neighbors
+        # best-of-4: the container shares a noisy host (identical code
+        # measures up to 4x apart across runs); the minimum measures the
+        # code, the rest measure the neighbors
         best, n = None, 0
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             n = df.count()
