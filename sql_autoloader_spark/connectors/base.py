@@ -59,6 +59,15 @@ class BaseConnector(ABC):
     #: identifier quote character for generated SQL (Spark: backtick)
     _quote: str = "`"
 
+    #: broadcast the key-retrieval scan.  It is dimension-sized by the
+    #: loader's model (pk + natural key of a keyed table), and the merge
+    #: joins it on the RIGHT of a fact-preserving left join, so a
+    #: broadcast build is legal — without the hint the static planner has
+    #: no size stats for the pinned appends and shuffles the fact side
+    #: into a SortMergeJoin.  Sinks with dimension tables too big to
+    #: broadcast set this False and let AQE pick the join at runtime.
+    _broadcast_dims: bool = False
+
     # -- physical primitives (per sink) -------------------------------------
 
     @abstractmethod
@@ -71,9 +80,20 @@ class BaseConnector(ABC):
 
     @abstractmethod
     def _write_new_rows(
-        self, table: str, new_rows: DataFrame, columns: list[str]
+        self,
+        table: str,
+        new_rows: DataFrame,
+        columns: list[str],
+        *,
+        payload_bound: int | None = None,
     ) -> None:
-        """Idempotently insert *new_rows* (distinct, restricted to *columns*)."""
+        """Idempotently insert *new_rows* (distinct, restricted to *columns*).
+
+        ``payload_bound``, when the caller knows it, is an UPPER bound on
+        the payload's row count (``load`` threads its running input count
+        through every step) — sinks may use it to pick a physical
+        strategy (e.g. surrogate-key ranking) without running a count job.
+        """
 
     @abstractmethod
     def _execute_compare_query(self, query: str) -> DataFrame:
@@ -123,6 +143,7 @@ class BaseConnector(ABC):
         _deduped: bool = False,
         _check_covered_by_merge: bool = False,
         _check_covered_by_compare: bool = False,
+        _known_count: int | None = None,
     ) -> None:
         """Insert the table's share of *data*, then verify it landed.
 
@@ -155,14 +176,22 @@ class BaseConnector(ABC):
             raise AssertionError(msg)
 
         logger.debug("Inserting %s into %s", common, table)
-        payload = ops.distinct_rows(data, common)
+        # A full-width projection of an already-deduplicated frame is
+        # already distinct — skip the per-insert dedup shuffle (the fact
+        # table of a star load takes every running column, so this saves
+        # one full shuffle of the fact per load).
+        payload = ops.distinct_rows(
+            data,
+            common,
+            already_distinct=_deduped and set(common) == set(data.columns),
+        )
         # must be decided BEFORE the write flips the sink's emptiness state
         skip_check = (
             _check_covered_by_merge
             or _check_covered_by_compare
             or self._insert_verification_unneeded(table, payload, common)
         )
-        self._write_new_rows(table, payload, common)
+        self._write_new_rows(table, payload, common, payload_bound=_known_count)
         if skip_check:
             return
 
@@ -234,6 +263,11 @@ class BaseConnector(ABC):
             F.col(primary_key).alias(alias),
             *[F.col(c) for c in common],
         )
+        if self._broadcast_dims:
+            # dimension-sized by construction: pk + natural key of a keyed
+            # table.  Without the hint the static planner shuffles the
+            # (fact-sized) data side into a SortMergeJoin.
+            db_fetch = F.broadcast(db_fetch)
 
         db_data = ops.match_dtypes(db_fetch, data)
         joined = ops.merge_join(data, db_data)
@@ -299,6 +333,7 @@ class BaseConnector(ABC):
             columns=columns,
             _deduped=deduped,
             _check_covered_by_merge=True,
+            _known_count=known_count,
         )
         try:
             return self._retrieve_ids_counted(
@@ -431,6 +466,7 @@ class BaseConnector(ABC):
                 **params,
                 _deduped=True,
                 _check_covered_by_compare=compare_covers,
+                _known_count=running,
             )
 
         if compare:

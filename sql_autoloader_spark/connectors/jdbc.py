@@ -229,7 +229,12 @@ class JDBCConnector(BaseConnector):
         )
 
     def _write_new_rows(
-        self, table: str, new_rows: DataFrame, columns: list[str]
+        self,
+        table: str,
+        new_rows: DataFrame,
+        columns: list[str],
+        *,
+        payload_bound: int | None = None,
     ) -> None:
         existing = self._read_table(table)
         anti_keys = [

@@ -18,13 +18,17 @@ and are re-expressed here:
 2. **Surrogate keys** (DB autoincrement, read back via
    sqlite_connector.py:45-61): two strategies —
    ``key_strategy="row_number"`` (default) computes ``max(existing id) +
-   row_number() over (order by natural key)`` on the *new rows only*;
-   keyed tables are dimension/linking tables, so the single-partition
-   window covers just this load's novel dimension members (small), while
-   the max-scan stays distributed.  ``key_strategy="hash64"`` assigns
-   ``xxhash64(natural key)`` — fully distributed and deterministic, for
-   billion-row entity tables where even the novel-rows window would be a
-   bottleneck (collision probability ~n^2/2^65).
+   dense rank ordered by the natural key`` on the *new rows only*.  The
+   rank is a single-partition window only when the payload is provably
+   small (``load`` threads its input count through as an upper bound);
+   large or unknown payloads take a distributed range-partitioned
+   ranking with per-partition offsets — identical ids, no single-task
+   sort, scales to billion-member first bulk loads.  The max-id scan is
+   fused into the write lineage as a broadcast cross-join (no driver
+   round-trip per table).  ``key_strategy="hash64"`` assigns
+   ``xxhash64(natural key)`` — no ordering pass at all, for pipelines
+   that don't need dense sequential ids (collision probability
+   ~n^2/2^65).
 
 3. **Transactions** (commit/rollback around the ``with`` block,
    sqlite_connector.py:197-204): writes accumulate as *pending appends*
@@ -80,6 +84,15 @@ class SparkConnector(BaseConnector):
         joins, key retrieval, and generated compare queries all see the
         user-typed values.  E.g. store ``array<int>`` in a TEXT column:
         ``{"tags": (F.to_json, lambda c: F.from_json(c, "array<int>"))}``.
+    broadcast_dims:
+        Broadcast the dimension side of the loader's joins (the key
+        retrieval merge and the generated compare's dim joins) instead of
+        letting the static planner pick SortMergeJoin — pinned appends
+        carry no size statistics, so without the hint every key merge
+        shuffles the *fact* side.  Default True: keyed tables are
+        dimension tables in a star load.  Set False for billion-member
+        dimension tables that exceed executor broadcast memory; AQE then
+        re-plans small joins at runtime instead.
     partition_by:
         ``{table_name: [column, ...]}`` — physical partitioning for
         managed catalog tables (the 100 TB layout knob the reference's
@@ -99,10 +112,24 @@ class SparkConnector(BaseConnector):
         key_strategy: Literal["row_number", "hash64"] = "row_number",
         dtype_adapters: dict[str, tuple] | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        broadcast_dims: bool = True,
     ) -> None:
         self.spark = spark
         self.database = database
         self.key_strategy = key_strategy
+        self._broadcast_dims = broadcast_dims
+        # The generated compare query's joins are dim-preserving LeftOuter
+        # with the fact on the RIGHT — a shape whose small (dim) side is
+        # not a legal broadcast build side, so the static planner and
+        # plain AQE both leave a SortMergeJoin that sorts the fact.  With
+        # this threshold set, AQE converts those SMJs to shuffled-hash
+        # joins building the dim-side map (legal since SPARK-36612) —
+        # the fact still shuffles (inherent to dim-preserving semantics)
+        # but is never sorted.  Only set when unset so an explicit user
+        # configuration wins.
+        _shj_key = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+        if spark.conf.get(_shj_key, "0b").lower().rstrip("bkmg") in ("0", ""):
+            spark.conf.set(_shj_key, "64m")
         self.dtype_adapters = dtype_adapters or {}
         self.partition_by = partition_by or {}
         #: DDL-derived metadata per table
@@ -192,11 +219,8 @@ class SparkConnector(BaseConnector):
         self._register_views()
 
     def _create_table(self, parsed: ParsedTable) -> None:
-        ddl_schema = ", ".join(f"`{c}` {t}" for c, t in parsed.column_types)
-        empty = self.spark.createDataFrame([], schema=ddl_schema)
-        self._meta[parsed.name] = parsed
-        self._appends.setdefault(parsed.name, [])
-
+        # validate BEFORE mutating connector state: a failed execute_ddl
+        # must not leave a half-registered table behind
         declared = {c for c, _t in parsed.column_types}
         if unknown := [
             c for c in self.partition_by.get(parsed.name, []) if c not in declared
@@ -206,6 +230,11 @@ class SparkConnector(BaseConnector):
                 f"{unknown} not declared in its DDL."
             )
             raise ValueError(msg)
+
+        ddl_schema = ", ".join(f"`{c}` {t}" for c, t in parsed.column_types)
+        empty = self.spark.createDataFrame([], schema=ddl_schema)
+        self._meta[parsed.name] = parsed
+        self._appends.setdefault(parsed.name, [])
 
         # CREATE TABLE IF NOT EXISTS semantics: re-running a DDL script
         # against content this connector already tracks (or a populated
@@ -343,7 +372,12 @@ class SparkConnector(BaseConnector):
         return frame
 
     def _write_new_rows(
-        self, table: str, new_rows: DataFrame, columns: list[str]
+        self,
+        table: str,
+        new_rows: DataFrame,
+        columns: list[str],
+        *,
+        payload_bound: int | None = None,
     ) -> None:
         meta = self._meta[table]
         declared = dict(meta.column_types)
@@ -415,7 +449,12 @@ class SparkConnector(BaseConnector):
             )
 
         payload = self._with_surrogate_key(
-            table, payload, columns, existing, known_empty=table_known_empty
+            table,
+            payload,
+            columns,
+            existing,
+            known_empty=table_known_empty,
+            payload_bound=payload_bound,
         )
 
         # widen to the full declared schema (absent columns -> typed nulls)
@@ -429,15 +468,19 @@ class SparkConnector(BaseConnector):
         )
         # Pin the new rows: surrogate keys and the anti-join are computed
         # against current content and must not change under lineage replay.
-        # The lineage is deterministic (the max-id is a baked-in Python
-        # value, `existing` is a snapshot of stable committed frames, and
-        # row_number orders by the full distinct natural key), so a LAZY
+        # The lineage is deterministic (`existing` is a snapshot of stable
+        # committed frames, the fused max-id aggregates that snapshot, and
+        # the rank orders by the full distinct natural key), so a LAZY
         # checkpoint is safe — it materializes inside the first consuming
         # job (the post-insert check or the key-retrieval merge) instead of
         # costing a dedicated eager job per table.
         full = full.localCheckpoint(eager=False)
         self._appends.setdefault(table, []).append(full)
         self._register_view(table)
+
+    #: payloads whose known upper bound exceeds this use the distributed
+    #: (range-partitioned) ranking instead of a single-partition window
+    max_window_rows: int = 8_000_000
 
     def _with_surrogate_key(
         self,
@@ -447,6 +490,7 @@ class SparkConnector(BaseConnector):
         existing: DataFrame,
         *,
         known_empty: bool = False,
+        payload_bound: int | None = None,
     ) -> DataFrame:
         meta = self._meta[table]
         pk = meta.primary_key
@@ -457,16 +501,82 @@ class SparkConnector(BaseConnector):
             return payload.withColumn(
                 pk, F.xxhash64(*[F.col(f"`{c}`") for c in columns])
             )
-        max_id = (
-            0
-            if known_empty
-            else existing.agg(
-                F.coalesce(F.max(F.col(pk)), F.lit(0)).alias("m")
-            ).first()["m"]
+
+        # row_number strategy: ids are max(existing) + dense rank ordered
+        # by the natural key.  Two physical shapes, identical ids:
+        # - small payloads (bound known and under max_window_rows, the
+        #   incremental-dimension-load case): one single-partition window
+        #   over just this load's novel members;
+        # - large/unknown bulk loads: range-partition on the natural key,
+        #   rank within partitions, and add per-partition offsets — two
+        #   full shuffles, no single-task sort, scales to billions of
+        #   members.  (``load`` threads its input count through as the
+        #   bound; a standalone ``insert`` has no bound and takes the
+        #   distributed path, which is always safe.)
+        small = payload_bound is not None and payload_bound <= self.max_window_rows
+        sort_cols = [F.col(f"`{c}`") for c in columns]
+        if small:
+            numbered = payload.withColumn(
+                "__rn", F.row_number().over(Window.orderBy(*sort_cols))
+            )
+        else:
+            numbered = self._distributed_rank(payload, columns)
+
+        if known_empty:
+            return numbered.withColumn(
+                pk, F.col("__rn").cast("bigint")
+            ).drop("__rn")
+        # Fused max-id: a broadcast cross-join against the 1-row aggregate
+        # keeps the scan inside the write lineage (materialized with the
+        # pinned append by its first consuming job) instead of a blocking
+        # driver-side ``first()`` per keyed table.
+        base = existing.agg(
+            F.coalesce(F.max(F.col(pk)), F.lit(0)).cast("bigint").alias("__max_id")
         )
-        window = Window.orderBy(*[F.col(f"`{c}`") for c in columns])
-        return payload.withColumn(
-            pk, (F.row_number().over(window) + F.lit(max_id)).cast("bigint")
+        return (
+            numbered.crossJoin(F.broadcast(base))
+            .withColumn(pk, (F.col("__rn") + F.col("__max_id")).cast("bigint"))
+            .drop("__rn", "__max_id")
+        )
+
+    def _distributed_rank(self, payload: DataFrame, columns: list[str]) -> DataFrame:
+        """Dense 1-based rank by the natural key, no single-partition window.
+
+        Range-partition on the key (global order across partitions), tag
+        rows with their partition id, rank within each partition, and add
+        the running sum of preceding partition counts.  The count branch
+        and the window branch consume the same range exchange (Catalyst's
+        ReuseExchange), so the payload is computed and range-shuffled
+        once; the per-partition counts frame has one row per partition
+        and is broadcast back.
+        """
+        sort_cols = [F.col(f"`{c}`") for c in columns]
+        n_parts = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        ranged = payload.repartitionByRange(n_parts, *sort_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+        offsets = counts.withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        ).select("__pid", "__off")
+        within = F.row_number().over(
+            Window.partitionBy("__pid").orderBy(*sort_cols)
+        )
+        return (
+            ranged.withColumn("__wrn", within)
+            .join(F.broadcast(offsets), on="__pid")
+            .withColumn("__rn", F.col("__wrn") + F.col("__off"))
+            .drop("__pid", "__wrn", "__off")
         )
 
     def _execute_compare_query(self, query: str) -> DataFrame:

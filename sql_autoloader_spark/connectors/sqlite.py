@@ -248,7 +248,12 @@ class SQLiteConnector(BaseConnector):
         return self.spark.createDataFrame(rows, schema)
 
     def _write_new_rows(
-        self, table: str, new_rows: DataFrame, columns: list[str]
+        self,
+        table: str,
+        new_rows: DataFrame,
+        columns: list[str],
+        *,
+        payload_bound: int | None = None,
     ) -> None:
         """Idempotent insert, two layers deep:
 

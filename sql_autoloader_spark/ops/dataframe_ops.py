@@ -101,14 +101,22 @@ def has_nulls(data: DataFrame) -> bool:
     return count_and_has_nulls(data)[1]
 
 
-def distinct_rows(data: DataFrame, columns: list[str]) -> DataFrame:
+def distinct_rows(
+    data: DataFrame, columns: list[str], *, already_distinct: bool = False
+) -> DataFrame:
     """Distinct projection — the insert payload (reference ``get_rows``,
-    dataframe_operations.py:59-76) kept distributed instead of collected."""
+    dataframe_operations.py:59-76) kept distributed instead of collected.
+
+    ``already_distinct``: the caller asserts the projection cannot hold
+    duplicates (it projects *every* column of a deduplicated frame), so
+    the dedup shuffle is skipped.
+    """
     missing = [c for c in columns if c not in data.columns]
     if missing:
         msg = f"Columns {missing} do not appear in the DataFrame."
         raise AssertionError(msg)
-    return data.select([_col(data, c) for c in columns]).distinct()
+    projected = data.select([_col(data, c) for c in columns])
+    return projected if already_distinct else projected.distinct()
 
 
 def match_dtypes(db_data: DataFrame, like: DataFrame) -> DataFrame:

@@ -245,6 +245,14 @@ class Schema:
         whose path covers the most missing tables.  The emitted SQL is
         dialect-neutral except for identifier quoting (``quote``): the
         reference dialects use double quotes, Spark SQL uses backticks.
+
+        Physical note (Spark): the spine walks dim → fact, so every join
+        is dim-preserving LeftOuter with the bigger relation on the right
+        — a shape whose left (dim) side cannot be a broadcast build side.
+        ``SparkConnector`` therefore enables AQE's SMJ→shuffled-hash
+        conversion so the runtime builds the dim-side hash map instead of
+        sorting the fact (see spark_catalog.py); the SQL itself stays
+        dialect-neutral.
         """
         where_clause = f"\n{where}" if where is not None else ""
 
@@ -277,7 +285,6 @@ class Schema:
         select_lines = [
             f"{prefixed} as {quote}{alias}{quote}" for prefixed, alias in select_pairs
         ]
-        select_clause = "SELECT\n" + ",\n".join(select_lines)
 
         if len(tables) == 1:
             join_clause = f"\nFROM {tables[0]}"
@@ -325,6 +332,7 @@ class Schema:
             ]
             join_clause = f"\nFROM {join_tables[0]}\n" + "\n".join(join_lines)
 
+        select_clause = "SELECT\n" + ",\n".join(select_lines)
         return select_clause + join_clause + where_clause
 
     def parse_insert(self, table_name: str, columns: list[str]) -> list[str]:

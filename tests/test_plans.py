@@ -155,3 +155,56 @@ def test_salted_join_matches_plain_join(spark: SparkSession) -> None:
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_loader_fact_merge_broadcasts_dim_fetch(
+    spark: SparkSession, monkeypatch: pytest.MonkeyPatch
+) -> None:
+    """The loader's key-retrieval merge must broadcast the dimension key
+    fetch (fact ⟕ dim, BuildRight) — never shuffle the fact side into a
+    SortMergeJoin — and the generated compare's final AQE plan must not
+    sort-merge either (the dim side converts to a hash build at runtime)."""
+    import sql_autoloader_spark.connectors.base as base_mod
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.ops import dataframe_ops as ops
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE pl_etype (id INTEGER PRIMARY KEY, event_type TEXT UNIQUE);
+        CREATE TABLE pl_event (
+            event_id BIGINT,
+            etype_id INTEGER REFERENCES pl_etype (id),
+            value DOUBLE
+        );
+        """
+    )
+    merged = []
+    orig = ops.check_merge_invariants
+
+    def spy(frame, *args, **kwargs):  # noqa: ANN002, ANN003, ANN202
+        merged.append(frame)
+        return orig(frame, *args, **kwargs)
+
+    monkeypatch.setattr(base_mod.ops, "check_merge_invariants", spy)
+    with db:
+        db.load(ev)
+
+    assert merged, "no merge ran"
+    merge_plan = merged[0]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in merge_plan
+    assert "SortMergeJoin" not in merge_plan
+
+    cmp_df = spark.sql(
+        db.schema.get_compare_query(
+            ["event_type", "event_id", "value"], quote="`"
+        )
+    )
+    cmp_df.collect()
+    final = cmp_df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    final_section = final.split("Initial Plan")[0]
+    assert "SortMergeJoin" not in final_section

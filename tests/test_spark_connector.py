@@ -478,3 +478,57 @@ def test_load_with_user_compare_query(spark: SparkSession) -> None:
     with db:
         db.load(data, compare_query=query)
     assert spark.table("u_car").count() == 2
+
+
+def test_distributed_rank_ids_match_window_path(spark: SparkSession) -> None:
+    """Forcing the distributed (range-partitioned) surrogate ranking must
+    produce byte-identical tables to the single-partition window path:
+    dense 1-based ids ordered by the natural key."""
+    ddl = """
+    CREATE TABLE rk_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);
+    CREATE TABLE rk_fact (word_id INTEGER REFERENCES rk_dim (id), n BIGINT);
+    """
+    data = spark.range(500).selectExpr(
+        "concat('w', lpad(cast(id % 97 as string), 3, '0')) as word",
+        "id as n",
+    )
+
+    def load_with(max_window: int):
+        db = SparkConnector(spark)
+        db.max_window_rows = max_window
+        db.execute_ddl(ddl)
+        with db:
+            db.load(data)
+        dim = sorted(map(tuple, spark.table("rk_dim").collect()))
+        fact = sorted(map(tuple, spark.table("rk_fact").collect()))
+        return dim, fact
+
+    window_dim, window_fact = load_with(10_000_000)  # single-partition window
+    dist_dim, dist_fact = load_with(0)  # distributed ranking for everything
+
+    assert window_dim == dist_dim
+    assert window_fact == dist_fact
+    # dense 1-based ids, ordered by the natural key
+    ids = [row[0] for row in sorted(window_dim, key=lambda r: r[1])]
+    assert ids == list(range(1, 98))
+
+
+def test_distributed_rank_continues_after_existing_rows(
+    spark: SparkSession,
+) -> None:
+    """Incremental load on the distributed path: new members get ids
+    continuing past max(existing) via the fused (lineage-side) max scan."""
+    db = SparkConnector(spark)
+    db.max_window_rows = 0
+    db.execute_ddl(
+        "CREATE TABLE rk2_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);"
+    )
+    first = spark.createDataFrame([("a",), ("b",)], ["word"])
+    second = spark.createDataFrame([("b",), ("c",), ("d",)], ["word"])
+    with db:
+        db.load(first)
+    with db:
+        # exact compare would flag the stale member 'a' from load 1
+        db.load(second, compare=False)
+    rows = sorted(map(tuple, spark.table("rk2_dim").collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
