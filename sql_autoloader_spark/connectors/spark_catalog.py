@@ -36,7 +36,12 @@ and are re-expressed here:
    block sees committed + pending (a transaction sees its own writes).
    Clean ``__exit__`` promotes pending to committed (physical mode:
    one ``append`` write per table — never a rewrite); an exception
-   discards pending, restoring the entry state.
+   discards pending, restoring the entry state.  Managed-catalog
+   commits are atomic ACROSS tables via a manifest-commit protocol:
+   appended rows carry a hidden commit-epoch column and stay invisible
+   until a single-row append to a journal table flips the whole
+   transaction at once (see :meth:`commit`); crashes leave only
+   invisible orphans, swept at the next connector open.
 """
 
 from __future__ import annotations
@@ -56,6 +61,11 @@ if TYPE_CHECKING:
     from typing import Self
 
 _PROP_PREFIX = "sql_autoloader."
+
+#: hidden epoch column on managed tables (manifest-commit protocol)
+_COMMIT_COL = "__commit_id"
+#: per-database journal table: one row per durable commit epoch
+_JOURNAL = "__sql_autoloader_commits"
 
 
 class SparkConnector(BaseConnector):
@@ -146,10 +156,14 @@ class SparkConnector(BaseConnector):
         #: Conservative: catalog-loaded tables are never assumed empty.
         self._committed_empty: dict[str, bool] = {}
         self._in_tx = False
+        #: highest commit epoch the journal records as durable (managed mode)
+        self._durable_max = 0
 
         if database is not None:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+            self._init_journal()
             self._load_catalog_state()
+            self._recover_orphans()
 
         self.schema = self.get_schema()
         self._register_views()
@@ -168,21 +182,37 @@ class SparkConnector(BaseConnector):
             self.rollback()
 
     def commit(self) -> None:
-        """Promote pending appends to committed content."""
-        for table, appends in self._appends.items():
-            if not appends:
-                continue
-            self._committed_empty[table] = False
-            new_rows = appends[0]
-            for extra in appends[1:]:
-                new_rows = new_rows.unionByName(extra)
-            if self.database is not None:
-                writer = new_rows.write.mode("append")
-                if parts := self.partition_by.get(table):
-                    writer = writer.partitionBy(*parts)
-                writer.saveAsTable(self._qualified(table))
-                self._committed[table] = self.spark.table(self._qualified(table))
-            else:
+        """Promote pending appends to committed content.
+
+        Managed-catalog mode commits ALL tables atomically via a
+        manifest-commit protocol (the plain-Spark-tables restatement of
+        how manifest-based table formats get multi-file atomicity, and
+        the analogue of the reference's whole-block DB transaction,
+        sqlite_connector.py:197-204): rows land tagged with the next
+        commit epoch — invisible, because every read filters by the
+        journal's durable maximum — and the transaction becomes visible
+        in ONE final step, appending that epoch to the single-row-write
+        journal table.  A crash before the flip leaves only invisible
+        orphan rows (swept on the next connector open); a failure during
+        the appends additionally triggers an immediate sweep.
+        """
+        pending = {t: a for t, a in self._appends.items() if a}
+        if self.database is not None:
+            if pending:
+                try:
+                    self._commit_managed(pending)
+                except BaseException:
+                    # a failed commit rolls back to the entry state —
+                    # pending writes are discarded, matching the
+                    # reference's whole-block rollback
+                    self.rollback()
+                    raise
+        else:
+            for table, appends in pending.items():
+                self._committed_empty[table] = False
+                new_rows = appends[0]
+                for extra in appends[1:]:
+                    new_rows = new_rows.unionByName(extra)
                 # The appended frames are already individually pinned
                 # (localCheckpoint in _write_new_rows), so the union is a
                 # shallow lineage over materialized partitions — cheap to
@@ -198,10 +228,105 @@ class SparkConnector(BaseConnector):
         self._appends = {t: [] for t in self._meta}
         self._register_views()
 
+    def _commit_managed(self, pending: dict[str, list[DataFrame]]) -> None:
+        cid = self._durable_max + 1
+        done: list[str] = []
+        try:
+            for table, appends in pending.items():
+                new_rows = appends[0]
+                for extra in appends[1:]:
+                    new_rows = new_rows.unionByName(extra)
+                self._append_epoch(table, new_rows, cid)
+                done.append(table)
+            # THE atomic flip: a single-row append to one table.  Until
+            # this lands, nothing above is visible to any read.
+            self.spark.createDataFrame(
+                [(cid,)], "`commit_id` BIGINT"
+            ).write.mode("append").saveAsTable(self._qualified(_JOURNAL))
+        except BaseException:
+            # best-effort immediate sweep; open-time recovery covers a
+            # crash that prevents even this
+            self._sweep_orphans(done)
+            raise
+        self._durable_max = cid
+        for table in pending:
+            self._committed_empty[table] = False
+            self._committed[table] = self._committed_view(table)
+
     def rollback(self) -> None:
         """Discard pending appends — tables revert to the entry state."""
         self._appends = {t: [] for t in self._meta}
         self._register_views()
+
+    # -- manifest-commit machinery (managed-catalog mode) ---------------------
+
+    def _append_epoch(self, table: str, new_rows: DataFrame, cid: int) -> None:
+        writer = new_rows.withColumn(
+            _COMMIT_COL, F.lit(cid).cast("bigint")
+        ).write.mode("append")
+        if parts := self.partition_by.get(table):
+            writer = writer.partitionBy(*parts)
+        writer.saveAsTable(self._qualified(table))
+
+    def _init_journal(self) -> None:
+        qualified = self._qualified(_JOURNAL)
+        if not self.spark.catalog.tableExists(qualified):
+            self.spark.createDataFrame([], "`commit_id` BIGINT").write.mode(
+                "ignore"
+            ).saveAsTable(qualified)
+        row = (
+            self.spark.table(qualified)
+            .agg(F.max("commit_id").alias("m"))
+            .first()
+        )
+        self._durable_max = row["m"] or 0
+
+    def _committed_view(self, table: str) -> DataFrame:
+        """The durable content of a managed table: epoch-filtered, hidden
+        column dropped.  (Legacy tables without the column pass through.)"""
+        frame = self.spark.table(self._qualified(table))
+        if _COMMIT_COL not in frame.columns:
+            return frame
+        return frame.where(
+            F.col(_COMMIT_COL) <= F.lit(self._durable_max)
+        ).drop(_COMMIT_COL)
+
+    def _recover_orphans(self) -> None:
+        """Sweep rows a crashed commit left behind (epoch > journal max).
+
+        They were never visible — reads filter by the durable epoch —
+        but the epoch they carry would be reused by the next commit, so
+        they must go before new writes.  One small max-scan per table at
+        connector open; rewrites only happen after an actual crash.
+        """
+        for table in self._meta:
+            frame = self.spark.table(self._qualified(table))
+            if _COMMIT_COL not in frame.columns:
+                continue
+            peak = frame.agg(F.max(F.col(_COMMIT_COL)).alias("m")).first()["m"]
+            if peak is not None and peak > self._durable_max:
+                self._sweep_orphans([table])
+
+    def _sweep_orphans(self, tables: list[str]) -> None:
+        for table in tables:
+            frame = self.spark.table(self._qualified(table))
+            self._overwrite_table(
+                table,
+                frame.where(F.col(_COMMIT_COL) <= F.lit(self._durable_max)),
+            )
+            self._committed[table] = self._committed_view(table)
+
+    def _overwrite_table(self, table: str, content: DataFrame) -> None:
+        """Physically replace a managed table (recovery/migration only —
+        never part of a normal commit).  Content is pinned eagerly first
+        because it reads the very table being overwritten."""
+        pinned = content.localCheckpoint(eager=True)
+        writer = pinned.write.mode("overwrite")
+        if parts := self.partition_by.get(table):
+            writer = writer.partitionBy(*parts)
+        writer.saveAsTable(self._qualified(table))
+        # overwrite recreates the table: restore the metadata properties
+        self._apply_table_props(self._meta[table])
 
     # -- DDL / metadata -------------------------------------------------------
 
@@ -249,28 +374,37 @@ class SparkConnector(BaseConnector):
                 self._committed_empty[parsed.name] = True
             elif parsed.name not in self._committed_empty:
                 self._committed_empty[parsed.name] = False  # unknown content
-            create_writer = empty.write.mode("ignore")
+            with_epoch = self.spark.createDataFrame(
+                [], schema=ddl_schema + f", `{_COMMIT_COL}` BIGINT"
+            )
+            create_writer = with_epoch.write.mode("ignore")
             if parts := self.partition_by.get(parsed.name):
                 create_writer = create_writer.partitionBy(*parts)
             create_writer.saveAsTable(qualified)
-            props = ", ".join(
-                f"'{_PROP_PREFIX}{key}' = '{self._escape(json.dumps(value))}'"
-                for key, value in (
-                    ("primary_key", parsed.primary_key),
-                    ("foreign_keys", parsed.foreign_keys),
-                    ("payload_columns", parsed.payload_columns),
-                    ("unique_constraints", parsed.unique_constraints),
-                    ("references", parsed.references),
-                    ("column_types", parsed.column_types),
-                    ("not_null", parsed.not_null),
-                    ("partition_by", self.partition_by.get(parsed.name, [])),
-                )
-            )
-            self.spark.sql(f"ALTER TABLE {qualified} SET TBLPROPERTIES ({props})")
-            self._committed[parsed.name] = self.spark.table(qualified)
+            self._apply_table_props(parsed)
+            self._committed[parsed.name] = self._committed_view(parsed.name)
         elif not already_tracked:
             self._committed[parsed.name] = empty
             self._committed_empty[parsed.name] = True
+
+    def _apply_table_props(self, parsed: ParsedTable) -> None:
+        props = ", ".join(
+            f"'{_PROP_PREFIX}{key}' = '{self._escape(json.dumps(value))}'"
+            for key, value in (
+                ("primary_key", parsed.primary_key),
+                ("foreign_keys", parsed.foreign_keys),
+                ("payload_columns", parsed.payload_columns),
+                ("unique_constraints", parsed.unique_constraints),
+                ("references", parsed.references),
+                ("column_types", parsed.column_types),
+                ("not_null", parsed.not_null),
+                ("partition_by", self.partition_by.get(parsed.name, [])),
+            )
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self._qualified(parsed.name)} "
+            f"SET TBLPROPERTIES ({props})"
+        )
 
     def _load_catalog_state(self) -> None:
         """Introspect existing tables of the database from table properties."""
@@ -309,7 +443,15 @@ class SparkConnector(BaseConnector):
                 ),
             )
             self._meta[name] = parsed
-            self._committed[name] = self.spark.table(self._qualified(name))
+            raw = self.spark.table(self._qualified(name))
+            if _COMMIT_COL not in raw.columns:
+                # legacy (pre-manifest) table: one-time migration tags
+                # all existing rows as epoch 0 (always durable)
+                self._overwrite_table(
+                    name,
+                    raw.withColumn(_COMMIT_COL, F.lit(0).cast("bigint")),
+                )
+            self._committed[name] = self._committed_view(name)
             self._appends.setdefault(name, [])
             self._committed_empty[name] = False  # unknown content
             if parts := json.loads(

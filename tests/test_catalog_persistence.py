@@ -99,3 +99,117 @@ def test_partition_by_unknown_column_rejected(spark: SparkSession) -> None:
         assert "nope" in str(err)
     else:
         raise AssertionError("expected ValueError for unknown partition column")
+
+
+def test_commit_failure_leaves_no_partial_state(
+    spark: SparkSession, monkeypatch: "pytest.MonkeyPatch"
+) -> None:
+    """A failure between per-table appends during commit must leave NO
+    table showing the transaction's rows — the manifest protocol's
+    whole-block atomicity (reference sqlite_connector.py:197-204)."""
+    import pytest
+
+    data = spark.createDataFrame(
+        [("Toyota", "Corolla"), ("Ford", "Focus")], "brand string, model string"
+    )
+    db = SparkConnector(spark, database="atomictest")
+    db.execute_ddl(
+        """
+        CREATE TABLE at_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE at_car (
+            id INTEGER PRIMARY KEY,
+            model TEXT UNIQUE,
+            brand_id INTEGER REFERENCES at_brand (id)
+        );
+        """
+    )
+
+    calls = {"n": 0}
+    real = SparkConnector._append_epoch
+
+    def fail_second(self, table, new_rows, cid):  # noqa: ANN001, ANN202
+        calls["n"] += 1
+        if calls["n"] == 2:
+            msg = "simulated crash between per-table appends"
+            raise RuntimeError(msg)
+        real(self, table, new_rows, cid)
+
+    monkeypatch.setattr(SparkConnector, "_append_epoch", fail_second)
+    with pytest.raises(RuntimeError, match="simulated crash"), db:
+        db.load(data)
+    monkeypatch.undo()
+
+    # the same connector AND a fresh one (simulated restart) both see
+    # fully-empty tables — the first table's landed rows were swept /
+    # are invisible
+    for conn in (db, SparkConnector(spark, database="atomictest")):
+        assert conn._read_table("at_brand").count() == 0
+        assert conn._read_table("at_car").count() == 0
+
+    # and the database is fully usable afterwards: the same load commits
+    with db:
+        db.load(data)
+    assert db._read_table("at_brand").count() == 2
+    assert db._read_table("at_car").count() == 2
+
+
+def test_crash_without_sweep_recovers_on_reopen(
+    spark: SparkSession, monkeypatch: "pytest.MonkeyPatch"
+) -> None:
+    """Hard-crash simulation: the failing commit gets NO chance to sweep
+    (process death).  Orphan rows stay physically present but invisible,
+    and the next connector open sweeps them before new writes."""
+    import pytest
+
+    from sql_autoloader_spark.connectors import spark_catalog as sc
+
+    data = spark.createDataFrame(
+        [("Toyota", "Corolla"), ("Ford", "Focus")], "brand string, model string"
+    )
+    db = SparkConnector(spark, database="crashtest")
+    db.execute_ddl(
+        """
+        CREATE TABLE cr_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE cr_car (
+            id INTEGER PRIMARY KEY,
+            model TEXT UNIQUE,
+            brand_id INTEGER REFERENCES cr_brand (id)
+        );
+        """
+    )
+
+    calls = {"n": 0}
+    real = SparkConnector._append_epoch
+
+    def fail_second(self, table, new_rows, cid):  # noqa: ANN001, ANN202
+        calls["n"] += 1
+        if calls["n"] == 2:
+            msg = "simulated process death"
+            raise RuntimeError(msg)
+        real(self, table, new_rows, cid)
+
+    monkeypatch.setattr(SparkConnector, "_append_epoch", fail_second)
+    monkeypatch.setattr(
+        SparkConnector, "_sweep_orphans", lambda self, tables: None
+    )
+    with pytest.raises(RuntimeError, match="process death"), db:
+        db.load(data)
+    monkeypatch.undo()
+
+    # orphan rows are physically present in the first-appended table...
+    raw_counts = {
+        t: spark.table(f"crashtest.{t}").count() for t in ("cr_brand", "cr_car")
+    }
+    assert sum(raw_counts.values()) > 0
+    # ...but a reopened connector recovers: nothing visible, orphans gone
+    db2 = SparkConnector(spark, database="crashtest")
+    assert db2._read_table("cr_brand").count() == 0
+    assert db2._read_table("cr_car").count() == 0
+    assert all(
+        spark.table(f"crashtest.{t}").count() == 0
+        for t in ("cr_brand", "cr_car")
+    )
+    with db2:
+        db2.load(data)
+    assert db2._read_table("cr_brand").count() == 2
+    assert db2._read_table("cr_car").count() == 2
