@@ -605,41 +605,56 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over a
     candidate-pair edge list (the step after :func:`minhash_lsh_pairs` /
     :func:`token_jaccard_pairs` that turns pairs into dedup groups, so a
     keep-one policy can be applied per cluster).
 
-    Min-label propagation: every node starts labeled with its own id and
-    repeatedly takes the minimum label in its neighborhood until a full
-    round changes nothing.  Rounds needed = graph diameter; near-dup
-    clusters are shallow (stars/short chains), so this converges in a
-    handful of rounds even at corpus scale — each round is one keyed
-    shuffle of the *edge list* (pairs-sized, far smaller than the
-    corpus).  Each round's labels are pinned with ``localCheckpoint`` to
-    keep the plan flat (iterative lineage otherwise grows exponentially).
-    For adversarially long chains, switch to large-star/small-star
-    (halves the effective diameter per round); not needed for dedup
-    workloads.
+    Two algorithms, selected by ``algorithm``:
 
-    Raises ``RuntimeError`` if the cap is hit before a full round runs
-    clean — silently returning half-propagated labels would split one
-    real duplicate cluster into several and let extra "best" docs
-    survive a keep-one policy.  Each round pins ~one pairs-sized label
-    set (localCheckpoint storage is released with the session; on a
-    long-lived cluster session, checkpoint to a reaper-managed dir
-    instead if diameter × label size matters).
+    - ``"label"`` — min-label propagation: every node starts labeled
+      with its own id and repeatedly takes the minimum label in its
+      neighborhood until a full round changes nothing.  Rounds needed =
+      graph diameter; near-dup clusters are shallow (stars/short
+      chains), so this converges in a handful of rounds even at corpus
+      scale — each round is one keyed shuffle of the *edge list*
+      (pairs-sized, far smaller than the corpus).  Raises
+      ``RuntimeError`` at the iteration cap — silently returning
+      half-propagated labels would split one real duplicate cluster
+      into several and let extra "best" docs survive a keep-one policy.
+    - ``"star"`` — alternating large-star/small-star (Kiveris et al.,
+      *Connected Components in MapReduce and Beyond*, SoCC 2014):
+      each round rewires every node's larger neighbors (large-star)
+      then its smaller neighbors (small-star) to the neighborhood
+      minimum, collapsing components into stars in O(log²)
+      rounds **independent of graph diameter** — the scale path for
+      adversarial chains.
+    - ``"auto"`` (default) — label propagation first (cheapest on the
+      shallow graphs dedup produces); if the cap is hit, falls back to
+      the star algorithm instead of raising.
+
+    Each round's state is pinned with ``localCheckpoint`` to keep the
+    plan flat (iterative lineage otherwise grows exponentially;
+    checkpoint storage is released with the session — on a long-lived
+    cluster session, checkpoint to a reaper-managed dir instead if
+    rounds × edge size matters).
 
     Returns ``(id, component)`` for every node in *pairs*, where
     ``component`` is the smallest node id in the cluster.
     """
+    if algorithm not in ("auto", "label", "star"):
+        msg = f"unknown connected-components algorithm: {algorithm!r}"
+        raise ValueError(msg)
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if algorithm == "star":
+        return _star_components(edges, max_iterations=max_iterations)
     labels = (
         edges.select("a")
         .distinct()
@@ -680,11 +695,88 @@ def connected_components(
             converged = True
             break
     if not converged:
+        if algorithm == "auto":
+            # deeper than label propagation's round budget — switch to
+            # the diameter-independent algorithm
+            return _star_components(edges, max_iterations=max_iterations)
         msg = (
             f"connected_components did not converge in {max_iterations} "
             "rounds — the pair graph has a longer path than expected for "
             "near-dup clusters; raise max_iterations (rounds needed = "
-            "graph diameter)."
+            "graph diameter) or use algorithm='star' (rounds needed = "
+            "O(log²) regardless of diameter)."
         )
         raise RuntimeError(msg)
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def _star_components(edges: DataFrame, *, max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star over a symmetric edge list.
+
+    Kiveris et al. (SoCC 2014), restated declaratively: per round,
+
+    - *large-star*: for every node ``a``, point each strictly-larger
+      neighbor at ``min(Γ(a) ∪ {a})`` — long tails collapse toward
+      small ids without ever increasing the minimum;
+    - *small-star*: orient edges big→small, then point each node and
+      its smaller neighbors at the group minimum — stars flatten.
+
+    The edge set reaches a fixpoint (every component a star centered at
+    its minimum id) in O(log²) rounds independent of diameter; each
+    round is two keyed shuffles of the edge list.  The iteration cap is
+    a runaway guard only — 2^(2^max_iterations) nodes would be needed
+    to exhaust the default budget.
+    """
+    # canonical big→small orientation; every a > b
+    current = (
+        edges.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    count = current.count()
+    for _ in range(max_iterations):
+        sym = current.unionByName(
+            current.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star: v -> min(Γ(a) ∪ {a}) for every neighbor v > a
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        large = (
+            sym.join(mins, on="a")
+            .withColumn("mn", F.least("mn", F.col("a")))
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .distinct()
+        )
+        # small-star on the (already big→small) output: group by the big
+        # end, point the group (and the big end itself) at the minimum
+        mins2 = large.groupBy("a").agg(F.min("b").alias("mn"))
+        small = (
+            large.join(mins2, on="a")
+            .where(F.col("b") != F.col("mn"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .unionByName(mins2.select("a", F.col("mn").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_count = small.count()
+        if new_count == count and small.subtract(current).isEmpty():
+            current = small
+            break
+        current, count = small, new_count
+    # fixpoint: every edge points a node at its component minimum
+    labels = current.select(
+        F.col("a").alias("id"), F.col("b").alias("component")
+    ).unionByName(
+        current.select("b")
+        .distinct()
+        .select(F.col("b").alias("id"), F.col("b").alias("component"))
+    )
+    # nodes appearing only in self-pairs were dropped by canonicalization;
+    # give them singleton components so the node set matches the input
+    nodes = edges.select(F.col("a").alias("id")).distinct()
+    return nodes.join(labels, on="id", how="left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

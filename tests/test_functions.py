@@ -459,3 +459,72 @@ def test_connected_components_matches_networkx(spark) -> None:
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_star_components_matches_networkx(spark) -> None:
+    """The diameter-independent large-star/small-star algorithm agrees
+    with networkx on the same pseudo-random edge sets, plus a shuffled
+    deep chain (diameter 60 ≫ the 25-round label-prop budget)."""
+    import networkx as nx
+
+    from sql_autoloader_spark.functions import dedup
+
+    cases = []
+    for seed, n_edges in [(1, 8), (2, 20), (3, 45)]:
+        edges, x = [], seed
+        for _ in range(n_edges):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            a = x % 40
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            b = x % 40
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        cases.append(edges)
+    # chain with ids scrambled so the min sits mid-chain (worst case for
+    # label propagation, routine for star)
+    scramble = [(i * 37) % 61 for i in range(61)]
+    cases.append(
+        [(scramble[i], scramble[i + 1]) for i in range(60)]
+    )
+
+    for i, edges in enumerate(cases):
+        g = nx.Graph(edges)
+        want = {}
+        for comp in nx.connected_components(g):
+            root = min(comp)
+            for node in comp:
+                want[node] = root
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, algorithm="star"
+            ).collect()
+        }
+        assert got == want, f"case={i}"
+
+
+def test_auto_falls_back_to_star_on_deep_chain(spark) -> None:
+    """A diameter-120 chain exceeds label propagation's round budget;
+    algorithm='auto' (the default) must fall back to the star algorithm
+    and still return exact components — the convergence RuntimeError is
+    unreachable under the default."""
+    import pytest
+
+    from sql_autoloader_spark.functions import dedup
+
+    scramble = [(i * 53) % 121 for i in range(121)]
+    pairs = spark.createDataFrame(
+        [(scramble[i], scramble[i + 1]) for i in range(120)],
+        "id_a long, id_b long",
+    )
+    got = dedup.connected_components(pairs, max_iterations=8).collect()
+    assert len(got) == 121
+    assert all(r["component"] == 0 for r in got)
+
+    # the explicit label algorithm still guards against silent
+    # half-propagation
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(
+            pairs, max_iterations=8, algorithm="label"
+        )
