@@ -57,13 +57,20 @@ def _fix_event_ts(ev: DataFrame) -> DataFrame:
         return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # timestamp[us] fixtures land as TIMESTAMP_NTZ; cast to TIMESTAMP so
     # instant functions (unix_micros, watermarks) accept it.  The session
-    # timezone is pinned to UTC, making the cast value-preserving and
-    # identical to DuckDB's naive reading.
+    # timezone is pinned to UTC (in _t before any frame is built, and here
+    # for the streaming readers that bypass _t), making the cast
+    # value-preserving and identical to DuckDB's naive reading.
     ev.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone for EVERY query, not as a side effect of
+    # one table's reader: timestamp literals and casts must resolve
+    # identically no matter which query a harness runs first (our own
+    # builders also pin UTC at construction; this covers third-party
+    # sessions).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Legacy conf is a no-op for timestamp[us] fixtures; it only kicks
         # in when the parquet physically stores TIMESTAMP(NANOS).

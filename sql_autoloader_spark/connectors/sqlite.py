@@ -32,6 +32,7 @@ where writes stay distributed.
 
 from __future__ import annotations
 
+import datetime
 import sqlite3
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,7 +47,10 @@ from pyspark.sql.types import (
 )
 
 from sql_autoloader_spark.connectors.base import BaseConnector
-from sql_autoloader_spark.exceptions import InvalidTableError
+from sql_autoloader_spark.exceptions import (
+    InvalidTableError,
+    MatchDatatypesError,
+)
 from sql_autoloader_spark.schema import ReferenceDict, TableDict
 
 
@@ -72,7 +76,9 @@ def _affinity(declared: str | None) -> DataType:
 
 def _coerce(value: object, dtype: DataType) -> object:
     """Align a dynamically-typed SQLite value with the declared affinity
-    (SQLite columns may hold any type regardless of declaration)."""
+    (SQLite columns may hold any type regardless of declaration).
+    Raises ``ValueError``/``TypeError`` on non-coercible values — callers
+    translate that into a typed error or a string fallback."""
     if value is None:
         return None
     if isinstance(dtype, LongType):
@@ -81,6 +87,25 @@ def _coerce(value: object, dtype: DataType) -> object:
         return float(value)
     if isinstance(dtype, StringType):
         return value if isinstance(value, str) else str(value)
+    return value
+
+
+def _norm_cell(value: object) -> object:
+    """Canonical comparable form for the idempotency pre-filter: values
+    that change representation across the Spark → sqlite3 → Spark round
+    trip (datetimes bound via the default adapters come back as TEXT,
+    bools as 0/1, NaN breaks reflexive equality) map to the form the
+    database would hand back, so set membership is meaningful."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return int(value)
+    if isinstance(value, float):
+        return "__nan__" if value != value else value
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return str(value)
+    if isinstance(value, bytearray):
+        return bytes(value)
     return value
 
 
@@ -239,12 +264,23 @@ class SQLiteConnector(BaseConnector):
             for c in cols
         ]
         schema = StructType(fields)
-        rows = [
-            tuple(
-                _coerce(v, f.dataType) for v, f in zip(row, fields, strict=True)
+        try:
+            rows = [
+                tuple(
+                    _coerce(v, f.dataType)
+                    for v, f in zip(row, fields, strict=True)
+                )
+                for row in cur.fetchall()
+            ]
+        except (TypeError, ValueError) as e:
+            # dynamically-typed SQLite column holding values its declared
+            # affinity cannot represent -> typed load error, not a bare
+            # ValueError mid-compare
+            msg = (
+                f"Reading table '{table}' failed: a value does not fit its "
+                f"column's declared affinity:\n\t{e!s}"
             )
-            for row in cur.fetchall()
-        ]
+            raise MatchDatatypesError(msg) from e
         return self.spark.createDataFrame(rows, schema)
 
     def _write_new_rows(
@@ -270,7 +306,7 @@ class SQLiteConnector(BaseConnector):
         quoted = ", ".join(f'"{c}"' for c in columns)
         binds = ", ".join("?" for _ in columns)
         existing = {
-            tuple(row)
+            tuple(_norm_cell(v) for v in row)
             for row in self.connection.execute(
                 f'SELECT DISTINCT {quoted} FROM "{table}"'
             )
@@ -281,7 +317,7 @@ class SQLiteConnector(BaseConnector):
                 tuple(r[c] for c in columns)
                 for r in new_rows.select(*columns).collect()
             )
-            if row not in existing
+            if tuple(_norm_cell(v) for v in row) not in existing
         ]
         self.connection.executemany(
             f'INSERT OR IGNORE INTO "{table}" ({quoted}) VALUES ({binds})',
@@ -316,6 +352,15 @@ class SQLiteConnector(BaseConnector):
             else:
                 dtype = StringType()
             fields.append(StructField(name, dtype, nullable=True))
+        # heterogeneous columns (SQLite enforces no affinity) fall back
+        # to string rather than raising int('abc') mid-compare
+        for i, f in enumerate(fields):
+            if isinstance(f.dataType, (LongType, DoubleType)):
+                try:
+                    for row in rows:
+                        _coerce(row[i], f.dataType)
+                except (TypeError, ValueError):
+                    fields[i] = StructField(f.name, StringType(), True)
         coerced = [
             tuple(
                 _coerce(v, f.dataType)

@@ -76,19 +76,41 @@ _FRAMES_SCHEMA = StructType(
 )
 
 
-def _decode_image_bytes(content: bytes) -> list[float]:
-    """STUB — deterministic fake decode.
+try:  # real codec when the environment ships one (import-gated)
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
 
-    A real deployment replaces this with e.g. ``PIL.Image.open`` +
-    pixel statistics; the container ships no codec libraries, so a
-    deterministic byte-histogram stands in.  The function signature
-    (bytes → fixed-dim float vector) is the real contract.
+
+def _decode_image_bytes(content: bytes) -> list[float]:
+    """Decode image bytes into a fixed-dim feature vector.
+
+    With PIL available, this is a real decode: the image is opened,
+    converted to grayscale, and summarized as a normalized 16-bin pixel
+    histogram.  Without a codec library (this container ships none),
+    a deterministic byte-histogram stands in — the signature
+    (bytes → fixed-dim float vector) is the real contract either way,
+    and the Spark-side plumbing (Arrow batches, schema, partitioning)
+    is identical.
     """
     if content is None:
         raise NotImplementedError(
             "no media codec available in this environment; "
             "content=None cannot be decoded"
         )
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(content)) as img:
+                pixels = list(img.convert("L").getdata())
+            histogram = [0] * FEATURE_DIM
+            for p in pixels:
+                histogram[p * FEATURE_DIM // 256] += 1
+            total = max(len(pixels), 1)
+            return [count / total for count in histogram]
+        except Exception:  # noqa: BLE001 - undecodable bytes fall through
+            pass  # not an image PIL understands: byte-histogram fallback
     histogram = [0] * FEATURE_DIM
     for byte in content:
         histogram[byte % FEATURE_DIM] += 1

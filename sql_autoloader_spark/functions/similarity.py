@@ -251,6 +251,55 @@ def lsh_topk(
     )
 
 
+def _fit_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    sample_per_centroid: int = 256,
+) -> DataFrame:
+    """K-means coarse centroids as a broadcastable ``(cid, centroid)``
+    frame.
+
+    Deterministic end to end: the training sample is a ``xxhash64`` cut
+    of the corpus (stable across runs and id types, no ordering
+    assumptions), and the fit runs with a fixed seed.  Sample size is
+    ``n_centroids × sample_per_centroid`` in expectation — constant work
+    regardless of corpus size, the standard IVF recipe (a coarse
+    quantizer only needs a sketch of the density, not the full data).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    k = max(min(n_centroids, n), 1)
+    target = k * sample_per_centroid
+    sample = corpus.select(
+        F.col(id_col).alias("sid"), F.col(vec_col).alias("v")
+    )
+    if n > target:
+        modulus = 1_000_003
+        keep = max(int(modulus * (target / n)), 1)
+        sample = sample.where(
+            F.pmod(F.xxhash64(F.col("sid")), F.lit(modulus)) < F.lit(keep)
+        )
+    train = sample.select(
+        array_to_vector(F.col("v").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=k, seed=0, maxIter=20, tol=1e-4, featuresCol="features"
+    ).fit(train)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in center])
+            for i, center in enumerate(model.clusterCenters())
+        ],
+        "cid INT, centroid ARRAY<DOUBLE>",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -264,22 +313,20 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style approximate top-k: route via coarse centroids.
 
-    Centroids are a deterministic corpus sample (every ⌈n/C⌉-th vector by
-    id — at scale, replace with a k-means fit on a sample; the routing
-    plan is identical).  Corpus vectors are assigned to their nearest
-    centroid (one broadcast join, map-side); each query probes its
-    *n_probe* nearest centroids and scores only those partitions'
-    vectors.  The scoring join is keyed on ``centroid_id`` — the classic
-    inverted-file layout, shuffle ∝ probed fraction of the corpus.
+    Centroids come from a k-means fit (``pyspark.ml.KMeans``, fixed
+    seed) over a deterministic hash sample of the corpus — ids may be
+    any type (the sample keys on ``xxhash64``, not on id arithmetic).
+    Corpus vectors are assigned to their nearest centroid (one broadcast
+    join, map-side); each query probes its *n_probe* nearest centroids
+    and scores only those partitions' vectors.  The scoring join is
+    keyed on ``centroid_id`` — the classic inverted-file layout, shuffle
+    ∝ probed fraction of the corpus.  The fit is the offline index-build
+    step: one pass to sample (the count + sampled fit are bounded by
+    ``n_centroids``·256 vectors regardless of corpus size); routing per
+    query batch never rescans the full corpus.
     """
-    n = corpus.count()
-    step = max(n // n_centroids, 1)
-    centroids = (
-        corpus.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid")
-        )
-        .where((F.col("cid") % step == 0))
-        .limit(n_centroids)
+    centroids = _fit_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
     )
 
     def assign(df: DataFrame, idname: str, probe: int) -> DataFrame:

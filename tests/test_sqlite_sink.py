@@ -244,3 +244,48 @@ def test_custom_dtypes_date_roundtrip(spark: SparkSession) -> None:
         (datetime.date(2021, 3, 14),),
         (datetime.date(2022, 7, 1),),
     ]
+
+
+def test_idempotent_reload_constraintless_datetime_table(spark) -> None:
+    """Reloading identical rows into a table with NO unique constraint
+    must not grow it, even when values change representation across the
+    round trip (datetime -> TEXT) — the normalized pre-filter."""
+    import datetime
+
+    from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
+
+    db = SQLiteConnector(spark)
+    db.execute_ddl(
+        "CREATE TABLE evlog (stamp TIMESTAMP, note TEXT);"
+    )
+    data = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 5, 1, 12, 30, 0), "a"),
+            (datetime.datetime(2024, 5, 2, 8, 0, 0), "b"),
+        ],
+        "stamp timestamp, note string",
+    )
+    with db:
+        db.insert(data, table="evlog")
+    with db:
+        db.insert(data, table="evlog")
+    count = db.connection.execute("SELECT count(*) FROM evlog").fetchone()[0]
+    assert count == 2
+
+
+def test_heterogeneous_column_falls_back_to_string(spark) -> None:
+    """A dynamically-typed SQLite column mixing ints and text must not
+    blow up with a bare ValueError mid-compare: the inferred frame falls
+    back to string for that column."""
+    from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
+
+    db = SQLiteConnector(spark)
+    db.execute_ddl("CREATE TABLE mixed (v, note TEXT);")
+    db.connection.executemany(
+        "INSERT INTO mixed (v, note) VALUES (?, ?)",
+        [(1, "int"), ("abc", "text")],
+    )
+    db.connection.commit()
+    frame = db._execute_compare_query("SELECT v, note FROM mixed")
+    got = {tuple(r) for r in frame.collect()}
+    assert got == {("1", "int"), ("abc", "text")}
