@@ -1,10 +1,11 @@
 """Generate PLANS.md: physical-plan audit of every registered query.
 
 For each query: parquet filter pushdown, scan schema width, join
-strategies, and exchange count at sf0.001 — the evidence that filters
-reach the scan, dimensions broadcast, and nothing falls back to a
-cartesian product.  Regenerate after plan-affecting changes:
-``python tools/plan_audit.py``.
+strategies (static AND final-AQE — each query is executed and the
+adaptive plan that actually ran is audited), and exchange count at
+sf0.001 — the evidence that filters reach the scan, dimensions
+broadcast, and nothing falls back to a cartesian product.  Regenerate
+after plan-affecting changes: ``python tools/plan_audit.py``.
 """
 
 from __future__ import annotations
@@ -56,12 +57,19 @@ def main() -> None:
         "mechanically (regression-tested for key queries in",
         "tests/test_plans.py).",
         "",
-        "| query | joins | exchanges | python | pushed filters (beyond IsNotNull) |",
-        "|---|---|---|---|---|",
+        "`joins` is the static plan; `aqe_final` is the join set in the",
+        "adaptive plan after execution (what actually ran — AQE converts",
+        "sort-merge to broadcast/shuffled-hash once runtime sizes are",
+        "known).",
+        "",
+        "| query | joins | aqe_final | exchanges | python | pushed filters (beyond IsNotNull) |",
+        "|---|---|---|---|---|---|",
     ]
     for name, fn in entry_mod.queries().items():
         if name in SKIP:
-            lines.append(f"| {name} | (lifecycle/streaming — executes on build) | | | |")
+            lines.append(
+                f"| {name} | (lifecycle/streaming — executes on build) | | | | |"
+            )
             continue
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(mode)
@@ -90,7 +98,28 @@ def main() -> None:
             }
         )
         shown = "; ".join(interesting)[:120] or "—"
-        lines.append(f"| {name} | {joins} | {exch} | {py} | {shown} |")
+
+        # execute, then audit the adaptive plan that actually ran
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("Initial Plan")[0]
+        )
+        fjoins = ", ".join(
+            f"{p}×{n}"
+            for p, n in [
+                ("BHJ", final.count("BroadcastHashJoin")),
+                ("SMJ", final.count("SortMergeJoin")),
+                ("SHJ", final.count("ShuffledHashJoin")),
+                ("BNLJ", final.count("BroadcastNestedLoopJoin")),
+            ]
+            if n
+        ) or "—"
+        lines.append(
+            f"| {name} | {joins} | {fjoins} | {exch} | {py} | {shown} |"
+        )
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
