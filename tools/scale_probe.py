@@ -22,8 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/spark_graft_scaleprobe"
+OUT = f"/tmp/spark_graft_scaleprobe_x{int(sys.argv[1]) if len(sys.argv) > 1 else 10}"
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2:])
 
 #: queries whose plans SCALE.md argues about, one per operator family
 PROBES = [
@@ -114,6 +115,8 @@ def main() -> None:
     queries = entry_mod.queries()
     print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(REPLICAS):>8s} {'ratio':>7s}")
     for name in PROBES:
+        if ONLY and name not in ONLY:
+            continue
         fn = queries[name]
         times = {}
         for label, sf_dir in [("small", BASE), ("big", OUT)]:
