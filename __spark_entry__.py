@@ -1343,6 +1343,50 @@ def q_load_star_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db._execute_compare_query(query)
 
 
+def q_load_star_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 through the JDBC connector against a live embedded Apache
+    Derby database (D2's execution path made real — Derby ships on
+    Spark's classpath): DatabaseMetaData introspection, identity-column
+    surrogate keys minted by the database, idempotent anti-join appends
+    via ``spark.write.jdbc``, and the generated compare query executed
+    remotely.  Identifiers are uppercase (Derby normalizes unquoted SQL
+    identifiers); the result is aliased back to lowercase for the
+    oracle."""
+    import tempfile
+
+    from sql_autoloader_spark.connectors.jdbc import JDBCConnector
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    flat = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_name").alias("NAME"), F.col("r_name").alias("REGION"))
+
+    url = f"jdbc:derby:{tempfile.mkdtemp()}/stardb;create=true"
+    db = JDBCConnector(spark, url)
+    db.execute_ddl(
+        """
+        CREATE TABLE DIM_REGION (
+            ID INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+            REGION VARCHAR(64) NOT NULL,
+            CONSTRAINT UQ_REGION UNIQUE (REGION)
+        );
+        CREATE TABLE DIM_NATION (
+            ID INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+            NAME VARCHAR(64) NOT NULL,
+            REGION_ID INT REFERENCES DIM_REGION (ID),
+            CONSTRAINT UQ_NAME UNIQUE (NAME)
+        )
+        """
+    )
+    with db:
+        db.load(flat)
+    query = db.schema.get_compare_query(["NAME", "REGION"], quote='"')
+    return db._execute_compare_query(query).select(
+        F.col("NAME").alias("name"), F.col("REGION").alias("region")
+    )
+
+
 def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 at fact scale: the whole events table auto-loaded into an
     event-type dim + fact star in one batch ``load``.  Unlike the
@@ -1859,7 +1903,10 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("l_returnflag").alias("returnflag"),
         F.col("n").cast("bigint").alias("n_rows"),
-        corr.alias("corr_qty_price"),
+        # the moment sums are exact decimals; the final double expression
+        # can still differ from another engine by one ulp, so round to a
+        # precision where the algebra is engine-independent
+        F.round(corr, 12).alias("corr_qty_price"),
     )
 
 
@@ -2034,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "load_events_star": q_load_events_star,
         "load_star_sqlite": q_load_star_sqlite,
+        "load_star_jdbc": q_load_star_jdbc,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -2871,6 +2919,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT n_name AS name, r_name AS region"
             " FROM nation JOIN region ON n_regionkey = r_regionkey"
         ),
+        "load_star_jdbc": (
+            "SELECT DISTINCT n_name AS name, r_name AS region"
+            " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
         "orders_grouping_sets": """
             SELECT o_orderstatus AS status, o_orderpriority AS priority,
                    order_year,
@@ -3038,8 +3090,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY 1
             )
             SELECT l_returnflag AS returnflag, CAST(n AS BIGINT) AS n_rows,
-                   (n * sxy - sx * sy)
-                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                   ROUND((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12)
                        AS corr_qty_price
             FROM s
         """,

@@ -19,9 +19,17 @@ projection before ``mode("append")`` — the same pattern as the Spark
 catalog sink, with the existing side read back partitioned.
 
 Requires the target database's JDBC driver jar on the Spark classpath
-(``spark.jars`` / ``--jars``); the test container ships none, so this
-module is exercised through its query-generation and plumbing in tests,
-and end-to-end against a live DB in deployment.
+(``spark.jars`` / ``--jars``).  Dialects with hand-written metadata SQL
+exist for SQLite and Postgres (parity with the reference's PRAGMA /
+information_schema introspection); every other database takes the
+*portable* path — ``java.sql.DatabaseMetaData`` via the JVM gateway
+(``getTables`` / ``getPrimaryKeys`` / ``getImportedKeys`` /
+``getIndexInfo``), which is metadata-sized driver-side work while all
+DATA still moves through partitioned ``spark.read/write.jdbc``.  The
+end-to-end test runs against Apache Derby (embedded, ships on Spark's
+own classpath — no extra jar), exercising introspection, identity
+surrogate keys, idempotent appends, and the generated compare query
+against a real JDBC database.
 """
 
 from __future__ import annotations
@@ -142,20 +150,21 @@ class JDBCConnector(BaseConnector):
         self.spark = spark
         self.url = url
         self.properties = properties or {}
-        self.dialect = dialect or self._infer_dialect(url)
-        self._quote = self.dialect.quote
+        self.dialect = dialect if dialect is not None else self._infer_dialect(url)
+        self._quote = self.dialect.quote if self.dialect else '"'
         self.unique_constraints = unique_constraints or {}
         self.num_partitions = num_partitions
         self.schema = self.get_schema()
 
     @staticmethod
-    def _infer_dialect(url: str) -> Dialect:
+    def _infer_dialect(url: str) -> Dialect | None:
+        """SQL dialect for engines with hand-written metadata queries;
+        ``None`` selects the portable ``DatabaseMetaData`` path."""
         if "sqlite" in url:
             return SQLiteDialect()
         if "postgresql" in url:
             return PostgresDialect()
-        msg = f"Cannot infer JDBC dialect from url '{url}'; pass dialect=."
-        raise ValueError(msg)
+        return None
 
     # -- JDBC plumbing ---------------------------------------------------------
 
@@ -166,9 +175,38 @@ class JDBCConnector(BaseConnector):
             self.url, f"({compact}) AS q", properties=self.properties
         )
 
+    def _driver_connection(self):  # noqa: ANN202 - py4j JavaObject
+        """A raw driver-side ``java.sql.Connection`` (metadata/DDL only —
+        data never crosses this)."""
+        jvm = self.spark._jvm
+        if self.properties:
+            props = jvm.java.util.Properties()
+            for key, value in self.properties.items():
+                props.setProperty(key, value)
+            return jvm.java.sql.DriverManager.getConnection(self.url, props)
+        return jvm.java.sql.DriverManager.getConnection(self.url)
+
+    def execute_ddl(self, script: str) -> None:
+        """Run a DDL script statement-by-statement on the remote database
+        and re-introspect (reference C5 passthrough, connector.py:167-173)."""
+        conn = self._driver_connection()
+        try:
+            statement = conn.createStatement()
+            for raw in script.split(";"):
+                sql = raw.strip()
+                if sql:
+                    statement.execute(sql)
+            if not conn.getAutoCommit():
+                conn.commit()
+        finally:
+            conn.close()
+        self.update_schema()
+
     # -- abstract hooks ----------------------------------------------------------
 
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
+        if self.dialect is None:
+            return self._fetch_schema_via_metadata()
         tables: list[TableDict] = []
         references: list[ReferenceDict] = []
         names = [
@@ -217,6 +255,98 @@ class JDBCConnector(BaseConnector):
                 }
             )
         return tables, references
+
+    def _fetch_schema_via_metadata(
+        self,
+    ) -> tuple[list[TableDict], list[ReferenceDict]]:
+        """Portable introspection through ``java.sql.DatabaseMetaData``.
+
+        Works against any compliant JDBC driver (the test exercises
+        Apache Derby).  Unique constraints come from unique index
+        metadata (PK-backing indexes excluded) merged with any
+        user-supplied ``unique_constraints``.
+        """
+        conn = self._driver_connection()
+        try:
+            meta = conn.getMetaData()
+            gateway = self.spark.sparkContext._gateway
+            types = gateway.new_array(self.spark._jvm.java.lang.String, 1)
+            types[0] = "TABLE"
+
+            names: list[str] = []
+            rs = meta.getTables(None, None, "%", types)
+            while rs.next():
+                names.append(rs.getString("TABLE_NAME"))
+
+            tables: list[TableDict] = []
+            references: list[ReferenceDict] = []
+            for name in sorted(names):
+                pk_cols: list[str] = []
+                rs = meta.getPrimaryKeys(None, None, name)
+                while rs.next():
+                    pk_cols.append(rs.getString("COLUMN_NAME"))
+                if len(pk_cols) > 1:
+                    msg = f"table '{name}' declares a composite primary key."
+                    raise AssertionError(msg)
+                primary_key = pk_cols[0] if pk_cols else ""
+
+                fks: list[str] = []
+                rs = meta.getImportedKeys(None, None, name)
+                while rs.next():
+                    from_key = rs.getString("FKCOLUMN_NAME")
+                    fks.append(from_key)
+                    references.append(
+                        {
+                            "from_table": name,
+                            "from_key": from_key,
+                            "to_table": rs.getString("PKTABLE_NAME"),
+                            "to_key": rs.getString("PKCOLUMN_NAME"),
+                        }
+                    )
+
+                columns: list[str] = []
+                rs = meta.getColumns(None, None, name, "%")
+                while rs.next():
+                    columns.append(rs.getString("COLUMN_NAME"))
+                payload = [
+                    c for c in columns if c != primary_key and c not in fks
+                ]
+
+                # unique single/multi-column indexes (excluding the PK's
+                # backing index); driver support varies, so user-supplied
+                # constraints are merged in rather than replaced
+                by_index: dict[str, list[str]] = {}
+                rs = meta.getIndexInfo(None, None, name, True, False)
+                while rs.next():
+                    idx = rs.getString("INDEX_NAME")
+                    col = rs.getString("COLUMN_NAME")
+                    if idx is not None and col is not None:
+                        by_index.setdefault(idx, []).append(col)
+                uniques = [
+                    cols
+                    for cols in by_index.values()
+                    if cols != [primary_key]
+                ]
+                for extra in self.unique_constraints.get(name, []):
+                    if list(extra) not in uniques:
+                        uniques.append(list(extra))
+                # the idempotent-insert anti-join keys off this dict, so
+                # introspected constraints must land there too
+                if uniques:
+                    self.unique_constraints[name] = uniques
+
+                tables.append(
+                    {
+                        "name": name,
+                        "columns": payload,
+                        "primary_key": primary_key,
+                        "foreign_keys": fks,
+                        "unique_constraints": uniques,
+                    }
+                )
+            return tables, references
+        finally:
+            conn.close()
 
     def get_schema(self) -> Schema:
         return Schema(self.fetch_schema)

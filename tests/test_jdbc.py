@@ -1,11 +1,12 @@
 """JDBC connector tests.
 
-No JDBC driver jar ships in this container, so the end-to-end path is
-exercised in deployment only; here we validate the parts that don't
-need a driver: dialect inference, and — crucially — that the SQLite
-introspection SQL the dialect generates returns the correct schema
-when executed by a real SQLite engine (in-process ``sqlite3``, same
-engine a JDBC driver would wrap).
+Three layers: dialect inference; the SQLite introspection SQL executed
+by a real SQLite engine (in-process ``sqlite3``, same engine a JDBC
+driver would wrap); and — since Apache Derby ships on Spark's own
+classpath — the FULL end-to-end lifecycle against a live embedded
+Derby database: DatabaseMetaData introspection, identity surrogate
+keys, idempotent appends, key retrieval, and the generated compare
+query, all through ``spark.read/write.jdbc``.
 """
 
 from __future__ import annotations
@@ -40,8 +41,8 @@ def test_infer_dialect() -> None:
     assert isinstance(
         JDBCConnector._infer_dialect("jdbc:postgresql://h/db"), PostgresDialect
     )
-    with pytest.raises(ValueError, match="dialect"):
-        JDBCConnector._infer_dialect("jdbc:mysql://h/db")
+    # unknown engines take the portable DatabaseMetaData path
+    assert JDBCConnector._infer_dialect("jdbc:mysql://h/db") is None
 
 
 def test_sqlite_introspection_sql_against_real_sqlite() -> None:
@@ -79,3 +80,86 @@ def test_postgres_introspection_sql_shape() -> None:
     ):
         assert re.search(r"\bSELECT\b", sql, re.I)
         assert "information_schema" in sql or "pg_" in sql
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    except Exception:  # noqa: BLE001
+        return False
+    return True
+
+
+def test_jdbc_end_to_end_against_embedded_derby(
+    spark, tmp_path
+) -> None:
+    """The full loader lifecycle against a live JDBC database (Apache
+    Derby, embedded — ships with Spark): metadata introspection finds
+    tables/PKs/FKs, the DB's identity columns mint surrogate keys, the
+    anti-join keeps appends idempotent, key retrieval merges FKs back,
+    and the generated compare query validates the round trip remotely.
+
+    Identifiers are uppercase throughout: Derby normalizes unquoted SQL
+    identifiers to uppercase and the generated compare query emits
+    unquoted table prefixes."""
+    from pyspark.sql import functions as F
+
+    if not _derby_available(spark):
+        pytest.skip("Derby JDBC driver not on the Spark classpath")
+
+    url = f"jdbc:derby:{tmp_path}/loadertest;create=true"
+    db = JDBCConnector(spark, url)
+    assert db.dialect is None  # portable metadata path
+    db.execute_ddl(
+        """
+        CREATE TABLE BRAND (
+            ID INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+            BRAND VARCHAR(64) NOT NULL,
+            CONSTRAINT UQ_BRAND UNIQUE (BRAND)
+        );
+        CREATE TABLE CAR (
+            ID INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+            MODEL VARCHAR(64) NOT NULL,
+            BRAND_ID INT REFERENCES BRAND (ID),
+            CONSTRAINT UQ_MODEL UNIQUE (MODEL)
+        )
+        """
+    )
+    assert not db.schema_is_empty()
+    # introspected structure: natural-key UNIQUEs found via index
+    # metadata; CAR's FK resolves through the schema graph (the load
+    # below would fail to plan otherwise)
+    assert db.unique_constraints.get("BRAND") == [["BRAND"]]
+    assert db.unique_constraints.get("CAR") == [["MODEL"]]
+
+    flat = spark.createDataFrame(
+        [
+            ("Toyota", "Corolla"),
+            ("Toyota", "Yaris"),
+            ("Ford", "Focus"),
+        ],
+        "BRAND string, MODEL string",
+    )
+    with db:
+        out = db.load(flat)
+    assert out.count() == 3
+
+    brands = spark.read.jdbc(url, "BRAND")
+    cars = spark.read.jdbc(url, "CAR")
+    assert {tuple(r) for r in brands.collect()} == {
+        (1, "Ford"),
+        (2, "Toyota"),
+    } or brands.count() == 2  # identity order is engine-chosen
+    assert cars.count() == 3
+    # FK column resolves to a real brand id
+    joined = cars.join(
+        brands.withColumnsRenamed({"ID": "BID", "BRAND": "BNAME"}),
+        F.col("BRAND_ID") == F.col("BID"),
+    )
+    assert joined.count() == 3
+
+    # idempotent reload: nothing grows
+    with db:
+        db.load(flat)
+    assert spark.read.jdbc(url, "BRAND").count() == 2
+    assert spark.read.jdbc(url, "CAR").count() == 3
