@@ -1843,6 +1843,113 @@ def q_docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition score (the Gopher/MassiveText duplicate
+    n-gram signal): fraction of word trigrams that are repeats of an
+    earlier trigram in the same document.  Pure map stage — trigram
+    construction, distinct count, and ratio are all array expressions;
+    no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    trigrams = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> concat(w, ' ', element_at(ws, i + 2), ' ',"
+        " element_at(ws, i + 3)))"
+    )
+    return (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id", F.split(text.normalized(F.col("text")), " ").alias("ws")
+        )
+        .select("doc_id", trigrams.alias("tg"))
+        .where(F.size("tg") > 0)
+        .select(
+            "doc_id",
+            F.size("tg").cast("bigint").alias("n_trigrams"),
+            F.round(
+                (F.size("tg") - F.size(F.array_distinct("tg")))
+                / F.size("tg").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def q_docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gate: word count, mean word
+    length (computed from the normalized single-space form, so it is
+    ``(chars - spaces) / words`` — no per-word pass), and the fraction
+    of words containing a letter; a document passes when all three sit
+    inside their band.  Zero-shuffle map plan."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = text.normalized(F.col("text"))
+    base = docs.where(F.trim("text") != "").select(
+        "doc_id", norm.alias("s"), F.split(norm, " ").alias("ws")
+    )
+    n_words = F.size("ws").cast("bigint")
+    mean_wlen = (F.length("s") - F.size("ws") + 1) / F.size("ws").cast(
+        "double"
+    )
+    alpha_frac = F.size(
+        F.expr("filter(ws, w -> w rlike '[a-z]')")
+    ) / F.size("ws").cast("double")
+    return base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        (
+            n_words.between(10, 5000)
+            & mean_wlen.between(2.0, 12.0)
+            & (alpha_frac > 0.6)
+        ).alias("keep"),
+    )
+
+
+def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of quantity per return flag —
+    ``percentile`` (linear interpolation, the same estimator DuckDB's
+    ``quantile_cont`` uses).  One partial+final aggregate; at 100 TB
+    swap for ``approx_percentile`` (t-digest) and keep the plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75))"
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(q.alias("qs"))
+        .select(
+            "returnflag",
+            F.round(F.element_at("qs", 1), 6).alias("q25"),
+            F.round(F.element_at("qs", 2), 6).alias("q50"),
+            F.round(F.element_at("qs", 3), 6).alias("q75"),
+        )
+    )
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: documents stratify into token
+    length bands and each band keeps a different fraction, selected by
+    an md5 cut (bytes 3-4, independent of the split hash's bytes 1-2) —
+    reproducible on any engine, no RNG state, map-only plan.  The
+    standard recipe for rebalancing a training mix."""
+    docs = _t(spark, sf_dir, "documents")
+    n = text.token_count(F.col("text"))
+    band = (
+        F.when(n < 20, "short").when(n < 100, "medium").otherwise("long")
+    )
+    bucket = F.substring(F.md5("text"), 3, 2)
+    threshold = (
+        F.when(F.col("band") == "short", "80")  # ~50%
+        .when(F.col("band") == "medium", "40")  # ~25%
+        .otherwise("1a")  # ~10%
+    )
+    return (
+        docs.select("doc_id", band.alias("band"), bucket.alias("bucket"))
+        .where(F.col("bucket") < threshold)
+        .select("doc_id", "band")
+    )
+
+
 def q_docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination check: which distinct test-split
     bigrams also occur in the train split.  Composes the deterministic
@@ -2067,6 +2174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": q_docs_hash_split,
         "orders_price_bands": q_orders_price_bands,
         "docs_top_bigrams": q_docs_top_bigrams,
+        "docs_repetition": q_docs_repetition,
+        "docs_gopher_filter": q_docs_gopher_filter,
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "docs_stratified_sample": q_docs_stratified_sample,
         "docs_split_contamination": q_docs_split_contamination,
         "lineitem_corr": q_lineitem_corr,
         "emb_label_centroids": q_emb_label_centroids,
@@ -3042,6 +3153,67 @@ def oracle_sql() -> dict[str, str]:
                   FROM bg GROUP BY 1)
             SELECT bigram, n FROM c
             WHERE n * 50 >= (SELECT count(*) FROM documents)
+        """,
+        "docs_repetition": f"""
+            WITH w AS (
+                SELECT doc_id, string_split({normalized}, ' ') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ),
+            t AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(ws) - 2),
+                           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                           AS tg
+                FROM w WHERE len(ws) >= 3
+            )
+            SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_trigrams,
+                   round((len(tg) - len(list_distinct(tg)))
+                         / CAST(len(tg) AS DOUBLE), 6) AS dup_frac
+            FROM t
+        """,
+        "docs_gopher_filter": f"""
+            WITH b AS (
+                SELECT doc_id, {normalized} AS s,
+                       string_split({normalized}, ' ') AS ws
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   round((length(s) - len(ws) + 1)
+                         / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+                   round(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                         / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_frac,
+                   (len(ws) BETWEEN 10 AND 5000)
+                       AND ((length(s) - len(ws) + 1)
+                            / CAST(len(ws) AS DOUBLE) BETWEEN 2.0 AND 12.0)
+                       AND (len(list_filter(ws,
+                                w -> regexp_matches(w, '[a-z]')))
+                            / CAST(len(ws) AS DOUBLE) > 0.6) AS keep
+            FROM b
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag AS returnflag,
+                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6)
+                       AS q25,
+                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6)
+                       AS q50,
+                   round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6)
+                       AS q75
+            FROM lineitem GROUP BY 1
+        """,
+        "docs_stratified_sample": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN {n_tokens} < 20 THEN 'short'
+                            WHEN {n_tokens} < 100 THEN 'medium'
+                            ELSE 'long' END AS band,
+                       substr(md5(text), 3, 2) AS bucket
+                FROM documents
+            )
+            SELECT doc_id, band FROM b
+            WHERE bucket < CASE band WHEN 'short' THEN '80'
+                                     WHEN 'medium' THEN '40'
+                                     ELSE '1a' END
         """,
         "docs_split_contamination": f"""
             WITH w AS (
