@@ -1308,6 +1308,77 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: every purchase within 30
+    minutes of a same-user click, as two file streams joined with
+    time-bounded state (``streaming.interval_join_streams``).  The
+    watermark exceeds the fixture's span so replay evicts nothing and
+    the appended output equals the batch join exactly — the SQL oracle.
+    Production sizes the watermark to the real lateness horizon; state
+    per key is then rate × (delay + watermark), independent of stream
+    length."""
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return _fix_event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = streaming.interval_join_streams(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_delay="30 minutes",
+        watermark="3650 days",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).cast("bigint").alias("delay_us"),
+    )
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def q_load_star_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 through the SQLite compatibility sink (D1 executed for real):
     the same nation⨝region star load as ``load_star_roundtrip``, but
@@ -2193,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_events_star": q_load_events_star,
         "load_star_sqlite": q_load_star_sqlite,
         "load_star_jdbc": q_load_star_jdbc,
+        "events_stream_attribution": q_events_stream_attribution,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -3019,6 +3091,18 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_dedup": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
+        """,
+        "events_stream_attribution": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT)
+                       AS delay_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL 30 MINUTE
         """,
         "load_events_star": """
             SELECT DISTINCT event_type,

@@ -203,3 +203,73 @@ def test_autoload_stream(
     assert {tuple(r) for r in joined.collect()} == {
         tuple(r) for r in flat.collect()
     }
+
+
+def test_interval_join_streams_matches_batch_join(spark) -> None:
+    """The watermarked stream-stream interval join (replayed with an
+    eviction-free watermark) must equal the batch time-bounded join."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = batch.schema
+
+    def side(kind: str, ts_name: str, id_name: str, stream: bool):
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            if stream
+            else batch
+        )
+        return src.where(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_name),
+            F.col("ts").cast("timestamp").alias(ts_name),
+        )
+
+    joined = streaming.interval_join_streams(
+        side("click", "click_ts", "click_id", stream=True),
+        side("purchase", "purchase_ts", "purchase_id", stream=True),
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_delay="2 hours",
+        watermark="3650 days",
+    )
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.table(name).collect()
+    }
+
+    c = side("click", "click_ts", "click_id", stream=False)
+    p = side("purchase", "purchase_ts", "purchase_id", stream=False)
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p.withColumnRenamed("user_id", "u2"),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 2 hours")
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-degenerate: the fixture produces pairs
