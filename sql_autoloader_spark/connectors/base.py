@@ -282,12 +282,16 @@ class BaseConnector(ABC):
         alias_out = alias
         if columns:
             alias_out = {v: k for k, v in columns.items()}.get(alias, alias)
-        orig_len = known_count if known_count is not None else data.count()
+        # Unknown input count: fuse it into the invariant aggregate (one
+        # tagged-union pass over the cached input) instead of a
+        # standalone count job — at scale that is one full pass over the
+        # fact, not two.
         new_len = ops.check_merge_invariants(
             result,
             alias_out,
             table,
-            orig_len,
+            known_count,
+            orig_frame=None if known_count is not None else data,
             allow_duplication=allow_duplication,
             sample_frame=joined,
         )
@@ -429,10 +433,16 @@ class BaseConnector(ABC):
             plan.insert_tables,
         )
 
-        # One count up front (materializes the pinned input); every
-        # subsequent step's count comes back from its own invariant
-        # aggregate, which also materializes that step's cache — so each
-        # merge step costs exactly one extra job beyond its write.
+        # One count up front: it PERFORMS the pinned input's one-time
+        # materialization (the dedup shuffle runs exactly once either
+        # way, so the count is near-free), and the exact bound it yields
+        # keeps small dimension payloads on the cheap single-partition
+        # surrogate window.  Every subsequent step's count comes back
+        # from its own invariant aggregate, which also materializes that
+        # step's cache — each merge step costs exactly one job beyond
+        # its write.  (Standalone merge_ids/retrieve_ids callers without
+        # a known count fuse the input count into the invariant
+        # aggregate instead — see ops.check_merge_invariants.)
         running: int | None = None
         for params in plan.insert_and_retrieve:
             if running is None:

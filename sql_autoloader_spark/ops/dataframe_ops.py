@@ -173,12 +173,12 @@ def merge_ids(
     db_data = match_dtypes(db_fetch, data)
     joined = merge_join(data, db_data)
 
-    orig_len = known_count if known_count is not None else data.count()
     check_merge_invariants(
         joined,
         alias,
         table,
-        orig_len,
+        known_count,
+        orig_frame=None if known_count is not None else data,
         allow_duplication=allow_duplication,
     )
     return joined
@@ -206,8 +206,9 @@ def check_merge_invariants(
     frame: DataFrame,
     alias: str,
     table: str,
-    orig_len: int,
+    orig_len: int | None,
     *,
+    orig_frame: DataFrame | None = None,
     allow_duplication: bool = False,
     sample_frame: DataFrame | None = None,
 ) -> int:
@@ -217,11 +218,43 @@ def check_merge_invariants(
     next step instead of re-counting).  *sample_frame*, when given, is
     used for the failure sample only — callers that check a projection
     can still report the full pre-projection rows.
+
+    When *orig_len* is unknown, pass *orig_frame* (the pre-join input)
+    instead: both counts come back from ONE aggregate over a tagged
+    union — the pre-join side is a bare projection of the (cached)
+    input, so this replaces a standalone ``count()`` job entirely.
     """
-    stats = frame.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.count(F.when(_col(frame, alias).isNull(), 1)).alias("__null_ids"),
-    ).first()
+    if orig_len is None:
+        if orig_frame is None:
+            msg = "either orig_len or orig_frame is required"
+            raise AssertionError(msg)
+        try:
+            id_type = frame.schema[alias].dataType
+        except KeyError:
+            id_type = "bigint"
+        tagged = frame.select(
+            _col(frame, alias).alias("__id"), F.lit(1).alias("__side")
+        ).unionByName(
+            orig_frame.select(
+                F.lit(None).cast(id_type).alias("__id"),
+                F.lit(0).alias("__side"),
+            )
+        )
+        stats = tagged.agg(
+            F.count(F.when(F.col("__side") == 1, 1)).alias("__n"),
+            F.count(F.when(F.col("__side") == 0, 1)).alias("__orig"),
+            F.count(
+                F.when((F.col("__side") == 1) & F.col("__id").isNull(), 1)
+            ).alias("__null_ids"),
+        ).first()
+        orig_len = stats["__orig"]
+    else:
+        stats = frame.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(_col(frame, alias).isNull(), 1)).alias(
+                "__null_ids"
+            ),
+        ).first()
     new_len = stats["__n"]
 
     # Null ids are checked FIRST: a row the idempotent insert rejected
