@@ -112,6 +112,14 @@ class SparkConnector(BaseConnector):
         the partitions present in the payload.  Persisted as a table
         property so reopened connectors keep appending partitioned.
         Ignored in temp-view mode (in-memory frames have no layout).
+    bucket_by:
+        ``{table_name: (n_buckets, [column, ...])}`` — hash bucketing
+        (+ per-bucket sort) for managed catalog tables.  Two tables
+        bucketed on the same join key co-locate at write time, so
+        repeated post-load analytical joins run with ZERO runtime
+        exchange — the shuffle is paid once, at append.  Persisted as a
+        table property like ``partition_by``; composable with it
+        (partition dirs × hash buckets).  Ignored in temp-view mode.
     """
 
     def __init__(
@@ -122,6 +130,7 @@ class SparkConnector(BaseConnector):
         key_strategy: Literal["row_number", "hash64"] = "row_number",
         dtype_adapters: dict[str, tuple] | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        bucket_by: dict[str, tuple[int, list[str]]] | None = None,
         broadcast_dims: bool = True,
     ) -> None:
         self.spark = spark
@@ -142,6 +151,7 @@ class SparkConnector(BaseConnector):
             spark.conf.set(_shj_key, "64m")
         self.dtype_adapters = dtype_adapters or {}
         self.partition_by = partition_by or {}
+        self.bucket_by = bucket_by or {}
         #: DDL-derived metadata per table
         self._meta: dict[str, ParsedTable] = {}
         #: committed content per table
@@ -264,9 +274,18 @@ class SparkConnector(BaseConnector):
         writer = new_rows.withColumn(
             _COMMIT_COL, F.lit(cid).cast("bigint")
         ).write.mode("append")
+        writer = self._apply_layout(writer, table)
+        writer.saveAsTable(self._qualified(table))
+
+    def _apply_layout(self, writer, table: str):  # noqa: ANN001, ANN202
+        """Apply the table's persistent physical layout (disk
+        partitioning and/or hash bucketing) to a managed-table writer."""
         if parts := self.partition_by.get(table):
             writer = writer.partitionBy(*parts)
-        writer.saveAsTable(self._qualified(table))
+        if spec := self.bucket_by.get(table):
+            n_buckets, cols = spec
+            writer = writer.bucketBy(int(n_buckets), *cols).sortBy(*cols)
+        return writer
 
     def _init_journal(self) -> None:
         qualified = self._qualified(_JOURNAL)
@@ -321,9 +340,7 @@ class SparkConnector(BaseConnector):
         never part of a normal commit).  Content is pinned eagerly first
         because it reads the very table being overwritten."""
         pinned = content.localCheckpoint(eager=True)
-        writer = pinned.write.mode("overwrite")
-        if parts := self.partition_by.get(table):
-            writer = writer.partitionBy(*parts)
+        writer = self._apply_layout(pinned.write.mode("overwrite"), table)
         writer.saveAsTable(self._qualified(table))
         # overwrite recreates the table: restore the metadata properties
         self._apply_table_props(self._meta[table])
@@ -355,6 +372,13 @@ class SparkConnector(BaseConnector):
                 f"{unknown} not declared in its DDL."
             )
             raise ValueError(msg)
+        _, bucket_cols = self.bucket_by.get(parsed.name, (0, []))
+        if unknown := [c for c in bucket_cols if c not in declared]:
+            msg = (
+                f"bucket_by for table '{parsed.name}' names columns "
+                f"{unknown} not declared in its DDL."
+            )
+            raise ValueError(msg)
 
         ddl_schema = ", ".join(f"`{c}` {t}" for c, t in parsed.column_types)
         empty = self.spark.createDataFrame([], schema=ddl_schema)
@@ -377,9 +401,9 @@ class SparkConnector(BaseConnector):
             with_epoch = self.spark.createDataFrame(
                 [], schema=ddl_schema + f", `{_COMMIT_COL}` BIGINT"
             )
-            create_writer = with_epoch.write.mode("ignore")
-            if parts := self.partition_by.get(parsed.name):
-                create_writer = create_writer.partitionBy(*parts)
+            create_writer = self._apply_layout(
+                with_epoch.write.mode("ignore"), parsed.name
+            )
             create_writer.saveAsTable(qualified)
             self._apply_table_props(parsed)
             self._committed[parsed.name] = self._committed_view(parsed.name)
@@ -399,6 +423,10 @@ class SparkConnector(BaseConnector):
                 ("column_types", parsed.column_types),
                 ("not_null", parsed.not_null),
                 ("partition_by", self.partition_by.get(parsed.name, [])),
+                (
+                    "bucket_by",
+                    list(self.bucket_by.get(parsed.name, (0, []))),
+                ),
             )
         )
         self.spark.sql(
@@ -458,6 +486,11 @@ class SparkConnector(BaseConnector):
                 props.get(f"{_PROP_PREFIX}partition_by", "[]")
             ):
                 self.partition_by.setdefault(name, parts)
+            n_buckets, bucket_cols = json.loads(
+                props.get(f"{_PROP_PREFIX}bucket_by", "[0, []]")
+            )
+            if n_buckets:
+                self.bucket_by.setdefault(name, (n_buckets, bucket_cols))
 
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
         """Emit the schema-graph wire format from the registered metadata."""

@@ -213,3 +213,50 @@ def test_crash_without_sweep_recovers_on_reopen(
         db2.load(data)
     assert db2._read_table("cr_brand").count() == 2
     assert db2._read_table("cr_car").count() == 2
+
+
+def test_bucketed_fact_tables_join_without_exchange(
+    spark: SparkSession,
+) -> None:
+    """bucket_by lands managed tables hash-bucketed: the spec survives
+    reopen via table properties, appended data keeps the layout, and a
+    join between two tables bucketed on the same key runs with zero
+    runtime exchange — the write paid the shuffle once."""
+    from pyspark.sql import functions as F
+
+    data = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "k long, tag string, v double",
+    )
+    db = SparkConnector(
+        spark,
+        database="buckettest",
+        bucket_by={"bk_left": (4, ["k"]), "bk_right": (4, ["k"])},
+    )
+    db.execute_ddl(
+        """
+        CREATE TABLE bk_left (k BIGINT, tag TEXT, v DOUBLE);
+        CREATE TABLE bk_right (k BIGINT, tag TEXT, v DOUBLE);
+        """
+    )
+    with db:
+        db.insert(data, table="bk_left")
+        db.insert(data, table="bk_right")
+
+    # reopened connector re-learns the layout from table properties
+    db2 = SparkConnector(spark, database="buckettest")
+    assert db2.bucket_by["bk_left"] == (4, ["k"])
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.table("buckettest.bk_left").select("k", "v")
+        right = spark.table("buckettest.bk_right").select(
+            F.col("k"), F.col("v").alias("v2")
+        )
+        joined = left.join(right, on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 3  # unique keys on both sides
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "Exchange" not in plan.split("Initial Plan")[0]
