@@ -1308,6 +1308,29 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe dimension enrichment: the events fact joins its 5-value
+    ``event_type`` dimension through ``scale.salted_join`` — the fact
+    side fans out over deterministic content-hash salts and the (tiny)
+    dim side replicates per salt, so a hot key spreads across
+    ``n_salts`` reducers instead of collapsing onto one.  Results are
+    identical to the plain join (the SQL oracle); only the shuffle
+    distribution changes — the 100 TB hot-key recipe, oracle-checked."""
+    from sql_autoloader_spark.functions import scale
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    type_dim = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_of_type"))
+    )
+    return scale.salted_join(ev, type_dim, on="event_type", n_salts=8).select(
+        "event_id",
+        "event_type",
+        "n_of_type",
+        F.round(F.col("value") / F.col("n_of_type"), 9).alias("share"),
+    )
+
+
 def q_events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join: every purchase within 30
     minutes of a same-user click, as two file streams joined with
@@ -2265,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_star_sqlite": q_load_star_sqlite,
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
+        "events_salted_enrich": q_events_salted_enrich,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
@@ -3091,6 +3115,15 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_dedup": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
+        """,
+        "events_salted_enrich": """
+            WITH d AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_of_type
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, d.n_of_type,
+                   round(e.value / d.n_of_type, 9) AS share
+            FROM events e JOIN d ON e.event_type = d.event_type
         """,
         "events_stream_attribution": """
             SELECT c.user_id,
