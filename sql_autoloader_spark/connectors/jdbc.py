@@ -127,6 +127,27 @@ class PostgresDialect(Dialect):
         """
 
 
+def _split_statements(script: str) -> list[str]:
+    """Split a SQL script on statement-separating semicolons, honoring
+    single-quoted literals and double-quoted identifiers (both with
+    doubled-quote escapes, which simply re-enter the quoted state)."""
+    statements: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for ch in script:
+        if quote is None and ch in ("'", '"'):
+            quote = ch
+        elif quote is not None and ch == quote:
+            quote = None
+        elif quote is None and ch == ";":
+            statements.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    statements.append("".join(buf))
+    return statements
+
+
 class JDBCConnector(BaseConnector):
     """Auto-loader over a remote SQL database reached via Spark JDBC.
 
@@ -192,7 +213,7 @@ class JDBCConnector(BaseConnector):
         conn = self._driver_connection()
         try:
             statement = conn.createStatement()
-            for raw in script.split(";"):
+            for raw in _split_statements(script):
                 sql = raw.strip()
                 if sql:
                     statement.execute(sql)

@@ -95,14 +95,14 @@ class SparkConnector(BaseConnector):
         user-typed values.  E.g. store ``array<int>`` in a TEXT column:
         ``{"tags": (F.to_json, lambda c: F.from_json(c, "array<int>"))}``.
     broadcast_dims:
-        Broadcast the dimension side of the loader's joins (the key
-        retrieval merge and the generated compare's dim joins) instead of
-        letting the static planner pick SortMergeJoin — pinned appends
-        carry no size statistics, so without the hint every key merge
-        shuffles the *fact* side.  Default True: keyed tables are
-        dimension tables in a star load.  Set False for billion-member
-        dimension tables that exceed executor broadcast memory; AQE then
-        re-plans small joins at runtime instead.
+        Broadcast the dimension side of the loader's key-retrieval merge
+        instead of letting the static planner pick SortMergeJoin —
+        pinned appends carry no size statistics, so without the hint
+        every key merge shuffles the *fact* side.  Default (``None``):
+        on for ``row_number`` strategy (keyed tables are dimension
+        tables in a star load), off for ``hash64`` (which targets entity
+        tables beyond broadcast scale).  Pass an explicit bool to
+        override; with it off, AQE re-plans small joins at runtime.
     partition_by:
         ``{table_name: [column, ...]}`` — physical partitioning for
         managed catalog tables (the 100 TB layout knob the reference's
@@ -131,12 +131,17 @@ class SparkConnector(BaseConnector):
         dtype_adapters: dict[str, tuple] | None = None,
         partition_by: dict[str, list[str]] | None = None,
         bucket_by: dict[str, tuple[int, list[str]]] | None = None,
-        broadcast_dims: bool = True,
+        broadcast_dims: bool | None = None,
     ) -> None:
         self.spark = spark
         self.database = database
         self.key_strategy = key_strategy
-        self._broadcast_dims = broadcast_dims
+        # hash64 signals entity tables beyond dimension scale, where
+        # broadcasting the key fetch would blow the broadcast limit —
+        # default the hint off there and let AQE pick at runtime
+        self._broadcast_dims = (
+            key_strategy != "hash64" if broadcast_dims is None else broadcast_dims
+        )
         # The generated compare query's joins are dim-preserving LeftOuter
         # with the fact on the RIGHT — a shape whose small (dim) side is
         # not a legal broadcast build side, so the static planner and
@@ -144,8 +149,10 @@ class SparkConnector(BaseConnector):
         # this threshold set, AQE converts those SMJs to shuffled-hash
         # joins building the dim-side map (legal since SPARK-36612) —
         # the fact still shuffles (inherent to dim-preserving semantics)
-        # but is never sorted.  Only set when unset so an explicit user
-        # configuration wins.
+        # but is never sorted.  A non-zero user configuration wins; an
+        # explicit 0 is indistinguishable from the unset default through
+        # the conf API and also gets 64m — set the conf AFTER
+        # construction to force conversion off.
         _shj_key = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
         if spark.conf.get(_shj_key, "0b").lower().rstrip("bkmg") in ("0", ""):
             spark.conf.set(_shj_key, "64m")
@@ -182,6 +189,14 @@ class SparkConnector(BaseConnector):
 
     def __enter__(self) -> Self:
         self._in_tx = True
+        # BEGIN semantics: a transaction reads the state committed as of
+        # its start.  Another connector on the same database may have
+        # committed since this one opened — refresh the durable epoch so
+        # anti-joins and surrogate max-id scans see those rows (one tiny
+        # journal aggregate; overlapping transactions remain
+        # single-writer per database, like a file database).
+        if self.database is not None:
+            self._refresh_durable()
         return self
 
     def __exit__(self, exc_type: object, *exception: object) -> None:
@@ -239,6 +254,18 @@ class SparkConnector(BaseConnector):
         self._register_views()
 
     def _commit_managed(self, pending: dict[str, list[DataFrame]]) -> None:
+        # Re-read the journal: another connector on the same database may
+        # have advanced the durable epoch since this one opened — reusing
+        # an already-durable epoch would make mid-commit rows visible
+        # before the flip.  (Two connectors committing *simultaneously*
+        # still race the read-then-flip; commits are single-writer per
+        # database, like the reference's file-database transactions.)
+        row = (
+            self.spark.table(self._qualified(_JOURNAL))
+            .agg(F.max("commit_id").alias("m"))
+            .first()
+        )
+        self._durable_max = max(self._durable_max, row["m"] or 0)
         cid = self._durable_max + 1
         done: list[str] = []
         try:
@@ -286,6 +313,21 @@ class SparkConnector(BaseConnector):
             n_buckets, cols = spec
             writer = writer.bucketBy(int(n_buckets), *cols).sortBy(*cols)
         return writer
+
+    def _refresh_durable(self) -> None:
+        """Re-read the journal; on a new epoch, rebuild committed views."""
+        row = (
+            self.spark.table(self._qualified(_JOURNAL))
+            .agg(F.max("commit_id").alias("m"))
+            .first()
+        )
+        latest = row["m"] or 0
+        if latest > self._durable_max:
+            self._durable_max = latest
+            for table in self._meta:
+                self._committed[table] = self._committed_view(table)
+                self._committed_empty[table] = False
+            self._register_views()
 
     def _init_journal(self) -> None:
         qualified = self._qualified(_JOURNAL)
@@ -406,6 +448,19 @@ class SparkConnector(BaseConnector):
             )
             create_writer.saveAsTable(qualified)
             self._apply_table_props(parsed)
+            if (
+                pre_existed
+                and _COMMIT_COL not in self.spark.table(qualified).columns
+            ):
+                # adopting a table created outside this connector: give
+                # its rows the always-durable epoch so commits (which
+                # append the epoch column) fit the physical schema
+                self._overwrite_table(
+                    parsed.name,
+                    self.spark.table(qualified).withColumn(
+                        _COMMIT_COL, F.lit(0).cast("bigint")
+                    ),
+                )
             self._committed[parsed.name] = self._committed_view(parsed.name)
         elif not already_tracked:
             self._committed[parsed.name] = empty
@@ -471,6 +526,17 @@ class SparkConnector(BaseConnector):
                 ),
             )
             self._meta[name] = parsed
+            # restore the persisted physical layout FIRST: a migration
+            # rewrite below must re-apply it, not erase it
+            if parts := json.loads(
+                props.get(f"{_PROP_PREFIX}partition_by", "[]")
+            ):
+                self.partition_by.setdefault(name, parts)
+            n_buckets, bucket_cols = json.loads(
+                props.get(f"{_PROP_PREFIX}bucket_by", "[0, []]")
+            )
+            if n_buckets:
+                self.bucket_by.setdefault(name, (n_buckets, bucket_cols))
             raw = self.spark.table(self._qualified(name))
             if _COMMIT_COL not in raw.columns:
                 # legacy (pre-manifest) table: one-time migration tags
@@ -482,15 +548,6 @@ class SparkConnector(BaseConnector):
             self._committed[name] = self._committed_view(name)
             self._appends.setdefault(name, [])
             self._committed_empty[name] = False  # unknown content
-            if parts := json.loads(
-                props.get(f"{_PROP_PREFIX}partition_by", "[]")
-            ):
-                self.partition_by.setdefault(name, parts)
-            n_buckets, bucket_cols = json.loads(
-                props.get(f"{_PROP_PREFIX}bucket_by", "[0, []]")
-            )
-            if n_buckets:
-                self.bucket_by.setdefault(name, (n_buckets, bucket_cols))
 
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
         """Emit the schema-graph wire format from the registered metadata."""

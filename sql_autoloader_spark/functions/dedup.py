@@ -737,6 +737,7 @@ def _star_components(edges: DataFrame, *, max_iterations: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     count = current.count()
+    converged = False
     for _ in range(max_iterations):
         sym = current.unionByName(
             current.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -764,8 +765,18 @@ def _star_components(edges: DataFrame, *, max_iterations: int) -> DataFrame:
         new_count = small.count()
         if new_count == count and small.subtract(current).isEmpty():
             current = small
+            converged = True
             break
         current, count = small, new_count
+    if not converged:
+        # same contract as the label path: silently returning a
+        # non-fixpoint edge set would split real clusters
+        msg = (
+            f"star connected-components did not converge in "
+            f"{max_iterations} rounds — raise max_iterations (the "
+            "required rounds grow with log² of the largest component)."
+        )
+        raise RuntimeError(msg)
     # fixpoint: every edge points a node at its component minimum
     labels = current.select(
         F.col("a").alias("id"), F.col("b").alias("component")

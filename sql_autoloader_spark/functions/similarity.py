@@ -272,7 +272,12 @@ def _fit_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    spark = corpus.sparkSession
     n = corpus.count()
+    if n == 0:
+        # empty corpus: empty centroid set (ivf_topk then joins to
+        # nothing and returns no matches, matching brute force)
+        return spark.createDataFrame([], "cid INT, centroid ARRAY<DOUBLE>")
     k = max(min(n_centroids, n), 1)
     target = k * sample_per_centroid
     sample = corpus.select(
@@ -290,7 +295,6 @@ def _fit_centroids(
     model = KMeans(
         k=k, seed=0, maxIter=20, tol=1e-4, featuresCol="features"
     ).fit(train)
-    spark = corpus.sparkSession
     return spark.createDataFrame(
         [
             (i, [float(x) for x in center])

@@ -260,3 +260,112 @@ def test_bucketed_fact_tables_join_without_exchange(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "Exchange" not in plan.split("Initial Plan")[0]
+
+
+def test_adopting_externally_created_table_migrates_epoch(
+    spark: SparkSession,
+) -> None:
+    """A populated table created OUTSIDE the connector (plain spark.sql,
+    no epoch column) is adopted by execute_ddl: existing rows become
+    durable epoch-0 content and subsequent commits append cleanly."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS adopttest")
+    spark.sql("DROP TABLE IF EXISTS adopttest.ad_brand")
+    spark.createDataFrame([(1, "Ford")], "id BIGINT, brand STRING").write.mode(
+        "overwrite"
+    ).saveAsTable("adopttest.ad_brand")
+
+    db = SparkConnector(spark, database="adopttest")
+    db.execute_ddl(
+        "CREATE TABLE ad_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);"
+    )
+    assert {tuple(r) for r in db._read_table("ad_brand").collect()} == {
+        (1, "Ford")
+    }
+    more = spark.createDataFrame([("Toyota",), ("Ford",)], ["brand"])
+    with db:
+        db.insert(more, table="ad_brand")
+    rows = {tuple(r) for r in db._read_table("ad_brand").collect()}
+    assert rows == {(1, "Ford"), (2, "Toyota")}
+
+
+def test_legacy_migration_preserves_partition_layout(
+    spark: SparkSession,
+) -> None:
+    """Opening a pre-manifest (epoch-less) database must migrate WITHOUT
+    erasing the persisted partition_by layout."""
+    import json
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS legacytest")
+    spark.sql("DROP TABLE IF EXISTS legacytest.lg_fact")
+    data = spark.createDataFrame(
+        [("NL", "a", 1), ("DE", "b", 2)], "country STRING, payload STRING, n BIGINT"
+    )
+    data.write.partitionBy("country").saveAsTable("legacytest.lg_fact")
+    props = {
+        "primary_key": "",
+        "foreign_keys": [],
+        "payload_columns": ["country", "payload", "n"],
+        "unique_constraints": [],
+        "references": [],
+        "column_types": [
+            ["country", "STRING"],
+            ["payload", "STRING"],
+            ["n", "BIGINT"],
+        ],
+        "not_null": [],
+        "partition_by": ["country"],
+    }
+    prop_sql = ", ".join(
+        f"'sql_autoloader.{k}' = '{json.dumps(v)}'" for k, v in props.items()
+    )
+    spark.sql(f"ALTER TABLE legacytest.lg_fact SET TBLPROPERTIES ({prop_sql})")
+
+    db = SparkConnector(spark, database="legacytest")
+    assert db.partition_by.get("lg_fact") == ["country"]
+    # migration happened (epoch column now physically present)...
+    assert "__commit_id" in spark.table("legacytest.lg_fact").columns
+    # ...and both content and the persisted layout survived
+    assert db._read_table("lg_fact").count() == 2
+    kept = {
+        r.key: r.value
+        for r in spark.sql(
+            "SHOW TBLPROPERTIES legacytest.lg_fact"
+        ).collect()
+    }
+    assert json.loads(kept["sql_autoloader.partition_by"]) == ["country"]
+    cols = spark.catalog.listColumns("lg_fact", "legacytest")
+    assert [c.name for c in cols if c.isPartition] == ["country"]
+
+
+def test_second_connector_transaction_sees_prior_commits(
+    spark: SparkSession,
+) -> None:
+    """BEGIN semantics across connector instances: a connector opened
+    BEFORE another one commits must, at its own transaction start,
+    refresh to the durable state — fresh epoch, continued surrogate
+    ids, and idempotency against the other connector's rows."""
+    a = SparkConnector(spark, database="epochtest")
+    a.execute_ddl(
+        "CREATE TABLE ep_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);"
+    )
+    b = SparkConnector(spark, database="epochtest")  # opened before a commits
+
+    with a:
+        a.load(spark.createDataFrame([("Ford",)], ["brand"]))
+    with b:
+        # 'Ford' must be seen (no duplicate), 'Toyota' continues the ids
+        b.load(
+            spark.createDataFrame([("Toyota",), ("Ford",)], ["brand"]),
+            compare=False,
+        )
+
+    rows = sorted(
+        map(tuple, SparkConnector(spark, database="epochtest")
+            ._read_table("ep_brand").collect())
+    )
+    assert rows == [(1, "Ford"), (2, "Toyota")]
+    journal = sorted(
+        r[0]
+        for r in spark.table("epochtest.__sql_autoloader_commits").collect()
+    )
+    assert journal == sorted(set(journal))  # no epoch reuse
