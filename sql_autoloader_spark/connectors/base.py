@@ -68,6 +68,22 @@ class BaseConnector(ABC):
     #: broadcast set this False and let AQE pick the join at runtime.
     _broadcast_dims: bool = False
 
+    #: opt-in: keep the validated reconstruction the compare aggregate
+    #: already computed, pinned ``MEMORY_AND_DISK``, and expose it as
+    #: :attr:`last_reconstruction` — callers that want the reconstructed
+    #: flat frame after a ``load`` reuse that shuffle instead of
+    #: re-running the multi-way join.  Off by default: the pin is
+    #: distinct-input-sized, which a 100 TB load should not hold onto
+    #: unless the caller actually consumes it.
+    expose_reconstruction: bool = False
+
+    #: the distinct reconstruction from the most recent compare, when
+    #: :attr:`expose_reconstruction` was set (else ``None``).  Stays
+    #: valid after the load's internal caches are released; re-assigned
+    #: (and the previous pin dropped) by the next compare.
+    last_reconstruction: DataFrame | None = None
+    _kept_grouped: DataFrame | None = None
+
     # -- physical primitives (per sink) -------------------------------------
 
     @abstractmethod
@@ -392,9 +408,20 @@ class BaseConnector(ABC):
         # once, streamed, and never cached (scale-critical at 100 TB: one
         # pass over the fact join, not three passes over a materialization).
         db_data = self._execute_compare_query(query)
-        ops.validate_load_compare(
-            data, db_data, exact=exact, missing_first=_missing_first
+        grouped = ops.validate_load_compare(
+            data,
+            db_data,
+            exact=exact,
+            missing_first=_missing_first,
+            keep_grouped=self.expose_reconstruction,
         )
+        if grouped is not None:
+            if self._kept_grouped is not None:
+                self._kept_grouped.unpersist()
+            self._kept_grouped = grouped
+            self.last_reconstruction = ops.reconstruction_from_grouped(
+                grouped, data.columns
+            )
 
     def load(
         self,

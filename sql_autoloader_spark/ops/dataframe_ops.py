@@ -29,6 +29,7 @@ from functools import reduce
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sql_autoloader_spark.exceptions import (
     CompareMissingRowsError,
@@ -410,7 +411,8 @@ def validate_load_compare(
     *,
     exact: bool = True,
     missing_first: bool = False,
-) -> None:
+    keep_grouped: bool = False,
+) -> DataFrame | None:
     """The full post-load validation in ONE aggregate job.
 
     Fuses what the reference runs as four separate passes
@@ -425,11 +427,50 @@ def validate_load_compare(
     ``load`` sets this when the per-insert subset checks were delegated
     to this compare, so a row that never landed keeps its insert-failure
     identity instead of folding into the generic exact-mismatch error.
+
+    ``keep_grouped``: persist the grouped frame (``MEMORY_AND_DISK`` —
+    spills rather than OOMs; it is distinct-input-sized) and return it,
+    so callers that want the validated reconstruction afterwards reuse
+    the shuffle this aggregate already paid for instead of re-running
+    the multi-way reconstruction join.  The stats pass below
+    materializes the persist, so the happy path costs nothing extra; on
+    a validation failure the persist is released before the raise.
     """
     aligned = match_dtypes(db_data, data)
     db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
     grouped = _compare_grouped(data, db_aligned)
+    if keep_grouped:
+        grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _validate_grouped(
+                grouped, data, exact=exact, missing_first=missing_first
+            )
+        except Exception:
+            grouped.unpersist()
+            raise
+        return grouped
+    _validate_grouped(grouped, data, exact=exact, missing_first=missing_first)
+    return None
 
+
+def reconstruction_from_grouped(
+    grouped: DataFrame, columns: list[str]
+) -> DataFrame:
+    """The distinct reconstruction rows out of a kept compare aggregate:
+    every distinct tuple the database side produced (``__cmp_n_b > 0``),
+    projected back to the data columns."""
+    return grouped.where(F.col("__cmp_n_b") > 0).select(
+        [F.col(_q(c)) for c in columns]
+    )
+
+
+def _validate_grouped(
+    grouped: DataFrame,
+    data: DataFrame,
+    *,
+    exact: bool,
+    missing_first: bool,
+) -> None:
     null_row = reduce(
         Column.__or__, [F.col(_q(c)).isNull() for c in data.columns]
     )

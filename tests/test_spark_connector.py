@@ -532,3 +532,36 @@ def test_distributed_rank_continues_after_existing_rows(
         db.load(second, compare=False)
     rows = sorted(map(tuple, spark.table("rk2_dim").collect()))
     assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_expose_reconstruction_matches_compare_query(
+    spark: SparkSession,
+) -> None:
+    """``expose_reconstruction`` pins the compare aggregate's validated
+    reconstruction and exposes it as ``last_reconstruction`` — it must
+    equal the generated compare query's distinct result and stay usable
+    after ``load`` releases its internal caches."""
+    db = SparkConnector(spark)
+    db.expose_reconstruction = True
+    db.execute_ddl(
+        """
+        CREATE TABLE xr_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);
+        CREATE TABLE xr_fact (
+            n BIGINT,
+            word_id INTEGER REFERENCES xr_dim (id)
+        );
+        """
+    )
+    data = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, None)], ["n", "word"]
+    )
+    with db:
+        db.load(data)
+    rec = db.last_reconstruction
+    assert rec is not None
+    assert sorted(rec.columns) == ["n", "word"]
+    query = db.schema.get_compare_query(["n", "word"], quote="`")
+    assert rowset(rec) == rowset(spark.sql(query).select("n", "word"))
+    # a second load on a fresh connector re-points the attribute
+    db2 = SparkConnector(spark)
+    assert db2.last_reconstruction is None
