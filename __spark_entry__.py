@@ -1796,6 +1796,9 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         dim=64,
         threshold=0.3,
+        # bound bucket skew: oversized LSH buckets (degenerate clusters)
+        # fall back to representative-star pairing, linear not quadratic
+        max_bucket_size=512,
     )
 
 

@@ -241,10 +241,20 @@ def sample_frames(
 
 
 def media_neardup_pairs(
-    df: DataFrame, *, threshold: float = 0.95
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate media pairs: extract features, then reuse the
-    embedding LSH machinery (decode once, bucket, verify)."""
+    embedding LSH machinery (decode once, bucket, verify).
+
+    ``max_bucket_size`` defaults ON here (unlike the raw embedding
+    variant): low-entropy feature spaces — byte histograms, thumbnails,
+    the stub codec — concentrate giant near-identical clusters into
+    single LSH buckets, and an uncapped bucket self-join is quadratic
+    in cluster size.  Oversized buckets pair members with the bucket
+    representative only (linear)."""
     from sql_autoloader_spark.functions.similarity import (
         embedding_neardup_pairs,
     )
@@ -256,4 +266,5 @@ def media_neardup_pairs(
         vec_col="feature",
         dim=FEATURE_DIM,
         threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )

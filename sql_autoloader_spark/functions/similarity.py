@@ -423,35 +423,35 @@ def embedding_neardup_pairs(
     # planes dot products) would otherwise execute once per join side
     banded = banded.localCheckpoint(eager=True)
 
+    # Vectors are looked up AFTER candidate dedup: the bucket self-join
+    # emits each pair once per shared (table, signature), and deduping
+    # rows that carry both vectors would shuffle ~2·dim floats per
+    # candidate with array-typed grouping keys.  Dedup the 16-byte id
+    # pair instead, then re-join the vectors from the pinned signatures
+    # frame — at 100 TB the dedup shuffle is the pair list, not the
+    # pair list × vector payload.
+    keys = banded.select("tbl", "sig", "doc")
     star = None
     if max_bucket_size is not None:
-        counts = banded.groupBy("tbl", "sig").agg(
+        counts = keys.groupBy("tbl", "sig").agg(
             F.count(F.lit(1)).alias("__f"),
             F.min("doc").alias("__rep"),
-            F.min_by("v", "doc").alias("__rep_v"),
         )
-        sized = banded.join(counts, on=["tbl", "sig"])
-        banded = sized.where(F.col("__f") <= max_bucket_size).drop(
-            "__f", "__rep", "__rep_v"
+        sized = keys.join(counts, on=["tbl", "sig"])
+        keys = sized.where(F.col("__f") <= max_bucket_size).drop(
+            "__f", "__rep"
         )
-        star = (
-            sized.where(
-                (F.col("__f") > max_bucket_size)
-                & (F.col("doc") > F.col("__rep"))
-            )
-            .select(
-                F.col("__rep").alias("id_a"),
-                F.col("doc").alias("id_b"),
-                F.col("__rep_v").alias("va"),
-                F.col("v").alias("vb"),
-            )
-            .distinct()
+        star = sized.where(
+            (F.col("__f") > max_bucket_size) & (F.col("doc") > F.col("__rep"))
+        ).select(
+            F.col("__rep").alias("id_a"),
+            F.col("doc").alias("id_b"),
         )
 
-    pairs = (
-        banded.alias("l")
+    id_pairs = (
+        keys.alias("l")
         .join(
-            banded.alias("r"),
+            keys.alias("r"),
             on=[
                 F.col("l.tbl") == F.col("r.tbl"),
                 F.col("l.sig") == F.col("r.sig"),
@@ -461,13 +461,20 @@ def embedding_neardup_pairs(
         .select(
             F.col("l.doc").alias("id_a"),
             F.col("r.doc").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
         )
-        .distinct()
     )
     if star is not None:
-        pairs = pairs.unionByName(star).distinct()
+        id_pairs = id_pairs.unionByName(star)
+    id_pairs = id_pairs.distinct()
+
+    vecs = banded.select("doc", "v").dropDuplicates(["doc"])
+    pairs = id_pairs.join(
+        vecs.select(F.col("doc").alias("id_a"), F.col("v").alias("va")),
+        on="id_a",
+    ).join(
+        vecs.select(F.col("doc").alias("id_b"), F.col("v").alias("vb")),
+        on="id_b",
+    )
     return (
         pairs.select(
             "id_a",
