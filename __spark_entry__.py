@@ -1758,11 +1758,17 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=6 -> 7 pigeonhole chunks of ~9 bits: each bucket key
+    # has ~512 values, so the candidate join actually prunes.  (At 12
+    # the mandatory 13 chunks are ~5 bits wide — 32 buckets per chunk —
+    # and bucketing degenerates toward all-pairs on any corpus with a
+    # shared vocabulary.)  The cap bounds residual bucket skew.
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"),
         id_col="doc_id",
         text_col="text",
-        max_hamming=12,
+        max_hamming=6,
+        max_bucket_size=1024,
     )
 
 

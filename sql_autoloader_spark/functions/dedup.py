@@ -7,12 +7,13 @@ Design rules for 100 TB:
   exact similarity is then verified only on candidates.
 - **Exact dedup is one keyed shuffle**: ``groupBy(fingerprint)`` compiles
   to partial+final HashAggregate (map-side combined).
-- All hashing uses ``xxhash64`` (JVM-side).  The one Python touchpoint is
-  the Arrow-vectorized MinHash permutation fold
-  (:func:`minhash_signature_vectorized`) — Spark evaluates higher-order
-  -function lambdas interpreted (no codegen), so a numpy matrix fold
-  beats ``num_hashes`` interpreted array passes by ~10x; its integer
-  math is exact and bit-identical to the JVM expression form.
+- All hashing uses ``xxhash64`` (JVM-side).  The Python touchpoints are
+  the Arrow-vectorized signature folds
+  (:func:`minhash_signature_vectorized`, :func:`simhash_vectorized`) —
+  Spark evaluates higher-order-function lambdas interpreted (no
+  codegen), so a numpy matrix fold beats the interpreted per-token
+  array passes by ~10x; the integer math is exact and bit-identical to
+  the JVM expression forms (differential-tested).
 """
 
 from __future__ import annotations
@@ -481,6 +482,48 @@ def simhash(col: Column, *, bits: int = 64) -> Column:
     return fp
 
 
+def simhash_vectorized(hashes: Column, *, bits: int = 64) -> Column:
+    """Arrow-vectorized SimHash fold, bit-identical to :func:`simhash`.
+
+    Same split as :func:`minhash_signature_vectorized`: the per-token
+    ``xxhash64`` stays JVM-side (pass ``transform(tokens, xxhash64)``),
+    and only the bit-count fold runs in numpy — the pure-expression
+    version evaluates 64 interpreted branch expressions per token
+    inside a higher-order ``aggregate`` (no codegen), which dominates
+    the whole SimHash pipeline.  numpy ``>>`` on int64 is an arithmetic
+    shift exactly like Spark's ``shiftright``, so bit extraction
+    matches the JVM for negative hashes too.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    positions = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def fold(batch: pd.Series) -> pd.Series:
+        out = []
+        for hs in batch:
+            if hs is None or len(hs) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            # (n_tokens, bits) bit matrix -> per-bit +/-1 counters
+            bitm = (h[:, None] >> positions[None, :]) & np.int64(1)
+            counters = (2 * bitm - 1).sum(axis=0)
+            fp = int(
+                np.bitwise_or.reduce(
+                    np.where(
+                        counters > 0,
+                        np.uint64(1) << positions.astype(np.uint64),
+                        np.uint64(0),
+                    )
+                )
+            )
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out, dtype="int64")
+
+    return fold(hashes)
+
+
 def simhash_pairs(
     df: DataFrame,
     *,
@@ -526,7 +569,10 @@ def simhash_pairs(
     widths = [base + (1 if i < extra else 0) for i in range(chunks)]
     offsets = [sum(widths[:i]) for i in range(chunks)]
     fingerprinted = _spread_for_compute(df).select(
-        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp")
+        F.col(id_col).alias("doc"),
+        simhash_vectorized(
+            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+        ).alias("fp"),
     )
     # pin before the chunk self-join (see minhash_lsh_pairs): the simhash
     # aggregate tree is large and would otherwise run once per join side

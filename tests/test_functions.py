@@ -573,3 +573,33 @@ def test_pil_decode_path_with_fake_codec(monkeypatch) -> None:
     vec2 = mm._decode_image_bytes(bytes([0, 1, 2]))
     assert len(vec2) == mm.FEATURE_DIM
     assert abs(sum(vec2) - 1.0) < 1e-9
+
+
+def test_simhash_vectorized_matches_expression(spark: SparkSession) -> None:
+    """The Arrow fold must be bit-identical to the pure-expression
+    simhash (same xxhash64 inputs, same sign rule, same bit-63
+    handling) — including empty and single-token documents."""
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words entirely here now"),
+            (3, "single"),
+            (4, ""),
+            (5, "a a a a a a a a"),
+        ],
+        ["doc_id", "text"],
+    )
+    both = docs.select(
+        "doc_id",
+        dedup.simhash(F.col("text")).alias("expr_fp"),
+        dedup.simhash_vectorized(
+            F.transform(text.tokens(F.col("text")), lambda t: F.xxhash64(t))
+        ).alias("vec_fp"),
+    ).collect()
+    for row in both:
+        assert row.expr_fp == row.vec_fp, row
