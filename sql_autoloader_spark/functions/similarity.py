@@ -259,25 +259,29 @@ def _fit_centroids(
     n_centroids: int,
     sample_per_centroid: int = 256,
 ) -> DataFrame:
-    """K-means coarse centroids as a broadcastable ``(cid, centroid)``
-    frame.
+    """K-means coarse centroids as a ``(k, dim)`` numpy array (row index
+    = centroid id), or ``None`` for an empty corpus.
 
     Deterministic end to end: the training sample is a ``xxhash64`` cut
     of the corpus (stable across runs and id types, no ordering
-    assumptions), and the fit runs with a fixed seed.  Sample size is
+    assumptions), sorted by id before the fit so the k-means++ seeding
+    sees a canonical order.  Sample size is
     ``n_centroids × sample_per_centroid`` in expectation — constant work
     regardless of corpus size, the standard IVF recipe (a coarse
     quantizer only needs a sketch of the density, not the full data).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
+    The Lloyd's iterations run in numpy ON THE DRIVER: the sample is
+    bounded by construction (a few thousand vectors whatever the corpus
+    size), so a distributed fit would spend ~1 Spark job per iteration
+    scanning kilobytes — the collect is one job and the fit itself is
+    milliseconds.  This is driver-side math over a constant-size sketch,
+    not a driver-side pass over the data.
+    """
     n = corpus.count()
     if n == 0:
-        # empty corpus: empty centroid set (ivf_topk then joins to
-        # nothing and returns no matches, matching brute force)
-        return spark.createDataFrame([], "cid INT, centroid ARRAY<DOUBLE>")
+        # empty corpus: no centroids (ivf_topk then matches nothing,
+        # same as brute force)
+        return None
     k = max(min(n_centroids, n), 1)
     target = k * sample_per_centroid
     sample = corpus.select(
@@ -289,19 +293,86 @@ def _fit_centroids(
         sample = sample.where(
             F.pmod(F.xxhash64(F.col("sid")), F.lit(modulus)) < F.lit(keep)
         )
-    train = sample.select(
-        array_to_vector(F.col("v").cast("array<double>")).alias("features")
-    )
-    model = KMeans(
-        k=k, seed=0, maxIter=20, tol=1e-4, featuresCol="features"
-    ).fit(train)
-    return spark.createDataFrame(
-        [
-            (i, [float(x) for x in center])
-            for i, center in enumerate(model.clusterCenters())
-        ],
-        "cid INT, centroid ARRAY<DOUBLE>",
-    )
+    rows = sample.collect()
+    rows.sort(key=lambda r: str(r["sid"]))
+    x = np.asarray([list(r["v"]) for r in rows[: 2 * target]], dtype=np.float64)
+    return _lloyds(x, min(k, len(rows)))
+
+
+def _lloyds(
+    x: "np.ndarray", k: int, *, max_iter: int = 25, tol: float = 1e-4
+) -> "np.ndarray":
+    """Deterministic Lloyd's k-means on a driver-side sample.
+
+    k-means++ seeding with a fixed RNG, squared-Euclidean assignment,
+    empty clusters re-seeded to the farthest point.  Input order is
+    canonicalized by the caller, so results are reproducible across
+    runs, partitionings, and engines.
+    """
+    rng = np.random.RandomState(0)
+    n = x.shape[0]
+    k = min(k, n)
+    # k-means++ init
+    centers = [x[rng.randint(n)]]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers.append(x[rng.randint(n)])
+            continue
+        probs = d2 / total
+        idx = int(rng.choice(n, p=probs))
+        centers.append(x[idx])
+        d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(axis=1))
+    c = np.asarray(centers)
+    for _ in range(max_iter):
+        # (n, k) squared distances without the n×k×dim intermediate
+        dist = (
+            (x**2).sum(axis=1)[:, None]
+            - 2 * (x @ c.T)
+            + (c**2).sum(axis=1)[None, :]
+        )
+        assign = dist.argmin(axis=1)
+        new_c = np.empty_like(c)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+            else:
+                new_c[j] = x[dist.min(axis=1).argmax()]
+        shift = float(((new_c - c) ** 2).sum())
+        c = new_c
+        if shift < tol:
+            break
+    return c
+
+
+def _nearest_cids(centroids: "np.ndarray", n: int):  # noqa: ANN202
+    """Arrow-vectorized quantizer: vector -> its *n* nearest centroid ids
+    by cosine, ties broken toward the lower id (stable argsort).  The
+    centroid matrix is captured by value — a few KB shipped once per
+    task, the map-side IVF assignment."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm = np.linalg.norm(c, axis=1)
+    c_norm[c_norm == 0.0] = 1.0
+
+    @pandas_udf("array<int>")
+    def nearest(batch: pd.Series) -> pd.Series:
+        out = []
+        for v in batch:
+            if v is None or len(v) == 0:
+                out.append([])
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            nx = np.linalg.norm(x)
+            sims = (c @ x) / (c_norm * (nx if nx else 1.0))
+            idx = np.argsort(-sims, kind="stable")[:n]
+            out.append([int(i) for i in idx])
+        return pd.Series(out)
+
+    return nearest
 
 
 def ivf_topk(
@@ -317,44 +388,39 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style approximate top-k: route via coarse centroids.
 
-    Centroids come from a k-means fit (``pyspark.ml.KMeans``, fixed
-    seed) over a deterministic hash sample of the corpus — ids may be
-    any type (the sample keys on ``xxhash64``, not on id arithmetic).
-    Corpus vectors are assigned to their nearest centroid (one broadcast
-    join, map-side); each query probes its *n_probe* nearest centroids
-    and scores only those partitions' vectors.  The scoring join is
-    keyed on ``centroid_id`` — the classic inverted-file layout, shuffle
-    ∝ probed fraction of the corpus.  The fit is the offline index-build
-    step: one pass to sample (the count + sampled fit are bounded by
-    ``n_centroids``·256 vectors regardless of corpus size); routing per
-    query batch never rescans the full corpus.
+    Centroids come from a deterministic k-means fit over a bounded
+    ``xxhash64``-cut sample of the corpus (ids may be any type — no id
+    arithmetic).  Assignment is MAP-SIDE: the (tiny, driver-resident)
+    centroid matrix ships inside an Arrow-vectorized UDF that quantizes
+    every vector to its nearest-centroid id(s) with one numpy matmul per
+    batch — no crossJoin against the centroid set, no per-vector window
+    shuffle.  Each query probes its *n_probe* nearest centroids and the
+    scoring join is keyed on ``centroid_id`` — the classic inverted-file
+    layout: the only shuffles are the cid-keyed join (∝ probed fraction
+    of the corpus) and the final per-query top-k.  The fit is the
+    offline index-build step (one bounded sample collect; the Lloyd's
+    iterations are driver-side milliseconds).
     """
-    centroids = _fit_centroids(
+    cent = _fit_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
     )
+    if cent is None:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, sim DOUBLE",
+        )
 
     def assign(df: DataFrame, idname: str, probe: int) -> DataFrame:
-        """Top-*probe* nearest centroids per vector (broadcast join)."""
-        scored = (
-            df.select(
-                F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v")
-            )
-            .crossJoin(F.broadcast(centroids))
-            .select(
-                idname,
-                f"{idname}_v",
-                "cid",
-                cosine(F.col(f"{idname}_v"), F.col("centroid")).alias("csim"),
-            )
+        """Top-*probe* nearest centroid ids per vector (map-side)."""
+        near = _nearest_cids(cent, probe)
+        out = df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_v"),
+            near(F.col(vec_col)).alias("cids"),
         )
-        w = Window.partitionBy(idname).orderBy(
-            F.col("csim").desc(), F.col("cid")
-        )
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") <= probe)
-            .drop("r", "csim")
-        )
+        if probe == 1:
+            return out.withColumn("cid", F.element_at("cids", 1)).drop("cids")
+        return out.withColumn("cid", F.explode("cids")).drop("cids")
 
     assigned_corpus = assign(corpus, "neighbor_id", 1)
     probed_queries = assign(queries, "query_id", n_probe)
