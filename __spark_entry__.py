@@ -1089,8 +1089,10 @@ def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep pipeline: quality filter → language
     filter → exact dedup by fingerprint (keep min id) → per-source
     corpus stats.  Composes the §2G text/dedup operators the way a real
-    100 TB pre-training pipeline chains them, in one Catalyst plan."""
-    docs = _t(spark, sf_dir, "documents")
+    100 TB pre-training pipeline chains them, in one Catalyst plan.
+    Spread first: the quality/language scoring is the CPU-bound stage
+    and must not inherit a single byte-sized parquet split."""
+    docs = dedup.spread_for_compute(_t(spark, sf_dir, "documents"))
     scored = text.quality_features(text.language_id(docs), "text")
     kept = scored.where(
         (F.col("quality_score") >= 0.3)
@@ -1989,8 +1991,11 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram signal): fraction of word trigrams that are repeats of an
     earlier trigram in the same document.  Pure map stage — trigram
     construction, distinct count, and ratio are all array expressions;
-    no shuffle, no Python."""
-    docs = _t(spark, sf_dir, "documents")
+    no Python.  The input is spread first: a byte-sized parquet split
+    would otherwise serialize this CPU-bound trigram stage onto one
+    core (the raw-row repartition is cheap; the trigram arrays are
+    not)."""
+    docs = dedup.spread_for_compute(_t(spark, sf_dir, "documents"))
     trigrams = F.expr(
         "transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
         " (w, i) -> concat(w, ' ', element_at(ws, i + 2), ' ',"
@@ -2001,8 +2006,11 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.split(text.normalized(F.col("text")), " ").alias("ws")
         )
+        # size(ws) >= 3 <=> size(tg) > 0, but stated on ws so the
+        # predicate Catalyst pushes below the spread exchange is the
+        # cheap split, not the whole trigram construction
+        .where(F.size("ws") >= 3)
         .select("doc_id", trigrams.alias("tg"))
-        .where(F.size("tg") > 0)
         .select(
             "doc_id",
             F.size("tg").cast("bigint").alias("n_trigrams"),

@@ -35,7 +35,7 @@ from sql_autoloader_spark.functions.text import (
 _MERSENNE31 = (1 << 31) - 1
 
 
-def _spread_for_compute(df: DataFrame) -> DataFrame:
+def spread_for_compute(df: DataFrame) -> DataFrame:
     """Repartition a frame whose partition count is far below the
     cluster's parallelism before a CPU-bound per-row stage.
 
@@ -58,7 +58,16 @@ def _spread_for_compute(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     n_files = len(df.inputFiles())
     if 0 < n_files * 2 <= target:
-        return df.repartition(target)
+        # The lazy localCheckpoint is a predicate-pushdown BARRIER, not
+        # just a cache: Catalyst pushes deterministic filters below a
+        # bare Repartition into the file scan, so a caller's expensive
+        # computed-column filter (quality scores, trigram counts) would
+        # run inside the original single-split scan task and the
+        # repartition would parallelize nothing.  The pin is bounded by
+        # this branch's trigger condition (at most a handful of splits);
+        # at real scale the branch never fires and filters push into the
+        # many-split scan exactly as they should.
+        return df.repartition(target).localCheckpoint(eager=False)
     return df
 
 
@@ -318,7 +327,7 @@ def minhash_lsh_pairs(
     # Jaccard therefore runs over hashed shingle *sets* — identical to
     # the string-set Jaccard up to ~n²/2³² hash collisions.
     docs = (
-        _spread_for_compute(df).select(
+        spread_for_compute(df).select(
             F.col(id_col).alias("doc"),
             F.transform(
                 tokens(F.col(text_col)), lambda t: F.xxhash64(t)
@@ -568,7 +577,7 @@ def simhash_pairs(
     base, extra = divmod(64, chunks)
     widths = [base + (1 if i < extra else 0) for i in range(chunks)]
     offsets = [sum(widths[:i]) for i in range(chunks)]
-    fingerprinted = _spread_for_compute(df).select(
+    fingerprinted = spread_for_compute(df).select(
         F.col(id_col).alias("doc"),
         simhash_vectorized(
             F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
