@@ -473,12 +473,15 @@ def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram-set Jaccard pairs — the oracle twin of
+    ``docs_minhash_pairs`` (same shingle space, same threshold), so the
+    LSH path's recall is measured against this exact ground truth."""
     return dedup.token_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         id_col="doc_id",
         text_col="text",
-        threshold=0.9,
-        shingle_words=1,
+        threshold=0.4,
+        shingle_words=3,
     )
 
 
@@ -490,8 +493,8 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         id_col="doc_id",
         text_col="text",
-        threshold=0.9,
-        shingle_words=1,
+        threshold=0.4,
+        shingle_words=3,
     )
     return dedup.connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
@@ -534,8 +537,8 @@ def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         id_col="doc_id",
         text_col="text",
-        threshold=0.9,
-        shingle_words=1,
+        threshold=0.4,
+        shingle_words=3,
     )
     comp = dedup.connected_components(pairs)
     labeled = docs.join(
@@ -2363,11 +2366,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _DEC = "DECIMAL(12,2)"
 
+# Exact Jaccard over distinct word-TRIGRAM shingle sets — the same
+# measure docs_minhash_pairs approximates (shingle_words=3, threshold
+# 0.4), so the exact and LSH paths are true twins.  Single-word sets on
+# a shared-vocabulary corpus saturate (~every doc pair shares tokens);
+# trigram sets separate the planted near-duplicates from the noise.
 _JACCARD_PAIRS_SQL = """
-    WITH toks AS (
-        SELECT doc_id,
-               list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ts
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
         FROM documents WHERE trim(text) <> ''
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                              FOR i IN generate_series(1, len(w) - 2)]) AS ts
+        FROM words WHERE len(w) >= 3
     ),
     exploded AS (
         SELECT doc_id, unnest(ts) AS s FROM toks
@@ -2386,7 +2399,7 @@ _JACCARD_PAIRS_SQL = """
     JOIN toks ta ON ta.doc_id = id_a
     JOIN toks tb ON tb.doc_id = id_b
     WHERE round(CAST(inter AS DOUBLE) /
-                (len(ta.ts) + len(tb.ts) - inter), 6) >= 0.9
+                (len(ta.ts) + len(tb.ts) - inter), 6) >= 0.4
 """
 
 

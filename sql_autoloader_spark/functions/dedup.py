@@ -145,7 +145,9 @@ def token_jaccard_pairs(
         if shingle_words == 1
         else word_shingles(F.col(text_col), shingle_words)
     )
-    sets = df.select(
+    # spread first: shingle construction is the CPU-bound map stage and
+    # must not inherit a single byte-sized parquet split
+    sets = spread_for_compute(df).select(
         F.col(id_col).alias("doc"), F.array_distinct(shingle).alias("sh")
     )
     # pin: referenced four times below (two join sides + two size maps)
