@@ -151,6 +151,7 @@ def test_random_dag_roundtrip(spark: SparkSession, sc: Scenario) -> None:
     )
 
     db = SparkConnector(spark)
+    db.expose_reconstruction = True
     with pytest.raises(EmptySchemaError):
         db.load(data)
 
@@ -168,6 +169,14 @@ def test_random_dag_roundtrip(spark: SparkSession, sc: Scenario) -> None:
         in_rows = {tuple(r) for r in data.select(quoted).collect()}
         assert in_rows <= db_rows, (
             f"round-trip lost rows\nquery:\n{compare_query}"
+        )
+        # the pinned reconstruction must equal the freshly-executed
+        # generated compare query on every random schema
+        rec = db.last_reconstruction
+        assert rec is not None
+        rec_rows = {tuple(r) for r in rec.select(quoted).collect()}
+        assert rec_rows == db_rows, (
+            f"pinned reconstruction diverged\nquery:\n{compare_query}"
         )
     else:
         with db:
