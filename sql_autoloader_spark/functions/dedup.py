@@ -35,7 +35,7 @@ from sql_autoloader_spark.functions.text import (
 _MERSENNE31 = (1 << 31) - 1
 
 
-def spread_for_compute(df: DataFrame) -> DataFrame:
+def spread_for_compute(df: DataFrame, *, barrier: bool = True) -> DataFrame:
     """Repartition a frame whose partition count is far below the
     cluster's parallelism before a CPU-bound per-row stage.
 
@@ -56,19 +56,48 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     shuffle of raw rows either way.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files * 2 <= target:
-        # The lazy localCheckpoint is a predicate-pushdown BARRIER, not
-        # just a cache: Catalyst pushes deterministic filters below a
-        # bare Repartition into the file scan, so a caller's expensive
-        # computed-column filter (quality scores, trigram counts) would
-        # run inside the original single-split scan task and the
-        # repartition would parallelize nothing.  The pin is bounded by
-        # this branch's trigger condition (at most a handful of splits);
-        # at real scale the branch never fires and filters push into the
-        # many-split scan exactly as they should.
-        return df.repartition(target).localCheckpoint(eager=False)
-    return df
+    files = df.inputFiles()
+    if not (0 < len(files) * 2 <= target):
+        return df
+    if not barrier:
+        return df.repartition(target)
+    # The lazy localCheckpoint is a predicate-pushdown BARRIER, not
+    # just a cache: Catalyst pushes deterministic filters below a
+    # bare Repartition into the file scan, so a caller's expensive
+    # computed-column filter (quality scores, trigram counts) would
+    # run inside the original single-split scan task and the
+    # repartition would parallelize nothing.  The pin is released when
+    # the frame is garbage-collected (ContextCleaner); at real scale
+    # the branch never fires and filters push into the many-split scan
+    # exactly as they should.  Split count does not bound bytes, so a
+    # few huge files fall back to the bare repartition (no pin) — only
+    # the caller's own filters lose the barrier there.
+    if _local_bytes(files) > _BARRIER_PIN_MAX_BYTES:
+        return df.repartition(target)
+    return df.repartition(target).localCheckpoint(eager=False)
+
+
+#: pin cap for the spread barrier: inputs above this skip the
+#: localCheckpoint (1 GiB — far above every fixture, far below trouble)
+_BARRIER_PIN_MAX_BYTES = 1 << 30
+
+
+def _local_bytes(files: list[str]) -> int:
+    """Total size of local ``file:`` inputs; unknown schemes count 0
+    (falls back to pinning — remote stores imply a real cluster where
+    the spread branch rarely fires at all)."""
+    import os
+
+    total = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        if "://" in f and not f.startswith("file:"):
+            continue
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            continue
+    return total
 
 
 def exact_dedup(
@@ -146,8 +175,10 @@ def token_jaccard_pairs(
         else word_shingles(F.col(text_col), shingle_words)
     )
     # spread first: shingle construction is the CPU-bound map stage and
-    # must not inherit a single byte-sized parquet split
-    sets = spread_for_compute(df).select(
+    # must not inherit a single byte-sized parquet split.  No barrier —
+    # the eager checkpoint on `sets` below is the pin; a second raw-row
+    # pin would be a pure duplicate materialization
+    sets = spread_for_compute(df, barrier=False).select(
         F.col(id_col).alias("doc"), F.array_distinct(shingle).alias("sh")
     )
     # pin: referenced four times below (two join sides + two size maps)
@@ -579,7 +610,9 @@ def simhash_pairs(
     base, extra = divmod(64, chunks)
     widths = [base + (1 if i < extra else 0) for i in range(chunks)]
     offsets = [sum(widths[:i]) for i in range(chunks)]
-    fingerprinted = spread_for_compute(df).select(
+    # no barrier: nothing filters on computed columns before the eager
+    # checkpoint below, which is the real pin
+    fingerprinted = spread_for_compute(df, barrier=False).select(
         F.col(id_col).alias("doc"),
         simhash_vectorized(
             F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))

@@ -258,17 +258,19 @@ def _fit_centroids(
     vec_col: str,
     n_centroids: int,
     sample_per_centroid: int = 256,
-) -> DataFrame:
+) -> "np.ndarray | None":
     """K-means coarse centroids as a ``(k, dim)`` numpy array (row index
     = centroid id), or ``None`` for an empty corpus.
 
     Deterministic end to end: the training sample is a ``xxhash64`` cut
     of the corpus (stable across runs and id types, no ordering
-    assumptions), sorted by id before the fit so the k-means++ seeding
-    sees a canonical order.  Sample size is
-    ``n_centroids × sample_per_centroid`` in expectation — constant work
-    regardless of corpus size, the standard IVF recipe (a coarse
-    quantizer only needs a sketch of the density, not the full data).
+    assumptions), hard-capped EXECUTOR-SIDE by an ordered ``limit``
+    (per-partition top-k on the hash, merged — never a full sort), and
+    canonically re-sorted by id on the driver so the k-means++ seeding
+    sees a stable order.  The collect is therefore bounded at
+    ``2 × n_centroids × sample_per_centroid`` rows no matter the corpus
+    size — the hash cut alone floors at a 1-in-1e6 fraction, which on a
+    trillion-row corpus would still be a million rows.
 
     The Lloyd's iterations run in numpy ON THE DRIVER: the sample is
     bounded by construction (a few thousand vectors whatever the corpus
@@ -293,9 +295,14 @@ def _fit_centroids(
         sample = sample.where(
             F.pmod(F.xxhash64(F.col("sid")), F.lit(modulus)) < F.lit(keep)
         )
+        # deterministic hard cap (hash order, id tie-break): compiles to
+        # TakeOrderedAndProject, so each partition keeps at most the cap
+        sample = sample.orderBy(
+            F.xxhash64(F.col("sid")), F.col("sid").cast("string")
+        ).limit(2 * target)
     rows = sample.collect()
     rows.sort(key=lambda r: str(r["sid"]))
-    x = np.asarray([list(r["v"]) for r in rows[: 2 * target]], dtype=np.float64)
+    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     return _lloyds(x, min(k, len(rows)))
 
 
@@ -334,12 +341,18 @@ def _lloyds(
         )
         assign = dist.argmin(axis=1)
         new_c = np.empty_like(c)
+        # farthest-point order for empty-cluster reseeds: each empty
+        # cluster takes the NEXT farthest point, so two empties in one
+        # iteration never collapse onto the same duplicate centroid
+        far_order = np.argsort(-dist.min(axis=1), kind="stable")
+        next_far = 0
         for j in range(k):
             members = x[assign == j]
             if len(members):
                 new_c[j] = members.mean(axis=0)
             else:
-                new_c[j] = x[dist.min(axis=1).argmax()]
+                new_c[j] = x[far_order[next_far % n]]
+                next_far += 1
         shift = float(((new_c - c) ** 2).sum())
         c = new_c
         if shift < tol:
@@ -405,9 +418,24 @@ def ivf_topk(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
     )
     if cent is None:
+        # empty result with id dtypes matching the non-empty path
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
         return corpus.sparkSession.createDataFrame(
             [],
-            "query_id BIGINT, neighbor_id BIGINT, rank INT, sim DOUBLE",
+            StructType(
+                [
+                    StructField("query_id", queries.schema[id_col].dataType),
+                    StructField("neighbor_id", corpus.schema[id_col].dataType),
+                    StructField("rank", IntegerType()),
+                    StructField("sim", DoubleType()),
+                ]
+            ),
         )
 
     def assign(df: DataFrame, idname: str, probe: int) -> DataFrame:

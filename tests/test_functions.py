@@ -591,6 +591,11 @@ def test_simhash_vectorized_matches_expression(spark: SparkSession) -> None:
             (3, "single"),
             (4, ""),
             (5, "a a a a a a a a"),
+            # even token count with two distinct tokens: per-bit
+            # counters hit exactly 0 wherever the two hashes disagree,
+            # pinning the strict `> 0` sign rule on the tie
+            (6, "alpha beta"),
+            (7, "alpha beta gamma delta"),
         ],
         ["doc_id", "text"],
     )
