@@ -19,6 +19,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from sql_autoloader_spark.exceptions import InvalidTableError
+
 _TYPE_MAP: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"^(INTEGER|INT|BIGINT|SMALLINT|TINYINT|SERIAL|BIGSERIAL)\b", re.I), "BIGINT"),
     (re.compile(r"^(TEXT|VARCHAR|CHAR|CHARACTER|CLOB|STRING)\b", re.I), "STRING"),
@@ -30,9 +32,14 @@ _TYPE_MAP: list[tuple[re.Pattern[str], str]] = [
 ]
 
 _CREATE_RE = re.compile(
-    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\"'`]?(?P<name>\w+)[\"'`]?\s*\((?P<body>.*)\)\s*$",
+    # trailing table options after the closing paren (WITHOUT ROWID,
+    # STRICT, engine storage clauses) are tolerated and ignored — they
+    # carry no schema structure this parser extracts
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\"'`]?(?P<name>\w+)[\"'`]?\s*\((?P<body>.*)\)\s*(?P<opts>[^()]*)$",
     re.I | re.S,
 )
+_CREATE_PREFIX_RE = re.compile(r"^\s*CREATE\s+TABLE\b", re.I)
+_CONSTRAINT_NAME_RE = re.compile(r"^CONSTRAINT\s+[\"'`]?\w+[\"'`]?\s+", re.I)
 _REFERENCES_RE = re.compile(
     r"REFERENCES\s+[\"'`]?(?P<table>\w+)[\"'`]?\s*\(\s*[\"'`]?(?P<column>\w+)[\"'`]?\s*\)",
     re.I,
@@ -61,10 +68,20 @@ class ParsedTable:
 
 
 def _split_top_level(body: str) -> list[str]:
-    """Split a CREATE TABLE body on commas not nested inside parentheses."""
-    items, depth, current = [], 0, []
+    """Split a CREATE TABLE body on commas not nested inside parentheses
+    and not inside quoted literals/identifiers (a comma in a DEFAULT
+    string must not fabricate a phantom column)."""
+    items: list[str] = []
+    depth, current, quote = 0, [], None
     for ch in body:
-        if ch == "(":
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            current.append(ch)
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -77,6 +94,27 @@ def _split_top_level(body: str) -> list[str]:
     if last:
         items.append(last)
     return [i for i in items if i]
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script on statement-separating semicolons, honoring
+    quoted literals/identifiers (doubled-quote escapes simply re-enter
+    the quoted state)."""
+    statements: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for ch in script:
+        if quote is None and ch in ("'", '"', "`"):
+            quote = ch
+        elif quote is not None and ch == quote:
+            quote = None
+        elif quote is None and ch == ";":
+            statements.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    statements.append("".join(buf))
+    return statements
 
 
 def _spark_type(sql_type: str) -> str:
@@ -99,7 +137,11 @@ def parse_create_table(statement: str) -> ParsedTable | None:
     parsed = ParsedTable(name=match.group("name"))
     body = match.group("body")
 
-    for item in _split_top_level(body):
+    for raw_item in _split_top_level(body):
+        # a named constraint (CONSTRAINT x FOREIGN KEY/UNIQUE/PRIMARY
+        # KEY/CHECK ...) is the same constraint — strip the name and
+        # parse the clause instead of silently discarding it
+        item = _CONSTRAINT_NAME_RE.sub("", raw_item)
         upper = item.upper()
 
         if mu := _TABLE_UNIQUE_RE.match(item):
@@ -107,19 +149,32 @@ def parse_create_table(statement: str) -> ParsedTable | None:
             continue
         if mp := _TABLE_PK_RE.match(item):
             cols = _names(mp.group("cols"))
-            if len(cols) == 1:
-                parsed.primary_key = cols[0]
+            if len(cols) != 1:
+                msg = (
+                    f"table '{parsed.name}' declares a composite primary "
+                    f"key {cols}; only single-column keys are supported "
+                    "(matching the reference's single-PK model)."
+                )
+                raise InvalidTableError(msg)
+            parsed.primary_key = cols[0]
             continue
         if mf := _FOREIGN_KEY_RE.match(item):
             cols = _names(mf.group("cols"))
             ref = _REFERENCES_RE.search(item)
-            if ref and len(cols) == 1:
+            if len(cols) != 1:
+                msg = (
+                    f"table '{parsed.name}' declares a composite foreign "
+                    f"key {cols}; only single-column references are "
+                    "supported (matching the reference's model)."
+                )
+                raise InvalidTableError(msg)
+            if ref:
                 parsed.foreign_keys.append(cols[0])
                 parsed.references.append(
                     (cols[0], ref.group("table"), ref.group("column"))
                 )
             continue
-        if upper.startswith(("CHECK", "CONSTRAINT")):
+        if upper.startswith("CHECK"):
             continue
 
         # a plain column definition: <name> <type> <modifiers...>
@@ -161,11 +216,24 @@ def parse_create_table(statement: str) -> ParsedTable | None:
 
 
 def parse_script(script: str) -> list[ParsedTable]:
-    """Parse every CREATE TABLE in a ``;``-separated DDL script."""
+    """Parse every CREATE TABLE in a ``;``-separated DDL script.
+
+    Non-CREATE-TABLE statements (indexes, pragmas) are skipped — they
+    carry nothing this sink stores.  A statement that *starts* like
+    CREATE TABLE but does not parse raises instead of silently creating
+    nothing: discovering the missing table at first load, with no
+    pointer to the unsupported syntax, is strictly worse than failing
+    the DDL call.
+    """
     tables = []
-    for statement in script.split(";"):
-        if statement.strip():
-            parsed = parse_create_table(statement)
-            if parsed is not None:
-                tables.append(parsed)
+    for statement in split_statements(script):
+        if not statement.strip():
+            continue
+        parsed = parse_create_table(statement)
+        if parsed is not None:
+            tables.append(parsed)
+        elif _CREATE_PREFIX_RE.match(statement):
+            snippet = " ".join(statement.split())[:120]
+            msg = f"Unparseable CREATE TABLE statement: {snippet!r}"
+            raise InvalidTableError(msg)
     return tables

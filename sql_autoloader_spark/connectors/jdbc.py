@@ -38,6 +38,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 
 from sql_autoloader_spark.connectors.base import BaseConnector
+from sql_autoloader_spark.connectors.ddl import split_statements
 from sql_autoloader_spark.schema import ReferenceDict, Schema, TableDict
 
 
@@ -97,19 +98,29 @@ class PostgresDialect(Dialect):
         )
 
     def columns_query(self, table: str) -> str:
+        # aggregated per column: a column appearing in several
+        # constraints (e.g. a PK that is also an FK) yields one kcu row
+        # per constraint, and without MAX() the first-seen row could be
+        # the non-PK one — silently misclassifying the primary key.
+        # All joins are schema-qualified so a same-named table in
+        # another schema cannot contaminate the result.
         return f"""
             SELECT c.column_name,
-                   CASE WHEN tc.constraint_type = 'PRIMARY KEY'
-                        THEN 1 ELSE 0 END AS is_primary_key,
+                   MAX(CASE WHEN tc.constraint_type = 'PRIMARY KEY'
+                            THEN 1 ELSE 0 END) AS is_primary_key,
                    NULL AS to_table, NULL AS to_key
             FROM information_schema.columns c
             LEFT JOIN information_schema.key_column_usage kcu
-              ON c.table_name = kcu.table_name
+              ON c.table_schema = kcu.table_schema
+             AND c.table_name = kcu.table_name
              AND c.column_name = kcu.column_name
             LEFT JOIN information_schema.table_constraints tc
-              ON kcu.constraint_name = tc.constraint_name
+              ON kcu.constraint_schema = tc.constraint_schema
+             AND kcu.constraint_name = tc.constraint_name
              AND tc.constraint_type = 'PRIMARY KEY'
             WHERE c.table_schema = 'public' AND c.table_name = '{table}'
+            GROUP BY c.column_name
+            ORDER BY MIN(c.ordinal_position)
         """
 
     def references_query(self, table: str) -> str:
@@ -119,33 +130,19 @@ class PostgresDialect(Dialect):
                    ccu.column_name AS to_key
             FROM information_schema.table_constraints tc
             JOIN information_schema.key_column_usage kcu
-              ON tc.constraint_name = kcu.constraint_name
+              ON tc.constraint_schema = kcu.constraint_schema
+             AND tc.constraint_name = kcu.constraint_name
             JOIN information_schema.constraint_column_usage ccu
-              ON tc.constraint_name = ccu.constraint_name
+              ON tc.constraint_schema = ccu.constraint_schema
+             AND tc.constraint_name = ccu.constraint_name
             WHERE tc.constraint_type = 'FOREIGN KEY'
+              AND tc.table_schema = 'public'
               AND tc.table_name = '{table}'
         """
 
 
-def _split_statements(script: str) -> list[str]:
-    """Split a SQL script on statement-separating semicolons, honoring
-    single-quoted literals and double-quoted identifiers (both with
-    doubled-quote escapes, which simply re-enter the quoted state)."""
-    statements: list[str] = []
-    buf: list[str] = []
-    quote: str | None = None
-    for ch in script:
-        if quote is None and ch in ("'", '"'):
-            quote = ch
-        elif quote is not None and ch == quote:
-            quote = None
-        elif quote is None and ch == ";":
-            statements.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    statements.append("".join(buf))
-    return statements
+# quote-aware statement splitting is shared with the DDL parser
+_split_statements = split_statements
 
 
 class JDBCConnector(BaseConnector):
@@ -369,15 +366,59 @@ class JDBCConnector(BaseConnector):
         finally:
             conn.close()
 
-    def get_schema(self) -> Schema:
-        return Schema(self.fetch_schema)
-
     def _read_table(self, table: str) -> DataFrame:
-        return self.spark.read.jdbc(
-            self.url,
-            table,
-            properties={**self.properties, "numPartitions": str(self.num_partitions)},
+        """Partitioned JDBC scan of *table*.
+
+        ``numPartitions`` alone has NO effect on ``spark.read.jdbc`` —
+        reads only parallelize when ``column``/``lowerBound``/
+        ``upperBound`` are supplied.  When the table has an integer
+        primary key, bounds come from one metadata-sized MIN/MAX probe
+        (index-backed on any sane RDBMS; rows outside stale bounds
+        still land in the first/last stride partition, so bounds need
+        not be exact).  Tables without a usable numeric key fall back
+        to the single-partition read — inherent to JDBC.
+        """
+        plain = self.spark.read.jdbc(
+            self.url, table, properties=self.properties
         )
+        pk = self._integral_pk(table, plain)
+        if self.num_partitions > 1 and pk:
+            q = self._quote
+            bounds = self.spark.read.jdbc(
+                self.url,
+                f"(SELECT MIN({q}{pk}{q}) AS {q}lo{q}, MAX({q}{pk}{q}) AS {q}hi{q} "
+                f"FROM {q}{table}{q}) b0",
+                properties=self.properties,
+            ).first()
+            if bounds is not None and bounds["lo"] is not None:
+                lo, hi = int(bounds["lo"]), int(bounds["hi"])
+                return self.spark.read.jdbc(
+                    self.url,
+                    table,
+                    column=pk,
+                    lowerBound=lo,
+                    upperBound=max(hi, lo + 1),
+                    numPartitions=self.num_partitions,
+                    properties=self.properties,
+                )
+        return plain
+
+    def _integral_pk(self, table: str, frame: DataFrame) -> str:
+        """The table's primary key if its JDBC-reported Spark type is
+        integral (the stride column must be numeric); '' otherwise.
+        *frame* is the lazy unpartitioned read — consulting its schema
+        costs a metadata round-trip, not a scan."""
+        schema = getattr(self, "schema", None)
+        if schema is None or schema.is_empty:
+            return ""
+        try:
+            t = schema._get_table(table)
+        except Exception:
+            return ""
+        if not t.has_primary_key or t.primary_key not in frame.columns:
+            return ""
+        dtype = frame.schema[t.primary_key].dataType.simpleString()
+        return t.primary_key if dtype in ("int", "bigint", "smallint") else ""
 
     def _write_new_rows(
         self,

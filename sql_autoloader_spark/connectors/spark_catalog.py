@@ -359,6 +359,15 @@ class SparkConnector(BaseConnector):
         but the epoch they carry would be reused by the next commit, so
         they must go before new writes.  One small max-scan per table at
         connector open; rewrites only happen after an actual crash.
+
+        SINGLE-WRITER CAVEAT: this sweep cannot distinguish a crashed
+        commit's leftovers from another connector's commit that is
+        in-flight right now — opening a second connector on the same
+        database while a first is mid-commit would sweep the live
+        epoch's rows.  The sink's single-writer discipline therefore
+        covers connector *opens* too, not just concurrent commits
+        (multi-writer coordination belongs to a table format with
+        optimistic concurrency — Delta/Iceberg — not to this journal).
         """
         for table in self._meta:
             frame = self.spark.table(self._qualified(table))
@@ -379,11 +388,25 @@ class SparkConnector(BaseConnector):
 
     def _overwrite_table(self, table: str, content: DataFrame) -> None:
         """Physically replace a managed table (recovery/migration only —
-        never part of a normal commit).  Content is pinned eagerly first
-        because it reads the very table being overwritten."""
-        pinned = content.localCheckpoint(eager=True)
-        writer = self._apply_layout(pinned.write.mode("overwrite"), table)
+        never part of a normal commit).
+
+        Stage-then-swap: *content* reads the very table being
+        overwritten, so it is first written to a durable staging table
+        and the target is then rewritten FROM the staging scan.  A
+        localCheckpoint pin here would be fatal on a real cluster — its
+        partitions live only in executor storage and are not
+        recomputable once the source table is dropped, so an executor
+        loss mid-rewrite would destroy the table.  The staging table is
+        ordinary on-disk data: any failure leaves either the old target
+        or a complete staging copy to retry from.
+        """
+        staging = self._qualified(f"{table}__recovery_staging")
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        content.write.mode("overwrite").saveAsTable(staging)
+        staged = self.spark.table(staging)
+        writer = self._apply_layout(staged.write.mode("overwrite"), table)
         writer.saveAsTable(self._qualified(table))
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
         # overwrite recreates the table: restore the metadata properties
         self._apply_table_props(self._meta[table])
 
@@ -575,9 +598,6 @@ class SparkConnector(BaseConnector):
                 for from_key, to_table, to_key in parsed.references
             )
         return tables, references
-
-    def get_schema(self) -> Schema:
-        return Schema(self.fetch_schema)
 
     # -- physical primitives --------------------------------------------------
 
