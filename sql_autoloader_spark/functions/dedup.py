@@ -193,7 +193,11 @@ def token_jaccard_pairs(
             .where(F.col("f") > max_shingle_freq)
             .select("s")
         )
-        exploded = exploded.join(F.broadcast(hot), on="s", how="left_anti")
+        # no forced broadcast: the stop-shingle set is corpus-dependent
+        # (a low cap makes it a large fraction of all distinct shingles);
+        # AQE broadcasts it when it is actually small and shuffles the
+        # anti-join otherwise
+        exploded = exploded.join(hot, on="s", how="left_anti")
 
     left = exploded.withColumnsRenamed({"doc": "id_a"})
     right = exploded.withColumnsRenamed({"doc": "id_b"})
@@ -301,7 +305,11 @@ def minhash_signature_vectorized(
         out = []
         for hs in batch:
             if hs is None or len(hs) == 0:
-                out.append(np.full(num_hashes, _MERSENNE31, dtype=np.int64))
+                # bit-parity with the JVM form: array_min over an empty
+                # shingle set yields NULL per permutation (a sentinel
+                # value here would band all empty docs into one bucket
+                # in one engine and not the other)
+                out.append([None] * num_hashes)
                 continue
             h = np.asarray(hs, dtype=np.int64)
             # (num_hashes, n_shingles) modular affine, min over shingles
@@ -349,6 +357,13 @@ def minhash_lsh_pairs(
 
     Returns ``(id_a, id_b[, jaccard])``, ``id_a < id_b``.
     """
+    if num_hashes % bands != 0:
+        msg = (
+            f"bands={bands} must divide num_hashes={num_hashes}: a "
+            "remainder would silently drop trailing minhashes and change "
+            "the recall S-curve from what was requested."
+        )
+        raise ValueError(msg)
     rows_per_band = num_hashes // bands
 
     # Shingle *hashes* built without materializing shingle strings:

@@ -82,9 +82,15 @@ def as_of_join(
     )
 
     unioned = tagged_left.unionByName(tagged_right)
+    # __r as the final sort key makes ties deterministic: several right
+    # rows at the same (key, timestamp) would otherwise resolve by
+    # partition-internal order, so re-runs and task retries could carry
+    # different payloads.  Left rows all have __r NULL, so the extra key
+    # never reorders them; among tied right rows the greatest payload
+    # struct deterministically wins.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -32,7 +32,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, defined as 0.0 when either vector has zero
+    norm.  Without the guard a single all-zero vector (empty media
+    asset, zeroed embedding) divides by zero — an ANSI-mode
+    SparkArithmeticException that kills the whole job, or with ANSI off
+    a NaN that both passes ``sim >= threshold`` filters and outranks
+    every real neighbour under ``desc()`` ordering."""
+    na, nb = norm(a), norm(b)
+    return F.when(
+        (na != 0.0) & (nb != 0.0), dot(a, b) / (na * nb)
+    ).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -170,11 +179,27 @@ def hyperplane_signatures_vectorized(
     def sign(batch: pd.Series) -> pd.Series:
         if batch.empty:
             return pd.Series([], dtype=object)
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
-        proj = vecs @ matrix.T  # (n, tables*planes)
-        bits = (proj > 0).reshape(len(vecs), tables, planes)
-        sigs = (bits * weights[None, None, :]).sum(axis=2)  # (n, tables)
-        return pd.Series(list(sigs))
+        # NULL/empty/wrong-width vectors get an empty signature array
+        # (their row then explodes to no buckets and drops out) instead
+        # of blowing up np.stack on a ragged batch
+        vals = [
+            np.asarray(v, dtype=np.float64)
+            if v is not None and len(v) == dim
+            else None
+            for v in batch
+        ]
+        valid = [v for v in vals if v is not None]
+        if valid:
+            proj = np.stack(valid) @ matrix.T  # (n_valid, tables*planes)
+            bits = (proj > 0).reshape(len(valid), tables, planes)
+            sigs = iter((bits * weights[None, None, :]).sum(axis=2))
+        else:
+            sigs = iter(())
+        out = [
+            next(sigs) if v is not None else np.array([], dtype=np.int64)
+            for v in vals
+        ]
+        return pd.Series(out)
 
     return sign(vec)
 
@@ -219,22 +244,39 @@ def lsh_topk(
             F.posexplode(sigs).alias("tbl", "sig"),
         )
 
-    q = signed(queries, "query_id")
-    c = signed(corpus, "neighbor_id")
-    candidates = (
+    # candidate dedup on the bare id pair; vectors re-join afterwards —
+    # a distinct() over rows carrying both embedding arrays would
+    # shuffle ~2·dim floats per candidate with array-typed keys (same
+    # reasoning as embedding_neardup_pairs below)
+    q = signed(queries, "query_id").select("query_id", "tbl", "sig")
+    c = signed(corpus, "neighbor_id").select("neighbor_id", "tbl", "sig")
+    id_pairs = (
         q.join(c, on=["tbl", "sig"])
         .where(
             (F.col("query_id") != F.col("neighbor_id"))
             if exclude_self
             else F.lit(True)
         )
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("sim_raw"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_id_v")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_id_v"),
+    )
+    scored = (
+        id_pairs.join(qv, on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("query_id_v"), F.col("neighbor_id_v")
+            ).alias("sim_raw"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_raw").desc(), F.col("neighbor_id")
@@ -302,8 +344,12 @@ def _fit_centroids(
         ).limit(2 * target)
     rows = sample.collect()
     rows.sort(key=lambda r: str(r["sid"]))
-    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
-    return _lloyds(x, min(k, len(rows)))
+    # NULL/empty vectors carry no density information for the quantizer
+    vecs = [list(r["v"]) for r in rows if r["v"]]
+    if not vecs:
+        return None
+    x = np.asarray(vecs, dtype=np.float64)
+    return _lloyds(x, min(k, len(vecs)))
 
 
 def _lloyds(
@@ -447,7 +493,14 @@ def ivf_topk(
             near(F.col(vec_col)).alias("cids"),
         )
         if probe == 1:
-            return out.withColumn("cid", F.element_at("cids", 1)).drop("cids")
+            # try_element_at: a null/empty vector quantizes to an empty
+            # cid list; it must DROP (like the explode path) rather than
+            # raise ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+            return (
+                out.withColumn("cid", F.try_element_at("cids", F.lit(1)))
+                .where(F.col("cid").isNotNull())
+                .drop("cids")
+            )
         return out.withColumn("cid", F.explode("cids")).drop("cids")
 
     assigned_corpus = assign(corpus, "neighbor_id", 1)

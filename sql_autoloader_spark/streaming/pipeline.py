@@ -124,6 +124,7 @@ def user_activity_state(
     *,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
     timeout_ms: int = 30 * 60 * 1000,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
@@ -134,15 +135,18 @@ def user_activity_state(
     windows can't express (emit-on-timeout with arbitrary state shape).
     State per key is one small tuple; the state store is bounded by
     |active users|, and timeouts evict.  Arrow-batched like any pandas
-    exchange.
+    exchange.  The output key column's type follows the stream's actual
+    ``user_col`` type (string user ids work), and the summed column is
+    configurable via ``value_col``.
     """
     from pyspark.sql.streaming.state import (
         GroupState,
         GroupStateTimeout,
     )
 
+    key_type = stream.schema[user_col].dataType.simpleString()
     output_schema = (
-        f"{user_col} long, n_events bigint, sum_value double,"
+        f"{user_col} {key_type}, n_events bigint, sum_value double,"
         " first_seen timestamp, last_seen timestamp"
     )
     state_schema = (
@@ -170,7 +174,7 @@ def user_activity_state(
         )
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            total += float(pdf[value_col].fillna(0.0).sum())
             batch_min = pdf[ts_col].min()
             batch_max = pdf[ts_col].max()
             first_seen = batch_min if first_seen is None else min(first_seen, batch_min)

@@ -608,3 +608,41 @@ def test_simhash_vectorized_matches_expression(spark: SparkSession) -> None:
     ).collect()
     for row in both:
         assert row.expr_fp == row.vec_fp, row
+
+
+def test_similarity_tolerates_zero_and_null_vectors(
+    spark: SparkSession,
+) -> None:
+    """A zero-norm vector must score sim=0 (not NaN, not an ANSI
+    divide-by-zero crash) and a NULL embedding must drop out of the LSH
+    and IVF paths instead of blowing up the Arrow signature batch."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        (3, None),  # null embedding
+        (4, [0.8, 0.2, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where("vec_id = 0")
+
+    brute = similarity.brute_force_topk(df, q, k=4).collect()
+    sims = {r.neighbor_id: r.sim for r in brute}
+    assert sims[2] == 0.0  # zero vector scores 0, ranks last
+    assert sims[1] > 0.9
+    top = min(brute, key=lambda r: r.rank)
+    assert top.neighbor_id in (1, 4)
+
+    lsh = similarity.lsh_topk(df, q, dim=4, k=4).collect()
+    assert all(r.neighbor_id != 3 for r in lsh)  # null dropped, no crash
+
+    ivf = similarity.ivf_topk(df, q, k=4, n_centroids=2, n_probe=2).collect()
+    assert all(r.neighbor_id != 3 for r in ivf)
+
+
+def test_minhash_bands_must_divide_num_hashes(spark: SparkSession) -> None:
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(
+            df, id_col="doc_id", text_col="text", num_hashes=32, bands=5
+        )
