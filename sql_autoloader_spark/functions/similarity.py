@@ -38,10 +38,12 @@ def cosine(a: Column, b: Column) -> Column:
     SparkArithmeticException that kills the whole job, or with ANSI off
     a NaN that both passes ``sim >= threshold`` filters and outranks
     every real neighbour under ``desc()`` ordering."""
-    na, nb = norm(a), norm(b)
-    return F.when(
-        (na != 0.0) & (nb != 0.0), dot(a, b) / (na * nb)
-    ).otherwise(F.lit(0.0))
+    # nullif turns a zero norm product into NULL (division by NULL is
+    # NULL, never an ANSI error), coalesced to 0.0 — each norm is
+    # evaluated once, unlike a WHEN guard that repeats the operands
+    return F.coalesce(
+        dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0)), F.lit(0.0)
+    )
 
 
 def brute_force_topk(
