@@ -409,15 +409,26 @@ def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding cosine >= threshold (the oracle for the
     LSH-bucketed variant; quadratic — correctness-scale only)."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        similarity.norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        similarity.norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(
-                similarity.cosine(F.col("va"), F.col("vb")), 6
+                similarity.cosine_presplit(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
             ).alias("sim"),
         )
         .where(F.col("sim") >= 0.3)
@@ -510,14 +521,29 @@ def q_docs_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-cluster policy are unchanged — only candidate generation
     scales differently."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms map-side before the quadratic join: per-pair work is one
+    # dot product, not dot + both norms (bit-identical floats)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        similarity.norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        similarity.norm(F.col("embedding")).alias("nb"),
+    )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                similarity.cosine_presplit(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= 0.4)
     )
