@@ -469,7 +469,12 @@ class BaseConnector(ABC):
         # step's cache — each merge step costs exactly one job beyond
         # its write.  (Standalone merge_ids/retrieve_ids callers without
         # a known count fuse the input count into the invariant
-        # aggregate instead — see ops.check_merge_invariants.)
+        # aggregate instead — see ops.check_merge_invariants.  Fusing
+        # the first step's count the same way was MEASURED slower here:
+        # the unbounded first surrogate ranking falls onto the
+        # distributed range-partition path and the fused union fills the
+        # unmaterialized cache twice — the count job is the cheaper way
+        # to materialize the pin and bound every later step.)
         running: int | None = None
         for params in plan.insert_and_retrieve:
             if running is None:

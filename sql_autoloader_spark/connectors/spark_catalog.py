@@ -700,6 +700,7 @@ class SparkConnector(BaseConnector):
                 .drop("__rn")
             )
 
+        pre_surrogate = payload
         payload = self._with_surrogate_key(
             table,
             payload,
@@ -718,15 +719,28 @@ class SparkConnector(BaseConnector):
                 for c, t in meta.column_types
             ]
         )
-        # Pin the new rows: surrogate keys and the anti-join are computed
-        # against current content and must not change under lineage replay.
-        # The lineage is deterministic (`existing` is a snapshot of stable
-        # committed frames, the fused max-id aggregates that snapshot, and
-        # the rank orders by the full distinct natural key), so a LAZY
-        # checkpoint is safe — it materializes inside the first consuming
-        # job (the post-insert check or the key-retrieval merge) instead of
-        # costing a dedicated eager job per table.
-        full = full.localCheckpoint(eager=False)
+        # Pin policy.  Every write lineage here is deterministic
+        # (`existing` is a snapshot of stable committed frames, the fused
+        # max-id aggregates that snapshot, and ranks order by the full
+        # distinct natural key), so pinning is about bounding RECOMPUTE,
+        # not correctness: appends are re-read by every later
+        # anti-join/merge/compare, and an unpinned window or anti-join
+        # would re-run per read and nest unboundedly across loads.  A
+        # surrogate-free append into a known-empty table, however, is a
+        # pure projection/cast/filter of the caller's frame (the fact
+        # path of a star load) — pinning it would materialize a second
+        # full copy of the fact for no benefit, which at 100 TB is an
+        # entire extra write of the biggest table.  Those stay lazy
+        # plans; the commit write (managed mode) or the chain compaction
+        # (in-memory mode) materializes them exactly once.  Inputs are
+        # assumed deterministic plans (scans, caches) — reference
+        # parity, where inputs are materialized frames; callers loading
+        # from a nondeterministic source (e.g. rand()) must materialize
+        # it themselves first.
+        surrogate_added = payload is not pre_surrogate
+        window_dedup_ran = bool(anti_keys)
+        if surrogate_added or window_dedup_ran or not table_known_empty:
+            full = full.localCheckpoint(eager=False)
         self._appends.setdefault(table, []).append(full)
         self._register_view(table)
 

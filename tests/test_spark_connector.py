@@ -565,3 +565,40 @@ def test_expose_reconstruction_matches_compare_query(
     # a second load on a fresh connector re-points the attribute
     db2 = SparkConnector(spark)
     assert db2.last_reconstruction is None
+
+
+def test_append_pin_policy(spark: SparkSession) -> None:
+    """Fact-path appends (no surrogate ranking, no anti-join, no unique
+    window) must stay LAZY plans — pinning one materializes a second
+    full copy of the fact, an entire extra write of the biggest table at
+    scale.  Keyed/constrained appends must stay pinned so their windows
+    and anti-joins never re-run per read."""
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE pp_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);
+        CREATE TABLE pp_fact (
+            n BIGINT,
+            word_id INTEGER REFERENCES pp_dim (id)
+        );
+        """
+    )
+    data = spark.createDataFrame([(1, "a"), (2, "b")], ["n", "word"])
+    db.__enter__()
+    try:
+        db.load(data)
+        def _is_pinned(frame) -> bool:
+            text = frame._jdf.queryExecution().analyzed().toString()
+            return text.splitlines()[0].startswith("LogicalRDD")
+
+        (dim_append,) = db._appends["pp_dim"]
+        (fact_append,) = db._appends["pp_fact"]
+        assert _is_pinned(dim_append), "surrogate-keyed append must be pinned"
+        assert not _is_pinned(fact_append), (
+            "pure-projection fact append must stay a lazy plan"
+        )
+        # the lazy append still reads back correctly pre- and post-commit
+        assert db._read_table("pp_fact").count() == 2
+    finally:
+        db.__exit__(None, None, None)
+    assert spark.table("pp_fact").count() == 2
