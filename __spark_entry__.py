@@ -592,6 +592,47 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k: the reduced-memory ANN twin of
+    ``emb_cosine_topk`` — symmetric per-vector quantization, exact LONG
+    dot products, 4x fewer bytes broadcast/shuffled at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.quantized_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction over the documents table.
+
+    The fixture corpus carries no organic PII, so each doc is first
+    salted with a deterministic email/phone/IP derived from its id —
+    the oracle applies the identical salt — and then audited
+    (per-rule match counts) and scrubbed (typed placeholders).  The
+    whole query is a zero-shuffle JVM regex map stage.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("txt"),
+    )
+    return salted.select(
+        "doc_id",
+        *text.pii_counts(F.col("txt")),
+        text.scrub_pii(F.col("txt")).alias("scrubbed"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -2314,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "docs_semantic_clusters": q_docs_semantic_clusters,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_quantized_topk": q_emb_quantized_topk,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "events_hourly": q_events_hourly,
         "events_dedup_first": q_events_dedup_first,
         "events_asof_attribution": q_events_asof_attribution,
@@ -2742,6 +2785,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    round(sim_raw, 6) AS sim
             FROM ranked WHERE rank <= 5
+        """,
+        "emb_quantized_topk": """
+            WITH quant AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(coalesce(round(
+                           CAST(x AS DOUBLE) * 127.0 / nullif(
+                               list_max(list_transform(embedding,
+                                   y -> abs(CAST(y AS DOUBLE)))), 0.0)
+                       ), 0.0) AS INTEGER)) AS q
+                FROM embeddings
+            ),
+            sides AS (
+                SELECT vec_id, q,
+                       sqrt(list_sum(list_transform(q,
+                           x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))) AS n
+                FROM quant
+            ),
+            scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(
+                           list_zip(a.q, b.q),
+                           p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)
+                       )) AS BIGINT) AS qdot,
+                       a.n * b.n AS nprod
+                FROM sides a, sides b
+                WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, qdot,
+                       coalesce(CAST(qdot AS DOUBLE) / nullif(nprod, 0.0),
+                                0.0) AS qsim_raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY qdot DESC, neighbor_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   qdot, round(qsim_raw, 6) AS qsim
+            FROM ranked WHERE rank <= 5
+        """,
+        "docs_pii_scrub": """
+            WITH salted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7' AS txt
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(txt,
+                       '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?'))
+                       AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(txt,
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
+                       AS BIGINT) AS n_ip,
+                   regexp_replace(regexp_replace(regexp_replace(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?',
+                       '<PHONE>', 'g'),
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                       '<IP>', 'g') AS scrubbed
+            FROM salted
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

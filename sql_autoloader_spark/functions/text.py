@@ -279,3 +279,39 @@ def bpe_ish_tokens(col: Column) -> Column:
 def bpe_ish_token_count(col: Column) -> Column:
     """Count of BPE-style pre-tokens (see :func:`bpe_ish_tokens`)."""
     return F.size(bpe_ish_tokens(col)).cast("bigint")
+
+
+#: ordered (pattern, placeholder) redaction rules.  Patterns stay inside
+#: the regex subset Java (Spark) and RE2-family engines (DuckDB) read
+#: identically: character classes, bounded repeats, non-capturing
+#: groups, \b word boundaries — no backreferences, no lookaround.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-rule match counts (``n_email``, ``n_phone``, ``n_ip``) —
+    the audit side of redaction, one JVM regex pass per rule."""
+    names = ["n_email", "n_phone", "n_ip"]
+    return [
+        F.regexp_count(col, F.lit(pat)).cast("bigint").alias(name)
+        for (pat, _), name in zip(PII_RULES, names, strict=True)
+    ]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, phone numbers, and IPv4 addresses with typed
+    placeholders.
+
+    A chained ``regexp_replace`` — rule order matters (emails first, so
+    digits inside addresses are not half-eaten by the phone rule).
+    Pure map stage: zero shuffle, zero Python, whole-stage codegen; at
+    100 TB this runs at scan speed as part of any cleaning pipeline.
+    """
+    out = col
+    for pattern, placeholder in PII_RULES:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out

@@ -646,3 +646,98 @@ def test_minhash_bands_must_divide_num_hashes(spark: SparkSession) -> None:
         dedup.minhash_lsh_pairs(
             df, id_col="doc_id", text_col="text", num_hashes=32, bands=5
         )
+
+
+def test_quantize_int8_codes_and_zero_vector(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [-4.0]),
+        ],
+        "id long, v array<float>",
+    )
+    rows = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", similarity.quantize_int8(F.col("v")).alias("q")
+        ).collect()
+    }
+    # scale = 127/2 = 63.5: round(63.5)=64, round(-127)=-127, round(31.75)=32
+    assert rows[1] == [64, -127, 32]
+    assert rows[2] == [0, 0, 0]  # zero vector -> all-zero codes, no NaN
+    assert rows[3] == [-127]
+    assert all(all(-127 <= c <= 127 for c in q) for q in rows.values())
+
+
+def test_quantized_topk_tracks_float_ranking(spark: SparkSession) -> None:
+    """Quantized neighbours must strongly agree with exact float cosine
+    (64-dim codes at 1/127 resolution) and the plan must stay broadcast."""
+    import random
+
+    rng = random.Random(7)
+    # planted cluster structure: random gaussians make every cosine a
+    # near-tie, which tests rounding noise, not ranking quality
+    centers = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(6)]
+    rows = [
+        (
+            i,
+            [
+                c + rng.gauss(0, 0.15)
+                for c in centers[i % len(centers)]
+            ],
+        )
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 5)
+    # value accuracy over EVERY pair (k = corpus size): int8 cosine must
+    # track float cosine within code resolution.  (Top-k set overlap is
+    # deliberately not asserted — planted clusters make cluster siblings
+    # near-ties, where set membership measures tie-breaking noise.)
+    exact = similarity.brute_force_topk(emb, queries, k=59)
+    quant = similarity.quantized_topk(emb, queries, k=59)
+    sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in exact.collect()
+    }
+    worst = max(
+        abs(r["qsim"] - sims[(r["query_id"], r["neighbor_id"])])
+        for r in quant.collect()
+    )
+    assert worst <= 0.02, f"quantized cosine drifts too far: {worst}"
+    assert "BroadcastHashJoin" in quant._jdf.queryExecution().executedPlan().toString() or \
+        "BroadcastNestedLoopJoin" in quant._jdf.queryExecution().executedPlan().toString()
+
+
+
+def test_scrub_pii_rules(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+x@sub.example.org thanks",),
+            ("call +31-123-4567 or 1-800-555-0199 now",),
+            ("server 192.168.0.1 and 10.0.255.7",),
+            ("no pii here",),
+        ],
+        "text string",
+    )
+    out = [
+        r[0]
+        for r in df.select(text.scrub_pii(F.col("text"))).collect()
+    ]
+    assert out[0] == "mail me at <EMAIL> thanks"
+    assert out[1] == "call <PHONE> or <PHONE> now"
+    assert out[2] == "server <IP> and <IP>"
+    assert out[3] == "no pii here"
+    counts = df.agg(
+        *[F.sum(c).alias(c._jc.toString()) for c in []]
+    ) if False else df.select(*text.pii_counts(F.col("text"))).collect()
+    totals = [sum(r[i] for r in counts) for i in range(3)]
+    assert totals == [1, 2, 2]  # emails, phones, ips across the corpus
+    # email rule runs first: address digits are never half-eaten by the
+    # phone rule
+    tricky = spark.createDataFrame([("x 123-456-7890@mail.com y",)], "t string")
+    assert (
+        tricky.select(text.scrub_pii(F.col("t"))).first()[0]
+        == "x <EMAIL> y"
+    )
