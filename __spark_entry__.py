@@ -2169,6 +2169,54 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: downsample each source to ~40% of
+    its token mass, deterministically.
+
+    The domain-mixing primitive of a training-data pipeline — each
+    source (domain) is re-weighted to a token budget, not a document
+    count.  Docs are ordered inside their source by an md5 draw (bytes
+    5-6: independent of the split hash's 1-2 and the stratified
+    sampler's 3-4) and kept while the running token total stays within
+    budget; the budget is a fraction of the source's own token mass, so
+    the query is scale-free and RNG-free on any engine.  Plan: ONE
+    shuffle on ``source`` feeds both windows (running sum + source
+    total) — at 100 TB that is a single pass ordered within domains.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.substring(F.md5("text"), 5, 2).alias("draw"),
+    )
+    order = Window.partitionBy("source").orderBy("draw", "doc_id")
+    cum = F.sum("n_tokens").over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum("n_tokens").over(
+        Window.partitionBy("source").orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        base.withColumn("cum_tokens", cum)
+        .withColumn("budget", (total * F.lit(0.4)).cast("double"))
+        .where(F.col("cum_tokens").cast("double") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def q_docs_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn the first 16 BPE merges from the
+    corpus.  Word counting is the distributed pass (one shuffle); the
+    merge loop runs driver-side on the capped vocabulary — the IVF
+    split: fit on aggregates, never on rows.  Rows-only (iterative;
+    no single-SQL oracle), differential-tested in tests/test_functions.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.learn_bpe_merges(docs, n_merges=16)
+
+
 def q_docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination check: which distinct test-split
     bigrams also occur in the train split.  Composes the deterministic
@@ -2394,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_gaps": q_events_user_gaps,
         "events_transitions": q_events_transitions,
         "docs_hash_split": q_docs_hash_split,
+        "docs_token_budget_sample": q_docs_token_budget_sample,
         "orders_price_bands": q_orders_price_bands,
         "docs_top_bigrams": q_docs_top_bigrams,
         "docs_repetition": q_docs_repetition,
@@ -2426,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_rolling_fp": q_docs_rolling_fp,
+        "docs_bpe_learn": q_docs_bpe_learn,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -2651,6 +2701,26 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_sum(list_transform(b.embedding,
                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                        6) >= 0.3
+        """,
+        "docs_token_budget_sample": f"""
+            WITH base AS (
+                SELECT doc_id, source, {n_tokens} AS n_tokens,
+                       substr(md5(text), 5, 2) AS draw
+                FROM documents
+            ),
+            windowed AS (
+                SELECT doc_id, source, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY draw, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS cum_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY source) * 0.4
+                           AS budget
+                FROM base
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM windowed
+            WHERE CAST(cum_tokens AS DOUBLE) <= CAST(budget AS DOUBLE)
         """,
         "docs_token_stats": f"""
             SELECT doc_id, {n_tokens} AS n_tokens,

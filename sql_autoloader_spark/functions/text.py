@@ -315,3 +315,88 @@ def scrub_pii(col: Column) -> Column:
     for pattern, placeholder in PII_RULES:
         out = F.regexp_replace(out, pattern, placeholder)
     return out
+
+
+#: end-of-word marker used by :func:`learn_bpe_merges`
+BPE_EOW = "</w>"
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 10,
+    max_vocab: int = 50_000,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from a document corpus.
+
+    The tokenizer-training primitive of an LLM data pipeline, split the
+    way production BPE trainers split it:
+
+    - **corpus scale (distributed)**: one ``explode`` + ``groupBy`` word
+      count over every document — the only pass that touches the 100 TB
+      corpus, map-side combined, one shuffle keyed on the word.  The
+      vocabulary is capped at the ``max_vocab`` most frequent words
+      (deterministic ``count desc, word`` order), which bounds what
+      crosses to the driver regardless of corpus size.
+    - **vocab scale (driver)**: the classic merge loop over the counted
+      vocabulary (pairs weighted by word frequency; ties break on the
+      lexicographically smallest pair) — the same split as the IVF
+      centroid fit: fit on the aggregate, never on the rows.
+
+    Returns ``(rank, left, right, merged, pair_count)`` — the ordered
+    merge table, ready to broadcast to a tokenizer UDF.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_vocab)
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [BPE_EOW], int(r["freq"]))
+        for r in words.collect()
+    ]
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for symbols, freq in vocab:
+            for a, b in zip(symbols, symbols[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        (left, right), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merged = left + right
+        merges.append((rank, left, right, merged, best))
+        new_vocab = []
+        for symbols, freq in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == left
+                    and symbols[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            new_vocab.append((out, freq))
+        vocab = new_vocab
+
+    return df.sparkSession.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )

@@ -741,3 +741,32 @@ def test_scrub_pii_rules(spark: SparkSession) -> None:
         tricky.select(text.scrub_pii(F.col("t"))).first()[0]
         == "x <EMAIL> y"
     )
+
+
+def test_learn_bpe_merges_hand_example(spark: SparkSession) -> None:
+    """Classic BPE on a corpus with unambiguous merge order: 'aaab' x3 +
+    'ab' x1.  Pair counts weighted by word frequency; ties break on the
+    lexicographically smallest pair."""
+    df = spark.createDataFrame(
+        [("aaab aaab ab",), ("aaab",)], "text string"
+    )
+    out = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in text.learn_bpe_merges(df, n_merges=3).collect()
+    ]
+    assert out == [
+        (1, "a", "a", "aa", 6),          # (a,a): 2 per 'aaab' word x3
+        (2, "a", "b", "ab", 4),          # ties (b,</w>) at 4 -> lex smaller
+        (3, "ab", "</w>", "ab</w>", 4),
+    ]
+
+
+def test_learn_bpe_merges_respects_vocab_cap(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [("zz zz zz rare",)], "text string"
+    )
+    # cap keeps only the most frequent word 'zz': merges come from it
+    # alone ((z,</w>) ties (z,z) at 3 and wins lexicographically)
+    out = text.learn_bpe_merges(df, n_merges=2, max_vocab=1).collect()
+    assert [r["merged"] for r in out] == ["z</w>", "zz</w>"]
+    assert all("r" not in r["merged"] for r in out)  # 'rare' was capped out

@@ -32,6 +32,7 @@ def plans(spark: SparkSession) -> dict[str, str]:
         "q5_region_revenue",
         "q6_revenue_forecast",
         "docs_token_stats",
+        "docs_pii_scrub",
     ]
     return {n: formatted_plan(queries[n](spark, SF_DIR)) for n in names}
 
@@ -67,9 +68,10 @@ def test_dimension_joins_broadcast(plans: dict[str, str]) -> None:
 
 def test_text_ops_stay_single_stage(plans: dict[str, str]) -> None:
     """Text analysis is a pure map pipeline: no exchange, no UDF."""
-    assert "Exchange" not in plans["docs_token_stats"]
-    assert "BatchEvalPython" not in plans["docs_token_stats"]
-    assert "ArrowEvalPython" not in plans["docs_token_stats"]
+    for name in ("docs_token_stats", "docs_pii_scrub"):
+        assert "Exchange" not in plans[name]
+        assert "BatchEvalPython" not in plans[name]
+        assert "ArrowEvalPython" not in plans[name]
 
 
 def test_range_join_broadcasts_band_table(spark: SparkSession) -> None:
