@@ -352,6 +352,58 @@ class SparkConnector(BaseConnector):
             F.col(_COMMIT_COL) <= F.lit(self._durable_max)
         ).drop(_COMMIT_COL)
 
+    def commit_history(self) -> list[int]:
+        """Durable commit epochs, oldest first (managed-catalog mode).
+
+        The manifest journal doubles as a commit log: every epoch it
+        records is a consistent multi-table snapshot boundary, so the
+        history is free — no extra bookkeeping beyond the atomic-commit
+        protocol itself.
+        """
+        if self.database is None:
+            msg = "commit_history requires database (managed-catalog) mode."
+            raise ValueError(msg)
+        rows = (
+            self.spark.table(self._qualified(_JOURNAL))
+            .orderBy("commit_id")
+            .collect()
+        )
+        return [r["commit_id"] for r in rows]
+
+    def read_table_as_of(self, table: str, commit_id: int) -> DataFrame:
+        """Snapshot read: *table*'s content as of durable *commit_id*.
+
+        Time travel falls out of the manifest-commit design (the same
+        way table formats with manifest logs get it): rows carry the
+        epoch that committed them and reads filter by it, so a
+        consistent PAST snapshot is just a smaller epoch bound — across
+        ALL tables of the transaction, since the epoch flip was atomic.
+        ``commit_id=0`` reads the pre-first-commit state (adopted /
+        migrated rows).  Append-only history: epochs are never rewritten
+        outside crash recovery, so snapshots are stable.
+        """
+        if self.database is None:
+            msg = "read_table_as_of requires database (managed-catalog) mode."
+            raise ValueError(msg)
+        if table not in self._meta:
+            msg = f"table '{table}' does not exist in the Spark catalog sink."
+            raise KeyError(msg)
+        if commit_id > self._durable_max:
+            msg = (
+                f"commit_id {commit_id} is not durable yet "
+                f"(latest: {self._durable_max})."
+            )
+            raise ValueError(msg)
+        frame = self.spark.table(self._qualified(table))
+        if _COMMIT_COL in frame.columns:
+            frame = frame.where(
+                F.col(_COMMIT_COL) <= F.lit(int(commit_id))
+            ).drop(_COMMIT_COL)
+        for col, (_encode, decode) in self.dtype_adapters.items():
+            if col in frame.columns:
+                frame = frame.withColumn(col, decode(F.col(f"`{col}`")))
+        return frame
+
     def _recover_orphans(self) -> None:
         """Sweep rows a crashed commit left behind (epoch > journal max).
 

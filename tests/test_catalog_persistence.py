@@ -369,3 +369,50 @@ def test_second_connector_transaction_sees_prior_commits(
         for r in spark.table("epochtest.__sql_autoloader_commits").collect()
     )
     assert journal == sorted(set(journal))  # no epoch reuse
+
+
+def test_time_travel_reads_past_snapshots(spark: SparkSession) -> None:
+    """The manifest journal doubles as a commit log: `read_table_as_of`
+    returns each table's content at any durable epoch, and the snapshot
+    is consistent ACROSS tables because the epoch flip was atomic."""
+    import pytest
+
+    db = SparkConnector(spark, database="traveltest")
+    db.execute_ddl(
+        """
+        CREATE TABLE tt_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);
+        CREATE TABLE tt_fact (
+            n BIGINT,
+            word_id INTEGER REFERENCES tt_dim (id)
+        );
+        """
+    )
+    with db:
+        db.load(
+            spark.createDataFrame([(1, "a"), (2, "b")], "n long, word string")
+        )
+    first = db.commit_history()[-1]
+    with db:
+        db.load(
+            spark.createDataFrame([(3, "c")], "n long, word string"),
+            compare=False,
+        )
+    second = db.commit_history()[-1]
+    assert second > first
+
+    # as-of the first commit: neither table shows the second load
+    assert db.read_table_as_of("tt_dim", first).count() == 2
+    assert db.read_table_as_of("tt_fact", first).count() == 2
+    assert db.read_table_as_of("tt_dim", second).count() == 3
+    # epoch 0 = pre-first-commit state
+    assert db.read_table_as_of("tt_dim", 0).count() == 0
+
+    # a reopened connector sees the same history
+    db2 = SparkConnector(spark, database="traveltest")
+    assert db2.commit_history() == db.commit_history()
+    assert db2.read_table_as_of("tt_fact", first).count() == 2
+
+    with pytest.raises(ValueError, match="not durable"):
+        db.read_table_as_of("tt_dim", second + 10)
+    with pytest.raises(KeyError):
+        db.read_table_as_of("missing", first)
