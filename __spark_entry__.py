@@ -1474,6 +1474,51 @@ def q_events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_load_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 incrementally: a small bootstrap load, then a full backfill
+    that re-sends every bootstrap row plus novel ones.
+
+    Exercises the loader's incremental contract end-to-end in the
+    oracle-checked surface: the anti-join keeps re-sent dim members and
+    re-sent fact rows out (idempotency), novel dim members continue the
+    surrogate sequence from ``max(existing id)`` (continuity), and the
+    second load validates with the subset compare (``exact=False`` —
+    its data is a subset of the accumulated table state).  Returns the
+    final star state (fact ⟕ dim).
+    """
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    # bootstrap-then-backfill: a 2% first load (so batch 2 is guaranteed
+    # to carry BOTH re-sent rows and novel dim members at every SF),
+    # then the whole corpus — novel sources must continue the surrogate
+    # sequence from max(existing id), re-sent rows must not duplicate
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    batch1 = docs.where(F.col("doc_id") % 50 == 0)
+    batch2 = docs
+    db = SparkConnector(spark)
+    db.execute_ddl(
+        """
+        CREATE TABLE inc_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE inc_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES inc_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+    with db:
+        db.load(batch1)
+    with db:
+        db.load(batch2, exact=False)
+    return spark.sql(
+        """
+        SELECT d.doc_id, CAST(s.id AS BIGINT) AS source_id, s.source,
+               d.n_chars
+        FROM inc_doc d LEFT JOIN inc_source s ON d.source_id = s.id
+        """
+    )
+
+
 def q_load_star_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 through the SQLite compatibility sink (D1 executed for real):
     the same nation⨝region star load as ``load_star_roundtrip``, but
@@ -2254,6 +2299,59 @@ def q_docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_lm_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-corpus quality scoring: per-document bigram OOV rate
+    against a language model trained on the train split.
+
+    The LM is the distinct-bigram table of the train split (the
+    degenerate-but-exact form of an n-gram LM: membership instead of
+    probability, so every count is an integer and the score is
+    engine-deterministic — a log-prob average would hang on float
+    summation order).  Every held-out doc joins its bigrams against the
+    LM — shuffle keyed on the bigram, the scale-honest shape: at 100 TB
+    the LM table shards across the cluster and each doc's grams meet it
+    where they hash.  High OOV = out-of-domain or garbage, the standard
+    cheap filter before an expensive model-based scorer.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            _split_col().alias("split"),
+            F.split(text.normalized(F.col("text")), " ").alias("ws"),
+        )
+        .select(
+            "doc_id", "split", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bigram")
+        )
+    )
+    lm = (
+        grams.where(F.col("split") == "train")
+        .select("bigram")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        grams.where(F.col("split") != "train")
+        .join(lm, on="bigram", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.sum("seen"), F.lit(0)).cast("bigint").alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_seen",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_seen").cast("double") / F.col("n_bigrams"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of quantity vs. extended price per return
     flag, from exact decimal moment sums (bit-deterministic across
@@ -2450,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_quantiles": q_lineitem_quantiles,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_split_contamination": q_docs_split_contamination,
+        "docs_lm_oov": q_docs_lm_oov,
         "lineitem_corr": q_lineitem_corr,
         "emb_label_centroids": q_emb_label_centroids,
         "events_rolling_7d": q_events_rolling_7d,
@@ -2463,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "load_events_star": q_load_events_star,
         "load_star_sqlite": q_load_star_sqlite,
+        "load_incremental": q_load_incremental,
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
         "events_salted_enrich": q_events_salted_enrich,
@@ -2722,6 +2822,30 @@ def oracle_sql() -> dict[str, str]:
             FROM windowed
             WHERE CAST(cum_tokens AS DOUBLE) <= CAST(budget AS DOUBLE)
         """,
+        "load_incremental": """
+            WITH b1 AS (
+                SELECT DISTINCT source FROM documents WHERE doc_id % 50 = 0
+            ),
+            novel AS (
+                SELECT DISTINCT source FROM documents
+                WHERE source NOT IN (SELECT source FROM b1)
+            ),
+            dim AS (
+                SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS id
+                FROM b1
+                UNION ALL
+                SELECT source,
+                       (SELECT COUNT(*) FROM b1)
+                           + ROW_NUMBER() OVER (ORDER BY source) AS id
+                FROM novel
+            ),
+            facts AS (
+                SELECT DISTINCT doc_id, source, n_chars FROM documents
+            )
+            SELECT f.doc_id, CAST(d.id AS BIGINT) AS source_id, f.source,
+                   f.n_chars
+            FROM facts f JOIN dim d ON f.source = d.source
+        """,
         "docs_token_stats": f"""
             SELECT doc_id, {n_tokens} AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_obs
@@ -2888,7 +3012,9 @@ def oracle_sql() -> dict[str, str]:
                                 0.0) AS qsim_raw,
                        ROW_NUMBER() OVER (
                            PARTITION BY query_id
-                           ORDER BY qdot DESC, neighbor_id
+                           ORDER BY coalesce(CAST(qdot AS DOUBLE)
+                                             / nullif(nprod, 0.0), 0.0) DESC,
+                                    neighbor_id
                        ) AS rank
                 FROM scored
             )
@@ -3625,6 +3751,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE bucket < CASE band WHEN 'short' THEN '80'
                                      WHEN 'medium' THEN '40'
                                      ELSE '1a' END
+        """,
+        "docs_lm_oov": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(text), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                            WHEN substr(md5(text), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
+                            ELSE 'test' END AS split,
+                       string_split({normalized}, ' ') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ),
+            bg AS (
+                SELECT doc_id, split, ws[i] || ' ' || ws[i + 1] AS bigram
+                FROM (SELECT doc_id, split, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM w)
+            ),
+            lm AS (
+                SELECT DISTINCT bigram FROM bg WHERE split = 'train'
+            )
+            SELECT b.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(lm.bigram) AS BIGINT) AS n_seen,
+                   round(1.0 - CAST(COUNT(lm.bigram) AS DOUBLE) / COUNT(*),
+                         6) AS oov_rate
+            FROM bg b LEFT JOIN lm ON b.bigram = lm.bigram
+            WHERE b.split <> 'train'
+            GROUP BY b.doc_id
         """,
         "docs_split_contamination": f"""
             WITH w AS (

@@ -167,6 +167,10 @@ class SparkConnector(BaseConnector):
         self._appends: dict[str, list[DataFrame]] = {}
         #: committed union-chain depth per table (for periodic compaction)
         self._chain_depth: dict[str, int] = {}
+        #: tables with a pending append left as a LAZY plan (fact path:
+        #: no surrogate, no anti-join) — the in-memory commit pins these
+        #: so post-commit reads materialize the plan once, not per read
+        self._lazy_appends: set[str] = set()
         #: tables whose committed content is KNOWN empty (fresh DDL, no
         #: committed appends) — lets the write path skip the existing-side
         #: anti-join and the surrogate max-scan without running jobs.
@@ -238,19 +242,28 @@ class SparkConnector(BaseConnector):
                 new_rows = appends[0]
                 for extra in appends[1:]:
                     new_rows = new_rows.unionByName(extra)
-                # The appended frames are already individually pinned
-                # (localCheckpoint in _write_new_rows), so the union is a
-                # shallow lineage over materialized partitions — cheap to
-                # keep lazy.  Only compact once the chain grows deep
-                # (many commits), to bound plan size.
+                # Keyed/constrained appends are already individually
+                # pinned (localCheckpoint in _write_new_rows), so their
+                # union is a shallow lineage over materialized
+                # partitions — cheap to keep lazy; compaction at depth
+                # 16 bounds plan size across many commits.  A table that
+                # received a LAZY fact-path append gets a lazy pin HERE
+                # instead: the first post-commit read materializes it
+                # exactly once (never inside the load's critical path,
+                # and never once per read).
                 combined = self._committed[table].unionByName(new_rows)
-                depth = self._chain_depth.get(table, 0) + 1
-                if depth >= 16:
-                    combined = combined.localCheckpoint(eager=True)
+                if table in self._lazy_appends:
+                    combined = combined.localCheckpoint(eager=False)
                     depth = 0
+                else:
+                    depth = self._chain_depth.get(table, 0) + 1
+                    if depth >= 16:
+                        combined = combined.localCheckpoint(eager=True)
+                        depth = 0
                 self._chain_depth[table] = depth
                 self._committed[table] = combined
         self._appends = {t: [] for t in self._meta}
+        self._lazy_appends.clear()
         self._register_views()
 
     def _commit_managed(self, pending: dict[str, list[DataFrame]]) -> None:
@@ -293,6 +306,7 @@ class SparkConnector(BaseConnector):
     def rollback(self) -> None:
         """Discard pending appends — tables revert to the entry state."""
         self._appends = {t: [] for t in self._meta}
+        self._lazy_appends.clear()
         self._register_views()
 
     # -- manifest-commit machinery (managed-catalog mode) ---------------------
@@ -342,14 +356,18 @@ class SparkConnector(BaseConnector):
         )
         self._durable_max = row["m"] or 0
 
-    def _committed_view(self, table: str) -> DataFrame:
-        """The durable content of a managed table: epoch-filtered, hidden
+    def _committed_view(
+        self, table: str, upper: int | None = None
+    ) -> DataFrame:
+        """The durable content of a managed table as of epoch *upper*
+        (default: the latest durable epoch): epoch-filtered, hidden
         column dropped.  (Legacy tables without the column pass through.)"""
+        bound = self._durable_max if upper is None else upper
         frame = self.spark.table(self._qualified(table))
         if _COMMIT_COL not in frame.columns:
             return frame
         return frame.where(
-            F.col(_COMMIT_COL) <= F.lit(self._durable_max)
+            F.col(_COMMIT_COL) <= F.lit(int(bound))
         ).drop(_COMMIT_COL)
 
     def commit_history(self) -> list[int]:
@@ -389,20 +407,19 @@ class SparkConnector(BaseConnector):
             msg = f"table '{table}' does not exist in the Spark catalog sink."
             raise KeyError(msg)
         if commit_id > self._durable_max:
+            # another connector may have committed since this one last
+            # looked — consult the journal before rejecting, so any
+            # epoch commit_history() returns is always readable
+            self._refresh_durable()
+        if commit_id > self._durable_max:
             msg = (
                 f"commit_id {commit_id} is not durable yet "
                 f"(latest: {self._durable_max})."
             )
             raise ValueError(msg)
-        frame = self.spark.table(self._qualified(table))
-        if _COMMIT_COL in frame.columns:
-            frame = frame.where(
-                F.col(_COMMIT_COL) <= F.lit(int(commit_id))
-            ).drop(_COMMIT_COL)
-        for col, (_encode, decode) in self.dtype_adapters.items():
-            if col in frame.columns:
-                frame = frame.withColumn(col, decode(F.col(f"`{col}`")))
-        return frame
+        return self._decode_adapters(
+            self._committed_view(table, upper=commit_id)
+        )
 
     def _recover_orphans(self) -> None:
         """Sweep rows a crashed commit left behind (epoch > journal max).
@@ -658,7 +675,10 @@ class SparkConnector(BaseConnector):
         if table not in self._committed:
             msg = f"table '{table}' does not exist in the Spark catalog sink."
             raise KeyError(msg)
-        frame = self._read_table_raw(table)
+        return self._decode_adapters(self._read_table_raw(table))
+
+    def _decode_adapters(self, frame: DataFrame) -> DataFrame:
+        """Apply the user-facing half of every dtype adapter."""
         for col, (_encode, decode) in self.dtype_adapters.items():
             if col in frame.columns:
                 frame = frame.withColumn(col, decode(F.col(f"`{col}`")))
@@ -793,6 +813,10 @@ class SparkConnector(BaseConnector):
         window_dedup_ran = bool(anti_keys)
         if surrogate_added or window_dedup_ran or not table_known_empty:
             full = full.localCheckpoint(eager=False)
+        else:
+            # the in-memory commit lazily pins this table's chain so
+            # post-commit reads materialize the plan once, not per read
+            self._lazy_appends.add(table)
         self._appends.setdefault(table, []).append(full)
         self._register_view(table)
 

@@ -653,28 +653,42 @@ def embedding_neardup_pairs(
     )
 
 
-def quantize_int8(vec: Column) -> Column:
+def quantize_scale(vec: Column) -> Column:
+    """The per-vector symmetric quantization scale ``127 / max|x|``
+    (NULL for an all-zero vector, so downstream rounds coalesce to 0)."""
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.lit(127.0) / F.nullif(amax, F.lit(0.0))
+
+
+def quantize_int8(vec: Column, scale: Column | None = None) -> Column:
     """Symmetric per-vector int8 quantization: ``q_i = round(x_i * 127 /
-    max|x|)``, an all-zero vector quantizing to all zeros.
+    max|x|)`` as ``array<tinyint>``, an all-zero vector quantizing to
+    all zeros.
 
     The at-scale memory lever for similarity search: an ``array<float>``
-    embedding column shrinks 4x (16x vs double) as ``array<int8>`` with
-    one scale factor per vector, so 4x more corpus fits a broadcast, a
+    embedding column shrinks 4x (16x vs double) as 1-byte codes with one
+    scale factor per vector, so 4x more corpus fits a broadcast, a
     shuffle, or an executor's storage — and integer dot products on the
     quantized codes are EXACT (no float accumulation-order concerns),
-    making the ranking fully deterministic and oracle-able.
+    making derived scores bit-deterministic and oracle-able.
 
-    All arithmetic is double precision built-ins (JVM codegen, no UDF);
-    ``round`` is half-away-from-zero in both Spark and DuckDB, so an
-    oracle replaying this expression matches bit-for-bit.
+    Pass *scale* (:func:`quantize_scale` materialized as its own column
+    first) when quantizing whole tables: higher-order-function lambdas
+    are interpreted and do NOT hoist loop-invariant subexpressions, so
+    inlining the scale would re-scan the array for its max once per
+    element — O(d²) per vector instead of O(d).
+
+    All arithmetic is double precision built-ins (no UDF); ``round`` is
+    half-away-from-zero in both Spark and DuckDB, so an oracle replaying
+    this expression matches bit-for-bit.
     """
-    amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-    scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
+    if scale is None:
+        scale = quantize_scale(vec)
     return F.transform(
         vec,
         lambda x: F.coalesce(
             F.round(x.cast("double") * scale, 0), F.lit(0.0)
-        ).cast("int"),
+        ).cast("byte"),
     )
 
 
@@ -702,23 +716,35 @@ def quantized_topk(
 
     Same plan shape (broadcast queries, one corpus scan, per-query
     ``row_number`` top-k) but the broadcast and the per-pair work run on
-    int8 codes: exact LONG dot products, cosine reconstructed from the
-    integer dot and the two integer norms.  Quantized cosine is scale-
-    invariant (the per-vector scale factors cancel), so the ranking
-    approximates float cosine to ~1/127 code resolution while moving 4x
-    fewer bytes — at 100 TB that is the difference between a corpus
-    that broadcasts and one that shuffles.
+    1-byte codes: exact LONG dot products, cosine reconstructed from the
+    integer dot and the two integer norms.  Ranking is by the QUANTIZED
+    COSINE — the per-vector scale factors cancel there, whereas the raw
+    integer dot still carries both scales and would rank large-magnitude
+    vectors above more-similar ones.  The cosine approximates float
+    cosine to ~1/127 code resolution while moving 4x fewer bytes — at
+    100 TB that is the difference between a corpus that broadcasts and
+    one that shuffles.
 
-    Returns ``(query_id, neighbor_id, rank, qdot, qsim)`` ordered by the
-    exact integer dot (deterministic; ties break on ``neighbor_id``).
+    Returns ``(query_id, neighbor_id, rank, qdot, qsim)`` ordered by
+    ``qsim`` — deterministic across engines (the doubles derive from
+    exact integers via identical IEEE ops); ties break on
+    ``neighbor_id``.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        quantize_int8(F.col(vec_col)).alias("qa"),
+        F.col(vec_col).alias("__v"),
+        quantize_scale(F.col(vec_col)).alias("__s"),
+    ).select(
+        "query_id",
+        quantize_int8(F.col("__v"), F.col("__s")).alias("qa"),
     ).select("query_id", "qa", F.sqrt(int_dot("qa", "qa")).alias("qn"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        quantize_int8(F.col(vec_col)).alias("qb"),
+        F.col(vec_col).alias("__v"),
+        quantize_scale(F.col(vec_col)).alias("__s"),
+    ).select(
+        "neighbor_id",
+        quantize_int8(F.col("__v"), F.col("__s")).alias("qb"),
     ).select("neighbor_id", "qb", F.sqrt(int_dot("qb", "qb")).alias("cn"))
     scored = (
         F.broadcast(q)
@@ -747,7 +773,7 @@ def quantized_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("qdot").desc(), F.col("neighbor_id")
+        F.col("qsim_raw").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -729,9 +729,7 @@ def test_scrub_pii_rules(spark: SparkSession) -> None:
     assert out[1] == "call <PHONE> or <PHONE> now"
     assert out[2] == "server <IP> and <IP>"
     assert out[3] == "no pii here"
-    counts = df.agg(
-        *[F.sum(c).alias(c._jc.toString()) for c in []]
-    ) if False else df.select(*text.pii_counts(F.col("text"))).collect()
+    counts = df.select(*text.pii_counts(F.col("text"))).collect()
     totals = [sum(r[i] for r in counts) for i in range(3)]
     assert totals == [1, 2, 2]  # emails, phones, ips across the corpus
     # email rule runs first: address digits are never half-eaten by the
@@ -770,3 +768,34 @@ def test_learn_bpe_merges_respects_vocab_cap(spark: SparkSession) -> None:
     out = text.learn_bpe_merges(df, n_merges=2, max_vocab=1).collect()
     assert [r["merged"] for r in out] == ["z</w>", "zz</w>"]
     assert all("r" not in r["merged"] for r in out)  # 'rare' was capped out
+
+
+def test_quantized_topk_ranks_by_cosine_not_raw_dot(
+    spark: SparkSession,
+) -> None:
+    """Per-vector quantization scales do NOT cancel in the raw integer
+    dot — a large-magnitude neighbour gets a bigger qdot than a
+    more-similar one.  The ranking must therefore use the quantized
+    cosine, where the scales cancel."""
+    emb = spark.createDataFrame(
+        [
+            (0, [0.5, 1.0]),   # query
+            (1, [0.5, 1.0]),   # identical direction -> cosine 1.0
+            (2, [1.0, 1.0]),   # bigger qdot (codes [127,127]) but lower cosine
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.quantized_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=2
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["qsim"] > out[1]["qsim"]
+    # and the raw dot really is inverted, which is what this guards
+    assert out[0]["qdot"] < out[1]["qdot"]
+
+
+def test_quantized_codes_are_tinyint(spark: SparkSession) -> None:
+    """The 4x memory claim requires 1-byte codes, not 4-byte ints."""
+    df = spark.createDataFrame([(1, [1.0, -2.0])], "id long, v array<float>")
+    out = df.select(similarity.quantize_int8(F.col("v")).alias("q"))
+    assert out.schema["q"].dataType.simpleString() == "array<tinyint>"
