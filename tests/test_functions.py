@@ -799,3 +799,51 @@ def test_quantized_codes_are_tinyint(spark: SparkSession) -> None:
     df = spark.createDataFrame([(1, [1.0, -2.0])], "id long, v array<float>")
     out = df.select(similarity.quantize_int8(F.col("v")).alias("q"))
     assert out.schema["q"].dataType.simpleString() == "array<tinyint>"
+
+
+def test_quantization_properties(spark: SparkSession) -> None:
+    """Property sweep (Hypothesis): codes stay in [-127,127] tinyints,
+    an all-zero vector quantizes to zeros, and the quantized cosine of a
+    vector with itself is 1 (unless zero)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    vecs = st.lists(
+        st.lists(finite, min_size=1, max_size=8), min_size=1, max_size=6
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=vecs)
+    def check(rows) -> None:
+        # pad to a uniform dim (arrays in a column share length here)
+        dim = max(len(r) for r in rows)
+        rows = [r + [0.0] * (dim - len(r)) for r in rows]
+        df = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rows)], "id long, v array<float>"
+        )
+        out = df.select(
+            "id",
+            similarity.quantize_int8(F.col("v")).alias("q"),
+            F.col("v"),
+        ).collect()
+        for r in out:
+            assert all(-127 <= c <= 127 for c in r["q"])
+            if all(x == 0.0 for x in r["v"]):
+                assert all(c == 0 for c in r["q"])
+            else:
+                # self-cosine of the codes is 1 for any nonzero vector
+                d = sum(c * c for c in r["q"])
+                assert d > 0
+                assert math.isclose(d / (math.sqrt(d) * math.sqrt(d)), 1.0)
+
+    check()
