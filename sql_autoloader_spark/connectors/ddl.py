@@ -237,3 +237,119 @@ def parse_script(script: str) -> list[ParsedTable]:
             msg = f"Unparseable CREATE TABLE statement: {snippet!r}"
             raise InvalidTableError(msg)
     return tables
+
+
+@dataclass
+class AlterAddColumn:
+    """One ``ALTER TABLE t ADD [COLUMN] name TYPE [modifiers]`` action."""
+
+    table: str
+    column: str
+    spark_type: str
+    not_null: bool = False
+    unique: bool = False
+    #: (to_table, to_key) when the new column carries REFERENCES
+    reference: tuple[str, str] | None = None
+
+
+@dataclass
+class DropTable:
+    """One ``DROP TABLE [IF EXISTS] t`` action."""
+
+    table: str
+    if_exists: bool = False
+
+
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+[\"'`]?(?P<name>\w+)[\"'`]?\s+ADD\s+"
+    r"(?:COLUMN\s+)?(?P<coldef>.+?)\s*$",
+    re.I | re.S,
+)
+_ALTER_PREFIX_RE = re.compile(r"^\s*ALTER\s+TABLE\b", re.I)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?[\"'`]?(?P<name>\w+)[\"'`]?\s*$",
+    re.I,
+)
+_DROP_PREFIX_RE = re.compile(r"^\s*DROP\s+TABLE\b", re.I)
+
+
+def parse_alter_add(statement: str) -> AlterAddColumn | None:
+    """Parse ``ALTER TABLE ... ADD COLUMN``; None if something else.
+
+    The reference executes arbitrary DDL through the DB cursor and
+    re-introspects (connector.py:167-173); ADD COLUMN is the schema
+    evolution a live pipeline actually performs.  An added PRIMARY KEY
+    is rejected — existing rows cannot be retro-keyed.
+    """
+    match = _ALTER_ADD_RE.match(statement)
+    if match is None:
+        return None
+    item = _CONSTRAINT_NAME_RE.sub("", match.group("coldef").strip())
+    tokens = item.split(None, 1)
+    col = tokens[0].strip("\"`'")
+    rest = tokens[1] if len(tokens) > 1 else ""
+    if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
+        msg = (
+            f"ALTER TABLE {match.group('name')}: adding a PRIMARY KEY "
+            "column is not supported (existing rows cannot be keyed)."
+        )
+        raise InvalidTableError(msg)
+    ref = _REFERENCES_RE.search(rest)
+    return AlterAddColumn(
+        table=match.group("name"),
+        column=col,
+        spark_type=_spark_type(rest.strip()),
+        not_null=bool(re.search(r"\bNOT\s+NULL\b", rest, re.I)),
+        unique=bool(re.search(r"\bUNIQUE\b", rest, re.I)),
+        reference=(ref.group("table"), ref.group("column")) if ref else None,
+    )
+
+
+def parse_drop_table(statement: str) -> DropTable | None:
+    match = _DROP_RE.match(statement)
+    if match is None:
+        return None
+    return DropTable(
+        table=match.group("name"), if_exists=bool(match.group("ife"))
+    )
+
+
+def parse_script_actions(
+    script: str,
+) -> list[ParsedTable | AlterAddColumn | DropTable]:
+    """Parse a DDL script into ordered actions: CREATE TABLE, ALTER
+    TABLE ADD COLUMN, DROP TABLE.
+
+    Other statements (indexes, pragmas) are skipped; a statement that
+    *starts* like a supported action but does not parse raises instead
+    of silently doing nothing (same contract as :func:`parse_script`).
+    """
+    actions: list[ParsedTable | AlterAddColumn | DropTable] = []
+    for statement in split_statements(script):
+        if not statement.strip():
+            continue
+        if (created := parse_create_table(statement)) is not None:
+            actions.append(created)
+            continue
+        if _CREATE_PREFIX_RE.match(statement):
+            snippet = " ".join(statement.split())[:120]
+            msg = f"Unparseable CREATE TABLE statement: {snippet!r}"
+            raise InvalidTableError(msg)
+        if (added := parse_alter_add(statement)) is not None:
+            actions.append(added)
+            continue
+        if _ALTER_PREFIX_RE.match(statement):
+            snippet = " ".join(statement.split())[:120]
+            msg = (
+                f"Unsupported ALTER TABLE statement: {snippet!r} "
+                "(only ADD COLUMN is supported)."
+            )
+            raise InvalidTableError(msg)
+        if (dropped := parse_drop_table(statement)) is not None:
+            actions.append(dropped)
+            continue
+        if _DROP_PREFIX_RE.match(statement):
+            snippet = " ".join(statement.split())[:120]
+            msg = f"Unparseable DROP TABLE statement: {snippet!r}"
+            raise InvalidTableError(msg)
+    return actions

@@ -54,7 +54,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_autoloader_spark.connectors.base import BaseConnector
-from sql_autoloader_spark.connectors.ddl import ParsedTable, parse_script
+from sql_autoloader_spark.connectors.ddl import (
+    AlterAddColumn,
+    DropTable,
+    ParsedTable,
+    parse_script_actions,
+)
+from sql_autoloader_spark.exceptions import InvalidTableError
 from sql_autoloader_spark.schema import ReferenceDict, Schema, TableDict
 
 if TYPE_CHECKING:
@@ -482,17 +488,87 @@ class SparkConnector(BaseConnector):
     # -- DDL / metadata -------------------------------------------------------
 
     def execute_ddl(self, script: str) -> None:
-        """Create tables from a SQL DDL script and register their metadata.
+        """Run a DDL script: CREATE TABLE, ALTER TABLE ADD COLUMN, DROP
+        TABLE — then re-register metadata.
 
         The reference passes DDL straight to the DB cursor and
         re-introspects (connector.py:167-173); here the same script is
         parsed for PK/FK/UNIQUE structure (Spark's catalog stores none of
-        it) and each table is created empty.
+        it), tables are created empty, ADD COLUMN widens metadata plus
+        the physical table (metadata-only in managed mode — no rewrite,
+        existing rows read NULL), and DROP removes the table everywhere.
         """
-        for parsed in parse_script(script):
-            self._create_table(parsed)
+        for action in parse_script_actions(script):
+            if isinstance(action, ParsedTable):
+                self._create_table(action)
+            elif isinstance(action, AlterAddColumn):
+                self._alter_add_column(action)
+            else:
+                self._drop_table(action)
         self.update_schema()
         self._register_views()
+
+    def _alter_add_column(self, action: AlterAddColumn) -> None:
+        meta = self._meta.get(action.table)
+        if meta is None:
+            msg = f"ALTER TABLE: unknown table '{action.table}'."
+            raise InvalidTableError(msg)
+        if any(c == action.column for c, _t in meta.column_types):
+            msg = (
+                f"ALTER TABLE {action.table}: column '{action.column}' "
+                "already exists."
+            )
+            raise InvalidTableError(msg)
+
+        meta.column_types.append((action.column, action.spark_type))
+        if action.not_null:
+            meta.not_null.append(action.column)
+        if action.reference is not None:
+            to_table, to_key = action.reference
+            meta.foreign_keys.append(action.column)
+            meta.references.append((action.column, to_table, to_key))
+        else:
+            if action.unique:
+                meta.unique_constraints.append([action.column])
+            meta.payload_columns.append(action.column)
+
+        null_col = F.lit(None).cast(action.spark_type)
+        if self.database is not None:
+            # metadata-only widen — NO rewrite; existing parquet rows
+            # read the new column as NULL.  (Appends resolve columns by
+            # name, so the epoch column's physical position is harmless.)
+            self.spark.sql(
+                f"ALTER TABLE {self._qualified(action.table)} "
+                f"ADD COLUMNS (`{action.column}` {action.spark_type})"
+            )
+            self._apply_table_props(meta)
+            self._committed[action.table] = self._committed_view(action.table)
+        else:
+            self._committed[action.table] = self._committed[
+                action.table
+            ].withColumn(action.column, null_col)
+        # widen any pending appends so reads stay union-compatible
+        self._appends[action.table] = [
+            a.withColumn(action.column, null_col)
+            for a in self._appends.get(action.table, [])
+        ]
+        self._register_view(action.table)
+
+    def _drop_table(self, action: DropTable) -> None:
+        if action.table not in self._meta:
+            if action.if_exists:
+                return
+            msg = f"DROP TABLE: unknown table '{action.table}'."
+            raise InvalidTableError(msg)
+        if self.database is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(action.table)}")
+        self._meta.pop(action.table, None)
+        self._committed.pop(action.table, None)
+        self._appends.pop(action.table, None)
+        self._committed_empty.pop(action.table, None)
+        self._chain_depth.pop(action.table, None)
+        self._lazy_appends.discard(action.table)
+        self.spark.catalog.dropTempView(action.table)
 
     def _create_table(self, parsed: ParsedTable) -> None:
         # validate BEFORE mutating connector state: a failed execute_ddl
