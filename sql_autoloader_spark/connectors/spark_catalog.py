@@ -427,6 +427,51 @@ class SparkConnector(BaseConnector):
             self._committed_view(table, upper=commit_id)
         )
 
+    def compact_table(
+        self, table: str, target_partitions: int | None = None
+    ) -> None:
+        """Rewrite a managed table once to consolidate small files.
+
+        Append-only commits are the right write path (never rewrite the
+        100 TB table per transaction), but each commit lands at least
+        one file per partition — after thousands of commits the file
+        count, not the byte count, dominates scan planning time.  This
+        is the standard manifest-table maintenance operation (Delta
+        ``OPTIMIZE``, Iceberg ``rewrite_data_files``): one
+        stage-then-swap rewrite (crash-safe, see
+        :meth:`_overwrite_table`) that preserves the physical layout,
+        the hidden commit epochs (time travel keeps working), and drops
+        any never-durable orphan rows.  ``target_partitions``
+        repartitions the rewrite (e.g. total_bytes / 128 MB); default
+        keeps the scan's natural partitioning.
+
+        Requires no pending appends (compact between transactions) and
+        managed-catalog mode; the in-memory sink compacts its union
+        chain automatically.
+        """
+        if self.database is None:
+            msg = "compact_table requires database (managed-catalog) mode."
+            raise ValueError(msg)
+        if table not in self._meta:
+            msg = f"table '{table}' does not exist in the Spark catalog sink."
+            raise KeyError(msg)
+        if self._appends.get(table):
+            msg = (
+                f"table '{table}' has uncommitted appends; commit or "
+                "rollback before compacting."
+            )
+            raise RuntimeError(msg)
+        frame = self.spark.table(self._qualified(table))
+        if _COMMIT_COL in frame.columns:
+            frame = frame.where(
+                F.col(_COMMIT_COL) <= F.lit(self._durable_max)
+            )
+        if target_partitions is not None:
+            frame = frame.repartition(int(target_partitions))
+        self._overwrite_table(table, frame)
+        self._committed[table] = self._committed_view(table)
+        self._register_view(table)
+
     def _recover_orphans(self) -> None:
         """Sweep rows a crashed commit left behind (epoch > journal max).
 

@@ -416,3 +416,61 @@ def test_time_travel_reads_past_snapshots(spark: SparkSession) -> None:
         db.read_table_as_of("tt_dim", second + 10)
     with pytest.raises(KeyError):
         db.read_table_as_of("missing", first)
+
+
+def test_compact_table_consolidates_files(spark: SparkSession) -> None:
+    """compact_table: one stage-then-swap rewrite that consolidates the
+    small files append-only commits accumulate, preserving content,
+    layout, commit epochs (time travel), and dropping nothing durable."""
+    import pytest
+
+    db = SparkConnector(spark, database="compacttest")
+    db.execute_ddl("CREATE TABLE cp_t (n BIGINT, w TEXT);")
+    for i in range(3):
+        with db:
+            db.load(
+                spark.createDataFrame(
+                    [(i * 10 + j, f"w{i}_{j}") for j in range(4)],
+                    "n long, w string",
+                ),
+                compare=False,
+            )
+    history = db.commit_history()
+    assert len(history) == 3
+    before = sorted(map(tuple, db._read_table("cp_t").collect()))
+
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        db.__enter__()
+        try:
+            db.load(
+                spark.createDataFrame([(99, "x")], "n long, w string"),
+                compare=False,
+            )
+            db.compact_table("cp_t")
+        finally:
+            db.__exit__(ValueError, ValueError("abort"), None)  # rollback
+
+    db.compact_table("cp_t", target_partitions=1)
+    after = sorted(map(tuple, db._read_table("cp_t").collect()))
+    assert after == before
+    # epochs survive: time travel to the first commit still works
+    assert db.read_table_as_of("cp_t", history[0]).count() == 4
+    assert db.read_table_as_of("cp_t", history[-1]).count() == 12
+    # physically consolidated to a single data file
+    import os
+
+    location = (
+        spark.sql("DESCRIBE TABLE EXTENDED compacttest.cp_t")
+        .where("col_name = 'Location'")
+        .first()["data_type"]
+    ).removeprefix("file:")
+    files = [
+        f
+        for _root, _dirs, names in os.walk(location)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1, files
+    # a reopened connector sees identical content
+    db2 = SparkConnector(spark, database="compacttest")
+    assert sorted(map(tuple, db2._read_table("cp_t").collect())) == before
