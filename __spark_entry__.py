@@ -1306,6 +1306,54 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus cleaning: the documents parquet replayed as a
+    file stream through the deterministic PII salt + redaction and a
+    minimum-length quality gate — the shape of a continuous ingest
+    pipeline (new crawl shards arrive, get scrubbed and filtered, land
+    append-only).  Stateless map/filter stages stream with NO watermark
+    or state store, so the availableNow replay equals the batch SQL
+    oracle row-for-row; at 100 TB this runs at file-arrival rate with
+    per-batch parallelism.
+    """
+    import tempfile
+    import uuid
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    salted = stream.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("txt"),
+    )
+    cleaned = salted.select(
+        "doc_id",
+        "source",
+        text.scrub_pii(F.col("txt")).alias("scrubbed"),
+        text.token_count(F.col("txt")).alias("n_tokens"),
+    ).where(F.col("n_tokens") >= 10)
+    name = f"stream_clean_{uuid.uuid4().hex[:8]}"
+    query = (
+        cleaned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def q_events_stream_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest through the CONNECTOR: the events parquet
     replayed as a file stream, each micro-batch auto-loaded into an
@@ -2565,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_incremental": q_load_incremental,
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
+        "docs_stream_clean": q_docs_stream_clean,
         "events_salted_enrich": q_events_salted_enrich,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,
@@ -2845,6 +2894,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, CAST(d.id AS BIGINT) AS source_id, f.source,
                    f.n_chars
             FROM facts f JOIN dim d ON f.source = d.source
+        """,
+        "docs_stream_clean": f"""
+            WITH salted AS (
+                SELECT doc_id, source,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' AS txt
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   regexp_replace(regexp_replace(regexp_replace(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                       '\\+?[0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3,4}}(-[0-9]{{3,4}})?',
+                       '<PHONE>', 'g'),
+                       '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b',
+                       '<IP>', 'g') AS scrubbed,
+                   CASE WHEN trim(txt) = '' THEN 0 ELSE
+                       CAST(len(regexp_split_to_array(trim(txt), '\\s+'))
+                            AS BIGINT) END AS n_tokens
+            FROM salted
+            WHERE (CASE WHEN trim(txt) = '' THEN 0 ELSE
+                       CAST(len(regexp_split_to_array(trim(txt), '\\s+'))
+                            AS BIGINT) END) >= 10
         """,
         "docs_token_stats": f"""
             SELECT doc_id, {n_tokens} AS n_tokens,
