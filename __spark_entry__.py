@@ -1567,6 +1567,49 @@ def q_load_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_load_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the manifest journal, registered end-to-end:
+    two transactional loads into a managed database, then each durable
+    epoch read back AS-OF via ``read_table_as_of`` — per-epoch row
+    counts prove snapshots are consistent across the dim AND fact of
+    each transaction (the epoch flip was atomic).  Rows-only: epochs
+    are engine state, not SQL-reconstructable; the mechanism is
+    unit-tested in tests/test_catalog_persistence.py."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    db = SparkConnector(spark, database=f"snap_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        """
+        CREATE TABLE sh_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE sh_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES sh_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+    with db:
+        db.load(docs.where(F.col("doc_id") % 2 == 0))
+    with db:
+        db.load(docs, exact=False)
+    rows = [
+        (
+            int(epoch),
+            db.read_table_as_of("sh_source", epoch).count(),
+            db.read_table_as_of("sh_doc", epoch).count(),
+        )
+        for epoch in db.commit_history()
+    ]
+    # counts are driver-side; the scratch database can go
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return spark.createDataFrame(
+        rows, "commit_id bigint, n_sources bigint, n_docs bigint"
+    )
+
+
 def q_load_star_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 through the SQLite compatibility sink (D1 executed for real):
     the same nation⨝region star load as ``load_star_roundtrip``, but
@@ -2628,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "load_snapshot_history": q_load_snapshot_history,
         "media_neardup": q_media_neardup,
     }
 

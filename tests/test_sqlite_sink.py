@@ -289,3 +289,30 @@ def test_heterogeneous_column_falls_back_to_string(spark) -> None:
     frame = db._execute_compare_query("SELECT v, note FROM mixed")
     got = {tuple(r) for r in frame.collect()}
     assert got == {("1", "int"), ("abc", "text")}
+
+
+def test_alter_table_evolution_live(spark: SparkSession) -> None:
+    """Schema evolution through the live sink: ALTER TABLE ADD COLUMN
+    runs on the real database and re-introspection picks it up — the
+    same evolution the Spark catalog sink implements in
+    tests/test_ddl_evolution.py."""
+    db = SQLiteConnector(spark)
+    db.execute_ddl("CREATE TABLE ev_doc (doc_id INTEGER, body TEXT);")
+    with db:
+        db.insert(
+            spark.createDataFrame([(1, "x")], "doc_id long, body string"),
+            table="ev_doc",
+        )
+    db.execute_ddl("ALTER TABLE ev_doc ADD COLUMN lang TEXT")
+    assert "lang" in db.schema.get_columns("ev_doc")
+    with db:
+        db.insert(
+            spark.createDataFrame(
+                [(2, "y", "en")], "doc_id long, body string, lang string"
+            ),
+            table="ev_doc",
+        )
+    rows = {
+        r["doc_id"]: r["lang"] for r in db._read_table("ev_doc").collect()
+    }
+    assert rows == {1: None, 2: "en"}
