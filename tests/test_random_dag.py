@@ -222,3 +222,53 @@ def test_random_dag_roundtrip_sqlite(spark: SparkSession, sc: Scenario) -> None:
         with db:
             db.load(data, compare=False)
     db.close()
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(sc=scenario())
+def test_random_dag_evolution_roundtrip(
+    spark: SparkSession, sc: Scenario
+) -> None:
+    """Schema evolution on the random-DAG corpus: after a full load,
+    ALTER a random table to add a payload column, re-load data widened
+    with it, and the generated compare round-trip must still hold —
+    the planner, key merge, and reconstruction all see the new column."""
+    import re
+
+    assume(sc.no_isolates)
+    data = spark.createDataFrame(
+        sc.rows, ", ".join(f"`{c}` string" for c in sc.columns)
+    )
+    db = SparkConnector(spark)
+    db.execute_ddl(sc.ddl)
+    with db:
+        db.load(data, compare=True, exact=False)
+
+    table = re.search(r"CREATE TABLE (\w+)", sc.ddl).group(1)
+    db.execute_ddl(f"ALTER TABLE {table} ADD COLUMN _evo_col TEXT")
+    assert "_evo_col" in db.schema.get_columns(table)
+
+    widened_cols = sc.columns + ["_evo_col"]
+    widened_rows = [
+        {**row, "_evo_col": f"evo{i}"} for i, row in enumerate(sc.rows)
+    ]
+    widened = spark.createDataFrame(
+        widened_rows, ", ".join(f"`{c}` string" for c in widened_cols)
+    )
+    with db:
+        db.load(widened, compare=True, exact=False)
+    compare_query = db.schema.get_compare_query(widened_cols, quote="`")
+    quoted = [f"`{c}`" for c in widened_cols]
+    db_rows = {
+        tuple(r) for r in spark.sql(compare_query).select(quoted).collect()
+    }
+    in_rows = {tuple(r) for r in widened.select(quoted).collect()}
+    assert in_rows <= db_rows, (
+        f"evolved round-trip lost rows\nquery:\n{compare_query}"
+    )
