@@ -526,9 +526,13 @@ class SparkConnector(BaseConnector):
         staged = self.spark.table(staging)
         writer = self._apply_layout(staged.write.mode("overwrite"), table)
         writer.saveAsTable(self._qualified(table))
-        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        # overwrite recreates the table: restore the metadata properties
+        # restore the metadata properties IMMEDIATELY after the rewrite
+        # (overwrite recreates the table without them): a crash before
+        # this line leaves a table a fresh connector would not recognize
+        # as ours — keep that window as small as possible, and only then
+        # clean up the staging copy
         self._apply_table_props(self._meta[table])
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
 
     # -- DDL / metadata -------------------------------------------------------
 
@@ -704,10 +708,26 @@ class SparkConnector(BaseConnector):
 
     def _load_catalog_state(self) -> None:
         """Introspect existing tables of the database from table properties."""
+        import logging
+
         rows = self.spark.sql(f"SHOW TABLES IN {self.database}").collect()
         for row in rows:
             name = row.tableName
             if row.isTemporary:
+                continue
+            if name.endswith("__recovery_staging"):
+                # a crashed _overwrite_table left its staging copy —
+                # the target either survived intact or can be restored
+                # from this copy; surface it instead of silently
+                # treating it as a foreign table
+                logging.getLogger("sql_autoloader_spark").warning(
+                    "leftover recovery staging table '%s' found — a "
+                    "table rewrite (compaction/migration) crashed; "
+                    "verify '%s' and drop the staging table, or restore "
+                    "from it if the target is missing.",
+                    name,
+                    name.removesuffix("__recovery_staging"),
+                )
                 continue
             props = {
                 r.key: r.value

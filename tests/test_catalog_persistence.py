@@ -474,3 +474,62 @@ def test_compact_table_consolidates_files(spark: SparkSession) -> None:
     # a reopened connector sees identical content
     db2 = SparkConnector(spark, database="compacttest")
     assert sorted(map(tuple, db2._read_table("cp_t").collect())) == before
+
+
+def test_overwrite_crash_leaves_staging_copy(spark: SparkSession) -> None:
+    """_overwrite_table's crash contract: a failure during the target
+    rewrite leaves a COMPLETE staging table to retry from (the staging
+    write happened first; no localCheckpoint whose partitions die with
+    an executor).  Injected at the target-write step of compact_table."""
+    import pytest
+
+    db = SparkConnector(spark, database="crashcompact")
+    db.execute_ddl("CREATE TABLE cc_t (n BIGINT, w TEXT);")
+    for i in range(2):
+        with db:
+            db.load(
+                spark.createDataFrame(
+                    [(i, f"w{i}")], "n long, w string"
+                ),
+                compare=False,
+            )
+    before = sorted(map(tuple, db._read_table("cc_t").collect()))
+
+    real_sql = spark.sql
+    calls = {"n": 0}
+
+    def failing_sql(query, *a, **k):
+        # _overwrite_table issues two staging DROPs: one before the
+        # staging write, one after the rewrite + props restoration.
+        # Failing the SECOND simulates a crash after the rewrite — the
+        # state where BOTH the rewritten target (with properties) and
+        # the complete staging copy exist.
+        if "DROP TABLE IF EXISTS" in query and "staging" in query:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                msg = "injected crash before staging cleanup"
+                raise RuntimeError(msg)
+        return real_sql(query, *a, **k)
+
+    spark.sql = failing_sql
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            db.compact_table("cc_t", target_partitions=1)
+    finally:
+        spark.sql = real_sql
+
+    staging = "crashcompact.cc_t__recovery_staging"
+    assert spark.catalog.tableExists(staging)
+    staged = sorted(
+        (r["n"], r["w"]) for r in spark.table(staging).collect()
+    )
+    assert staged == before
+    # retrying the compaction completes, cleans the staging table, and
+    # restores the metadata properties the crash interrupted — a fresh
+    # connector must introspect the table as before
+    db.compact_table("cc_t", target_partitions=1)
+    assert not spark.catalog.tableExists(staging)
+    assert sorted(map(tuple, db._read_table("cc_t").collect())) == before
+    db2 = SparkConnector(spark, database="crashcompact")
+    assert "cc_t" in db2._meta
+    assert sorted(map(tuple, db2._read_table("cc_t").collect())) == before
