@@ -2003,6 +2003,18 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing composed with int8 scoring: centroids route on the
+    float vectors map-side, the inverted-file shuffle carries 1-byte
+    codes (4x fewer bytes), candidates score by quantized cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
+        quantize=True,
+    )
+
+
 def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"),
@@ -2670,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_learn": q_docs_bpe_learn,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_quantized_topk": q_emb_ivf_quantized_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "load_snapshot_history": q_load_snapshot_history,
         "media_neardup": q_media_neardup,

@@ -465,6 +465,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     exclude_self: bool = True,
+    quantize: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: route via coarse centroids.
 
@@ -480,6 +481,13 @@ def ivf_topk(
     of the corpus) and the final per-query top-k.  The fit is the
     offline index-build step (one bounded sample collect; the Lloyd's
     iterations are driver-side milliseconds).
+
+    ``quantize=True`` composes the int8 path: ROUTING still uses the
+    float vectors (map-side, before any shuffle), but the cid-keyed
+    join then carries 1-byte codes instead of 4-byte floats — the
+    inverted-file shuffle shrinks 4x — and candidates score by the
+    quantized cosine (exact LONG dots; ~1/127 resolution).  ``sim`` is
+    then the quantized cosine.
     """
     cent = _fit_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
@@ -506,13 +514,39 @@ def ivf_topk(
         )
 
     def assign(df: DataFrame, idname: str, probe: int) -> DataFrame:
-        """Top-*probe* nearest centroid ids per vector (map-side)."""
+        """Top-*probe* nearest centroid ids per vector (map-side).
+
+        With ``quantize``, the float vector is swapped for its int8
+        codes + integer norm HERE, map-side before the cid shuffle —
+        that is where the 4x byte saving lands.
+        """
         near = _nearest_cids(cent, probe)
-        out = df.select(
-            F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"{idname}_v"),
-            near(F.col(vec_col)).alias("cids"),
-        )
+        if quantize:
+            coded = df.select(
+                F.col(id_col).alias(idname),
+                F.col(vec_col).alias("__v"),
+                quantize_scale(F.col(vec_col)).alias("__s"),
+            ).select(
+                idname,
+                "__v",
+                quantize_int8(F.col("__v"), F.col("__s")).alias(
+                    f"{idname}_q"
+                ),
+            )
+            out = coded.select(
+                idname,
+                f"{idname}_q",
+                F.sqrt(int_dot(f"{idname}_q", f"{idname}_q")).alias(
+                    f"{idname}_n"
+                ),
+                near(F.col("__v")).alias("cids"),
+            )
+        else:
+            out = df.select(
+                F.col(id_col).alias(idname),
+                F.col(vec_col).alias(f"{idname}_v"),
+                near(F.col(vec_col)).alias("cids"),
+            )
         if probe == 1:
             # try_element_at: a null/empty vector quantizes to an empty
             # cid list; it must DROP (like the explode path) rather than
@@ -530,6 +564,16 @@ def ivf_topk(
     # each corpus vector has exactly one centroid and each query probes
     # distinct centroids, so (query, neighbor) pairs are already unique —
     # no distinct() needed (it would be a full extra shuffle)
+    if quantize:
+        score_col = F.coalesce(
+            int_dot("query_id_q", "neighbor_id_q").cast("double")
+            / F.nullif(
+                F.col("query_id_n") * F.col("neighbor_id_n"), F.lit(0.0)
+            ),
+            F.lit(0.0),
+        )
+    else:
+        score_col = cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
     scored = (
         probed_queries.join(assigned_corpus, on="cid")
         .where(
@@ -537,13 +581,7 @@ def ivf_topk(
             if exclude_self
             else F.lit(True)
         )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias(
-                "sim_raw"
-            ),
-        )
+        .select("query_id", "neighbor_id", score_col.alias("sim_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_raw").desc(), F.col("neighbor_id")

@@ -193,6 +193,15 @@ def test_approx_topk_recall_on_fixtures(spark: SparkSession) -> None:
     assert len(lsh & exact) / len(exact) > 0.3
     # k-means centroids (fixed seed) beat the old stride-sample's 0.3 bar
     assert len(ivf & exact) / len(exact) > 0.5
+    # int8-scored IVF (route on floats, score on codes) holds the same
+    # recall bar — quantization noise must not change the routing
+    ivf_q = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4, quantize=True
+        ).collect()
+    }
+    assert len(ivf_q & exact) / len(exact) > 0.5
 
 
 # --- events (as-of join) ----------------------------------------------------
