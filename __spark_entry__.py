@@ -483,6 +483,21 @@ def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span coverage (document-level substring
+    dedup signal, Lee et al. ACL 2022): per doc, the fraction of word
+    5-gram positions whose 5-gram also occurs in another document —
+    the metric used to drop boilerplate-heavy documents from a training
+    corpus.  Exact-string grams here (portable oracle); the
+    ``hash_grams=True`` knob is the 100 TB shuffle-width path."""
+    return dedup.dup_span_coverage(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        ngram_words=5,
+    )
+
+
 def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram-set Jaccard pairs — the oracle twin of
     ``docs_minhash_pairs`` (same shingle space, same threshold), so the
@@ -2599,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_profile": q_docs_lang_profile,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
+        "docs_dupspan_coverage": q_docs_dupspan_coverage,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
@@ -3016,6 +3032,32 @@ def oracle_sql() -> dict[str, str]:
                    ({lang_score['de']}) AS score_de,
                    ({lang_score['fr']}) AS score_fr
             FROM documents
+        """,
+        "docs_dupspan_coverage": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i + 4], ' ')
+                               FOR i IN generate_series(1, len(w) - 4)]) AS s
+                FROM words WHERE len(w) >= 5
+            ),
+            pd AS (
+                SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt
+                FROM g GROUP BY 1, 2
+            ),
+            v AS (SELECT s, count(*) AS n_docs FROM pd GROUP BY 1)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS dup_grams,
+                   round(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)
+                         / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
+            FROM pd JOIN v USING (s)
+            GROUP BY doc_id
         """,
         "docs_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "docs_dedup_keep_best": f"""

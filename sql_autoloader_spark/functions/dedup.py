@@ -225,6 +225,89 @@ def token_jaccard_pairs(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Cross-document duplicate-span coverage: for each document, the
+    fraction of its word *ngram_words*-gram positions whose n-gram also
+    occurs in at least one OTHER document.
+
+    This is the document-level restatement of substring-level training
+    -data dedup (Lee et al., *Deduplicating Training Data Makes Language
+    Models Better*, ACL 2022): instead of a distributed suffix array it
+    measures how much of a document is covered by spans duplicated
+    elsewhere in the corpus — the signal used to drop boilerplate-heavy
+    documents or to target span-removal.  Complements
+    :func:`token_jaccard_pairs` (pairwise, set-level) and the per-doc
+    ``dup_frac`` repetition score (intra-document only).
+
+    Returns ``(id_col, n_grams, dup_grams, dup_frac)`` for every
+    document with at least one n-gram (≥ *ngram_words* words).
+
+    Plan shape — two keyed aggregations and one join, never all-pairs:
+    explode (doc, gram, per-doc position count) → per-gram distinct-doc
+    count (corpus vocabulary, one shuffle) → join back on the gram →
+    per-doc sum of positions whose gram has ``n_docs >= 2``.  All
+    n-gram construction is JVM-side array expressions (zero Python).
+    With ``hash_grams=True`` the join/aggregation key is
+    ``xxhash64(gram)`` — 8 bytes instead of the full n-gram string, the
+    right trade at 100 TB where the exploded gram table dominates the
+    shuffle (collision odds ~v²/2⁶⁵ for v distinct grams conflate two
+    grams' doc counts, immaterial for a filter signal); the default
+    keeps exact strings so results are portably exact (the sf0.01
+    oracle path).
+    """
+    gram = word_shingles(F.col(text_col), ngram_words)
+    # spread first: n-gram construction is the CPU-bound map stage and
+    # must not inherit a single byte-sized parquet split
+    grams = spread_for_compute(df, barrier=False).select(
+        F.col(id_col).alias("doc"), F.explode(gram).alias("g")
+    )
+    if hash_grams:
+        grams = grams.select("doc", F.xxhash64("g").alias("g"))
+    # one row per (doc, gram) with its position count; consumed twice
+    # (the vocabulary aggregate and the join-back), so pin it — it is
+    # the distinct gram-per-doc table, far smaller than the exploded
+    # positions stream it collapses
+    per_doc = (
+        grams.groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # corpus vocabulary: in how many distinct docs does each gram occur?
+    # (input is already distinct per (doc, gram), so a plain count)
+    vocab = per_doc.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # join back on the gram.  No forced broadcast: the vocabulary is
+    # corpus-proportional; AQE broadcasts it at small scale only.  Skew
+    # is structurally bounded — both sides are distinct on the gram, so
+    # a ubiquitous gram contributes f rows × 1 row, never f × f.
+    return (
+        per_doc.join(vocab, on="g")
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_grams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "dup_grams",
+            F.round(
+                F.col("dup_grams") / F.col("n_grams").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def minhash_signature(
     shingles: Column, *, num_hashes: int, seed: int = 42
 ) -> Column:

@@ -104,6 +104,44 @@ def test_token_jaccard_pairs(spark: SparkSession) -> None:
     assert row["jaccard"] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
 
 
+def test_dup_span_coverage(spark: SparkSession) -> None:
+    # doc 1 and 2 share the span "a b c"; doc 1 also repeats it
+    # internally (both positions count — coverage is positional); doc 3
+    # shares nothing; doc 4 is too short for a trigram.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x a b c"),  # trigrams: abc bcx cxa xab abc (2 dup)
+            (2, "q a b c r"),      # trigrams: qab abc bcr (1 dup)
+            (3, "u v w x y"),      # no cross-doc trigram
+            (4, "t u"),            # too short
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_frac"])
+        for r in dedup.dup_span_coverage(
+            df, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    assert out == {
+        1: (5, 2, 0.4),
+        2: (3, 1, round(1 / 3, 6)),
+        3: (3, 0, 0.0),
+    }
+
+
+def test_dup_span_coverage_hashed_matches_exact(spark: SparkSession) -> None:
+    df = spark.createDataFrame(
+        [(i, f"w{i} common span here tail{i} more words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    kw = {"id_col": "doc_id", "text_col": "text", "ngram_words": 3}
+    exact = dedup.dup_span_coverage(df, **kw).collect()
+    hashed = dedup.dup_span_coverage(df, hash_grams=True, **kw).collect()
+    key = lambda r: (r["doc_id"], r["n_grams"], r["dup_grams"], r["dup_frac"])  # noqa: E731
+    assert sorted(map(key, exact)) == sorted(map(key, hashed))
+
+
 def test_minhash_lsh_finds_neardups(spark: SparkSession) -> None:
     base = "the quick brown fox jumps over the lazy dog again and again " * 3
     df = spark.createDataFrame(
