@@ -69,12 +69,13 @@ class BaseConnector(ABC):
     _broadcast_dims: bool = False
 
     #: opt-in: keep the validated reconstruction the compare aggregate
-    #: already computed, pinned ``MEMORY_AND_DISK``, and expose it as
-    #: :attr:`last_reconstruction` — callers that want the reconstructed
-    #: flat frame after a ``load`` reuse that shuffle instead of
-    #: re-running the multi-way join.  Off by default: the pin is
-    #: distinct-input-sized, which a 100 TB load should not hold onto
-    #: unless the caller actually consumes it.
+    #: already computed, materialized flat (``localCheckpoint``), and
+    #: expose it as :attr:`last_reconstruction` — callers that want the
+    #: reconstructed flat frame after a ``load`` reuse that shuffle
+    #: instead of re-running the multi-way join (and every action on it
+    #: plans against the flat checkpoint, not the whole load lineage).
+    #: Off by default: the pin is distinct-input-sized, which a 100 TB
+    #: load should not hold onto unless the caller actually consumes it.
     expose_reconstruction: bool = False
 
     #: the distinct reconstruction from the most recent compare, when
@@ -416,8 +417,8 @@ class BaseConnector(ABC):
             keep_grouped=self.expose_reconstruction,
         )
         if grouped is not None:
-            if self._kept_grouped is not None:
-                self._kept_grouped.unpersist()
+            # checkpointed frames free their partitions via the context
+            # cleaner once unreferenced — dropping the handle is enough
             self._kept_grouped = grouped
             self.last_reconstruction = ops.reconstruction_from_grouped(
                 grouped, data.columns
