@@ -498,6 +498,23 @@ def q_docs_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_split_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document eval decontamination: for every val/test-split
+    document, the fraction of its word 5-gram positions found anywhere
+    in the train split — the document-level report behind the
+    corpus-level ``docs_split_contamination`` rate (drop eval docs
+    above a leakage threshold before publishing a benchmark)."""
+    docs = _t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    split = _split_col()
+    return dedup.span_leakage(
+        docs.where(split != "train"),
+        docs.where(split == "train"),
+        id_col="doc_id",
+        text_col="text",
+        ngram_words=5,
+    )
+
+
 def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram-set Jaccard pairs — the oracle twin of
     ``docs_minhash_pairs`` (same shingle space, same threshold), so the
@@ -2615,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_dupspan_coverage": q_docs_dupspan_coverage,
+        "docs_split_span_leakage": q_docs_split_span_leakage,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
@@ -3057,6 +3075,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)
                          / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
             FROM pd JOIN v USING (s)
+            GROUP BY doc_id
+        """,
+        "docs_split_span_leakage": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(text), 1, 2) < '{_SPLIT_TRAIN_HI}'
+                                THEN 'train'
+                            WHEN substr(md5(text), 1, 2) < '{_SPLIT_VAL_HI}'
+                                THEN 'val'
+                            ELSE 'test' END AS split,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            ref AS (
+                SELECT DISTINCT
+                       unnest([array_to_string(w[i:i + 4], ' ')
+                               FOR i IN generate_series(1, len(w) - 4)]) AS s
+                FROM d WHERE split = 'train' AND len(w) >= 5
+            ),
+            probe AS (
+                SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt
+                FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(w[i:i + 4], ' ')
+                                   FOR i IN generate_series(1, len(w) - 4)]) AS s
+                    FROM d WHERE split <> 'train' AND len(w) >= 5
+                ) GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN ref.s IS NOT NULL THEN cnt ELSE 0 END)
+                        AS BIGINT) AS leaked_grams,
+                   round(sum(CASE WHEN ref.s IS NOT NULL THEN cnt ELSE 0 END)
+                         / CAST(sum(cnt) AS DOUBLE), 6) AS leaked_frac
+            FROM probe LEFT JOIN ref ON probe.s = ref.s
             GROUP BY doc_id
         """,
         "docs_jaccard_pairs": _JACCARD_PAIRS_SQL,

@@ -308,6 +308,75 @@ def dup_span_coverage(
     )
 
 
+def span_leakage(
+    probe: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document span leakage of *probe* against *reference*: for
+    each probe document, the fraction of its word n-gram positions
+    whose n-gram occurs anywhere in the reference corpus.
+
+    The operational form of train→eval decontamination: score every
+    eval/val document by how much of it is covered by spans the
+    training split already contains, then drop documents above a
+    threshold (the document-level report behind the corpus-level
+    contamination *rate*).  Equally useful crawl-vs-existing-corpus:
+    probe a new crawl against the current corpus before admission.
+
+    Returns ``(id_col, n_grams, leaked_grams, leaked_frac)`` for every
+    probe document with at least one n-gram.
+
+    Plan shape: reference distinct-gram vocabulary (one aggregate —
+    grams deduplicated corpus-wide, so the join side is vocabulary-
+    sized, not corpus-sized) → left join probe's per-(doc, gram)
+    position counts on the gram → per-doc aggregate.  All n-gram
+    construction is JVM-side array expressions.  ``hash_grams=True``
+    joins on ``xxhash64(gram)`` (8-byte shuffle keys, the 100 TB path;
+    collision odds ~v²/2⁶⁵ overstate leakage immaterially for a filter
+    signal).
+    """
+    gram = word_shingles(F.col(text_col), ngram_words)
+    ref_grams = spread_for_compute(reference, barrier=False).select(
+        F.explode(gram).alias("g")
+    )
+    probe_grams = spread_for_compute(probe, barrier=False).select(
+        F.col(id_col).alias("doc"), F.explode(gram).alias("g")
+    )
+    if hash_grams:
+        ref_grams = ref_grams.select(F.xxhash64("g").alias("g"))
+        probe_grams = probe_grams.select("doc", F.xxhash64("g").alias("g"))
+    vocab = ref_grams.distinct().withColumn("__hit", F.lit(1))
+    per_doc = probe_grams.groupBy("doc", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # left join on the gram; both sides distinct on the gram per key
+    # group, so a ubiquitous gram contributes f × 1 rows, never f × f.
+    # No forced broadcast — the vocabulary is corpus-proportional.
+    return (
+        per_doc.join(vocab, on="g", how="left")
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__hit").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_grams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "leaked_grams",
+            F.round(
+                F.col("leaked_grams") / F.col("n_grams").cast("double"), 6
+            ).alias("leaked_frac"),
+        )
+    )
+
+
 def minhash_signature(
     shingles: Column, *, num_hashes: int, seed: int = 42
 ) -> Column:

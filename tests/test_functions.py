@@ -142,6 +142,26 @@ def test_dup_span_coverage_hashed_matches_exact(spark: SparkSession) -> None:
     assert sorted(map(key, exact)) == sorted(map(key, hashed))
 
 
+def test_span_leakage(spark: SparkSession) -> None:
+    ref = spark.createDataFrame(
+        [(10, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, "a the quick brown fox leaps"),  # 4 trigrams, 2 leaked
+            (2, "totally novel content here now"),  # 3 trigrams, 0 leaked
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["leaked_grams"], r["leaked_frac"])
+        for r in dedup.span_leakage(
+            probe, ref, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    assert out == {1: (4, 2, 0.5), 2: (3, 0, 0.0)}
+
+
 def test_minhash_lsh_finds_neardups(spark: SparkSession) -> None:
     base = "the quick brown fox jumps over the lazy dog again and again " * 3
     df = spark.createDataFrame(
