@@ -225,6 +225,28 @@ def token_jaccard_pairs(
     )
 
 
+def _gram_keys(text_col: str, ngram_words: int, hashed: bool) -> Column:
+    """Word n-gram keys of a text column: exact space-joined strings
+    (portable, oracle-checkable) or xxhash64 over windows of per-token
+    hashes (8-byte keys, strings never materialized — ~3× cheaper map
+    stage; used by the span ops' ``hash_grams`` scale path)."""
+    if not hashed:
+        return word_shingles(F.col(text_col), ngram_words)
+    th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    count = F.size(th) - F.lit(ngram_words - 1)
+    return F.when(count <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - F.lit(1)),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(th, i + F.lit(w + 1))
+                    for w in range(ngram_words)
+                ]
+            ),
+        )
+    )
+
+
 def dup_span_coverage(
     df: DataFrame,
     *,
@@ -254,22 +276,23 @@ def dup_span_coverage(
     count (corpus vocabulary, one shuffle) → join back on the gram →
     per-doc sum of positions whose gram has ``n_docs >= 2``.  All
     n-gram construction is JVM-side array expressions (zero Python).
-    With ``hash_grams=True`` the join/aggregation key is
-    ``xxhash64(gram)`` — 8 bytes instead of the full n-gram string, the
-    right trade at 100 TB where the exploded gram table dominates the
-    shuffle (collision odds ~v²/2⁶⁵ for v distinct grams conflate two
-    grams' doc counts, immaterial for a filter signal); the default
-    keeps exact strings so results are portably exact (the sf0.01
-    oracle path).
+    With ``hash_grams=True`` gram keys are built as ``xxhash64`` over
+    windows of per-token hashes — the n-gram STRINGS are never
+    materialized (the ``slice``+``concat_ws`` higher-order lambdas are
+    interpreted and dominate the map stage ~3:1, the same finding as
+    the MinHash signature path) and the join/shuffle key is 8 bytes
+    instead of the full n-gram string, the right trade at 100 TB where
+    the exploded gram table dominates the shuffle (collision odds
+    ~v²/2⁶⁵ for v distinct grams conflate two grams' doc counts,
+    immaterial for a filter signal).  The default keeps exact strings
+    so results are portably exact (the sf0.01 oracle path).
     """
-    gram = word_shingles(F.col(text_col), ngram_words)
     # spread first: n-gram construction is the CPU-bound map stage and
     # must not inherit a single byte-sized parquet split
     grams = spread_for_compute(df, barrier=False).select(
-        F.col(id_col).alias("doc"), F.explode(gram).alias("g")
+        F.col(id_col).alias("doc"),
+        F.explode(_gram_keys(text_col, ngram_words, hash_grams)).alias("g"),
     )
-    if hash_grams:
-        grams = grams.select("doc", F.xxhash64("g").alias("g"))
     # one row per (doc, gram) with its position count; consumed twice
     # (the vocabulary aggregate and the join-back), so pin it — it is
     # the distinct gram-per-doc table, far smaller than the exploded
@@ -336,20 +359,18 @@ def span_leakage(
     sized, not corpus-sized) → left join probe's per-(doc, gram)
     position counts on the gram → per-doc aggregate.  All n-gram
     construction is JVM-side array expressions.  ``hash_grams=True``
-    joins on ``xxhash64(gram)`` (8-byte shuffle keys, the 100 TB path;
-    collision odds ~v²/2⁶⁵ overstate leakage immaterially for a filter
-    signal).
+    joins on xxhash64 keys built from windows of per-token hashes —
+    strings never materialized, 8-byte shuffle keys, the 100 TB path
+    (collision odds ~v²/2⁶⁵ overstate leakage immaterially for a
+    filter signal).
     """
-    gram = word_shingles(F.col(text_col), ngram_words)
+    gram = _gram_keys(text_col, ngram_words, hash_grams)
     ref_grams = spread_for_compute(reference, barrier=False).select(
         F.explode(gram).alias("g")
     )
     probe_grams = spread_for_compute(probe, barrier=False).select(
         F.col(id_col).alias("doc"), F.explode(gram).alias("g")
     )
-    if hash_grams:
-        ref_grams = ref_grams.select(F.xxhash64("g").alias("g"))
-        probe_grams = probe_grams.select("doc", F.xxhash64("g").alias("g"))
     vocab = ref_grams.distinct().withColumn("__hit", F.lit(1))
     per_doc = probe_grams.groupBy("doc", "g").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")

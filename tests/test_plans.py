@@ -74,6 +74,19 @@ def test_text_ops_stay_single_stage(plans: dict[str, str]) -> None:
         assert "ArrowEvalPython" not in plans[name]
 
 
+def test_span_ops_no_python_no_cartesian(spark: SparkSession) -> None:
+    """The span-level dedup plans must stay JVM-side (no Python stages —
+    the n-gram construction is array expressions) and never fall back to
+    a cartesian/nested-loop join: both sides of the gram join are
+    distinct on the gram, so Catalyst must plan an equi-join."""
+    queries = entry_mod.queries()
+    for name in ("docs_dupspan_coverage", "docs_split_span_leakage"):
+        plan = formatted_plan(queries[name](spark, SF_DIR))
+        assert "Python" not in plan, f"{name}: Python stage in plan"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian join"
+        assert "BroadcastNestedLoop" not in plan, f"{name}: BNLJ fallback"
+
+
 def test_range_join_broadcasts_band_table(spark: SparkSession) -> None:
     """The non-equi price-band join must broadcast the 5-row dimension —
     never shuffle or cartesian the fact side."""

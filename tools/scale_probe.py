@@ -33,6 +33,7 @@ PROBES = [
     "q18_large_orders",        # join + having + semi shape
     "docs_fingerprint_dedup",  # keyed dedup shuffle
     "docs_minhash_pairs",      # LSH banding (the sub-quadratic claim)
+    "docs_dupspan_coverage",   # span-level dedup (the never-f² claim)
     "events_sessionize",       # window functions
     "emb_lsh_topk",            # hyperplane LSH top-k
     "docs_hash_split",         # map-side split + tiny aggregate
