@@ -498,6 +498,31 @@ def q_docs_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign documents (in doc_id
+    order) to fixed 2048-token training sequences by exact global token
+    offset — the packing step that turns a cleaned corpus into training
+    batches.  The running offset uses ``scale.prefix_sum`` (range
+    partition + per-partition offsets), NOT a single-partition window,
+    so the plan holds at corpus scale; the oracle states the same
+    cumsum as a SQL window."""
+    from sql_autoloader_spark.functions import scale
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = scale.prefix_sum(
+        toks, order_by=["doc_id"], value_col="n_tokens", out_col="end_off"
+    )
+    start = F.col("end_off") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        start.cast("bigint").alias("start_offset"),
+        F.floor(start / F.lit(2048)).cast("bigint").alias("seq_id"),
+    )
+
+
 def q_docs_split_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document eval decontamination: for every val/test-split
     document, the fraction of its word 5-gram positions found anywhere
@@ -2632,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_dupspan_coverage": q_docs_dupspan_coverage,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "docs_split_span_leakage": q_docs_split_span_leakage,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -3076,6 +3102,24 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
             FROM pd JOIN v USING (s)
             GROUP BY doc_id
+        """,
+        "docs_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, CAST({n_tokens} AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_id
+            FROM c
         """,
         "docs_split_span_leakage": f"""
             WITH d AS (

@@ -24,8 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["write_bucketed", "salted_join"]
+__all__ = ["prefix_sum", "write_bucketed", "salted_join"]
 
 
 def write_bucketed(
@@ -56,6 +57,62 @@ def write_bucketed(
 #: joins are unchanged — but right/full outer would emit one null-padded
 #: row per *replica* of an unmatched dimension row (n copies, not 1).
 _SALT_SAFE_JOINS = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+
+
+def prefix_sum(
+    df: DataFrame,
+    *,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Exact running sum of *value_col* in *order_by* order — WITHOUT a
+    single-partition window.
+
+    ``F.sum().over(Window.orderBy(...))`` with no ``partitionBy``
+    collapses the whole input onto one task; this is the distributed
+    restatement (the same two-phase scheme as the loader's surrogate
+    ranking): range-partition on the order key (global order across
+    partitions), sum within each partition, and add the running total
+    of preceding partitions — one row per partition, broadcast back.
+    Both branches consume the same range exchange (ReuseExchange), so
+    the input is shuffled once.
+
+    The order key must be unique per row for a deterministic result
+    (ties would make "preceding rows" ambiguous); rows with NULL in
+    the value column contribute 0.
+    """
+    sort_cols = [F.col(c) for c in order_by]
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    val = F.coalesce(F.col(value_col), F.lit(0))
+    ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(val).alias("__tot"))
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    within = F.sum(val).over(
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("__w", within)
+        .join(F.broadcast(offsets), on="__pid")
+        .withColumn(out_col, F.col("__w") + F.col("__off"))
+        .drop("__pid", "__w", "__off")
+    )
 
 
 def salted_join(

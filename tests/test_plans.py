@@ -9,6 +9,7 @@ import re
 
 import pytest
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -145,6 +146,55 @@ def test_bucketed_join_has_no_exchange(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_prefix_sum_matches_single_partition_window(
+    spark: SparkSession,
+) -> None:
+    """The distributed running sum must equal the single-partition
+    window form exactly, and its plan must contain no empty-frame
+    global window (every Window has a partition key)."""
+    from pyspark.sql.window import Window
+
+    from sql_autoloader_spark.functions import scale
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    got = {
+        r["id"]: r["cumsum"]
+        for r in scale.prefix_sum(
+            df, order_by=["id"], value_col="v"
+        ).collect()
+    }
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+    # simple mode keeps each Window's full spec on its own line
+    plan = (
+        scale.prefix_sum(df, order_by=["id"], value_col="v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only global (unpartitioned) ordering allowed is over the
+    # one-row-per-partition offsets frame, never over the input rows
+    for line in plan.splitlines():
+        if "Window" in line and "__tot" not in line:
+            # partitioned windows print "], [__pid#N], [<order>";
+            # a global window has only the order spec group
+            assert re.search(r"\], \[__pid#\d+\]", line), (
+                f"global window over input rows: {line}"
+            )
 
 
 def test_salted_join_matches_plain_join(spark: SparkSession) -> None:
