@@ -197,6 +197,36 @@ def test_prefix_sum_matches_single_partition_window(
             )
 
 
+def test_prefix_sum_nulls_and_negatives(spark: SparkSession) -> None:
+    """NULL values contribute 0 (position preserved); negative values
+    and a non-contiguous, shuffled order key must still produce the
+    exact single-partition-window result."""
+    from pyspark.sql.window import Window
+
+    from sql_autoloader_spark.functions import scale
+
+    rows = [(7, 3), (1, None), (100, -5), (42, 0), (9, None), (-3, 11)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    got = {
+        r["id"]: r["cumsum"]
+        for r in scale.prefix_sum(
+            df, order_by=["id"], value_col="v"
+        ).collect()
+    }
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c",
+            F.sum(F.coalesce("v", F.lit(0))).over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_salted_join_matches_plain_join(spark: SparkSession) -> None:
     """Salting must not change results: same rows as the plain join,
     fact rows spread across (key, salt) sub-keys."""
