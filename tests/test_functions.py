@@ -162,6 +162,69 @@ def test_span_leakage(spark: SparkSession) -> None:
     assert out == {1: (4, 2, 0.5), 2: (3, 0, 0.0)}
 
 
+def test_span_ops_match_python_model(spark: SparkSession) -> None:
+    """Differential: random small-alphabet corpora vs a pure-Python
+    model of positional n-gram coverage/leakage (property-style over a
+    deterministic seed corpus — one Spark round trip, many scenarios)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["a", "b", "c", "d"]
+    corpus = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 9))))
+        for i in range(40)
+    ]
+    n = 3
+
+    def grams(s: str) -> list[tuple[str, ...]]:
+        t = s.split()
+        return [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    # model: positional dup coverage
+    by_doc = {i: grams(s) for i, s in corpus}
+    docs_per_gram: dict = {}
+    for i, gs in by_doc.items():
+        for g in set(gs):
+            docs_per_gram[g] = docs_per_gram.get(g, 0) + 1
+    want = {
+        i: (
+            len(gs),
+            sum(1 for g in gs if docs_per_gram[g] >= 2),
+        )
+        for i, gs in by_doc.items()
+        if gs
+    }
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"])
+        for r in dedup.dup_span_coverage(
+            df, id_col="doc_id", text_col="text", ngram_words=n
+        ).collect()
+    }
+    assert got == want
+
+    # model: leakage of odd docs against even docs
+    ref_grams = {
+        g for i, gs in by_doc.items() if i % 2 == 0 for g in gs
+    }
+    want_leak = {
+        i: (len(gs), sum(1 for g in gs if g in ref_grams))
+        for i, gs in by_doc.items()
+        if gs and i % 2 == 1
+    }
+    got_leak = {
+        r["doc_id"]: (r["n_grams"], r["leaked_grams"])
+        for r in dedup.span_leakage(
+            df.where(F.col("doc_id") % 2 == 1),
+            df.where(F.col("doc_id") % 2 == 0),
+            id_col="doc_id",
+            text_col="text",
+            ngram_words=n,
+        ).collect()
+    }
+    assert got_leak == want_leak
+
+
 def test_minhash_lsh_finds_neardups(spark: SparkSession) -> None:
     base = "the quick brown fox jumps over the lazy dog again and again " * 3
     df = spark.createDataFrame(
