@@ -800,6 +800,30 @@ def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch algebra (Datasketches HLL): build one
+    distinct-user sketch per (event_type, day), then MERGE the binary
+    sketches per event_type and estimate — the canonical 100 TB
+    pre-aggregation pattern, where daily partitions keep a tiny sketch
+    and any date-range distinct count is a sketch union at query time,
+    never a re-scan of raw events.  Rows-only (sketch estimates are
+    engine-specific; the exact twin is ``events_user_stats``); a pytest
+    asserts the estimate lands within the sketch's error bound of the
+    exact count."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("approx_users"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Analytics round 2: semi/anti joins, scalar subqueries, correlated
 # aggregates, count-distinct, window frames, sessionization (TPC-H
@@ -2752,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         # rows-only (Spark-specific hashing / estimation)
         "events_approx_users": q_events_approx_users,
+        "events_hll_daily_union": q_events_hll_daily_union,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_rolling_fp": q_docs_rolling_fp,

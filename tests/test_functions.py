@@ -162,6 +162,46 @@ def test_span_leakage(spark: SparkSession) -> None:
     assert out == {1: (4, 2, 0.5), 2: (3, 0, 0.0)}
 
 
+def test_hll_sketch_union_matches_direct_and_exact(
+    spark: SparkSession,
+) -> None:
+    """Sketch algebra soundness: unioning per-day HLL sketches must give
+    the IDENTICAL estimate as one sketch over all rows (HLL union is
+    lossless for equal lgConfigK), and land within the configured error
+    bound of the exact distinct count."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    merged = {
+        r["event_type"]: r["est"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, est in merged.items():
+        assert abs(est - exact[etype]) <= max(3, 0.05 * exact[etype]), (
+            etype,
+            est,
+            exact[etype],
+        )
+
+
 def test_span_ops_match_python_model(spark: SparkSession) -> None:
     """Differential: random small-alphabet corpora vs a pure-Python
     model of positional n-gram coverage/leakage (property-style over a
