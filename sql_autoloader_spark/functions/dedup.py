@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sql_autoloader_spark.functions.text import (
+    bind_once,
     fingerprint_md5,
     tokens,
     word_shingles,
@@ -232,18 +233,26 @@ def _gram_keys(text_col: str, ngram_words: int, hashed: bool) -> Column:
     stage; used by the span ops' ``hash_grams`` scale path)."""
     if not hashed:
         return word_shingles(F.col(text_col), ngram_words)
-    th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    count = F.size(th) - F.lit(ngram_words - 1)
-    return F.when(count <= 0, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - F.lit(1)),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(th, i + F.lit(w + 1))
-                    for w in range(ngram_words)
-                ]
-            ),
+
+    def windows(th: Column) -> Column:
+        count = F.size(th) - F.lit(ngram_words - 1)
+        return F.when(count <= 0, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), count - F.lit(1)),
+                lambda i: F.xxhash64(
+                    *[
+                        F.element_at(th, i + F.lit(w + 1))
+                        for w in range(ngram_words)
+                    ]
+                ),
+            )
         )
+
+    # bind the token-hash array once — element_at in the window lambda
+    # would otherwise re-run the whole tokenize+hash per gram word
+    return bind_once(
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
+        windows,
     )
 
 
@@ -408,13 +417,16 @@ def minhash_signature(
     products stay positive.  Entirely ``transform``/``aggregate`` — JVM
     expression tree, no UDF, no shuffle.
     """
-    import random
-
     base = F.transform(
         shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
     )
-    return minhash_signature_from_hashes(
-        base, num_hashes=num_hashes, seed=seed
+    # bind the folded hash array once — every permutation's transform
+    # references it, and interpreted HOFs re-evaluate per reference
+    return bind_once(
+        base,
+        lambda h: minhash_signature_from_hashes(
+            h, num_hashes=num_hashes, seed=seed
+        ),
     )
 
 

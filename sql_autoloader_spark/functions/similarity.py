@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sql_autoloader_spark.functions.text import bind_once
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two float arrays."""
@@ -720,14 +722,19 @@ def quantize_int8(vec: Column, scale: Column | None = None) -> Column:
     half-away-from-zero in both Spark and DuckDB, so an oracle replaying
     this expression matches bit-for-bit.
     """
+    def quantize(s: Column) -> Column:
+        return F.transform(
+            vec,
+            lambda x: F.coalesce(
+                F.round(x.cast("double") * s, 0), F.lit(0.0)
+            ).cast("byte"),
+        )
+
     if scale is None:
-        scale = quantize_scale(vec)
-    return F.transform(
-        vec,
-        lambda x: F.coalesce(
-            F.round(x.cast("double") * scale, 0), F.lit(0.0)
-        ).cast("byte"),
-    )
+        # bind the derived scale once per row — inlined, the lambda
+        # would re-scan the array for its max at every element (O(d²))
+        return bind_once(quantize_scale(vec), quantize)
+    return quantize(scale)
 
 
 def int_dot(a: Column, b: Column) -> Column:

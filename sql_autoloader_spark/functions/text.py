@@ -31,6 +31,23 @@ LANG_ORDER: list[str] = ["en", "es", "de", "fr"]
 _CJK_RANGE = "[一-鿿]"
 
 
+def bind_once(expr: Column, f) -> Column:
+    """Evaluate *expr* once per row and pass it to *f* as a bound
+    lambda variable.
+
+    Spark's interpreted higher-order-function lambdas do NOT hoist or
+    common-subexpression-eliminate: an array expression referenced
+    inside a ``transform`` body is re-evaluated at EVERY element access
+    (measured 6-40× blowup for shingle windows over an inlined token
+    array).  Wrapping in ``transform(array(expr), f)[1]`` forces a
+    single evaluation — the lambda variable is a plain value lookup.
+    Use this whenever a non-trivial expression is referenced more than
+    once inside a HOF body; a named projection column achieves the same
+    but changes the DataFrame shape.
+    """
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
 def occurrences(col: Column, needle: str) -> Column:
     """Occurrence count of *needle* in *col* via length arithmetic.
 
@@ -64,29 +81,37 @@ def word_shingles(col: Column, n: int) -> Column:
     """Word n-gram shingles (space-joined) as an array of strings.
 
     Built from ``transform`` over token indices — stays JVM-side; the
-    shingle array feeds minhash/Jaccard dedup downstream.
+    shingle array feeds minhash/Jaccard dedup downstream.  The token
+    array is bound once per row (:func:`bind_once`), not re-split at
+    every window access.
     """
-    toks = tokens(col)
-    count = F.size(toks) - F.lit(n - 1)
-    # sequence(0, -1) would count *down*; guard the too-short case
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - F.lit(1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+
+    def shingles(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(n - 1)
+        # sequence(0, -1) would count *down*; guard the too-short case
+        return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), count - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+            )
         )
-    )
+
+    return bind_once(tokens(col), shingles)
 
 
 def char_ngrams(col: Column, n: int) -> Column:
     """Character n-grams of the lower-cased text as an array of strings."""
-    s = F.lower(col)
-    count = F.length(s) - F.lit(n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - F.lit(1)),
-            lambda i: F.substring(s, i + F.lit(1), n),
+
+    def grams(s: Column) -> Column:
+        count = F.length(s) - F.lit(n - 1)
+        return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), count - F.lit(1)),
+                lambda i: F.substring(s, i + F.lit(1), n),
+            )
         )
-    )
+
+    return bind_once(F.lower(col), grams)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -187,13 +212,18 @@ def rolling_fingerprint(col: Column, *, window: int = 8) -> Column:
     xxhash64 is Spark-specific, so correctness checks for this operator
     are rows-only (no portable SQL oracle).
     """
-    s = normalized(col)
-    count = F.greatest(F.length(s) - F.lit(window - 1), F.lit(1))
-    windows = F.transform(
-        F.sequence(F.lit(0), count - F.lit(1)),
-        lambda i: F.xxhash64(F.substring(s, i + F.lit(1), window)),
-    )
-    return F.array_min(windows)
+    def fp(s: Column) -> Column:
+        count = F.greatest(F.length(s) - F.lit(window - 1), F.lit(1))
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), count - F.lit(1)),
+                lambda i: F.xxhash64(F.substring(s, i + F.lit(1), window)),
+            )
+        )
+
+    # bind the normalized text once — the window lambda would otherwise
+    # re-run the regex normalization at every character offset
+    return bind_once(normalized(col), fp)
 
 
 def tfidf_term_scores(
