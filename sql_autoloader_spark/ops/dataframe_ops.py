@@ -447,9 +447,11 @@ def validate_load_compare(
     db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
     grouped = _compare_grouped(data, db_aligned)
     if keep_grouped:
-        # one execution of the reconstruction join + aggregate; the
-        # stats pass and every caller reuse then run over a flat plan
-        grouped = grouped.localCheckpoint(eager=True)
+        # one execution of the reconstruction join + aggregate: the
+        # LAZY checkpoint materializes (and pins) during the stats
+        # action below — a single job — and every caller reuse then
+        # plans against the flat checkpoint
+        grouped = grouped.localCheckpoint(eager=False)
         _validate_grouped(
             grouped, data, exact=exact, missing_first=missing_first
         )
