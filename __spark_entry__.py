@@ -1403,6 +1403,40 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION: the documents parquet replayed as a
+    file stream through MinHash-LSH band-bucket admission against a
+    persistent signature store (``streaming.fuzzy_dedup_stream``) — the
+    continuous-ingest form of corpus dedup, where the state is the
+    admitted corpus itself (band keys in parquet, never watermark-
+    evicted) and a replayed shard admits nothing new.  Rows-only:
+    admission is deterministic but xxhash64-based (engine-specific)."""
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix=f"fuzzy_{uuid.uuid4().hex[:8]}_")
+    query = streaming.fuzzy_dedup_stream(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        store_path=f"{base}/store",
+        out_path=f"{base}/admitted",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    query.awaitTermination()
+    return spark.read.parquet(f"{base}/admitted").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_docs_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus cleaning: the documents parquet replayed as a
     file stream through the deterministic PII salt + redaction and a
@@ -2769,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
         "docs_stream_clean": q_docs_stream_clean,
+        "docs_stream_fuzzy_dedup": q_docs_stream_fuzzy_dedup,
         "events_salted_enrich": q_events_salted_enrich,
         # multimodal (SURVEY §2G)
         "media_byte_stats": q_media_byte_stats,

@@ -4,6 +4,7 @@ operators (SURVEY §2G event/stream ops)."""
 from sql_autoloader_spark.streaming.pipeline import (
     autoload_stream,
     dedup_stream,
+    fuzzy_dedup_stream,
     sessionized_counts,
     user_activity_state,
     windowed_event_counts,
@@ -12,6 +13,7 @@ from sql_autoloader_spark.streaming.pipeline import (
 __all__ = [
     "autoload_stream",
     "dedup_stream",
+    "fuzzy_dedup_stream",
     "sessionized_counts",
     "user_activity_state",
     "windowed_event_counts",

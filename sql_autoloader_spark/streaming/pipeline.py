@@ -252,3 +252,149 @@ def interval_join_streams(
         )
     )
     return lw.join(rw, on=cond, how="inner").drop("__rkey")
+
+
+def fuzzy_dedup_stream(
+    stream: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate admission: each micro-batch of documents
+    is MinHash-banded and admitted only if no LSH band bucket collides
+    with the already-admitted corpus — the continuous-ingest form of
+    corpus dedup (a new crawl shard arrives, near-dups of anything
+    already admitted are dropped, survivors land append-only and extend
+    the dedup state).
+
+    Where :func:`dedup_stream` needs exact key equality and bounds its
+    state by a watermark, near-dup admission must remember the corpus
+    FOREVER — the state is the parquet *signature store* at
+    ``store_path`` (``band: int, bucket: bigint``, ~``bands`` rows per
+    admitted doc — tiny relative to text), appended per batch inside
+    ``foreachBatch``.  Admission rule, deterministic and set-based (no
+    per-row iteration):
+
+    - a document is dropped iff some band bucket of its signature
+      appears in the store, OR appears for a LOWER-id document of the
+      same batch (within-batch keep-first; conservative — a doc whose
+      only collision partner was itself dropped still drops, the
+      standard aggressive-dedup trade);
+    - admitted documents append their band keys to the store and their
+      rows to ``out_path``.
+
+    Candidate-level dropping (no exact-Jaccard verify) is deliberate for
+    the ingest path: at admission time a false-positive drop costs one
+    document, a false-negative admit costs a near-dup in the corpus —
+    tune ``bands``/``num_hashes`` for the S-curve, or run the batch
+    :func:`~sql_autoloader_spark.functions.dedup.minhash_lsh_pairs`
+    (with verification) over the admitted corpus as a backstop.
+
+    Replays are idempotent end-to-end: a re-processed batch collides
+    with its own stored band keys and admits nothing new.
+    """
+    from pyspark.errors import AnalysisException
+
+    from sql_autoloader_spark.functions.dedup import (
+        _MERSENNE31,
+        _gram_keys,
+        minhash_signature_from_hashes,
+    )
+    from sql_autoloader_spark.functions.text import bind_once
+
+    if num_hashes % bands != 0:
+        msg = f"bands={bands} must divide num_hashes={num_hashes}"
+        raise ValueError(msg)
+    rows_per_band = num_hashes // bands
+
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            _gram_keys(text_col, shingle_words, True),
+            lambda h: F.pmod(h, F.lit(_MERSENNE31)),
+        )
+    )
+    signature = bind_once(
+        shingle_hashes,
+        lambda sh: minhash_signature_from_hashes(sh, num_hashes=num_hashes),
+    )
+
+    def band_keys(docs: DataFrame) -> DataFrame:
+        """(id, band, bucket) — one row per band of each doc's signature."""
+        signed = docs.select(F.col(id_col), signature.alias("__sig"))
+        return signed.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at(
+                                        "__sig", b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+    def admit_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        # docs too short to form a single shingle have an empty shingle
+        # set -> a degenerate all-null signature that would glue them
+        # into one giant bucket; admit them unconditionally (nothing to
+        # near-dup on)
+        from sql_autoloader_spark.functions.text import token_count
+
+        batch = batch.localCheckpoint(eager=True)
+        texted = batch.where(
+            token_count(F.col(text_col)) >= F.lit(shingle_words)
+        )
+        keys = band_keys(texted).localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_path).select("band", "bucket")
+        except AnalysisException:
+            store = None
+        hit_store = (
+            keys.join(store, on=["band", "bucket"], how="left_semi")
+            if store is not None
+            else keys.limit(0)
+        )
+        # within-batch keep-first: bucket shared with a lower id drops
+        lower = keys.groupBy("band", "bucket").agg(
+            F.min(F.col(id_col)).alias("__min_id")
+        )
+        hit_batch = (
+            keys.join(lower, on=["band", "bucket"])
+            .where(F.col(id_col) > F.col("__min_id"))
+            .select(id_col)
+        )
+        dropped = (
+            hit_store.select(id_col).union(hit_batch).distinct()
+        )
+        admitted = batch.join(dropped, on=id_col, how="left_anti")
+        admitted.write.mode("append").parquet(out_path)
+        # store only ADMITTED docs' keys: the corpus state is what was
+        # kept, so a future doc colliding only with dropped docs admits
+        keys.join(dropped, on=id_col, how="left_anti").select(
+            "band", "bucket"
+        ).write.mode("append").parquet(store_path)
+
+    writer = stream.writeStream.foreachBatch(admit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
