@@ -41,6 +41,7 @@ PROBES = [
     "load_events_star",        # connector load, fact path (scales 10x)
     "load_star3_roundtrip",    # connector load, dedup-heavy dim path
     "events_stream_dedup",     # streaming dedup state (bounded per key)
+    "docs_stream_fuzzy_dedup", # streaming near-dup admission (LSH store)
 ]
 
 # key columns to offset per table so replicas stay disjoint
