@@ -27,6 +27,7 @@ SKIP = {
     "events_stream_hourly",
     "events_stream_autoload",
     "events_stream_sessions",
+    "docs_stream_fuzzy_dedup",  # runs the whole stream on build
     "load_star_roundtrip",
     "load_star3_roundtrip",
     "load_events_star",
