@@ -514,6 +514,25 @@ def q_docs_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (deequ/dbt-test shape): six
+    constraint rules over lineitem verified in ONE aggregate pass —
+    no per-rule job, no shuffle beyond the single global aggregate.
+    The fixture's (orderkey, linenumber) pair is deliberately NOT
+    unique, so the report exercises a failing rule too."""
+    from sql_autoloader_spark.functions import constraints
+
+    return constraints.constraint_report(
+        _t(spark, sf_dir, "lineitem"),
+        not_null=["l_orderkey", "l_quantity"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_quantity": (1, 50), "l_discount": (0.0, 0.1)},
+        accepted={"l_returnflag": ["A", "N", "R"]},
+        patterns={"l_linestatus": "^[OF]$"},
+        min_rows=1,
+    )
+
+
 def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: assign documents (in doc_id
     order) to fixed 2048-token training sequences by exact global token
@@ -2732,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_dupspan_coverage": q_docs_dupspan_coverage,
         "docs_pack_sequences": q_docs_pack_sequences,
+        "lineitem_constraints": q_lineitem_constraints,
         "docs_split_span_leakage": q_docs_split_span_leakage,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -3178,6 +3198,43 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
             FROM pd JOIN v USING (s)
             GROUP BY doc_id
+        """,
+        "lineitem_constraints": """
+            WITH m AS (
+                SELECT
+                    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END)
+                         AS BIGINT) AS c0,
+                    CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END)
+                         AS BIGINT) AS c1,
+                    CAST(count(CASE WHEN l_orderkey IS NOT NULL
+                                    AND l_linenumber IS NOT NULL THEN 1 END)
+                         - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                    AND l_linenumber IS NOT NULL
+                                    THEN (l_orderkey, l_linenumber) END)
+                         AS BIGINT) AS c2,
+                    CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                               THEN 1 END) AS BIGINT) AS c3,
+                    CAST(count(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                               THEN 1 END) AS BIGINT) AS c4,
+                    CAST(count(CASE WHEN l_returnflag IS NOT NULL
+                                    AND l_returnflag NOT IN ('A', 'N', 'R')
+                               THEN 1 END) AS BIGINT) AS c5,
+                    CAST(count(CASE WHEN l_linestatus IS NOT NULL AND NOT
+                               regexp_matches(l_linestatus, '^[OF]$')
+                               THEN 1 END) AS BIGINT) AS c6,
+                    CAST(greatest(1 - count(*), 0) AS BIGINT) AS c7
+                FROM lineitem
+            )
+            SELECT 'not_null(l_orderkey)' AS rule, c0 AS violations,
+                   c0 = 0 AS passed FROM m
+            UNION ALL SELECT 'not_null(l_quantity)', c1, c1 = 0 FROM m
+            UNION ALL SELECT 'unique(l_orderkey, l_linenumber)', c2,
+                   c2 = 0 FROM m
+            UNION ALL SELECT 'range(l_quantity, 1, 50)', c3, c3 = 0 FROM m
+            UNION ALL SELECT 'range(l_discount, 0.0, 0.1)', c4, c4 = 0 FROM m
+            UNION ALL SELECT 'accepted(l_returnflag)', c5, c5 = 0 FROM m
+            UNION ALL SELECT 'pattern(l_linestatus)', c6, c6 = 0 FROM m
+            UNION ALL SELECT 'min_rows(1)', c7, c7 = 0 FROM m
         """,
         "docs_pack_sequences": f"""
             WITH t AS (

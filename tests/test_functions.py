@@ -1017,3 +1017,63 @@ def test_quantization_properties(spark: SparkSession) -> None:
                 assert math.isclose(d / (math.sqrt(d) * math.sqrt(d)), 1.0)
 
     check()
+
+
+def test_constraint_report_semantics(spark: SparkSession) -> None:
+    """NULLs never count against value rules; unique treats NULL keys as
+    distinct; min_rows reports the shortfall."""
+    from sql_autoloader_spark.functions import constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0),
+            (1, "A", 60.0),   # dup key (1, A); range violation
+            (None, "B", None),  # null id; null value ignored by range
+            (2, None, 0.5),   # null in key -> unique ignores; accepted ignores
+        ],
+        "id long, flag string, v double",
+    )
+    out = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in constraints.constraint_report(
+            df,
+            not_null=["id"],
+            unique=[["id", "flag"]],
+            ranges={"v": (0, 50)},
+            accepted={"flag": ["A", "B"]},
+            min_rows=10,
+        ).collect()
+    }
+    assert out == {
+        "not_null(id)": (1, False),
+        "unique(id, flag)": (1, False),
+        "range(v, 0, 50)": (1, False),
+        "accepted(flag)": (0, True),
+        "min_rows(10)": (6, False),
+    }
+
+
+def test_constraint_report_single_job(spark: SparkSession) -> None:
+    """All rules must compile into ONE aggregate over one scan — no
+    per-rule jobs (the plan has exactly one pair of HashAggregates)."""
+    from sql_autoloader_spark.functions import constraints
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("flag")
+    )
+    plan = (
+        constraints.constraint_report(
+            df,
+            not_null=["id"],
+            ranges={"id": (0, 99)},
+            accepted={"flag": ["0", "1", "2"]},
+            min_rows=1,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one partial+final aggregate pair, one single-partition exchange —
+    # and no join/generate-per-rule fan-out before the aggregate
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
