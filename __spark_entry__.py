@@ -75,12 +75,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._graft_table_cache = cache
-        # Pin the session timezone ONCE per session, not as a side
-        # effect of one table's reader: timestamp literals and casts
-        # must resolve identically no matter which query a harness runs
-        # first (our own builders also pin UTC at construction; this
-        # covers third-party sessions).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Re-assert the session timezone on EVERY call (a driver-side map
+    # write — no job): timestamp literals and casts must resolve
+    # identically even if a harness or third party changed the conf
+    # between queries.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (sf_dir, name)
     if key not in cache:
         if name == "events":

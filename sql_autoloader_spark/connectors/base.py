@@ -84,6 +84,9 @@ class BaseConnector(ABC):
     #: (and the previous pin dropped) by the next compare.
     last_reconstruction: DataFrame | None = None
     _kept_grouped: DataFrame | None = None
+    #: cached input frame kept alive because it IS last_reconstruction
+    #: (fast-path compare) — explicitly unpersisted on replacement
+    _kept_cache: DataFrame | None = None
 
     # -- physical primitives (per sink) -------------------------------------
 
@@ -260,6 +263,7 @@ class BaseConnector(ABC):
         deduped: bool = False,
         known_count: int | None = None,
         cache_result: bool = False,
+        defer_to: list[dict] | None = None,
     ) -> tuple[DataFrame, int]:
         """:meth:`retrieve_ids` plus the internal fast paths ``load`` uses.
 
@@ -268,6 +272,20 @@ class BaseConnector(ABC):
         optional cache and returns the row count — so ``load`` needs no
         separate ``count()`` per step and no pre-join count when
         ``known_count`` threads through from the previous step.
+
+        ``defer_to``: skip the invariant aggregate entirely and append a
+        check record to this list instead.  ``load`` uses this when its
+        generated exact compare will run: every failure the per-step
+        aggregate detects (null id after merge, row duplication)
+        provably surfaces as a compare-checksum mismatch — a null or
+        missing id drops the row from the reconstruction join, a
+        fan-out changes the reconstruction's row count — so the happy
+        path needs ZERO blocking jobs per table step, and the records
+        are re-checked (in step order, preserving each error's
+        per-table identity) only when the compare mismatches.  Requires
+        ``known_count`` (it stays the running bound for later steps;
+        the bound is exact unless a step duplicated rows, which the
+        compare then reports).
         """
         self.schema.check_schema_not_empty()
         data = ops.preprocess(data, columns, dedup=not deduped)
@@ -299,6 +317,20 @@ class BaseConnector(ABC):
         alias_out = alias
         if columns:
             alias_out = {v: k for k, v in columns.items()}.get(alias, alias)
+        if defer_to is not None:
+            if known_count is None:
+                msg = "defer_to requires known_count"
+                raise AssertionError(msg)
+            defer_to.append(
+                {
+                    "frame": result,
+                    "joined": joined,
+                    "alias": alias_out,
+                    "table": table,
+                    "known_count": known_count,
+                }
+            )
+            return result, known_count
         # Unknown input count: fuse it into the invariant aggregate (one
         # tagged-union pass over the cached input) instead of a
         # standalone count job — at scale that is one full pass over the
@@ -347,6 +379,7 @@ class BaseConnector(ABC):
         deduped: bool = False,
         known_count: int | None = None,
         cache_result: bool = False,
+        defer_to: list[dict] | None = None,
     ) -> tuple[DataFrame, int]:
         self.insert(
             data,
@@ -367,6 +400,7 @@ class BaseConnector(ABC):
                 deduped=deduped,
                 known_count=known_count,
                 cache_result=cache_result,
+                defer_to=defer_to,
             )
         except MissingKeysAfterMergeError as e:
             # With the insert-time subset check folded into this merge, a
@@ -385,6 +419,8 @@ class BaseConnector(ABC):
         exact: bool = True,
         _deduped: bool = False,
         _missing_first: bool = False,
+        _fast: bool = False,
+        _on_mismatch=None,
     ) -> None:
         """Validate loaded data by reconstructing the flat frame in SQL.
 
@@ -392,6 +428,13 @@ class BaseConnector(ABC):
         (longest-path spine + shortest-path splices, SURVEY.md §2B-B8) and
         executed by the sink — for the Spark sink that means Catalyst
         plans the multi-way LEFT JOIN.
+
+        ``_fast`` (internal, ``load``): try the one-aggregate checksum
+        equality first (:func:`ops.fast_set_equal`) — the happy path
+        then streams the reconstruction join into eleven numbers with no
+        all-columns shuffle and no checkpoint, and the exposed
+        reconstruction is the already-cached distinct input itself.
+        ``_on_mismatch`` runs before the slow-path classification.
         """
         self.schema.check_schema_not_empty()
         data = ops.preprocess(data, columns, dedup=not _deduped)
@@ -405,23 +448,39 @@ class BaseConnector(ABC):
         # The generated multi-way LEFT JOIN is the most expensive query of
         # the whole lifecycle.  All validation — both raw counts, the
         # data-side null scan, and both set differences — is fused into a
-        # single union+group-by aggregate, so the join is computed exactly
-        # once, streamed, and never cached (scale-critical at 100 TB: one
-        # pass over the fact join, not three passes over a materialization).
+        # single union+group-by aggregate (or, on the fast path, a single
+        # checksum aggregate), so the join is computed exactly once,
+        # streamed, and never cached (scale-critical at 100 TB: one pass
+        # over the fact join, not three passes over a materialization).
         db_data = self._execute_compare_query(query)
-        grouped = ops.validate_load_compare(
+        outcome = ops.validate_load_compare(
             data,
             db_data,
             exact=exact,
             missing_first=_missing_first,
             keep_grouped=self.expose_reconstruction,
+            fast=_fast,
+            on_mismatch=_on_mismatch,
         )
-        if grouped is not None:
-            # checkpointed frames free their partitions via the context
-            # cleaner once unreferenced — dropping the handle is enough
-            self._kept_grouped = grouped
+        if not self.expose_reconstruction:
+            return
+        # drop the previous pins FIRST: checkpointed frames free their
+        # partitions via the context cleaner once unreferenced; kept
+        # caches are released explicitly
+        self._kept_grouped = None
+        if self._kept_cache is not None and self._kept_cache is not data:
+            self._kept_cache.unpersist()
+        self._kept_cache = None
+        if outcome is ops.FAST_VERIFIED:
+            # sets proven equal ⇒ the reconstruction is content-identical
+            # to the distinct input, which is already cached (and, unlike
+            # a localCheckpoint, recomputable after executor loss)
+            self.last_reconstruction = data
+            self._kept_cache = data
+        elif outcome is not None:
+            self._kept_grouped = outcome
             self.last_reconstruction = ops.reconstruction_from_grouped(
-                grouped, data.columns
+                outcome, data.columns
             )
 
     def load(
@@ -476,6 +535,26 @@ class BaseConnector(ABC):
         # distributed range-partition path and the fused union fills the
         # unmaterialized cache twice — the count job is the cheaper way
         # to materialize the pin and bound every later step.)
+        # Deferred invariants: when the generated exact compare will run,
+        # the per-step merge-invariant aggregates are provably redundant
+        # on the happy path — a null/missing id drops its row from the
+        # reconstruction join and a duplicating merge changes the
+        # reconstruction's cardinality, and the compare's checksum
+        # aggregate catches both.  Each keyed step then schedules ZERO
+        # blocking jobs; the saved check records re-run (in step order,
+        # with their original per-table error identity) only when the
+        # checksum mismatches.  Excluded when duplication is allowed
+        # (fan-out makes the checksum mismatch by design) and for custom
+        # or filtered compares (their result set is not the full
+        # reconstruction).
+        fast_compare = (
+            compare
+            and exact
+            and compare_query is None
+            and where is None
+            and not allow_duplication
+        )
+        deferred: list[dict] = []
         running: int | None = None
         for params in plan.insert_and_retrieve:
             if running is None:
@@ -489,10 +568,12 @@ class BaseConnector(ABC):
                 deduped=True,
                 known_count=running,
                 cache_result=True,
+                defer_to=deferred if fast_compare else None,
             )
-            # the invariant aggregate materialized the new cache; release
-            # the superseded one (keep the original pinned for the final
-            # compare) — a deep schema must not pin every intermediate
+            # the next step's first job materializes the new cache;
+            # release the superseded one (keep the original pinned for
+            # the final compare) — a deep schema must not pin every
+            # intermediate
             if previous is not orig_data:
                 previous.unpersist()
 
@@ -514,6 +595,24 @@ class BaseConnector(ABC):
 
         if compare:
             delegated = bool(compare_covers and plan.insert)
+
+            def _run_deferred_checks() -> None:
+                # checksum mismatch: re-verify each deferred step's merge
+                # invariants so a failure keeps its precise per-table
+                # identity (the same errors the eager path raises)
+                for rec in deferred:
+                    try:
+                        ops.check_merge_invariants(
+                            rec["frame"],
+                            rec["alias"],
+                            rec["table"],
+                            rec["known_count"],
+                            allow_duplication=allow_duplication,
+                            sample_frame=rec["joined"],
+                        )
+                    except MissingKeysAfterMergeError as e:
+                        raise _insert_failed(rec["table"], e) from e
+
             try:
                 self.compare(
                     orig_data,
@@ -522,6 +621,8 @@ class BaseConnector(ABC):
                     exact=exact,
                     _deduped=True,
                     _missing_first=delegated,
+                    _fast=fast_compare,
+                    _on_mismatch=_run_deferred_checks if deferred else None,
                 )
             except CompareMissingRowsError as e:
                 if delegated:
@@ -532,6 +633,6 @@ class BaseConnector(ABC):
                 raise
 
         result = ops.postprocess(data, columns)
-        if orig_data is not data:
+        if orig_data is not data and orig_data is not self._kept_cache:
             orig_data.unpersist()
         return result

@@ -953,7 +953,11 @@ class SparkConnector(BaseConnector):
         surrogate_added = payload is not pre_surrogate
         window_dedup_ran = bool(anti_keys)
         if surrogate_added or window_dedup_ran or not table_known_empty:
-            full = full.localCheckpoint(eager=False)
+            full = self._lazy_pin(
+                full,
+                small=payload_bound is not None
+                and payload_bound <= self.max_window_rows,
+            )
         else:
             # the in-memory commit lazily pins this table's chain so
             # post-commit reads materialize the plan once, not per read
@@ -964,6 +968,42 @@ class SparkConnector(BaseConnector):
     #: payloads whose known upper bound exceeds this use the distributed
     #: (range-partitioned) ranking instead of a single-partition window
     max_window_rows: int = 8_000_000
+
+    def _lazy_pin(self, frame: DataFrame, *, small: bool) -> DataFrame:
+        """Pin an append as a lazily-materialized localCheckpoint.
+
+        The checkpoint does double duty: the window/anti-join lineage
+        runs exactly once (every later read scans materialized
+        partitions), and — critically for deep schemas — the LINEAGE IS
+        TRUNCATED, so plans built on top of many appends stay shallow
+        (a ``persist`` pin was measured 5× slower on the 8-table test
+        corpus: logical plans nest across steps and loads, and
+        analysis/planning walks the tree).
+
+        ``eager=False`` defers materialization to the first consuming
+        job, but ``toRdd`` still runs at call time — and under AQE that
+        *executes every shuffle stage of the plan synchronously* right
+        here (measured 0.2-0.5 s of blocking driver time per keyed
+        table at sf0.1).  For provably small payloads the subtree is
+        therefore planned with AQE off: plain physical planning, no
+        execution, and nothing AQE would buy — the inputs are
+        dimension-sized by the caller's bound, and the anti-join's
+        broadcast decision for the *existing* side is re-made per load
+        from real sizes anyway once the append chain is materialized.
+        Large/unknown payloads keep adaptive planning (runtime join
+        re-selection and skew splitting matter at fact scale; the
+        blocking pre-execution amortizes over the real work).
+        """
+        if not small:
+            return frame.localCheckpoint(eager=False)
+        conf = self.spark.conf
+        key = "spark.sql.adaptive.enabled"
+        prev = conf.get(key)
+        conf.set(key, "false")
+        try:
+            return frame.localCheckpoint(eager=False)
+        finally:
+            conf.set(key, prev)
 
     def _with_surrogate_key(
         self,

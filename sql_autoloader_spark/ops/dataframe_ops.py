@@ -404,6 +404,84 @@ def compare(
         raise CompareMissingRowsError(msg)
 
 
+#: sentinel: the checksum fast path proved the two row sets equal, so the
+#: reconstruction is (content-)identical to the distinct data frame and no
+#: grouped frame was ever materialized.
+FAST_VERIFIED = object()
+
+
+def _row_hash_channels(frame: DataFrame, cols: list[str]) -> tuple[Column, Column]:
+    """Two per-row 64-bit hashes suitable for order-independent combining.
+
+    ``xxhash64`` skips NULL inputs entirely, so ``(NULL, 'x')`` and
+    ``('x', NULL)`` would collide — interleaving each value with its
+    null flag disambiguates null *positions*.  The second channel is an
+    independent re-mix of the first (a collision must survive two
+    unrelated 64-bit sums AND two xors to go unnoticed: ~2^-128 per
+    compare, far below any hardware error rate).
+    """
+    interleaved: list[Column] = []
+    for c in cols:
+        interleaved.append(_col(frame, c).isNull().cast("int"))
+        interleaved.append(_col(frame, c))
+    h1 = F.xxhash64(*interleaved)
+    h2 = F.xxhash64(F.lit(-7046029254386353131), h1)
+    return h1, h2
+
+
+def fast_set_equal(data: DataFrame, db_aligned: DataFrame) -> bool:
+    """Multiset-checksum equality of two aligned frames in ONE aggregate.
+
+    The scale-critical validation primitive: both sides stream into a
+    single aggregate computing per-side row counts plus order-independent
+    checksums (sum and xor of two independent row-hash channels) — NO
+    shuffle of the data itself, ever.  Where :func:`_compare_grouped`
+    shuffles the whole union by every column (at 100 TB: a fact-sized
+    exchange), this reduces each partition to eleven numbers map-side and
+    moves nothing else.
+
+    Equal counts + equal checksums ⇒ the multisets are equal (up to the
+    ~2^-128 collision bound) ⇒ the row *sets* are equal.  ``False``
+    proves nothing by itself — callers fall back to the exact grouped
+    compare for classification and error samples.  An empty db side
+    returns ``False`` (callers treat "no results" as a failure).
+    """
+    cols = data.columns
+    h1_d, h2_d = _row_hash_channels(data, cols)
+    h1_b, h2_b = _row_hash_channels(db_aligned, cols)
+    tagged = data.select(
+        h1_d.alias("__h1"), h2_d.alias("__h2"), F.lit(1).alias("__side")
+    ).unionByName(
+        db_aligned.select(
+            h1_b.alias("__h1"), h2_b.alias("__h2"), F.lit(0).alias("__side")
+        )
+    )
+
+    def side_aggs(side: int, tag: str) -> list[Column]:
+        on = F.col("__side") == side
+        # decimal sums: 64-bit hash sums overflow BIGINT, which ANSI
+        # mode (Spark 4 default) turns into a runtime error
+        return [
+            F.count(F.when(on, 1)).alias(f"__n_{tag}"),
+            F.sum(F.when(on, F.col("__h1")).cast("decimal(38,0)")).alias(
+                f"__s1_{tag}"
+            ),
+            F.bit_xor(F.when(on, F.col("__h1"))).alias(f"__x1_{tag}"),
+            F.sum(F.when(on, F.col("__h2")).cast("decimal(38,0)")).alias(
+                f"__s2_{tag}"
+            ),
+            F.bit_xor(F.when(on, F.col("__h2"))).alias(f"__x2_{tag}"),
+        ]
+
+    row = tagged.agg(*side_aggs(1, "d"), *side_aggs(0, "b")).first()
+    if row["__n_b"] == 0:
+        return False
+    return row["__n_d"] == row["__n_b"] and all(
+        row[f"__{ch}_d"] == row[f"__{ch}_b"]
+        for ch in ("s1", "x1", "s2", "x2")
+    )
+
+
 def validate_load_compare(
     data: DataFrame,
     db_data: DataFrame,
@@ -411,7 +489,9 @@ def validate_load_compare(
     exact: bool = True,
     missing_first: bool = False,
     keep_grouped: bool = False,
-) -> DataFrame | None:
+    fast: bool = False,
+    on_mismatch=None,
+) -> DataFrame | None | object:
     """The full post-load validation in ONE aggregate job.
 
     Fuses what the reference runs as four separate passes
@@ -442,9 +522,30 @@ def validate_load_compare(
     in executor storage and are not recomputable after an executor
     loss — acceptable for a kept validation artifact, which the caller
     can always rebuild by re-running the compare.
+
+    ``fast`` (``exact=True`` only): try :func:`fast_set_equal` first —
+    one streaming aggregate, no all-columns shuffle, no checkpoint.  On
+    success return :data:`FAST_VERIFIED` (the validated reconstruction
+    is then content-identical to the distinct ``data``, so callers
+    expose *data* instead of a grouped artifact).  On mismatch, first
+    invoke *on_mismatch* (``load`` re-runs its deferred per-step merge
+    invariants there so failures keep their precise per-table
+    identity), then fall through to the grouped compare for exact
+    classification and error samples — failure semantics are identical
+    to the slow path, at the cost of re-executing the reconstruction
+    join once (failures are the rare path by construction).
     """
     aligned = match_dtypes(db_data, data)
     db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
+    if fast and exact:
+        if fast_set_equal(data, db_aligned):
+            return FAST_VERIFIED
+        if on_mismatch is not None:
+            on_mismatch()
+    elif on_mismatch is not None:
+        # deferred invariants without a fast path (shouldn't happen —
+        # load only defers when it fast-validates) — run them up front
+        on_mismatch()
     grouped = _compare_grouped(data, db_aligned)
     if keep_grouped:
         # one execution of the reconstruction join + aggregate: the

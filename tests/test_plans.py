@@ -278,13 +278,14 @@ def test_loader_fact_merge_broadcasts_dim_fetch(
         """
     )
     merged = []
-    orig = ops.check_merge_invariants
+    orig = ops.merge_join
 
-    def spy(frame, *args, **kwargs):  # noqa: ANN002, ANN003, ANN202
+    def spy(data, db_data):  # noqa: ANN001, ANN202
+        frame = orig(data, db_data)
         merged.append(frame)
-        return orig(frame, *args, **kwargs)
+        return frame
 
-    monkeypatch.setattr(base_mod.ops, "check_merge_invariants", spy)
+    monkeypatch.setattr(base_mod.ops, "merge_join", spy)
     with db:
         db.load(ev)
 
