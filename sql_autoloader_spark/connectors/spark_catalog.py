@@ -1074,9 +1074,9 @@ class SparkConnector(BaseConnector):
         and is broadcast back.
         """
         sort_cols = [F.col(f"`{c}`") for c in columns]
-        n_parts = int(
-            self.spark.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        from sql_autoloader_spark.functions.scale import shuffle_partitions
+
+        n_parts = shuffle_partitions(payload)
         ranged = payload.repartitionByRange(n_parts, *sort_cols).withColumn(
             "__pid", F.spark_partition_id()
         )

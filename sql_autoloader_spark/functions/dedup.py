@@ -182,8 +182,12 @@ def token_jaccard_pairs(
     sets = spread_for_compute(df, barrier=False).select(
         F.col(id_col).alias("doc"), F.array_distinct(shingle).alias("sh")
     )
-    # pin: referenced four times below (two join sides + two size maps)
-    sets = sets.localCheckpoint(eager=True)
+    # pin: referenced four times below (two join sides + two size maps).
+    # persist, not localCheckpoint: building the frame must not run jobs
+    # (plan audits and tests construct without executing), and persist
+    # keeps the lineage inspectable and recomputable — partitions
+    # materialize on the query's first action and are reused after
+    sets = sets.persist()
     sizes = sets.select("doc", F.size("sh").cast("bigint").alias("sz"))
     exploded = sets.select("doc", F.explode("sh").alias("s"))
 
@@ -309,7 +313,10 @@ def dup_span_coverage(
     per_doc = (
         grams.groupBy("doc", "g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
+        # persist, not localCheckpoint: no job at build time, lineage
+        # stays inspectable (the no-Python/no-cartesian plan tests read
+        # through this pin), partitions still materialize exactly once
+        .persist()
     )
     # corpus vocabulary: in how many distinct docs does each gram occur?
     # (input is already distinct per (doc, gram), so a plain count)
@@ -597,9 +604,10 @@ def minhash_lsh_pairs(
     # Pin the signatures: the band self-join references this frame on both
     # sides and the verify stage twice more — without materialization the
     # (large) signature expression tree is re-analyzed and re-executed 4x.
-    # On a cluster this would be a persist(DISK_ONLY) of the signature
-    # table (tiny: ~(8*num_hashes + shingles) bytes per doc).
-    signed = signed.localCheckpoint(eager=True)
+    # persist (not localCheckpoint): no job at build time, lineage stays
+    # inspectable, and the signature table it holds is tiny
+    # (~(8*num_hashes + shingles) bytes per doc).
+    signed = signed.persist()
 
     banded = signed.select(
         "doc",
@@ -819,8 +827,10 @@ def simhash_pairs(
         ).alias("fp"),
     )
     # pin before the chunk self-join (see minhash_lsh_pairs): the simhash
-    # aggregate tree is large and would otherwise run once per join side
-    fingerprinted = fingerprinted.localCheckpoint(eager=True)
+    # aggregate tree is large and would otherwise run once per join side.
+    # persist: lazy (no build-time job), lineage inspectable, reused by
+    # every chunk of the self-join once materialized
+    fingerprinted = fingerprinted.persist()
     chunked = fingerprinted.select(
         "doc",
         "fp",

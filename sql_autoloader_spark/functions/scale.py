@@ -26,7 +26,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["prefix_sum", "write_bucketed", "salted_join"]
+__all__ = ["prefix_sum", "shuffle_partitions", "write_bucketed", "salted_join"]
+
+
+def shuffle_partitions(df: DataFrame, default: int = 200) -> int:
+    """The session's shuffle-partition count, robust to non-numeric
+    values: platforms with auto-tuned AQE (e.g. Databricks) set
+    ``spark.sql.shuffle.partitions`` to ``"auto"``, which a bare
+    ``int()`` would crash on — fall back to the session's default
+    parallelism, then to *default*."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", str(default))
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return int(df.sparkSession.sparkContext.defaultParallelism)
+        except Exception:  # noqa: BLE001 — conf-less connect sessions
+            return default
 
 
 def write_bucketed(
@@ -75,17 +91,25 @@ def prefix_sum(
     ranking): range-partition on the order key (global order across
     partitions), sum within each partition, and add the running total
     of preceding partitions — one row per partition, broadcast back.
-    Both branches consume the same range exchange (ReuseExchange), so
-    the input is shuffled once.
+
+    Shuffle accounting, honestly: the input is exchanged TWICE — the
+    range partition, then a hash exchange on the partition id that the
+    within-partition window requires (range partitioning does not
+    satisfy the window's clustering requirement, and Catalyst cannot
+    know each range partition holds exactly one ``__pid``).  The
+    second exchange moves each partition as a block — no skew, no
+    fan-out — and both the window branch and the totals branch reuse
+    the first exchange.  The alternatives are worse: a single-partition
+    window serializes the cluster, and a ``mapInPandas`` cumsum would
+    trade the exchange for an Arrow round-trip of every row through
+    Python.
 
     The order key must be unique per row for a deterministic result
     (ties would make "preceding rows" ambiguous); rows with NULL in
     the value column contribute 0.
     """
     sort_cols = [F.col(c) for c in order_by]
-    n_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_parts = shuffle_partitions(df)
     val = F.coalesce(F.col(value_col), F.lit(0))
     ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "__pid", F.spark_partition_id()

@@ -628,8 +628,10 @@ def embedding_neardup_pairs(
     )
     banded = base.select("doc", "v", F.posexplode(sigs).alias("tbl", "sig"))
     # pin before the self-join: the hyperplane-signature tree (tables ×
-    # planes dot products) would otherwise execute once per join side
-    banded = banded.localCheckpoint(eager=True)
+    # planes dot products) would otherwise execute once per join side.
+    # persist: lazy (no job until the query's first action), lineage
+    # inspectable, partitions reused across both join sides
+    banded = banded.persist()
 
     # Vectors are looked up AFTER candidate dedup: the bucket self-join
     # emits each pair once per shared (table, signature), and deduping

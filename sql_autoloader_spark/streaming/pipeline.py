@@ -297,8 +297,63 @@ def fuzzy_dedup_stream(
     :func:`~sql_autoloader_spark.functions.dedup.minhash_lsh_pairs`
     (with verification) over the admitted corpus as a backstop.
 
-    Replays are idempotent end-to-end: a re-processed batch collides
-    with its own stored band keys and admits nothing new.
+    Replays are idempotent end-to-end, by a per-batch commit protocol
+    (``foreachBatch`` only guarantees at-least-once delivery, and the
+    two sinks — corpus and signature store — cannot be appended
+    atomically together):
+
+    - every batch's outputs are tagged (a ``__batch`` stream+batch
+      partition in the corpus, a per-attempt ``__token`` column in the
+      store), and a one-row marker lands in ``<store_path>__commits``
+      only after both writes succeed — that marker append is the commit
+      point;
+    - an already-committed (stream, batch) is skipped outright on
+      replay;
+    - an uncommitted replay re-runs deterministically: the admission
+      decision reads only *committed* store keys (a half-written store
+      append from the crashed attempt is invisible), and the corpus
+      write dynamically overwrites its own ``__batch`` partition
+      instead of appending — no duplicate rows, no lost rows,
+      regardless of where the previous attempt died.
+
+    Readers wanting committed-rows-only semantics mid-stream can join
+    the corpus against the marker table; once the stream is caught up
+    the corpus content is exactly the committed admissions.
+    """
+    admit_batch = _fuzzy_admitter(
+        id_col=id_col,
+        text_col=text_col,
+        store_path=store_path,
+        out_path=out_path,
+        checkpoint_dir=checkpoint_dir,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_words=shingle_words,
+    )
+    writer = stream.writeStream.foreachBatch(admit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _fuzzy_admitter(
+    *,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+):
+    """Build :func:`fuzzy_dedup_stream`'s per-batch admit function.
+
+    Split out so the commit protocol is testable without orchestrating a
+    real mid-batch crash: tests call the admitter directly, fake partial
+    failures (e.g. remove the marker), and re-invoke.
     """
     from pyspark.errors import AnalysisException
 
@@ -350,8 +405,31 @@ def fuzzy_dedup_stream(
             ).alias("bb"),
         ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
 
-    def admit_batch(batch: DataFrame, _batch_id: int) -> None:
+    import hashlib
+    import uuid
+
+    commits_path = f"{store_path}__commits"
+    # stable id of this LOGICAL stream: batch ids are only meaningful
+    # within one checkpoint, and several streams may share one store
+    stream_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _read_commits(spark):  # noqa: ANN001, ANN202
+        try:
+            return spark.read.parquet(commits_path).collect()
+        except AnalysisException:
+            return []
+
+    def admit_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        commits = _read_commits(spark)
+        if any(
+            r["stream_id"] == stream_id and r["batch_id"] == batch_id
+            for r in commits
+        ):
+            # fully committed before the restart — at-least-once replay,
+            # nothing to redo
+            return
+        committed_tokens = [r["token"] for r in commits]
         # docs too short to form a single shingle have an empty shingle
         # set -> a degenerate all-null signature that would glue them
         # into one giant bucket; admit them unconditionally (nothing to
@@ -364,7 +442,17 @@ def fuzzy_dedup_stream(
         )
         keys = band_keys(texted).localCheckpoint(eager=True)
         try:
-            store = spark.read.parquet(store_path).select("band", "bucket")
+            store = spark.read.parquet(store_path)
+            # only COMMITTED batches' keys decide admission: a crashed
+            # attempt's partial store append must not change the replay's
+            # decision.  (Legacy stores without the tag are all-committed
+            # by construction — they predate the commit protocol.)
+            if "__token" in store.columns:
+                store = store.where(
+                    F.col("__token").isin(committed_tokens)
+                    | F.col("__token").isNull()
+                )
+            store = store.select("band", "bucket")
         except AnalysisException:
             store = None
         hit_store = (
@@ -385,16 +473,33 @@ def fuzzy_dedup_stream(
             hit_store.select(id_col).union(hit_batch).distinct()
         )
         admitted = batch.join(dropped, on=id_col, how="left_anti")
-        admitted.write.mode("append").parquet(out_path)
+        token = uuid.uuid4().hex
+        # dynamic overwrite of THIS batch's partition only: a replayed
+        # uncommitted batch replaces its own half-written output instead
+        # of appending a duplicate of it.  The partition key is
+        # (stream, batch) — stable across replays of one checkpoint,
+        # disjoint across streams sharing the corpus.
+        (
+            admitted.withColumn(
+                "__batch", F.lit(f"{stream_id}_{int(batch_id)}")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(out_path)
+        )
         # store only ADMITTED docs' keys: the corpus state is what was
-        # kept, so a future doc colliding only with dropped docs admits
+        # kept, so a future doc colliding only with dropped docs admits.
+        # A crashed attempt may leave an orphan tagged append here —
+        # harmless: its token never commits, so admission reads skip it.
         keys.join(dropped, on=id_col, how="left_anti").select(
-            "band", "bucket"
+            "band", "bucket", F.lit(token).alias("__token")
         ).write.mode("append").parquet(store_path)
+        # THE commit point: both sinks are in place, one tiny append
+        # flips the batch committed and its store keys visible
+        spark.createDataFrame(
+            [(stream_id, int(batch_id), token)],
+            "`stream_id` STRING, `batch_id` BIGINT, `token` STRING",
+        ).write.mode("append").parquet(commits_path)
 
-    writer = stream.writeStream.foreachBatch(admit_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return admit_batch
