@@ -37,11 +37,14 @@ and are re-expressed here:
    Clean ``__exit__`` promotes pending to committed (physical mode:
    one ``append`` write per table — never a rewrite); an exception
    discards pending, restoring the entry state.  Managed-catalog
-   commits are atomic ACROSS tables via a manifest-commit protocol:
-   appended rows carry a hidden commit-epoch column and stay invisible
-   until a single-row append to a journal table flips the whole
-   transaction at once (see :meth:`commit`); crashes leave only
-   invisible orphans, swept at the next connector open.
+   commits are atomic ACROSS tables via a manifest-commit protocol
+   with OPTIMISTIC multi-writer concurrency: appended rows carry a
+   hidden writer-unique token column and stay invisible until one
+   atomic journal-file rename publishes the token under the next free
+   commit id (see :meth:`commit` and :class:`_CommitJournal`) —
+   concurrent committers never mix rows and never wait, a commit-id
+   race just retries the rename; crashes leave only invisible orphans,
+   swept at the next connector open.
 """
 
 from __future__ import annotations
@@ -68,10 +71,157 @@ if TYPE_CHECKING:
 
 _PROP_PREFIX = "sql_autoloader."
 
-#: hidden epoch column on managed tables (manifest-commit protocol)
+#: hidden commit-token column on managed tables (manifest-commit protocol)
 _COMMIT_COL = "__commit_id"
-#: per-database journal table: one row per durable commit epoch
+#: legacy per-database journal table (pre-file-journal databases); still
+#: read for backward compatibility, never written anymore
 _JOURNAL = "__sql_autoloader_commits"
+#: tokens below this are legacy commit epochs (dense small ints); new
+#: tokens are random 63-bit values with this bit set, so the two ranges
+#: can never collide
+_TOKEN_FLOOR = 1 << 62
+
+
+class _CommitJournal:
+    """File-based commit log with OPTIMISTIC multi-writer concurrency.
+
+    The plain-Spark-tables restatement of how Delta/Iceberg get atomic
+    multi-writer commits from a filesystem: one file per commit,
+    ``<dir>/<cid>.commit`` (content = the commit's row token), created
+    by writing a temp file and RENAMING it into place.  The rename is
+    the whole commit — claim of the commit id and publication of the
+    token in ONE atomic step — because ``FileSystem.rename`` refuses an
+    existing destination: of two writers racing for the same cid,
+    exactly one rename succeeds and the loser retries with the next id
+    (its DATA needs no rewrite — rows are tagged with the writer's own
+    token, not the cid).  Needs atomic no-overwrite rename, which HDFS
+    and local filesystems provide; on S3 use a log-coordination layer,
+    the same caveat as every file-journal table format.
+
+    Readers list the directory: the visible commits are exactly the
+    ``*.commit`` files, each mapping cid → token.  Listing is a pure
+    driver-side metadata op — refreshing durability runs no Spark jobs.
+    """
+
+    def __init__(self, spark: SparkSession, database: str) -> None:
+        location = spark.catalog.getDatabase(database).locationUri
+        self._dir = location.rstrip("/") + "/_sql_autoloader_commits"
+        jvm = spark.sparkContext._jvm
+        self._jvm = jvm
+        self._path_cls = jvm.org.apache.hadoop.fs.Path
+        root = self._path_cls(self._dir)
+        self._fs = root.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        self._fs.mkdirs(root)
+        self._root = root
+        #: token content cache (commit files are immutable)
+        self._tokens: dict[int, int] = {}
+
+    def _read_token(self, name: str) -> int | None:
+        stream = self._fs.open(self._path_cls(f"{self._dir}/{name}"))
+        try:
+            text = self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        try:
+            return int(text.strip())
+        except ValueError:
+            # unreadable commit file (external tampering/truncation):
+            # treat as claimed-but-unknown — its rows stay invisible and
+            # the claim loop's rename conflict skips the id regardless
+            return None
+
+    def visible(self) -> dict[int, int]:
+        """{cid: token} for every committed transaction, by listing."""
+        out: dict[int, int] = {}
+        for status in self._fs.listStatus(self._root):
+            name = status.getPath().getName()
+            if not name.endswith(".commit"):
+                continue
+            cid = int(name[: -len(".commit")])
+            if cid not in self._tokens:
+                self._tokens[cid] = self._read_token(name)
+            if self._tokens[cid] is not None:
+                out[cid] = self._tokens[cid]
+        return out
+
+    def commit(self, token: int, *, after: int) -> int:
+        """Durably commit *token*, returning its commit id.
+
+        Writes the token to a temp file once, then renames toward
+        ``<cid>.commit`` starting at ``after + 1``, bumping the id on
+        every conflict — the optimistic retry loop.  Returns only when
+        a rename lands; raises if the temp file vanishes (an external
+        cleanup raced us — never our own doing).
+        """
+        tmp = self._path_cls(f"{self._dir}/tmp-{token}")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(token).encode()))
+        finally:
+            out.close()
+        cid = after + 1
+        while True:
+            dest = self._path_cls(f"{self._dir}/{cid}.commit")
+            if self._fs.rename(tmp, dest):
+                self._tokens[cid] = token
+                return cid
+            if not self._fs.exists(tmp):
+                msg = (
+                    "commit temp file vanished mid-claim; another "
+                    "process cleaned the journal directory"
+                )
+                raise RuntimeError(msg)
+            cid += 1
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):  # noqa: ANN202
+    """(FileSystem, Path class) for *path_str* — driver-side metadata ops."""
+    jvm = spark.sparkContext._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(path_str).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return fs, path_cls
+
+
+def _move_data_files(
+    spark: SparkSession, src_root: str, dest_root: str, into: list[str]
+) -> None:
+    """Rename every data file under *src_root* into *dest_root*,
+    preserving relative (partition-directory) subpaths.
+
+    The multi-writer-safe physical append: renames are per-file atomic
+    filesystem metadata ops, file names embed writer-unique job UUIDs
+    (and, for bucketed layouts, the bucket-id suffix, which therefore
+    survives the move), and underscore/dot-prefixed entries
+    (``_SUCCESS``, checksums) are skipped — Spark scans ignore them
+    anyway.  Appends destination paths into *into* AS files move, so a
+    caller that fails mid-move knows exactly which files it owns.
+    """
+    fs, path_cls = _hadoop_fs(spark, src_root)
+    stack = [""]
+    while stack:
+        rel = stack.pop()
+        for status in fs.listStatus(path_cls(src_root + rel)):
+            name = status.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if status.isDirectory():
+                stack.append(f"{rel}/{name}")
+                continue
+            fs.mkdirs(path_cls(dest_root + rel))
+            dest = path_cls(f"{dest_root}{rel}/{name}")
+            if not fs.rename(status.getPath(), dest):
+                msg = (
+                    f"append move failed: {status.getPath()} -> {dest} "
+                    "(destination exists or source vanished)"
+                )
+                raise RuntimeError(msg)
+            into.append(str(dest))
 
 
 class SparkConnector(BaseConnector):
@@ -183,12 +333,21 @@ class SparkConnector(BaseConnector):
         #: Conservative: catalog-loaded tables are never assumed empty.
         self._committed_empty: dict[str, bool] = {}
         self._in_tx = False
-        #: highest commit epoch the journal records as durable (managed mode)
+        #: highest durable commit id (managed mode)
         self._durable_max = 0
+        #: {commit id: row token} for every durable commit; row token 0
+        #: is the always-visible epoch of adopted/migrated rows
+        self._visible: dict[int, int] = {0: 0}
+        self._journal: _CommitJournal | None = None
+        #: table location cache (managed mode; locations are immutable)
+        self._locations: dict[str, str] = {}
+        #: destination files each in-flight token has renamed into table
+        #: directories — the commit failure path deletes exactly these
+        self._token_files: dict[int, list[str]] = {}
 
         if database is not None:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-            self._init_journal()
+            self._init_commit_log()
             self._load_catalog_state()
             self._recover_orphans()
 
@@ -201,10 +360,9 @@ class SparkConnector(BaseConnector):
         self._in_tx = True
         # BEGIN semantics: a transaction reads the state committed as of
         # its start.  Another connector on the same database may have
-        # committed since this one opened — refresh the durable epoch so
-        # anti-joins and surrogate max-id scans see those rows (one tiny
-        # journal aggregate; overlapping transactions remain
-        # single-writer per database, like a file database).
+        # committed since this one opened — refresh the durable commit
+        # set so anti-joins and surrogate max-id scans see those rows
+        # (a driver-side journal listing, no Spark job).
         if self.database is not None:
             self._refresh_durable()
         return self
@@ -223,13 +381,14 @@ class SparkConnector(BaseConnector):
         manifest-commit protocol (the plain-Spark-tables restatement of
         how manifest-based table formats get multi-file atomicity, and
         the analogue of the reference's whole-block DB transaction,
-        sqlite_connector.py:197-204): rows land tagged with the next
-        commit epoch — invisible, because every read filters by the
-        journal's durable maximum — and the transaction becomes visible
-        in ONE final step, appending that epoch to the single-row-write
-        journal table.  A crash before the flip leaves only invisible
-        orphan rows (swept on the next connector open); a failure during
-        the appends additionally triggers an immediate sweep.
+        sqlite_connector.py:197-204): rows land tagged with a
+        writer-unique token — invisible, because every read filters by
+        the journal's published tokens — and the transaction becomes
+        visible in ONE final step, an atomic journal-file rename
+        (:meth:`_CommitJournal.commit`).  A crash before the flip
+        leaves only invisible orphan rows (swept on the next connector
+        open); a failure during the appends additionally triggers an
+        immediate surgical sweep of this writer's own files.
         """
         pending = {t: a for t, a in self._appends.items() if a}
         if self.database is not None:
@@ -273,39 +432,51 @@ class SparkConnector(BaseConnector):
         self._register_views()
 
     def _commit_managed(self, pending: dict[str, list[DataFrame]]) -> None:
-        # Re-read the journal: another connector on the same database may
-        # have advanced the durable epoch since this one opened — reusing
-        # an already-durable epoch would make mid-commit rows visible
-        # before the flip.  (Two connectors committing *simultaneously*
-        # still race the read-then-flip; commits are single-writer per
-        # database, like the reference's file-database transactions.)
-        row = (
-            self.spark.table(self._qualified(_JOURNAL))
-            .agg(F.max("commit_id").alias("m"))
-            .first()
-        )
-        self._durable_max = max(self._durable_max, row["m"] or 0)
-        cid = self._durable_max + 1
+        """Optimistic multi-writer commit.
+
+        Rows land tagged with a writer-unique random token — appends
+        from concurrent committers never collide, and no read sees an
+        unpublished token.  The durable flip is ONE atomic journal-file
+        rename (:meth:`_CommitJournal.commit`): of two simultaneous
+        committers, each lands under its own commit id — the loser of a
+        commit-id race just retries the rename with the next id, its
+        appended data untouched.  A failure before the flip sweeps only
+        THIS writer's token, leaving concurrent in-flight commits alone.
+        """
+        import random
+
+        token = random.SystemRandom().getrandbits(61) | _TOKEN_FLOOR
         done: list[str] = []
         try:
             for table, appends in pending.items():
                 new_rows = appends[0]
                 for extra in appends[1:]:
                     new_rows = new_rows.unionByName(extra)
-                self._append_epoch(table, new_rows, cid)
+                self._append_epoch(table, new_rows, token)
                 done.append(table)
-            # THE atomic flip: a single-row append to one table.  Until
-            # this lands, nothing above is visible to any read.
-            self.spark.createDataFrame(
-                [(cid,)], "`commit_id` BIGINT"
-            ).write.mode("append").saveAsTable(self._qualified(_JOURNAL))
         except BaseException:
-            # best-effort immediate sweep; open-time recovery covers a
-            # crash that prevents even this
-            self._sweep_orphans(done)
+            # best-effort immediate sweep of OWN files (surgical — the
+            # recorded rename destinations, plus the mid-move table's
+            # partial set); open-time recovery covers a crash that
+            # prevents even this
+            failing = [t for t in pending if t not in done]
+            self._sweep_orphans([*done, *failing[:1]], only_token=token)
             raise
-        self._durable_max = cid
-        for table in pending:
+        # THE atomic flip: publish the token under the next free commit
+        # id.  Until the rename lands, nothing above is visible to any
+        # read (every read filters by published tokens).
+        published = self._journal.visible()
+        cid = self._journal.commit(
+            token, after=max(max(published, default=0), self._durable_max)
+        )
+        self._token_files.pop(token, None)
+        published[cid] = token
+        foreign = any(c not in self._visible for c in published if c != cid)
+        self._visible.update(published)
+        self._durable_max = max(self._visible)
+        # rebuild EVERY table's view when concurrent commits surfaced
+        # (they may touch tables outside this transaction)
+        for table in self._meta if foreign else pending:
             self._committed_empty[table] = False
             self._committed[table] = self._committed_view(table)
 
@@ -317,12 +488,76 @@ class SparkConnector(BaseConnector):
 
     # -- manifest-commit machinery (managed-catalog mode) ---------------------
 
-    def _append_epoch(self, table: str, new_rows: DataFrame, cid: int) -> None:
-        writer = new_rows.withColumn(
-            _COMMIT_COL, F.lit(cid).cast("bigint")
-        ).write.mode("append")
-        writer = self._apply_layout(writer, table)
-        writer.saveAsTable(self._qualified(table))
+    def _append_epoch(
+        self, table: str, new_rows: DataFrame, token: int
+    ) -> None:
+        """Stage-and-move physical append (multi-writer-safe).
+
+        ``saveAsTable(mode="append")`` is NOT safe under concurrent
+        writers: every job writing one table path shares the Hadoop
+        output committer's ``_temporary/0`` staging directory, and the
+        first job to commit deletes it wholesale — destroying other
+        writers' in-flight task files.  Delta/Iceberg solve this by
+        bypassing the output committer for the table directory; this is
+        the plain-Spark-tables restatement: write the batch to a
+        token-unique staging location (underscore-prefixed, so every
+        Spark directory scan ignores it), then RENAME the data files
+        into the table directory.  Concurrent appends use disjoint
+        staging paths and collision-free (job-UUID) file names, and the
+        rows stay invisible regardless until the journal publishes the
+        token.  Destination paths are recorded in ``_token_files`` AS
+        they move, so the failure path deletes exactly this writer's
+        files — never a rewrite, never another writer's data.
+        """
+        tagged = new_rows.withColumn(
+            _COMMIT_COL, F.lit(int(token)).cast("bigint")
+        )
+        qualified = self._qualified(table)
+        dest_root = self._table_location(table)
+        moved = self._token_files.setdefault(token, [])
+        if self.bucket_by.get(table):
+            # bucketBy only writes through saveAsTable: stage to a
+            # token-unique TABLE with the identical layout (bucket ids
+            # are encoded in file-name suffixes and survive the move)
+            stage = self._qualified(f"{table}__stage_{token}")
+            writer = self._apply_layout(tagged.write.mode("overwrite"), table)
+            writer.saveAsTable(stage)
+            src_root = next(
+                r.data_type
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {stage}"
+                ).collect()
+                if r.col_name == "Location"
+            )
+            _move_data_files(self.spark, src_root, dest_root, into=moved)
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        else:
+            src_root = f"{dest_root}/_staging/{token}"
+            writer = tagged.write.mode("overwrite")
+            if parts := self.partition_by.get(table):
+                writer = writer.partitionBy(*parts)
+            writer.parquet(src_root)
+            _move_data_files(self.spark, src_root, dest_root, into=moved)
+            fs, path_cls = _hadoop_fs(self.spark, dest_root)
+            fs.delete(path_cls(src_root), True)
+        if self.partition_by.get(table):
+            # manual file moves bypass catalog partition tracking
+            self.spark.sql(f"MSCK REPAIR TABLE {qualified}")
+        self.spark.catalog.refreshTable(qualified)
+
+    def _table_location(self, table: str) -> str:
+        """Filesystem location of a managed table (cached — immutable)."""
+        loc = self._locations.get(table)
+        if loc is None:
+            loc = next(
+                r.data_type
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {self._qualified(table)}"
+                ).collect()
+                if r.col_name == "Location"
+            )
+            self._locations[table] = loc
+        return loc
 
     def _apply_layout(self, writer, table: str):  # noqa: ANN001, ANN202
         """Apply the table's persistent physical layout (disk
@@ -335,46 +570,65 @@ class SparkConnector(BaseConnector):
         return writer
 
     def _refresh_durable(self) -> None:
-        """Re-read the journal; on a new epoch, rebuild committed views."""
-        row = (
-            self.spark.table(self._qualified(_JOURNAL))
-            .agg(F.max("commit_id").alias("m"))
-            .first()
-        )
-        latest = row["m"] or 0
-        if latest > self._durable_max:
-            self._durable_max = latest
+        """Re-list the commit log (a driver-side metadata op — no Spark
+        job); on new commits, rebuild committed views."""
+        published = self._journal.visible()
+        if any(cid not in self._visible for cid in published):
+            self._visible.update(published)
+            self._durable_max = max(self._visible)
             for table in self._meta:
                 self._committed[table] = self._committed_view(table)
                 self._committed_empty[table] = False
             self._register_views()
 
-    def _init_journal(self) -> None:
-        qualified = self._qualified(_JOURNAL)
-        if not self.spark.catalog.tableExists(qualified):
-            self.spark.createDataFrame([], "`commit_id` BIGINT").write.mode(
-                "ignore"
-            ).saveAsTable(qualified)
-        row = (
-            self.spark.table(qualified)
-            .agg(F.max("commit_id").alias("m"))
-            .first()
+    def _init_commit_log(self) -> None:
+        self._journal = _CommitJournal(self.spark, self.database)
+        # legacy databases (pre-file-journal) recorded commits as rows of
+        # a journal TABLE with token == epoch; fold them in read-only
+        legacy = self._qualified(_JOURNAL)
+        if self.spark.catalog.tableExists(legacy):
+            for r in self.spark.table(legacy).collect():
+                cid = r["commit_id"]
+                self._visible.setdefault(cid, cid)
+        self._visible.update(self._journal.visible())
+        self._durable_max = max(self._visible)
+
+    def _visible_tokens(self, upper: int | None = None) -> list[int]:
+        """Row tokens of every durable commit with id ≤ *upper*."""
+        bound = self._durable_max if upper is None else upper
+        return [t for cid, t in self._visible.items() if cid <= bound]
+
+    def _visible_where(
+        self, frame: DataFrame, upper: int | None = None
+    ) -> DataFrame:
+        """Filter *frame* to rows of durable commits.
+
+        Small histories inline the token set (Catalyst turns >10
+        literals into an O(1)-per-row ``InSet``); long-lived databases
+        with thousands of commits would pay plan-size linear in history,
+        so above a threshold the filter becomes a broadcast semi-join
+        against a token DataFrame — constant plan size, still no
+        shuffle of the data side.  (`compact_table` is the real fix:
+        it folds history back down.)
+        """
+        tokens = self._visible_tokens(upper)
+        if len(tokens) <= 1024:
+            return frame.where(F.col(_COMMIT_COL).isin(tokens))
+        tok_df = self.spark.createDataFrame(
+            [(t,) for t in tokens], f"`{_COMMIT_COL}` BIGINT"
         )
-        self._durable_max = row["m"] or 0
+        return frame.join(F.broadcast(tok_df), _COMMIT_COL, "left_semi")
 
     def _committed_view(
         self, table: str, upper: int | None = None
     ) -> DataFrame:
-        """The durable content of a managed table as of epoch *upper*
-        (default: the latest durable epoch): epoch-filtered, hidden
+        """The durable content of a managed table as of commit *upper*
+        (default: the latest durable commit): token-filtered, hidden
         column dropped.  (Legacy tables without the column pass through.)"""
-        bound = self._durable_max if upper is None else upper
         frame = self.spark.table(self._qualified(table))
         if _COMMIT_COL not in frame.columns:
             return frame
-        return frame.where(
-            F.col(_COMMIT_COL) <= F.lit(int(bound))
-        ).drop(_COMMIT_COL)
+        return self._visible_where(frame, upper).drop(_COMMIT_COL)
 
     def commit_history(self) -> list[int]:
         """Durable commit epochs, oldest first (managed-catalog mode).
@@ -387,12 +641,8 @@ class SparkConnector(BaseConnector):
         if self.database is None:
             msg = "commit_history requires database (managed-catalog) mode."
             raise ValueError(msg)
-        rows = (
-            self.spark.table(self._qualified(_JOURNAL))
-            .orderBy("commit_id")
-            .collect()
-        )
-        return [r["commit_id"] for r in rows]
+        self._refresh_durable()
+        return sorted(cid for cid in self._visible if cid != 0)
 
     def read_table_as_of(self, table: str, commit_id: int) -> DataFrame:
         """Snapshot read: *table*'s content as of durable *commit_id*.
@@ -463,9 +713,7 @@ class SparkConnector(BaseConnector):
             raise RuntimeError(msg)
         frame = self.spark.table(self._qualified(table))
         if _COMMIT_COL in frame.columns:
-            frame = frame.where(
-                F.col(_COMMIT_COL) <= F.lit(self._durable_max)
-            )
+            frame = self._visible_where(frame)
         if target_partitions is not None:
             frame = frame.repartition(int(target_partitions))
         self._overwrite_table(table, frame)
@@ -473,37 +721,87 @@ class SparkConnector(BaseConnector):
         self._register_view(table)
 
     def _recover_orphans(self) -> None:
-        """Sweep rows a crashed commit left behind (epoch > journal max).
+        """Sweep rows a crashed commit left behind (token never
+        published).
 
-        They were never visible — reads filter by the durable epoch —
-        but the epoch they carry would be reused by the next commit, so
-        they must go before new writes.  One small max-scan per table at
-        connector open; rewrites only happen after an actual crash.
+        They were never visible — reads filter by published tokens —
+        so this is storage hygiene, not correctness.  One small
+        aggregate per table at connector open; rewrites only happen
+        after an actual crash.
 
-        SINGLE-WRITER CAVEAT: this sweep cannot distinguish a crashed
+        OPEN-TIME CAVEAT: this sweep cannot distinguish a crashed
         commit's leftovers from another connector's commit that is
-        in-flight right now — opening a second connector on the same
-        database while a first is mid-commit would sweep the live
-        epoch's rows.  The sink's single-writer discipline therefore
-        covers connector *opens* too, not just concurrent commits
-        (multi-writer coordination belongs to a table format with
-        optimistic concurrency — Delta/Iceberg — not to this journal).
+        in-flight RIGHT NOW — opening a new connector on a database
+        while another is mid-commit may sweep the live commit's rows
+        before its token publishes.  Concurrent *commits* are safe
+        (each failure path sweeps only its own token; the journal
+        rename is atomic); concurrent commit-while-opening is not —
+        open connectors before starting writers, or skip recovery by
+        reusing a long-lived connector.
         """
+        # crashed staged appends: token-unique stage tables / _staging
+        # dirs that never finished moving (driver-side metadata cleanup)
+        for row in self.spark.sql(f"SHOW TABLES IN {self.database}").collect():
+            if "__stage_" in row.tableName and not row.isTemporary:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._qualified(row.tableName)}"
+                )
+        for table in self._meta:
+            loc = self._table_location(table)
+            fs, path_cls = _hadoop_fs(self.spark, loc)
+            fs.delete(path_cls(f"{loc}/_staging"), True)
         for table in self._meta:
             frame = self.spark.table(self._qualified(table))
             if _COMMIT_COL not in frame.columns:
                 continue
-            peak = frame.agg(F.max(F.col(_COMMIT_COL)).alias("m")).first()["m"]
-            if peak is not None and peak > self._durable_max:
+            visible = self._visible_tokens()
+            orphans = frame.agg(
+                F.count(
+                    F.when(~F.col(_COMMIT_COL).isin(visible), 1)
+                ).alias("n")
+            ).first()["n"]
+            if orphans:
                 self._sweep_orphans([table])
 
-    def _sweep_orphans(self, tables: list[str]) -> None:
+    def _sweep_orphans(
+        self, tables: list[str], only_token: int | None = None
+    ) -> None:
+        """Drop never-published rows.  ``only_token`` restricts the
+        sweep to one writer's own rows — the failure path of a commit
+        must not touch other writers' in-flight (not yet published)
+        appends.  When the token's renamed-in destination files are
+        recorded (the normal failure path), the sweep DELETES exactly
+        those files — no table rewrite, so it cannot race a concurrent
+        writer's append the way an overwrite would."""
+        files = (
+            self._token_files.pop(only_token, None)
+            if only_token is not None
+            else None
+        )
+        if files is not None:
+            fs = path_cls = None
+            for f in files:
+                if fs is None:
+                    fs, path_cls = _hadoop_fs(self.spark, f)
+                fs.delete(path_cls(f), False)
+            for table in tables:
+                # leftovers of a mid-append failure: a token staging
+                # dir and/or stage table that never finished moving
+                stage = self._qualified(f"{table}__stage_{only_token}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+                loc = self._table_location(table)
+                fs, path_cls = _hadoop_fs(self.spark, loc)
+                fs.delete(path_cls(f"{loc}/_staging/{only_token}"), True)
+                self.spark.catalog.refreshTable(self._qualified(table))
+                self._committed[table] = self._committed_view(table)
+            return
         for table in tables:
             frame = self.spark.table(self._qualified(table))
-            self._overwrite_table(
-                table,
-                frame.where(F.col(_COMMIT_COL) <= F.lit(self._durable_max)),
-            )
+            if only_token is not None:
+                keep = F.col(_COMMIT_COL) != F.lit(int(only_token))
+            else:
+                keep = F.col(_COMMIT_COL).isin(self._visible_tokens())
+            self._overwrite_table(table, frame.where(keep))
             self._committed[table] = self._committed_view(table)
 
     def _overwrite_table(self, table: str, content: DataFrame) -> None:

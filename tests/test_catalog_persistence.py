@@ -190,7 +190,9 @@ def test_crash_without_sweep_recovers_on_reopen(
 
     monkeypatch.setattr(SparkConnector, "_append_epoch", fail_second)
     monkeypatch.setattr(
-        SparkConnector, "_sweep_orphans", lambda self, tables: None
+        SparkConnector,
+        "_sweep_orphans",
+        lambda self, tables, only_token=None: None,
     )
     with pytest.raises(RuntimeError, match="process death"), db:
         db.load(data)
@@ -364,11 +366,9 @@ def test_second_connector_transaction_sees_prior_commits(
             ._read_table("ep_brand").collect())
     )
     assert rows == [(1, "Ford"), (2, "Toyota")]
-    journal = sorted(
-        r[0]
-        for r in spark.table("epochtest.__sql_autoloader_commits").collect()
-    )
-    assert journal == sorted(set(journal))  # no epoch reuse
+    history = SparkConnector(spark, database="epochtest").commit_history()
+    assert history == sorted(set(history))  # no commit-id reuse
+    assert len(history) == 2
 
 
 def test_time_travel_reads_past_snapshots(spark: SparkSession) -> None:
@@ -533,3 +533,82 @@ def test_overwrite_crash_leaves_staging_copy(spark: SparkSession) -> None:
     db2 = SparkConnector(spark, database="crashcompact")
     assert "cc_t" in db2._meta
     assert sorted(map(tuple, db2._read_table("cc_t").collect())) == before
+
+
+def test_concurrent_commits_both_land_exactly_once(
+    spark: SparkSession,
+) -> None:
+    """Optimistic concurrency: two connectors with interleaved staged
+    transactions — including a forced commit-id collision — must BOTH
+    land, every row exactly once, under distinct commit ids."""
+    ddl = "CREATE TABLE cc_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    a = SparkConnector(spark, database="cctest")
+    a.execute_ddl(ddl)
+    b = SparkConnector(spark, database="cctest")
+
+    # interleave: both stage before either commits
+    a._in_tx = b._in_tx = True
+    a.insert(spark.createDataFrame([("alpha",)], ["name"]), table="cc_t")
+    b.insert(spark.createDataFrame([("beta",)], ["name"]), table="cc_t")
+    a.commit()
+    # b's view of durable state is now stale; its commit must detect the
+    # claimed id and retry with the next one — no error, no lost rows
+    b.commit()
+
+    fresh = SparkConnector(spark, database="cctest")
+    rows = sorted(r["name"] for r in fresh._read_table("cc_t").collect())
+    assert rows == ["alpha", "beta"]
+    history = fresh.commit_history()
+    assert len(history) == len(set(history)) == 2
+
+    # forced claim conflict: pre-create the next commit file so the
+    # journal's first rename target is taken and the retry loop must bump
+    nxt = max(fresh._visible) + 1
+    jr = fresh._journal
+    jr._fs.createNewFile(jr._path_cls(f"{jr._dir}/{nxt}.commit.tmpblock"))
+    jr._fs.rename(
+        jr._path_cls(f"{jr._dir}/{nxt}.commit.tmpblock"),
+        jr._path_cls(f"{jr._dir}/{nxt}.commit"),
+    )
+    with fresh:
+        fresh.insert(
+            spark.createDataFrame([("gamma",)], ["name"]), table="cc_t"
+        )
+    reread = SparkConnector(spark, database="cctest")
+    rows = sorted(r["name"] for r in reread._read_table("cc_t").collect())
+    assert rows == ["alpha", "beta", "gamma"]
+    assert max(reread.commit_history()) == nxt + 1
+
+
+def test_threaded_simultaneous_commits(spark: SparkSession) -> None:
+    """True simultaneity: two threads committing at once — the atomic
+    journal rename serializes the id claim; both commits land, all rows
+    exactly once."""
+    import threading
+
+    ddl = "CREATE TABLE th_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    a = SparkConnector(spark, database="thtest")
+    a.execute_ddl(ddl)
+    b = SparkConnector(spark, database="thtest")
+    a._in_tx = b._in_tx = True
+    a.insert(spark.createDataFrame([("one",)], ["name"]), table="th_t")
+    b.insert(spark.createDataFrame([("two",)], ["name"]), table="th_t")
+
+    errors: list[Exception] = []
+
+    def run(conn: SparkConnector) -> None:
+        try:
+            conn.commit()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=(a,))
+    t2 = threading.Thread(target=run, args=(b,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+
+    fresh = SparkConnector(spark, database="thtest")
+    rows = sorted(r["name"] for r in fresh._read_table("th_t").collect())
+    assert rows == ["one", "two"]
+    history = fresh.commit_history()
+    assert len(history) == len(set(history)) == 2
