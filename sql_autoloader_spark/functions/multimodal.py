@@ -76,41 +76,153 @@ _FRAMES_SCHEMA = StructType(
 )
 
 
-try:  # real codec when the environment ships one (import-gated)
+try:  # preferred codec when the environment ships one (import-gated)
     from PIL import Image as _PILImage
 except ImportError:  # pragma: no cover - container has no PIL
     _PILImage = None
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """Stdlib-only PNG decode: 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced.
+
+    A real decode with zero dependencies beyond ``zlib``/``struct``
+    (numpy only vectorizes the unfilter): chunk walk → concatenated
+    IDAT inflate → per-scanline unfilter for all five PNG filter types
+    (None/Sub/Up/Average/Paeth, spec §9).  Returns ``(width, height,
+    channels, pixels)`` with pixels row-major, channel-interleaved.
+    Raises ``ValueError`` for non-PNG bytes or unsupported variants
+    (16-bit, palette, interlaced) — callers fall back.
+    """
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    if not content.startswith(_PNG_SIG):
+        msg = "not a PNG signature"
+        raise ValueError(msg)
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack(">I4s", content[pos : pos + 8])
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # chunk header + payload + CRC
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or interlace != 0:
+                msg = f"unsupported PNG (depth={depth}, interlace={interlace})"
+                raise ValueError(msg)
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                msg = f"unsupported PNG color type {color}"
+                raise ValueError(msg)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        msg = "truncated PNG (missing IHDR or IDAT)"
+        raise ValueError(msg)
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        msg = "PNG payload size mismatch"
+        raise ValueError(msg)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(height):
+        fbyte = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if fbyte == 0:  # None
+            cur = line
+        elif fbyte == 2:  # Up — vectorized
+            cur = (line + prev) & 0xFF
+        elif fbyte in (1, 3, 4):  # Sub/Average/Paeth need the left pixel
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if fbyte == 1:
+                    pred = a
+                elif fbyte == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            msg = f"bad PNG filter byte {fbyte}"
+            raise ValueError(msg)
+        out[y] = cur
+        prev = cur
+    return width, height, channels, out.tobytes()
+
+
+def _png_luma(content: bytes) -> list[int]:
+    """Grayscale (ITU-R 601 luma, PIL ``convert('L')``-compatible
+    integer formula) pixel values of a decoded PNG."""
+    _w, _h, channels, pixels = decode_png(content)
+    if channels <= 2:  # gray / gray+alpha: first channel IS luma
+        return list(pixels[::channels])
+    return [
+        (
+            pixels[i] * 299 + pixels[i + 1] * 587 + pixels[i + 2] * 114
+        )
+        // 1000
+        for i in range(0, len(pixels), channels)
+    ]
 
 
 def _decode_image_bytes(content: bytes) -> list[float]:
     """Decode image bytes into a fixed-dim feature vector.
 
-    With PIL available, this is a real decode: the image is opened,
-    converted to grayscale, and summarized as a normalized 16-bin pixel
-    histogram.  Without a codec library (this container ships none),
-    a deterministic byte-histogram stands in — the signature
-    (bytes → fixed-dim float vector) is the real contract either way,
-    and the Spark-side plumbing (Arrow batches, schema, partitioning)
-    is identical.
+    Codec ladder: PIL when installed (any format) → the stdlib PNG
+    decoder (:func:`decode_png` — real pixels, in-container, no
+    dependencies) → a deterministic byte-histogram stand-in for formats
+    neither path reads (JPEG etc. without PIL).  The signature
+    (bytes → fixed-dim float vector) and the Spark-side plumbing
+    (Arrow batches, schema, partitioning) are identical on every rung.
     """
     if content is None:
         raise NotImplementedError(
             "no media codec available in this environment; "
             "content=None cannot be decoded"
         )
+    pixels: list[int] | None = None
     if _PILImage is not None:
         import io
 
         try:
             with _PILImage.open(io.BytesIO(content)) as img:
                 pixels = list(img.convert("L").getdata())
-            histogram = [0] * FEATURE_DIM
-            for p in pixels:
-                histogram[p * FEATURE_DIM // 256] += 1
-            total = max(len(pixels), 1)
-            return [count / total for count in histogram]
-        except Exception:  # noqa: BLE001 - undecodable bytes fall through
-            pass  # not an image PIL understands: byte-histogram fallback
+        except Exception:  # noqa: BLE001 - undecodable by PIL
+            pixels = None
+    if pixels is None:
+        try:
+            pixels = _png_luma(content)
+        except ValueError:
+            pixels = None
+    if pixels is not None:
+        histogram = [0] * FEATURE_DIM
+        for p in pixels:
+            histogram[p * FEATURE_DIM // 256] += 1
+        total = max(len(pixels), 1)
+        return [count / total for count in histogram]
     histogram = [0] * FEATURE_DIM
     for byte in content:
         histogram[byte % FEATURE_DIM] += 1

@@ -470,6 +470,128 @@ def test_sample_frames(spark: SparkSession, media) -> None:
     assert all(len(r["frame"]) == 1024 for r in out)
 
 
+def _encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: list[int],
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal test-side PNG encoder with a selectable per-row filter —
+    exercises every unfilter path of the production decoder."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(height):
+        row = list(pixels[y * stride : (y + 1) * stride])
+        raw.append(filter_type)
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_decode_roundtrip_exact(filter_type: int, channels: int) -> None:
+    """The stdlib PNG decoder recovers EXACT pixels for every PNG filter
+    type and supported color type (gray, gray+alpha, RGB, RGBA)."""
+    w, h = 7, 5  # odd sizes catch stride bugs
+    pixels = [(i * 37 + 11) % 256 for i in range(w * h * channels)]
+    png = _encode_png(w, h, channels, pixels, filter_type)
+    dw, dh, dc, out = multimodal.decode_png(png)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert list(out) == pixels
+
+
+def test_png_decode_rejects_unsupported() -> None:
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+    import struct
+    import zlib
+
+    # 16-bit depth IHDR must be refused (callers fall back, not corrupt)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        multimodal.decode_png(png16)
+
+
+def test_decode_image_bytes_real_png_pixels() -> None:
+    """In-container REAL decode: a known PNG's feature vector is the
+    exact pixel-luma histogram, not the byte-histogram stub."""
+    # 4×4 grayscale, two pixel values → two known histogram bins
+    pixels = [16] * 8 + [240] * 8  # bins 1 and 15, half each
+    png = _encode_png(4, 4, 1, pixels, filter_type=2)
+    vec = multimodal._decode_image_bytes(png)
+    expected = [0.0] * multimodal.FEATURE_DIM
+    expected[16 * multimodal.FEATURE_DIM // 256] = 0.5
+    expected[240 * multimodal.FEATURE_DIM // 256] = 0.5
+    assert vec == expected
+    # RGB: luma = (299R + 587G + 114B) // 1000, one uniform color
+    rgb = _encode_png(3, 3, 3, [200, 100, 50] * 9, filter_type=1)
+    luma = (299 * 200 + 587 * 100 + 114 * 50) // 1000
+    vec3 = multimodal._decode_image_bytes(rgb)
+    assert vec3[luma * multimodal.FEATURE_DIM // 256] == 1.0
+
+
+def test_extract_features_decodes_png_in_spark(spark: SparkSession) -> None:
+    """The Arrow mapInPandas pipeline uses the real PNG decode
+    end-to-end in this container (no PIL present)."""
+    pixels = [32] * 32 + [224] * 32
+    png = _encode_png(8, 8, 1, pixels, filter_type=3)
+    df = spark.createDataFrame(
+        [Row(media_id=1, media_type="image", mime="image/png", content=png,
+             n_bytes=None, width=8, height=8, duration_ms=None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    [row] = multimodal.extract_features(df).collect()
+    expected = [0.0] * multimodal.FEATURE_DIM
+    expected[32 * multimodal.FEATURE_DIM // 256] = 0.5
+    expected[224 * multimodal.FEATURE_DIM // 256] = 0.5
+    assert [pytest.approx(v) for v in expected] == list(row["feature"])
+
+
 def test_minhash_bucket_cap_star_fallback(spark: SparkSession) -> None:
     """Buckets over max_bucket_size switch to representative-star pairs:
     every member of a giant duplicate cluster still links to the cluster

@@ -106,25 +106,46 @@ def main() -> None:
         shown = "; ".join(interesting)[:120] or "—"
 
         # execute, then audit the adaptive plan that actually ran
-        df.collect()
-        final = (
-            df._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            .split("Initial Plan")[0]
-        )
-        fjoins = ", ".join(
-            f"{p}×{n}"
-            for p, n in [
-                ("BHJ", final.count("BroadcastHashJoin")),
-                ("SMJ", final.count("SortMergeJoin")),
-                ("SHJ", final.count("ShuffledHashJoin")),
-                ("BNLJ", final.count("BroadcastNestedLoopJoin")),
-            ]
-            if n
-        ) or "—"
+        def final_joins(frame):  # noqa: ANN001, ANN202
+            frame.collect()
+            text = (
+                frame._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("Initial Plan")[0]
+            )
+            if not text.strip():
+                msg = f"no final plan captured for {name}"
+                raise RuntimeError(msg)
+            counted = ", ".join(
+                f"{p}×{n}"
+                for p, n in [
+                    ("BHJ", text.count("BroadcastHashJoin")),
+                    ("SMJ", text.count("SortMergeJoin")),
+                    ("SHJ", text.count("ShuffledHashJoin")),
+                    ("BNLJ", text.count("BroadcastNestedLoopJoin")),
+                ]
+                if n
+            )
+            return text, counted
+
+        final, fjoins = final_joins(df)
+        if not fjoins and joins != "—":
+            if "EmptyRelation" not in final:
+                msg = (
+                    f"{name}: static plan has joins but the executed "
+                    "plan has none and no empty-input collapse explains "
+                    "it — audit tool failed to capture the final plan"
+                )
+                raise RuntimeError(msg)
+            # the query's input is EMPTY at the audit SF, so AQE's
+            # empty-relation propagation legitimately deleted every
+            # physical join — re-run one SF up for a representative
+            # final plan instead of reporting a hole
+            _, fjoins = final_joins(fn(spark, "/root/testdata/sf0.01"))
+            fjoins = (fjoins or "—") + " (sf0.01)"
         lines.append(
-            f"| {name} | {joins} | {fjoins} | {exch} | {py} | {shown} |"
+            f"| {name} | {joins} | {fjoins or '—'} | {exch} | {py} | {shown} |"
         )
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as fh:
