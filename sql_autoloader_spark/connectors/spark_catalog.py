@@ -1255,6 +1255,7 @@ class SparkConnector(BaseConnector):
                 full,
                 small=payload_bound is not None
                 and payload_bound <= self.max_window_rows,
+                bound=payload_bound,
             )
         else:
             # the in-memory commit lazily pins this table's chain so
@@ -1267,7 +1268,9 @@ class SparkConnector(BaseConnector):
     #: (range-partitioned) ranking instead of a single-partition window
     max_window_rows: int = 8_000_000
 
-    def _lazy_pin(self, frame: DataFrame, *, small: bool) -> DataFrame:
+    def _lazy_pin(
+        self, frame: DataFrame, *, small: bool, bound: int | None = None
+    ) -> DataFrame:
         """Pin an append as a lazily-materialized localCheckpoint.
 
         The checkpoint does double duty: the window/anti-join lineage
@@ -1294,6 +1297,9 @@ class SparkConnector(BaseConnector):
         """
         if not small:
             return frame.localCheckpoint(eager=False)
+        # (A bound-scaled coalesce before this pin was tried and MEASURED
+        # slower at sf0.1 — collapsing the anti-join stage's parallelism
+        # costs more than scheduling its mostly-empty partitions saves.)
         conf = self.spark.conf
         key = "spark.sql.adaptive.enabled"
         prev = conf.get(key)

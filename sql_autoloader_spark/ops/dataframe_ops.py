@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.errors import AnalysisException
@@ -429,7 +430,43 @@ def _row_hash_channels(frame: DataFrame, cols: list[str]) -> tuple[Column, Colum
     return h1, h2
 
 
-def fast_set_equal(data: DataFrame, db_aligned: DataFrame) -> bool:
+#: inputs at or below this bound run the checksum aggregate with AQE
+#: off: the data work is trivial there, and AQE otherwise splits the
+#: single action into one sequential driver-scheduled job per query
+#: stage (measured 5 jobs ≈ 0.5 s of pure scheduling at sf0.1 — larger
+#: than the aggregate itself).  Above the bound AQE stays on: runtime
+#: join re-selection and skew handling matter at fact scale, and the
+#: per-stage jobs amortize over real work.  Bounded tight (10k): at
+#: 100k+ rows AQE's runtime SMJ→SHJ conversion of the dim-preserving
+#: reconstruction join is already worth more than the saved job
+#: scheduling (measured at sf0.1).
+SMALL_COMPARE_ROWS = 10_000
+
+
+@contextmanager
+def _aqe_disabled(spark):  # noqa: ANN001, ANN202
+    """AQE off + few shuffle partitions, for one small-input action.
+
+    Without AQE nothing coalesces the aggregate's exchange at runtime,
+    so also drop ``shuffle.partitions`` to a handful — the input is
+    bounded small by the caller, and 4 reduce tasks beat scheduling the
+    session default on near-empty partitions.
+    """
+    conf = spark.conf
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    prev = [conf.get(k) for k in keys]
+    conf.set(keys[0], "false")
+    conf.set(keys[1], "4")
+    try:
+        yield
+    finally:
+        for k, p in zip(keys, prev):
+            conf.set(k, p)
+
+
+def fast_set_equal(
+    data: DataFrame, db_aligned: DataFrame, *, small: bool = False
+) -> bool:
     """Multiset-checksum equality of two aligned frames in ONE aggregate.
 
     The scale-critical validation primitive: both sides stream into a
@@ -473,7 +510,14 @@ def fast_set_equal(data: DataFrame, db_aligned: DataFrame) -> bool:
             F.bit_xor(F.when(on, F.col("__h2"))).alias(f"__x2_{tag}"),
         ]
 
-    row = tagged.agg(*side_aggs(1, "d"), *side_aggs(0, "b")).first()
+    agg = tagged.agg(*side_aggs(1, "d"), *side_aggs(0, "b"))
+    if small:
+        # plan AND run the one action with AQE off (a single job
+        # instead of one per query stage; see SMALL_COMPARE_ROWS)
+        with _aqe_disabled(data.sparkSession):
+            row = agg.first()
+    else:
+        row = agg.first()
     if row["__n_b"] == 0:
         return False
     return row["__n_d"] == row["__n_b"] and all(
@@ -490,6 +534,7 @@ def validate_load_compare(
     missing_first: bool = False,
     keep_grouped: bool = False,
     fast: bool = False,
+    small: bool = False,
     on_mismatch=None,
 ) -> DataFrame | None | object:
     """The full post-load validation in ONE aggregate job.
@@ -538,7 +583,7 @@ def validate_load_compare(
     aligned = match_dtypes(db_data, data)
     db_aligned = aligned.select([_col(aligned, c) for c in data.columns])
     if fast and exact:
-        if fast_set_equal(data, db_aligned):
+        if fast_set_equal(data, db_aligned, small=small):
             return FAST_VERIFIED
         if on_mismatch is not None:
             on_mismatch()

@@ -74,8 +74,8 @@ def test_load_happy_path_uses_fast_compare(
     calls: list[bool] = []
     orig = ops.fast_set_equal
 
-    def spy(data, db):  # noqa: ANN001, ANN202
-        result = orig(data, db)
+    def spy(data, db, **kw):  # noqa: ANN001, ANN202
+        result = orig(data, db, **kw)
         calls.append(result)
         return result
 
