@@ -636,7 +636,11 @@ def minhash_lsh_pairs(
             F.count(F.lit(1)).alias("__f"),
             F.min("doc").alias("__rep"),
         )
-        sized = banded.join(counts, on=["band", "bucket"])
+        # pin the counted-bucket frame: the keys filter, the star branch,
+        # and BOTH sides of the self-join below read it — persisting runs
+        # the bucket-count aggregate + join ONCE instead of per consumer
+        # (lazy: no job until the query's first action)
+        sized = banded.join(counts, on=["band", "bucket"]).persist()
         banded = sized.where(F.col("__f") <= max_bucket_size).drop(
             "__f", "__rep"
         )
@@ -856,7 +860,9 @@ def simhash_pairs(
             F.min("doc").alias("__rep"),
             F.min_by("fp", "doc").alias("__rep_fp"),
         )
-        sized = chunked.join(counts, on=["ci", "cv"])
+        # pin (see minhash_lsh_pairs): filter, star, and both self-join
+        # sides consume this frame — one bucket-count aggregate, not four
+        sized = chunked.join(counts, on=["ci", "cv"]).persist()
         chunked = sized.where(F.col("__f") <= max_bucket_size).drop(
             "__f", "__rep", "__rep_fp"
         )
@@ -899,6 +905,15 @@ def simhash_pairs(
     return cand.where(F.col("hamming") <= max_hamming)
 
 
+#: ``algorithm="auto"`` switches to the star algorithm outright above
+#: this many (symmetric) edges: per-round cost is similar for both, but
+#: a deep chain costs label propagation ``max_iterations`` wasted
+#: edge-list shuffles before the fallback — a risk worth pre-empting
+#: only when each shuffle is expensive.  ~50M edges ≈ a few GB keyed
+#: shuffle per round.
+STAR_EDGE_THRESHOLD = 50_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -931,9 +946,15 @@ def connected_components(
       minimum, collapsing components into stars in O(log²)
       rounds **independent of graph diameter** — the scale path for
       adversarial chains.
-    - ``"auto"`` (default) — label propagation first (cheapest on the
-      shallow graphs dedup produces); if the cap is hit, falls back to
-      the star algorithm instead of raising.
+    - ``"auto"`` (default) — picks by edge count: at or below
+      :data:`STAR_EDGE_THRESHOLD` edges, label propagation first
+      (cheapest on the shallow graphs dedup produces), falling back to
+      the star algorithm if the cap is hit instead of raising; above
+      the threshold, the star algorithm from the start — at corpus
+      scale an undetected deep chain would waste ``max_iterations``
+      full edge-list shuffles before the fallback kicks in, and the
+      star rounds are diameter-independent (the count is free: the
+      edge list was just eagerly checkpointed).
 
     Each round's state is pinned with ``localCheckpoint`` to keep the
     plan flat (iterative lineage otherwise grows exponentially;
@@ -953,7 +974,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if algorithm == "star":
+    if algorithm == "star" or (
+        algorithm == "auto" and edges.count() > STAR_EDGE_THRESHOLD
+    ):
         return _star_components(edges, max_iterations=max_iterations)
     labels = (
         edges.select("a")

@@ -647,7 +647,9 @@ def embedding_neardup_pairs(
             F.count(F.lit(1)).alias("__f"),
             F.min("doc").alias("__rep"),
         )
-        sized = keys.join(counts, on=["tbl", "sig"])
+        # pin (see minhash_lsh_pairs): filter, star, and both self-join
+        # sides consume this frame — one bucket-count aggregate, not four
+        sized = keys.join(counts, on=["tbl", "sig"]).persist()
         keys = sized.where(F.col("__f") <= max_bucket_size).drop(
             "__f", "__rep"
         )
@@ -677,7 +679,9 @@ def embedding_neardup_pairs(
         id_pairs = id_pairs.unionByName(star)
     id_pairs = id_pairs.distinct()
 
-    vecs = banded.select("doc", "v").dropDuplicates(["doc"])
+    # pin the deduped vector lookup: the id_a and id_b joins each scan
+    # it — one dedup aggregate over the vector payload, not two
+    vecs = banded.select("doc", "v").dropDuplicates(["doc"]).persist()
     pairs = id_pairs.join(
         vecs.select(F.col("doc").alias("id_a"), F.col("v").alias("va")),
         on="id_a",

@@ -823,6 +823,42 @@ def test_auto_falls_back_to_star_on_deep_chain(spark) -> None:
         )
 
 
+def test_auto_picks_star_above_edge_threshold(spark, monkeypatch) -> None:
+    """Above STAR_EDGE_THRESHOLD edges, algorithm='auto' must go to the
+    star algorithm OUTRIGHT (no wasted label rounds), and the result
+    must stay exact."""
+    from sql_autoloader_spark.functions import dedup
+
+    calls: list[str] = []
+    orig_star = dedup._star_components
+
+    def spy(edges, **kw):  # noqa: ANN001, ANN202
+        calls.append("star")
+        return orig_star(edges, **kw)
+
+    monkeypatch.setattr(dedup, "_star_components", spy)
+    monkeypatch.setattr(dedup, "STAR_EDGE_THRESHOLD", 3)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )  # 8 symmetric edges > threshold 3
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert calls == ["star"]
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (5, 5), (6, 5)}
+
+    # small graphs stay on label propagation (no star call)
+    calls.clear()
+    monkeypatch.setattr(dedup, "STAR_EDGE_THRESHOLD", 1_000)
+    got2 = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert calls == []
+    assert got2 == got
+
+
 def test_pil_decode_path_with_fake_codec(monkeypatch) -> None:
     """The import-gated real-codec path: with a (fake) PIL installed the
     decoder produces a pixel histogram; undecodable bytes fall back to

@@ -374,3 +374,135 @@ def test_fuzzy_dedup_crash_replay_is_idempotent(
     for r in spark.read.parquet(str(out)).collect():
         counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
     assert counts == {1: 1, 3: 1, 11: 1}, counts
+
+
+# --- watermark-boundary semantics across restarts ---------------------------
+#
+# The availableNow replays above verify END state; these two-phase tests
+# verify the watermark BOUNDARY itself: phase 1 advances the watermark
+# far past the early windows/keys (finalizing windows, evicting dedup
+# state), then phase 2 restarts from the same checkpoint with a file
+# containing a LATE row (behind the restored watermark) and an on-time
+# re-send of an evicted key.  Late row -> dropped; evicted key ->
+# re-admitted (the documented within-watermark dedup horizon).  The sink
+# is a parquet file sink - the memory sink cannot recover a checkpoint.
+
+
+def _write_events(spark: SparkSession, path, rows) -> None:
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(path))
+
+
+def _run_to_parquet(df: DataFrame, out: str, ckpt: str) -> None:
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windowed_counts_drop_late_rows_across_restart(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    src = tmp_path / "wm_src"
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def run():
+        agg = windowed_event_counts(
+            _read_stream(spark, str(src)),
+            window_duration="1 hour",
+            watermark="10 minutes",
+        )
+        _run_to_parquet(agg, out, ckpt)
+        rows = spark.read.parquet(out).collect()
+        got: dict[tuple[str, str], list[int]] = {}
+        for r in rows:
+            got.setdefault(
+                (str(r["window_start"]), r["event_type"]), []
+            ).append(r["n_events"])
+        return got
+
+    # phase 1: two clicks in the 10:00 window, then a row at 23:00 that
+    # advances the watermark to 22:50 - window 10:00 finalizes and emits
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:05:00", 1, "click", 2.0),
+            (3, "2024-01-01 23:00:00", 2, "view", 3.0),
+        ],
+    )
+    got1 = run()
+    assert got1[("2024-01-01 10:00:00", "click")] == [2]
+
+    # phase 2 (same checkpoint): a LATE click at 10:30 (behind the
+    # restored 22:50 watermark) plus on-time rows, the last of which
+    # pushes the watermark past everything so every live window emits
+    _write_events(
+        spark,
+        src,
+        [
+            (4, "2024-01-01 10:30:00", 1, "click", 4.0),  # LATE -> dropped
+            (5, "2024-01-01 23:05:00", 2, "view", 5.0),
+            (6, "2024-01-02 12:00:00", 2, "view", 6.0),
+        ],
+    )
+    got2 = run()
+    # the late row must NOT resurrect the finalized 10:00 window: its
+    # count stays [2] - neither updated nor emitted a second time
+    assert got2[("2024-01-01 10:00:00", "click")] == [2]
+    # the on-time 23:05 row joined event 3 in the finalized 23:00 window
+    assert got2[("2024-01-01 23:00:00", "view")] == [2]
+
+
+def test_dedup_stream_evicts_and_readmits_across_restart(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    src = tmp_path / "dd_src"
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def run():
+        deduped = dedup_stream(
+            _read_stream(spark, str(src)),
+            keys=["event_id"],
+            watermark="10 minutes",
+        )
+        _run_to_parquet(deduped, out, ckpt)
+        return sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+
+    # phase 1: key 2 seen (with an in-batch duplicate), then a 23:00 row
+    # advances the watermark to 22:50 and key 2's state is evicted
+    _write_events(
+        spark,
+        src,
+        [
+            (2, "2024-01-01 10:05:00", 1, "click", 2.0),
+            (2, "2024-01-01 10:05:00", 1, "click", 2.0),
+            (7, "2024-01-01 23:00:00", 2, "view", 3.0),
+        ],
+    )
+    assert run() == [2, 7]
+
+    # phase 2 (same checkpoint): key 2 re-sent ON TIME after eviction ->
+    # re-admitted (the within-watermark horizon); key 9 arrives LATE
+    # (behind the restored watermark) -> dropped outright
+    _write_events(
+        spark,
+        src,
+        [
+            (2, "2024-01-01 23:05:00", 1, "click", 9.0),  # evicted -> readmit
+            (9, "2024-01-01 10:06:00", 1, "click", 1.0),  # LATE -> dropped
+        ],
+    )
+    assert run() == [2, 2, 7]

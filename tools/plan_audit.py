@@ -79,10 +79,22 @@ def main() -> None:
             continue
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(mode)
-        bhj = plan.count("BroadcastHashJoin")
-        smj = plan.count("SortMergeJoin")
-        bnl = plan.count("BroadcastNestedLoopJoin")
-        exch = plan.count("Exchange")
+        # count UNIQUE operator ids: formatted explain reprints a cached
+        # (InMemoryRelation) subtree under every scan that reads it, so a
+        # raw substring count overstates pinned pipelines several-fold
+        # (the pre-fix PLANS.md "24 exchanges" on the signature pipelines
+        # was mostly this artifact)
+        def uniq(op: str) -> int:
+            # tree lines are "Name [modifiers] (id)" — e.g.
+            # "BroadcastHashJoin Inner BuildRight (75)", "Exchange (53)"
+            return len(
+                set(re.findall(rf"(?<![A-Za-z]){op}\b[^\n(]*\((\d+)\)", plan))
+            )
+
+        bhj = uniq("BroadcastHashJoin")
+        smj = uniq("SortMergeJoin")
+        bnl = uniq("BroadcastNestedLoopJoin")
+        exch = uniq("Exchange") + uniq("BroadcastExchange")
         py = (
             "arrow"
             if "ArrowEvalPython" in plan or "MapInPandas" in plan
