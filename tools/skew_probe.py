@@ -1,0 +1,180 @@
+"""Skew stress for the events path: measured effect of a hot key.
+
+Builds a deliberately skewed copy of the sf0.1 events table (ONE user
+owns ~20% of all rows — the VERDICT-prescribed pathological shape) and
+measures, skewed vs. uniform:
+
+- ``events_sessionize``'s window stage (``Window.partitionBy(user_id)``)
+  — windows CANNOT be salted or AQE-split (ordering needs the whole key
+  in one partition), so this measures the inherent hot-key ceiling;
+- ``as_of_join`` on ``user_id`` — same single-shuffle window plan;
+- an enrichment join events⨝users on ``user_id`` three ways: plain
+  (AQE skew-join splitting), ``salted_join``, and plain with AQE off
+  (the unmitigated baseline a naive plan would hit).
+
+Prints a table for SCALE.md.  Writes under /tmp; run:
+``python tools/skew_probe.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/spark_graft_skewprobe"
+HOT_SHARE = 5  # 1/5 = 20% of rows on one user
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+
+
+def build_fixture() -> None:
+    """Replicate events ×REPLICAS with disjoint ids (sf0.1 alone is too
+    small for skew to beat fixed task overhead — measured flat at ×1).
+    uniform.parquet keeps per-user shares; skewed.parquet remaps every
+    5th row's user_id to a single hot user (0) = 20% of ALL rows."""
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    src = f"{BASE}/events.parquet"
+    span_e, span_u = con.sql(
+        f"SELECT MAX(event_id) + 1, MAX(user_id) + 1 FROM '{src}'"
+    ).fetchone()
+    base = (
+        f"SELECT * REPLACE (CAST(event_id + i * {span_e} AS BIGINT) AS "
+        f"event_id, CAST(user_id + i * {span_u} AS BIGINT) AS user_id) "
+        f"FROM '{src}', range({REPLICAS}) t(i)"
+    )
+    for name, expr in [
+        ("uniform", "user_id"),
+        (
+            "skewed",
+            f"CASE WHEN event_id % {HOT_SHARE} = 0 THEN 0 ELSE user_id END",
+        ),
+    ]:
+        dst = f"{OUT}/{name}.parquet"
+        if not os.path.exists(dst):
+            con.sql(
+                f"COPY (SELECT * REPLACE (CAST({expr} AS BIGINT) AS user_id)"
+                f" FROM ({base})) TO '{dst}' (FORMAT PARQUET)"
+            )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions.events import as_of_join
+    from sql_autoloader_spark.functions.scale import salted_join
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("skew-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_fixture()
+
+    def events(which: str):
+        # DuckDB writes TIMESTAMP_NTZ; normalize for unix_micros
+        return spark.read.parquet(f"{OUT}/{which}.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    def sessionize(ev):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        new_sess = F.when(
+            gap_us.isNull() | (gap_us > 6 * 3600 * 1_000_000), 1
+        ).otherwise(0)
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            ev.withColumn("sid", F.sum(new_sess).over(cum))
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def asof(ev):
+        # attribute each event to the latest prior 'purchase' of the user
+        marks = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        return as_of_join(
+            ev.select("user_id", "ts", "event_id"),
+            marks,
+            on=["user_id"],
+            right_payload=["purchase_id"],
+        )
+
+    def users_dim(ev):
+        return (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_total"))
+            .localCheckpoint(eager=True)
+        )
+
+    def bench(label: str, make) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            make().count()
+            best = min(best, time.time() - t0)
+        print(f"  {label:44s} {best:7.2f}s")
+        return best
+
+    frames = {}
+    for which in ("uniform", "skewed"):
+        ev = events(which).localCheckpoint(eager=True)
+        dim = users_dim(ev).withColumn("pad", F.lit("x" * 64))
+        n = ev.count()
+        hot = ev.where(F.col("user_id") == 0).count()
+        print(f"{which}: {n} rows, hot-user share {hot / n:.1%}")
+        frames[which] = (ev, dim)
+
+    def probes(which):
+        ev, dim_big = frames[which]
+
+        def plain():
+            return ev.hint("shuffle_merge").join(dim_big, on="user_id")
+
+        def salted():
+            return salted_join(ev, dim_big, on="user_id", n_salts=int(cpus))
+
+        def no_aqe():
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                return ev.hint("shuffle_merge").join(dim_big, on="user_id")
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+        return {
+            "sessionize": lambda: sessionize(ev),
+            "as_of_join": lambda: asof(ev),
+            "join_aqe": plain,
+            "join_salted": salted,
+            "join_noaqe": no_aqe,
+        }
+
+    # interleave u/s per probe (kills warm-up order bias)
+    results: dict[str, dict[str, float]] = {"uniform": {}, "skewed": {}}
+    for key in probes("uniform"):
+        for which in ("uniform", "skewed"):
+            results[which][key] = bench(
+                f"{key} [{which}]", probes(which)[key]
+            )
+
+    print("\nratios skewed/uniform:")
+    for k in results["uniform"]:
+        print(f"  {k:20s} {results['skewed'][k] / results['uniform'][k]:5.2f}x")
+
+
+if __name__ == "__main__":
+    main()
