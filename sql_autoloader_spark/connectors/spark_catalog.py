@@ -88,15 +88,26 @@ class _CommitJournal:
     The plain-Spark-tables restatement of how Delta/Iceberg get atomic
     multi-writer commits from a filesystem: one file per commit,
     ``<dir>/<cid>.commit`` (content = the commit's row token), created
-    by writing a temp file and RENAMING it into place.  The rename is
-    the whole commit — claim of the commit id and publication of the
-    token in ONE atomic step — because ``FileSystem.rename`` refuses an
-    existing destination: of two writers racing for the same cid,
-    exactly one rename succeeds and the loser retries with the next id
-    (its DATA needs no rewrite — rows are tagged with the writer's own
-    token, not the cid).  Needs atomic no-overwrite rename, which HDFS
-    and local filesystems provide; on S3 use a log-coordination layer,
-    the same caveat as every file-journal table format.
+    by writing a temp file and LINKING/renaming it into place.  That
+    step is the whole commit — claim of the commit id and publication
+    of the token in ONE atomic operation: of two writers racing for
+    the same cid, exactly one claim succeeds and the loser retries
+    with the next id (its DATA needs no rewrite — rows are tagged with
+    the writer's own token, not the cid).  Scheme-aware atomicity:
+
+    - ``file://`` — ``java.nio.Files.createLink``: ``link(2)`` is a
+      single syscall that fails with ``EEXIST``, with none of the
+      TOCTOU window of Hadoop's local rename (whose no-overwrite
+      contract is a non-atomic exists-check before ``rename(2)``,
+      which itself silently replaces).
+    - everything else — ``FileSystem.rename``, which HDFS implements
+      as an atomic server-side no-overwrite operation.  On S3 use a
+      log-coordination layer, the same caveat as every file-journal
+      table format.
+
+    Either way the commit file appears with its COMPLETE content (the
+    temp file is fully written and closed first), so readers never see
+    a partial token.
 
     Readers list the directory: the visible commits are exactly the
     ``*.commit`` files, each mapping cid → token.  Listing is a pure
@@ -115,7 +126,11 @@ class _CommitJournal:
         )
         self._fs.mkdirs(root)
         self._root = root
-        #: token content cache (commit files are immutable)
+        scheme = jvm.java.net.URI(location).getScheme()
+        #: local paths use the link(2)-based atomic claim
+        self._local = scheme in (None, "file")
+        #: token content cache (commit files are immutable; unreadable
+        #: ones are NOT cached — re-read on the next listing)
         self._tokens: dict[int, int] = {}
 
     def _read_token(self, name: str) -> int | None:
@@ -143,21 +158,62 @@ class _CommitJournal:
                 continue
             cid = int(name[: -len(".commit")])
             if cid not in self._tokens:
-                self._tokens[cid] = self._read_token(name)
-            if self._tokens[cid] is not None:
-                out[cid] = self._tokens[cid]
+                token = self._read_token(name)
+                if token is None:
+                    # unreadable right now (external tampering, or a
+                    # non-atomic filesystem mid-publish): skip WITHOUT
+                    # caching, so a later listing can pick it up
+                    continue
+                self._tokens[cid] = token
+            out[cid] = self._tokens[cid]
         return out
+
+    def _claim(self, tmp_name: str, dest_name: str) -> bool:
+        """Atomically claim *dest_name* with *tmp_name*'s content.
+
+        True = this writer owns the commit id; False = already claimed.
+        """
+        if self._local:
+            # link(2): one syscall, EEXIST on conflict — no TOCTOU
+            local = self._dir
+            for prefix in ("file://", "file:"):
+                if local.startswith(prefix):
+                    local = local[len(prefix):]
+                    break
+            jf = self._jvm.java.io.File
+            try:
+                self._jvm.java.nio.file.Files.createLink(
+                    jf(f"{local}/{dest_name}").toPath(),
+                    jf(f"{local}/{tmp_name}").toPath(),
+                )
+                return True
+            except Exception as e:  # noqa: BLE001 — py4j-wrapped Java
+                java_cls = getattr(
+                    getattr(e, "java_exception", None), "getClass", None
+                )
+                if (
+                    java_cls is not None
+                    and "FileAlreadyExistsException"
+                    in java_cls().getName()
+                ):
+                    return False
+                raise
+        return self._fs.rename(
+            self._path_cls(f"{self._dir}/{tmp_name}"),
+            self._path_cls(f"{self._dir}/{dest_name}"),
+        )
 
     def commit(self, token: int, *, after: int) -> int:
         """Durably commit *token*, returning its commit id.
 
-        Writes the token to a temp file once, then renames toward
+        Writes the token to a temp file once, then claims
         ``<cid>.commit`` starting at ``after + 1``, bumping the id on
         every conflict — the optimistic retry loop.  Returns only when
-        a rename lands; raises if the temp file vanishes (an external
+        a claim lands; raises if the temp file vanishes (an external
         cleanup raced us — never our own doing).
         """
-        tmp = self._path_cls(f"{self._dir}/tmp-{token}")
+        tmp_name = f"tmp-{token}"
+        tmp = self._path_cls(f"{self._dir}/{tmp_name}")
         out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(str(token).encode()))
@@ -165,9 +221,11 @@ class _CommitJournal:
             out.close()
         cid = after + 1
         while True:
-            dest = self._path_cls(f"{self._dir}/{cid}.commit")
-            if self._fs.rename(tmp, dest):
+            if self._claim(tmp_name, f"{cid}.commit"):
                 self._tokens[cid] = token
+                if self._local:
+                    # the link left the temp file behind; drop it
+                    self._fs.delete(tmp, False)
                 return cid
             if not self._fs.exists(tmp):
                 msg = (
@@ -446,6 +504,11 @@ class SparkConnector(BaseConnector):
         import random
 
         token = random.SystemRandom().getrandbits(61) | _TOKEN_FLOOR
+        # register the token's (empty) file record BEFORE any append so
+        # a failure at ANY point — even before the first move — takes
+        # the surgical own-files sweep, never the full-table overwrite
+        # (which could clobber a concurrent writer's in-flight files)
+        self._token_files.setdefault(token, [])
         done: list[str] = []
         try:
             for table, appends in pending.items():
@@ -470,6 +533,11 @@ class SparkConnector(BaseConnector):
             token, after=max(max(published, default=0), self._durable_max)
         )
         self._token_files.pop(token, None)
+        # re-list AFTER the claim: a commit that landed during the
+        # rename race (every claim conflict proves one exists) must
+        # enter the visible set now — otherwise reads and time travel
+        # would silently omit it until the next refresh
+        published = self._journal.visible()
         published[cid] = token
         foreign = any(c not in self._visible for c in published if c != cid)
         self._visible.update(published)
@@ -711,6 +779,10 @@ class SparkConnector(BaseConnector):
                 "rollback before compacting."
             )
             raise RuntimeError(msg)
+        # consult the journal first: another connector may have
+        # committed since this one last looked — compacting with a
+        # stale visible set would DELETE its durable rows as orphans
+        self._refresh_durable()
         frame = self.spark.table(self._qualified(table))
         if _COMMIT_COL in frame.columns:
             frame = self._visible_where(frame)
@@ -1300,14 +1372,19 @@ class SparkConnector(BaseConnector):
         # (A bound-scaled coalesce before this pin was tried and MEASURED
         # slower at sf0.1 — collapsing the anti-join stage's parallelism
         # costs more than scheduling its mostly-empty partitions saves.)
+        from sql_autoloader_spark.ops.dataframe_ops import _CONF_LOCK
+
         conf = self.spark.conf
         key = "spark.sql.adaptive.enabled"
-        prev = conf.get(key)
-        conf.set(key, "false")
-        try:
-            return frame.localCheckpoint(eager=False)
-        finally:
-            conf.set(key, prev)
+        # session conf is global: serialize the toggle against other
+        # threads' toggles (this section only PLANS — no execution)
+        with _CONF_LOCK:
+            prev = conf.get(key)
+            conf.set(key, "false")
+            try:
+                return frame.localCheckpoint(eager=False)
+            finally:
+                conf.set(key, prev)
 
     def _with_surrogate_key(
         self,

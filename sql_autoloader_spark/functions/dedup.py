@@ -14,6 +14,12 @@ Design rules for 100 TB:
   codegen), so a numpy matrix fold beats the interpreted per-token
   array passes by ~10x; the integer math is exact and bit-identical to
   the JVM expression forms (differential-tested).
+- **Pin lifetime**: the fuzzy builders ``persist()`` internal frames
+  (signatures, counted buckets) so multi-consumer plans compute them
+  once.  Those pins live in the session CacheManager until
+  ``spark.catalog.clearCache()`` — a long-lived session calling these
+  per batch should clear between batches (or run the streaming
+  admission path, which manages its own per-batch checkpoints).
 """
 
 from __future__ import annotations

@@ -215,7 +215,10 @@ def _decode_image_bytes(content: bytes) -> list[float]:
     if pixels is None:
         try:
             pixels = _png_luma(content)
-        except ValueError:
+        except Exception:  # noqa: BLE001 — any undecodable bytes fall
+            # back: corrupt PNGs raise zlib.error / struct.error, not
+            # just the decoder's own ValueError, and a malformed asset
+            # must degrade to the byte histogram, never fail the job
             pixels = None
     if pixels is not None:
         histogram = [0] * FEATURE_DIM

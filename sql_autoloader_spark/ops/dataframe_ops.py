@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from functools import reduce
 
@@ -443,6 +444,14 @@ def _row_hash_channels(frame: DataFrame, cols: list[str]) -> tuple[Column, Colum
 SMALL_COMPARE_ROWS = 10_000
 
 
+#: serializes session-conf toggles: the conf is SESSION-global, so two
+#: threads toggling concurrently (multi-threaded connectors on one
+#: session are supported) could restore each other's transient value
+#: and leave AQE off / 4 shuffle partitions for unrelated queries.
+#: Only tiny-input actions ever hold this across execution.
+_CONF_LOCK = threading.RLock()
+
+
 @contextmanager
 def _aqe_disabled(spark):  # noqa: ANN001, ANN202
     """AQE off + few shuffle partitions, for one small-input action.
@@ -454,14 +463,15 @@ def _aqe_disabled(spark):  # noqa: ANN001, ANN202
     """
     conf = spark.conf
     keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-    prev = [conf.get(k) for k in keys]
-    conf.set(keys[0], "false")
-    conf.set(keys[1], "4")
-    try:
-        yield
-    finally:
-        for k, p in zip(keys, prev):
-            conf.set(k, p)
+    with _CONF_LOCK:
+        prev = [conf.get(k) for k in keys]
+        conf.set(keys[0], "false")
+        conf.set(keys[1], "4")
+        try:
+            yield
+        finally:
+            for k, p in zip(keys, prev):
+                conf.set(k, p)
 
 
 def fast_set_equal(

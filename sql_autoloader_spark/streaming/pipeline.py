@@ -319,6 +319,12 @@ def fuzzy_dedup_stream(
     Readers wanting committed-rows-only semantics mid-stream can join
     the corpus against the marker table; once the stream is caught up
     the corpus content is exactly the committed admissions.
+
+    LAYOUT NOTE: ``out_path`` must be fresh or already
+    ``__batch``-partitioned.  A directory holding flat (pre-protocol)
+    parquet files cannot take partitioned appends — Spark's partition
+    discovery rejects mixed layouts; migrate such a corpus once by
+    rewriting it under a single ``__batch=legacy`` partition.
     """
     admit_batch = _fuzzy_admitter(
         id_col=id_col,
@@ -478,11 +484,21 @@ def _fuzzy_admitter(
         # uncommitted batch replaces its own half-written output instead
         # of appending a duplicate of it.  The partition key is
         # (stream, batch) — stable across replays of one checkpoint,
-        # disjoint across streams sharing the corpus.
+        # disjoint across streams sharing the corpus.  Drop the
+        # partition dir FIRST: dynamic overwrite touches only
+        # partitions present in the new data, so a replay whose
+        # recomputed admitted set is EMPTY would otherwise leave the
+        # crashed attempt's half-written files in place forever.
+        part_val = f"{stream_id}_{int(batch_id)}"
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            f"{out_path}/__batch={part_val}"
+        )
+        hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        ).delete(hpath, True)
         (
-            admitted.withColumn(
-                "__batch", F.lit(f"{stream_id}_{int(batch_id)}")
-            )
+            admitted.withColumn("__batch", F.lit(part_val))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch")

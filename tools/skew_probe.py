@@ -121,11 +121,14 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
 
-    def bench(label: str, make) -> float:
+    def bench(label: str, run) -> float:
+        """run() must BUILD AND EXECUTE the query (AQE enablement is
+        read at execution time, so conf-toggling probes must hold their
+        toggle across the action, not just construction)."""
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            make().count()
+            run()
             best = min(best, time.time() - t0)
         print(f"  {label:44s} {best:7.2f}s")
         return best
@@ -143,21 +146,22 @@ def main() -> None:
         ev, dim_big = frames[which]
 
         def plain():
-            return ev.hint("shuffle_merge").join(dim_big, on="user_id")
+            ev.hint("shuffle_merge").join(dim_big, on="user_id").count()
 
         def salted():
-            return salted_join(ev, dim_big, on="user_id", n_salts=int(cpus))
+            salted_join(ev, dim_big, on="user_id", n_salts=int(cpus)).count()
 
         def no_aqe():
+            # the toggle must span the COUNT, not just construction
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             try:
-                return ev.hint("shuffle_merge").join(dim_big, on="user_id")
+                ev.hint("shuffle_merge").join(dim_big, on="user_id").count()
             finally:
                 spark.conf.set("spark.sql.adaptive.enabled", "true")
 
         return {
-            "sessionize": lambda: sessionize(ev),
-            "as_of_join": lambda: asof(ev),
+            "sessionize": lambda: sessionize(ev).count(),
+            "as_of_join": lambda: asof(ev).count(),
             "join_aqe": plain,
             "join_salted": salted,
             "join_noaqe": no_aqe,
