@@ -1759,6 +1759,56 @@ def q_load_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse maintenance end-to-end: three transactional loads, a
+    sorted compaction (``compact_table(sort_by=...)`` — the data-
+    skipping rewrite), then ``vacuum_commits(retain_last=1)`` folding
+    old history into the base.  The returned row proves content
+    survives both rewrites, history trims to the retained commit, and
+    the vacuumed-base snapshot absorbs the folded loads.  Rows-only:
+    commit ids are engine state, not SQL-reconstructable; mechanisms
+    unit-tested in tests/test_catalog_persistence.py."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    db = SparkConnector(spark, database=f"vac_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        """
+        CREATE TABLE vm_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE vm_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES vm_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+    for part in (0, 1, 2):
+        with db:
+            db.load(
+                docs.where(F.col("doc_id") % 3 == part),
+                compare=False,
+            )
+    total_before = db._read_table("vm_doc").count()
+    db.compact_table("vm_doc", target_partitions=4, sort_by=["doc_id"])
+    db.vacuum_commits(retain_last=1)
+    history = db.commit_history()
+    row = (
+        int(total_before),
+        int(db._read_table("vm_doc").count()),
+        len(history),
+        int(db.read_table_as_of("vm_doc", 0).count()),
+        int(db.read_table_as_of("vm_doc", history[-1]).count()),
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return spark.createDataFrame(
+        [row],
+        "n_before bigint, n_after bigint, n_history bigint, "
+        "n_base_snapshot bigint, n_head_snapshot bigint",
+    )
+
+
 def q_load_star_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 through the SQLite compatibility sink (D1 executed for real):
     the same nation⨝region star load as ``load_star_roundtrip``, but
@@ -2840,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_quantized_topk": q_emb_ivf_quantized_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "load_snapshot_history": q_load_snapshot_history,
+        "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
     }
 

@@ -150,13 +150,22 @@ class _CommitJournal:
             return None
 
     def visible(self) -> dict[int, int]:
-        """{cid: token} for every committed transaction, by listing."""
+        """{cid: token} for every committed transaction, by listing.
+
+        Commits at or below the vacuum floor are excluded — their rows
+        were folded into the always-visible token 0 and their files are
+        (being) deleted; honoring the floor here makes a crash between
+        the floor write and the file deletions harmless.
+        """
+        floor = self.floor()
         out: dict[int, int] = {}
         for status in self._fs.listStatus(self._root):
             name = status.getPath().getName()
             if not name.endswith(".commit"):
                 continue
             cid = int(name[: -len(".commit")])
+            if cid <= floor:
+                continue
             if cid not in self._tokens:
                 token = self._read_token(name)
                 if token is None:
@@ -167,6 +176,36 @@ class _CommitJournal:
                 self._tokens[cid] = token
             out[cid] = self._tokens[cid]
         return out
+
+    def floor(self) -> int:
+        """Highest vacuumed commit id (0 = nothing vacuumed)."""
+        best = 0
+        for status in self._fs.listStatus(self._root):
+            name = status.getPath().getName()
+            if name.endswith(".floor"):
+                best = max(best, int(name[: -len(".floor")]))
+        return best
+
+    def set_floor(self, horizon: int) -> None:
+        """Durably record that commits ≤ *horizon* were folded into
+        token 0, then delete their files (the floor marker makes the
+        deletions crash-safe: readers exclude ≤ floor regardless)."""
+        marker = self._path_cls(f"{self._dir}/{horizon}.floor")
+        self._fs.create(marker, True).close()
+        for status in self._fs.listStatus(self._root):
+            name = status.getPath().getName()
+            drop = (
+                name.endswith(".commit")
+                and int(name[: -len(".commit")]) <= horizon
+            ) or (
+                name.endswith(".floor")
+                and int(name[: -len(".floor")]) < horizon
+            )
+            if drop:
+                self._fs.delete(status.getPath(), False)
+        self._tokens = {
+            c: t for c, t in self._tokens.items() if c > horizon
+        }
 
     def _claim(self, tmp_name: str, dest_name: str) -> bool:
         """Atomically claim *dest_name* with *tmp_name*'s content.
@@ -219,7 +258,9 @@ class _CommitJournal:
             out.write(bytearray(str(token).encode()))
         finally:
             out.close()
-        cid = after + 1
+        # never claim at or below the vacuum floor: those ids' rows were
+        # folded into token 0 and readers exclude the id range outright
+        cid = max(after, self.floor()) + 1
         while True:
             if self._claim(tmp_name, f"{cid}.commit"):
                 self._tokens[cid] = token
@@ -721,8 +762,10 @@ class SparkConnector(BaseConnector):
         consistent PAST snapshot is just a smaller epoch bound — across
         ALL tables of the transaction, since the epoch flip was atomic.
         ``commit_id=0`` reads the pre-first-commit state (adopted /
-        migrated rows).  Append-only history: epochs are never rewritten
-        outside crash recovery, so snapshots are stable.
+        migrated rows — after a :meth:`vacuum_commits`, also every
+        folded commit: the vacuumed-base snapshot).  Append-only
+        history: epochs are never rewritten outside crash recovery and
+        vacuum, so retained snapshots are stable.
         """
         if self.database is None:
             msg = "read_table_as_of requires database (managed-catalog) mode."
@@ -730,6 +773,14 @@ class SparkConnector(BaseConnector):
         if table not in self._meta:
             msg = f"table '{table}' does not exist in the Spark catalog sink."
             raise KeyError(msg)
+        floor = self._journal.floor()
+        if 0 < commit_id <= floor:
+            msg = (
+                f"commit_id {commit_id} was vacuumed (retention floor: "
+                f"{floor}); only commit 0 (the vacuumed base) and ids "
+                "above the floor are readable."
+            )
+            raise ValueError(msg)
         if commit_id > self._durable_max:
             # another connector may have committed since this one last
             # looked — consult the journal before rejecting, so any
@@ -746,7 +797,11 @@ class SparkConnector(BaseConnector):
         )
 
     def compact_table(
-        self, table: str, target_partitions: int | None = None
+        self,
+        table: str,
+        target_partitions: int | None = None,
+        *,
+        sort_by: list[str] | None = None,
     ) -> None:
         """Rewrite a managed table once to consolidate small files.
 
@@ -763,9 +818,20 @@ class SparkConnector(BaseConnector):
         repartitions the rewrite (e.g. total_bytes / 128 MB); default
         keeps the scan's natural partitioning.
 
+        ``sort_by`` clusters the rewrite (Delta ``OPTIMIZE ZORDER``'s
+        single-dimension analogue): range-partition on the columns,
+        sort within partitions, so each parquet file covers a narrow
+        min/max range of the sort keys and filtered scans SKIP files
+        wholesale via footer statistics — the difference between
+        reading one file and reading all of them for a point/range
+        predicate at 100 TB.  Not combinable with a bucketed layout
+        (buckets own their sort).
+
         Requires no pending appends (compact between transactions) and
         managed-catalog mode; the in-memory sink compacts its union
-        chain automatically.
+        chain automatically.  Single-writer: run maintenance in a
+        window without concurrent committers (like every table
+        format's rewrite op).
         """
         if self.database is None:
             msg = "compact_table requires database (managed-catalog) mode."
@@ -779,6 +845,12 @@ class SparkConnector(BaseConnector):
                 "rollback before compacting."
             )
             raise RuntimeError(msg)
+        if sort_by and self.bucket_by.get(table):
+            msg = (
+                f"table '{table}' is bucketed; bucket layout already "
+                "owns the sort order — drop sort_by."
+            )
+            raise ValueError(msg)
         # consult the journal first: another connector may have
         # committed since this one last looked — compacting with a
         # stale visible set would DELETE its durable rows as orphans
@@ -786,11 +858,77 @@ class SparkConnector(BaseConnector):
         frame = self.spark.table(self._qualified(table))
         if _COMMIT_COL in frame.columns:
             frame = self._visible_where(frame)
-        if target_partitions is not None:
+        if sort_by:
+            cols = [F.col(f"`{c}`") for c in sort_by]
+            n = (
+                int(target_partitions)
+                if target_partitions is not None
+                else frame.rdd.getNumPartitions()
+            )
+            frame = frame.repartitionByRange(max(n, 1), *cols)
+            frame = frame.sortWithinPartitions(*cols)
+        elif target_partitions is not None:
             frame = frame.repartition(int(target_partitions))
         self._overwrite_table(table, frame)
         self._committed[table] = self._committed_view(table)
         self._register_view(table)
+
+    def vacuum_commits(self, *, retain_last: int) -> None:
+        """Fold history older than the newest *retain_last* commits into
+        the always-visible base (token 0) and delete their journal files.
+
+        The retention operation every manifest-log format needs (Delta
+        ``VACUUM`` + log retention, Iceberg ``expire_snapshots``):
+        without it the commit log — and the token set every read
+        filters by — grows forever.  Folded rows are NOT deleted; they
+        are re-tagged as token 0, so current reads see identical
+        content and ``read_table_as_of(0)`` becomes the vacuumed-base
+        snapshot.  Time travel to folded ids raises; retained ids keep
+        working.  Crash-safe ordering: tables are re-tagged first
+        (old-token and token-0 rows are BOTH visible throughout), the
+        floor marker lands once, and only then are journal files
+        deleted — a crash anywhere leaves every read correct.
+        Single-writer, like :meth:`compact_table`.
+        """
+        if self.database is None:
+            msg = "vacuum_commits requires database (managed-catalog) mode."
+            raise ValueError(msg)
+        if retain_last < 0:
+            msg = "retain_last must be >= 0."
+            raise ValueError(msg)
+        if any(self._appends.get(t) for t in self._meta):
+            msg = "uncommitted appends; commit or rollback before vacuum."
+            raise RuntimeError(msg)
+        self._refresh_durable()
+        cids = sorted(c for c in self._visible if c != 0)
+        folded = cids[: len(cids) - retain_last] if retain_last else cids
+        if not folded:
+            return
+        horizon = folded[-1]
+        folded_tokens = [self._visible[c] for c in folded]
+        keep_tokens = [
+            t for c, t in self._visible.items() if c == 0 or c > horizon
+        ]
+        for table in self._meta:
+            frame = self.spark.table(self._qualified(table))
+            if _COMMIT_COL not in frame.columns:
+                continue
+            token = F.col(_COMMIT_COL)
+            retagged = frame.where(
+                token.isin([*keep_tokens, *folded_tokens])
+            ).withColumn(
+                _COMMIT_COL,
+                F.when(token.isin(folded_tokens), F.lit(0).cast("bigint"))
+                .otherwise(token),
+            )
+            self._overwrite_table(table, retagged)
+        self._journal.set_floor(horizon)
+        self._visible = {
+            c: t for c, t in self._visible.items() if c == 0 or c > horizon
+        }
+        for table in self._meta:
+            self._committed[table] = self._committed_view(table)
+        self._register_views()
 
     def _recover_orphans(self) -> None:
         """Sweep rows a crashed commit left behind (token never

@@ -612,3 +612,111 @@ def test_threaded_simultaneous_commits(spark: SparkSession) -> None:
     assert rows == ["one", "two"]
     history = fresh.commit_history()
     assert len(history) == len(set(history)) == 2
+
+
+def test_vacuum_commits_folds_history(spark: SparkSession) -> None:
+    """vacuum_commits re-tags old commits as the always-visible base:
+    current content unchanged, folded ids unreadable, retained ids
+    readable, the floor survives reopen, and new commits never reuse
+    folded ids."""
+    import pytest
+
+    db = SparkConnector(spark, database="vactest")
+    db.execute_ddl(
+        "CREATE TABLE v_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);"
+    )
+
+    def add(words: list[str]) -> None:
+        with db:
+            db.load(
+                spark.createDataFrame([(w,) for w in words], "word string"),
+                compare=False,
+            )
+
+    add(["a", "b"])
+    add(["c"])
+    add(["d"])
+    c1, c2, c3 = db.commit_history()
+
+    db.vacuum_commits(retain_last=1)
+    # current content is untouched
+    words = sorted(r["word"] for r in db._read_table("v_dim").collect())
+    assert words == ["a", "b", "c", "d"]
+    # history trimmed to the retained commit
+    assert db.commit_history() == [c3]
+    # base snapshot = everything folded; retained snapshot still works
+    assert db.read_table_as_of("v_dim", 0).count() == 3  # a, b, c
+    assert db.read_table_as_of("v_dim", c3).count() == 4
+    with pytest.raises(ValueError, match="vacuumed"):
+        db.read_table_as_of("v_dim", c2)
+
+    # a fresh connector agrees, and a new commit lands ABOVE c3
+    db2 = SparkConnector(spark, database="vactest")
+    assert db2.commit_history() == [c3]
+    assert sorted(
+        r["word"] for r in db2._read_table("v_dim").collect()
+    ) == words
+    with db2:
+        db2.load(
+            spark.createDataFrame([("e",)], "word string"), compare=False
+        )
+    assert db2.commit_history()[-1] > c3
+
+    # vacuum everything: history empties, content persists
+    db2.vacuum_commits(retain_last=0)
+    assert db2.commit_history() == []
+    assert db2._read_table("v_dim").count() == 5
+    db3 = SparkConnector(spark, database="vactest")
+    assert db3._read_table("v_dim").count() == 5
+
+
+def test_compact_sort_by_clusters_files(spark: SparkSession) -> None:
+    """compact_table(sort_by=...) range-partitions + sorts the rewrite
+    so parquet footer min/max ranges are disjoint across files — the
+    data-skipping layout — with content unchanged."""
+    import pytest
+
+    db = SparkConnector(spark, database="sorttest")
+    db.execute_ddl("CREATE TABLE s_fact (n BIGINT, k BIGINT);")
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i, rnd.randrange(10_000)) for i in range(4_000)]
+    with db:
+        db.insert(
+            spark.createDataFrame(rows, "n long, k long"), table="s_fact"
+        )
+    before = sorted(map(tuple, db._read_table("s_fact").collect()))
+
+    db.compact_table("s_fact", target_partitions=4, sort_by=["k"])
+    after = sorted(map(tuple, db._read_table("s_fact").collect()))
+    assert after == before
+
+    # inspect parquet footers: per-file k-ranges must not overlap
+    import glob
+
+    import pyarrow.parquet as pq
+
+    loc = db._table_location("s_fact").removeprefix("file:")
+    ranges = []
+    for f in glob.glob(f"{loc}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ki = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "k"
+        )
+        mins = [md.row_group(g).column(ki).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(ki).statistics.max
+                for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # the rewrite produced several files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {ranges}"
+
+    # bucketed tables refuse a custom sort
+    db.bucket_by["s_fact"] = (4, ["n"])
+    with pytest.raises(ValueError, match="bucketed"):
+        db.compact_table("s_fact", sort_by=["k"])
