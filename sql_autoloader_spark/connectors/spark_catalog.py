@@ -80,6 +80,10 @@ _JOURNAL = "__sql_autoloader_commits"
 #: tokens are random 63-bit values with this bit set, so the two ranges
 #: can never collide
 _TOKEN_FLOOR = 1 << 62
+#: visible-token filters inline up to this many literals (Catalyst
+#: compiles >10 into an O(1)-per-row InSet); longer histories switch to
+#: a broadcast semi-join for constant plan size (see _visible_where)
+_TOKEN_INLINE_LIMIT = 1024
 
 
 class _CommitJournal:
@@ -721,7 +725,7 @@ class SparkConnector(BaseConnector):
         it folds history back down.)
         """
         tokens = self._visible_tokens(upper)
-        if len(tokens) <= 1024:
+        if len(tokens) <= _TOKEN_INLINE_LIMIT:
             return frame.where(F.col(_COMMIT_COL).isin(tokens))
         tok_df = self.spark.createDataFrame(
             [(t,) for t in tokens], f"`{_COMMIT_COL}` BIGINT"
@@ -929,6 +933,35 @@ class SparkConnector(BaseConnector):
         for table in self._meta:
             self._committed[table] = self._committed_view(table)
         self._register_views()
+
+    def analyze_tables(
+        self, tables: list[str] | None = None, *, columns: bool = True
+    ) -> None:
+        """Compute table + column statistics for Catalyst's cost-based
+        optimizer (``ANALYZE TABLE … COMPUTE STATISTICS [FOR ALL
+        COLUMNS]``).
+
+        At warehouse scale CBO join reordering, broadcast decisions,
+        and semi-join selectivity all read catalog statistics
+        (rowCount / sizeInBytes / per-column NDV+min/max); append-only
+        commits do not maintain them, so run this with the other
+        maintenance ops (:meth:`compact_table`) after large loads.
+        Stats are computed over the physical table (including any
+        not-yet-visible tokens) — they are optimizer estimates, not
+        semantics, so the approximation is the standard one.
+        """
+        if self.database is None:
+            msg = "analyze_tables requires database (managed-catalog) mode."
+            raise ValueError(msg)
+        for table in tables if tables is not None else list(self._meta):
+            if table not in self._meta:
+                msg = f"table '{table}' does not exist in the Spark catalog sink."
+                raise KeyError(msg)
+            suffix = " FOR ALL COLUMNS" if columns else ""
+            self.spark.sql(
+                f"ANALYZE TABLE {self._qualified(table)} "
+                f"COMPUTE STATISTICS{suffix}"
+            )
 
     def _recover_orphans(self) -> None:
         """Sweep rows a crashed commit left behind (token never

@@ -720,3 +720,58 @@ def test_compact_sort_by_clusters_files(spark: SparkSession) -> None:
     db.bucket_by["s_fact"] = (4, ["n"])
     with pytest.raises(ValueError, match="bucketed"):
         db.compact_table("s_fact", sort_by=["k"])
+
+
+def test_analyze_tables_records_cbo_stats(spark: SparkSession) -> None:
+    """analyze_tables lands rowCount/sizeInBytes (+ column stats) in the
+    catalog — the inputs Catalyst's CBO reads for join reordering."""
+    db = SparkConnector(spark, database="statstest")
+    db.execute_ddl(
+        "CREATE TABLE st_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);"
+    )
+    with db:
+        db.load(
+            spark.createDataFrame([("a",), ("b",), ("c",)], ["w"]),
+            compare=False,
+        )
+    db.analyze_tables()
+    stats = next(
+        r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED statstest.st_t").collect()
+        if r.col_name == "Statistics"
+    )
+    assert "rows" in stats and "bytes" in stats, stats
+    cols = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED statstest.st_t w"
+        ).collect()
+    }
+    assert cols.get("distinct_count") == "3", cols
+
+
+def test_token_filter_semi_join_above_inline_limit(
+    spark: SparkSession, monkeypatch
+) -> None:
+    """Above _TOKEN_INLINE_LIMIT commits the visible filter switches to
+    a broadcast semi-join (constant plan size); results must be
+    identical to the inline path."""
+    from sql_autoloader_spark.connectors import spark_catalog as sc_mod
+
+    db = SparkConnector(spark, database="semitest")
+    db.execute_ddl(
+        "CREATE TABLE se_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);"
+    )
+    for w in ("a", "b", "c"):
+        with db:
+            db.load(
+                spark.createDataFrame([(w,)], ["w"]), compare=False
+            )
+    inline = sorted(r["w"] for r in db._read_table("se_t").collect())
+    monkeypatch.setattr(sc_mod, "_TOKEN_INLINE_LIMIT", 1)
+    joined_frame = db._committed_view("se_t")
+    assert "Join LeftSemi" in joined_frame._jdf.queryExecution().analyzed().toString() or \
+        "LeftSemi" in joined_frame._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(r["w"] for r in joined_frame.collect()) == inline == [
+        "a", "b", "c",
+    ]
