@@ -1759,6 +1759,43 @@ def q_load_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ingestion through the JSONL front door: write the
+    documents table as JSON Lines, read it back with the quarantining
+    reader (PERMISSIVE + explicit schema — the production settings for
+    crawl-shard ingestion), and aggregate per source.  The oracle runs
+    the same aggregate on the parquet directly, so the hash match
+    proves the JSONL round trip is lossless, including the text column
+    (quotes, unicode, newlines survive JSON escaping)."""
+    import hashlib
+
+    from sql_autoloader_spark.connectors.files import (
+        read_jsonl,
+        split_quarantine,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    out = (
+        "/tmp/spark_graft_jsonl_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    write_jsonl(docs, out, mode="overwrite", partitions=4)
+    back = read_jsonl(
+        spark, out, "doc_id bigint, source string, n_chars bigint, text string"
+    )
+    clean, _bad = split_quarantine(back)
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
 def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse maintenance end-to-end: three transactional loads, a
     sorted compaction (``compact_table(sort_by=...)`` — the data-
@@ -2800,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_dupspan_coverage": q_docs_dupspan_coverage,
         "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "lineitem_constraints": q_lineitem_constraints,
         "docs_split_span_leakage": q_docs_split_span_leakage,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
@@ -3285,6 +3323,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'accepted(l_returnflag)', c5, c5 = 0 FROM m
             UNION ALL SELECT 'pattern(l_linestatus)', c6, c6 = 0 FROM m
             UNION ALL SELECT 'min_rows(1)', c7, c7 = 0 FROM m
+        """,
+        "docs_jsonl_roundtrip": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents
+            GROUP BY source
         """,
         "docs_pack_sequences": f"""
             WITH t AS (

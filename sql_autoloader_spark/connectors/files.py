@@ -1,0 +1,117 @@
+"""File-corpus ingestion: JSONL (and raw text) document readers/writers.
+
+The ingestion front door of a training-data pipeline: crawl shards and
+annotation dumps arrive as JSON Lines, and at 100 TB the reader's
+behavior on MALFORMED lines is a correctness feature, not a detail —
+dropping them silently biases the corpus, failing the job on one bad
+line wastes the cluster.  These wrappers pin down the production
+settings:
+
+- **PERMISSIVE + quarantine column**: every unparseable line survives
+  as its raw text in ``_corrupt_record`` (never silently dropped,
+  never fatal); :func:`split_quarantine` separates clean rows from the
+  quarantine for reprocessing/auditing.
+- **Explicit schema**: at scale, schema inference is a full extra pass
+  over the data (Spark samples EVERY file before the real read) and a
+  correctness hazard (a shard where a field happens to be all-null
+  infers differently).  ``read_jsonl`` therefore takes the schema as a
+  required argument.
+- **Splittability**: uncompressed or bzip2/zstd-seekable ``.jsonl``
+  splits per-line across tasks; ``.gz`` does NOT (one task per file) —
+  shard gzip corpora into many files upstream.
+
+Reference scope note: the reference ingests via DataFrames handed to
+``load`` (its connectors own only DB I/O, connector.py:376-452); file
+ingestion is part of this repo's large-scale-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: the quarantine column PERMISSIVE mode fills for unparseable lines
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Read JSON Lines with production error semantics.
+
+    Returns the declared columns plus *corrupt_col* (string): NULL for
+    clean rows; the raw line for malformed ones (bad JSON, or JSON
+    whose types contradict *schema*) with every declared column NULL.
+    One streamed pass, fully parallel, no driver involvement.
+    """
+    if isinstance(schema, str):
+        schema = _parse_ddl(spark, schema)
+    if any(f.name == corrupt_col for f in schema.fields):
+        msg = f"schema must not already contain {corrupt_col!r}"
+        raise ValueError(msg)
+    with_quarantine = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.read.schema(with_quarantine)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    try:
+        return _parse_datatype_string(ddl)
+    except Exception:  # pragma: no cover - older API fallback
+        return spark.createDataFrame([], ddl).schema
+
+
+def split_quarantine(
+    df: DataFrame, *, corrupt_col: str = CORRUPT_COL
+) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the quarantine column, quarantined raw lines).
+
+    The clean side is a plain filter+project (no shuffle, pushes to the
+    scan).  The quarantine side is pinned through a LAZY
+    ``localCheckpoint``: Spark refuses any file-source query whose
+    pruned column set is the corrupt column alone
+    (``QUERY_ONLY_CORRUPT_RECORD_COLUMN`` — the raw line only exists
+    while the parser is looking at it), so the quarantine's first
+    action materializes the filtered rows once (quarantine-sized, tiny
+    by construction) and every count/collect/write runs against that
+    pin instead of the raw scan.
+    """
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = (
+        df.where(F.col(corrupt_col).isNotNull())
+        .localCheckpoint(eager=False)
+        .select(corrupt_col)
+    )
+    return clean, bad
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "error",
+    compression: str | None = None,
+    partitions: int | None = None,
+) -> None:
+    """Write a corpus as JSON Lines (one object per line, one file per
+    partition — shard count = downstream read parallelism for
+    unsplittable compression)."""
+    if partitions is not None:
+        df = df.repartition(int(partitions))
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)

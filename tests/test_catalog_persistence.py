@@ -775,3 +775,54 @@ def test_token_filter_semi_join_above_inline_limit(
     assert sorted(r["w"] for r in joined_frame.collect()) == inline == [
         "a", "b", "c",
     ]
+
+
+def test_many_threaded_writers_land_exactly_once(
+    spark: SparkSession,
+) -> None:
+    """4 writers × 2 sequential commits each, all threads racing: every
+    commit lands under a distinct id, every row exactly once — the
+    optimistic protocol under real contention."""
+    import threading
+
+    ddl = "CREATE TABLE mw_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    boss = SparkConnector(spark, database="mwtest")
+    boss.execute_ddl(ddl)
+    errors: list[Exception] = []
+
+    # open every connector BEFORE any writer starts: connector open
+    # runs orphan recovery, which cannot tell a crashed commit's
+    # leftovers from a LIVE in-flight commit (the documented open-time
+    # caveat) — the supported discipline is open-then-write
+    conns = [SparkConnector(spark, database="mwtest") for _ in range(4)]
+
+    def writer(tag: int) -> None:
+        try:
+            conn = conns[tag]
+            for round_no in range(2):
+                conn._in_tx = True
+                conn.insert(
+                    spark.createDataFrame(
+                        [(f"w{tag}r{round_no}",)], ["name"]
+                    ),
+                    table="mw_t",
+                )
+                conn.commit()
+                conn._in_tx = False
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    fresh = SparkConnector(spark, database="mwtest")
+    rows = sorted(r["name"] for r in fresh._read_table("mw_t").collect())
+    assert rows == sorted(
+        f"w{t}r{r}" for t in range(4) for r in range(2)
+    ), rows
+    history = fresh.commit_history()
+    assert len(history) == len(set(history)) == 8, history

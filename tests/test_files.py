@@ -1,0 +1,72 @@
+"""JSONL ingestion: round-trip fidelity and malformed-line quarantine."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sql_autoloader_spark.connectors.files import (
+    CORRUPT_COL,
+    read_jsonl,
+    split_quarantine,
+    write_jsonl,
+)
+
+SCHEMA = "doc_id bigint, text string, n long"
+
+
+def test_jsonl_roundtrip_exact(spark: SparkSession, tmp_path: Path) -> None:
+    rows = [
+        (1, "plain", 10),
+        (2, 'quotes " and \\ backslash', 20),
+        (3, "unicode é中文 and\nnewline", 30),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, partitions=2)
+    back = read_jsonl(spark, out, SCHEMA)
+    clean, bad = split_quarantine(back)
+    assert bad.count() == 0
+    assert sorted(map(tuple, clean.collect())) == sorted(rows)
+
+
+def test_jsonl_quarantines_malformed_lines(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "n": 5}\n'
+        "this is not json at all\n"
+        '{"doc_id": "NOT_A_NUMBER", "text": "bad type", "n": 1}\n'
+        '{"doc_id": 2, "text": "also ok", "n": 7}\n'
+    )
+    back = read_jsonl(spark, str(src), SCHEMA)
+    clean, bad = split_quarantine(back)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    raws = sorted(r[CORRUPT_COL] for r in bad.collect())
+    assert len(raws) == 2
+    assert "not json at all" in raws[1] or "not json at all" in raws[0]
+    # the type-violating line is quarantined VERBATIM, not coerced
+    assert any("NOT_A_NUMBER" in r for r in raws)
+
+
+def test_jsonl_schema_collision_rejected(spark: SparkSession) -> None:
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, "/nonexistent", f"a long, {CORRUPT_COL} string")
+
+
+def test_jsonl_clean_filter_no_shuffle(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """The clean-side split is filter+project only — no exchange."""
+    df = spark.createDataFrame([(1, "x", 2)], SCHEMA)
+    out = str(tmp_path / "c")
+    write_jsonl(df, out)
+    clean, _ = split_quarantine(read_jsonl(spark, out, SCHEMA))
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
