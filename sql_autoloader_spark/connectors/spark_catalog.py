@@ -415,6 +415,18 @@ class SparkConnector(BaseConnector):
         _shj_key = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
         if spark.conf.get(_shj_key, "0b").lower().rstrip("bkmg") in ("0", ""):
             spark.conf.set(_shj_key, "64m")
+        # By default AQE leaves CACHED plans' output partitioning alone
+        # (canChangeCachedPlanOutputPartitioning=false), so the pinned
+        # distinct input keeps every shuffle partition as a task no
+        # matter how small the data — a dim-sized cached frame then
+        # costs `shuffle.partitions` tasks on every one of the load's
+        # reads.  Letting AQE coalesce cached exchanges sizes those
+        # stages by bytes, the same policy as uncached plans.
+        _cc_key = (
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        )
+        if spark.conf.get(_cc_key, "false") == "false":
+            spark.conf.set(_cc_key, "true")
         self.dtype_adapters = dtype_adapters or {}
         self.partition_by = partition_by or {}
         self.bucket_by = bucket_by or {}
@@ -1546,16 +1558,24 @@ class SparkConnector(BaseConnector):
         from sql_autoloader_spark.ops.dataframe_ops import _CONF_LOCK
 
         conf = self.spark.conf
-        key = "spark.sql.adaptive.enabled"
+        # the partition count is baked into the physical plan here (the
+        # lazy checkpoint's toRdd plans now, executes later), so with
+        # AQE off ALSO drop shuffle partitions: a dimension-sized
+        # anti-join/window pin gets 4-task stages instead of the
+        # session default's mostly-empty ones — every later read of the
+        # append chain schedules 4 tasks, not 32
+        keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
         # session conf is global: serialize the toggle against other
         # threads' toggles (this section only PLANS — no execution)
         with _CONF_LOCK:
-            prev = conf.get(key)
-            conf.set(key, "false")
+            prev = [conf.get(k) for k in keys]
+            conf.set(keys[0], "false")
+            conf.set(keys[1], "4")
             try:
                 return frame.localCheckpoint(eager=False)
             finally:
-                conf.set(key, prev)
+                for k, p in zip(keys, prev):
+                    conf.set(k, p)
 
     def _with_surrogate_key(
         self,

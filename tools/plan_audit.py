@@ -31,6 +31,7 @@ SKIP = {
     "load_star_roundtrip",
     "load_star3_roundtrip",
     "load_events_star",
+    "load_vacuum_maintenance",  # full maintenance lifecycle on build
     "docs_dup_clusters",  # iterative: label rounds execute on build
     "docs_dedup_keep_best",
 }
