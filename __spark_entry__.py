@@ -513,6 +513,19 @@ def q_docs_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data profile (rows / nulls / exact
+    distinct / numeric min-max-avg / string min-max) — the
+    corpus-understanding sweep run before constraint rules are written.
+    One conditional aggregate over one scan, exploded driver-side."""
+    from sql_autoloader_spark.functions import constraints
+
+    return constraints.profile_table(
+        _t(spark, sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
+    )
+
+
 def q_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (deequ/dbt-test shape): six
     constraint rules over lineitem verified in ONE aggregate pass —
@@ -2839,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "lineitem_constraints": q_lineitem_constraints,
+        "lineitem_profile": q_lineitem_profile,
         "docs_split_span_leakage": q_docs_split_span_leakage,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -3286,6 +3300,46 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
             FROM pd JOIN v USING (s)
             GROUP BY doc_id
+        """,
+        "lineitem_profile": """
+            SELECT 'l_orderkey' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+                   CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+                   ROUND(AVG(CAST(l_orderkey AS DOUBLE)), 6) AS avg_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+                   CAST(MIN(l_quantity) AS DOUBLE),
+                   CAST(MAX(l_quantity) AS DOUBLE),
+                   ROUND(AVG(l_quantity), 6),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   MIN(l_returnflag), MAX(l_returnflag)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM lineitem
         """,
         "lineitem_constraints": """
             WITH m AS (

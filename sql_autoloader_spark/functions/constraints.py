@@ -124,3 +124,65 @@ def constraint_report(
             (F.col("r.violations") == 0).alias("passed"),
         )
     )
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column data profile in ONE aggregate pass.
+
+    The dataset-understanding companion to :func:`constraint_report` —
+    the profiling sweep a new corpus gets before anyone writes rules
+    for it.  Returns one row per column:
+    ``(column, n_rows, n_nulls, n_distinct, min_num, max_num, avg_num,
+    min_str, max_str)`` — numeric stats NULL for non-numeric columns
+    and vice versa, every value EXACT (count_distinct, not a sketch;
+    approximate profiling at extreme scale belongs to the HLL
+    operators).
+
+    Scale shape: every statistic is a conditional aggregate over one
+    scan — map-side partial, single 1-row result, exploded to
+    driver-sized rows after.  No per-column job, no shuffle beyond the
+    one global aggregate.
+    """
+    numeric = {"int", "bigint", "smallint", "tinyint", "double",
+               "float", "decimal"}
+    cols = columns if columns is not None else df.columns
+    aggs = []
+    for i, c in enumerate(cols):
+        dtype = dict(df.dtypes)[c].split("(")[0]
+        col = F.col(f"`{c}`")
+        is_num = dtype in numeric
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n{i}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"__nn{i}"),
+            F.count_distinct(col).alias(f"__nd{i}"),
+            (F.min(col.cast("double")) if is_num else F.lit(None).cast(
+                "double")).alias(f"__mn{i}"),
+            (F.max(col.cast("double")) if is_num else F.lit(None).cast(
+                "double")).alias(f"__mx{i}"),
+            (F.round(F.avg(col.cast("double")), 6) if is_num
+             else F.lit(None).cast("double")).alias(f"__av{i}"),
+            (F.min(col) if dtype == "string" else F.lit(None).cast(
+                "string")).alias(f"__ms{i}"),
+            (F.max(col) if dtype == "string" else F.lit(None).cast(
+                "string")).alias(f"__xs{i}"),
+        ]
+    row = df.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n{i}").cast("bigint").alias("n_rows"),
+                F.col(f"__nn{i}").cast("bigint").alias("n_nulls"),
+                F.col(f"__nd{i}").cast("bigint").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_num"),
+                F.col(f"__mx{i}").alias("max_num"),
+                F.col(f"__av{i}").alias("avg_num"),
+                F.col(f"__ms{i}").alias("min_str"),
+                F.col(f"__xs{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(F.explode(report).alias("p")).select("p.*")

