@@ -65,6 +65,38 @@ def read_jsonl(
     )
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    header: bool = True,
+    sep: str = ",",
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Read CSV with the same production error semantics as
+    :func:`read_jsonl`: PERMISSIVE parsing, explicit schema, malformed
+    lines preserved verbatim in *corrupt_col* — annotation dumps and
+    metadata sidecars arrive as CSV as often as JSONL, and the
+    silently-dropped-row failure mode is identical."""
+    if isinstance(schema, str):
+        schema = _parse_ddl(spark, schema)
+    if any(f.name == corrupt_col for f in schema.fields):
+        msg = f"schema must not already contain {corrupt_col!r}"
+        raise ValueError(msg)
+    with_quarantine = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.read.schema(with_quarantine)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
 def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
     from pyspark.sql.types import _parse_datatype_string
 

@@ -70,3 +70,25 @@ def test_jsonl_clean_filter_no_shuffle(
     clean, _ = split_quarantine(read_jsonl(spark, out, SCHEMA))
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_csv_quarantines_malformed_lines(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    from sql_autoloader_spark.connectors.files import read_csv
+
+    src = tmp_path / "csv"
+    src.mkdir()
+    (src / "part-0.csv").write_text(
+        "doc_id,text,n\n"
+        '1,"ok",5\n'
+        '2,"quoted, comma",7\n'
+        "NOT_A_NUMBER,bad,1\n"
+        '3,"fine",9\n'
+    )
+    back = read_csv(spark, str(src), SCHEMA)
+    clean, bad = split_quarantine(back)
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "ok", 2: "quoted, comma", 3: "fine"}
+    raws = [r[CORRUPT_COL] for r in bad.collect()]
+    assert len(raws) == 1 and "NOT_A_NUMBER" in raws[0]
