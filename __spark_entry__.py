@@ -1209,6 +1209,32 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize_segmented(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hot-key-safe sessionization: same >6h-gap semantics as
+    ``events_sessionize`` but via the decomposed plan — per-(user,
+    time-chunk) windows over the events, a per-user window only over
+    chunk SUMMARIES, boundary merges renumbered arithmetically.  The
+    oracle is the plain single-window sessionization, so the hash
+    match proves the decomposition exact (see
+    ``functions/events.py:sessionize_segmented`` and SCALE.md's skew
+    section for why this matters at a 20%-hot user)."""
+    from sql_autoloader_spark.functions.events import sessionize_segmented
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = sessionize_segmented(
+        ev,
+        gap_seconds=6 * 3600,
+        tiebreak_col="event_id",
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers qualified by an aggregate subquery —
     those who shipped more than 400 units of 'red' parts in 1997."""
@@ -2882,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_big_spenders": q22_idle_big_spenders,
         "orders_running_total": q_orders_running_total,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_segmented": q_events_sessionize_segmented,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -3823,6 +3850,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 21600000000
+                            OR lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM sess GROUP BY 1, 2
+        """,
+        "events_sessionize_segmented": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id,
                        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -108,3 +108,100 @@ def as_of_join(
             ],
         )
     )
+
+
+def sessionize_segmented(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int,
+    chunk_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization WITHOUT a per-user window over the raw
+    events — the hot-key-safe decomposition.
+
+    ``Window.partitionBy(user)`` puts every event of a user in ONE
+    task; a user owning 20% of a 100 TB stream is a stage-killing
+    straggler, and windows can be neither salted nor AQE-split (the
+    skew probe in SCALE.md measures the ceiling).  This operator
+    decomposes the window:
+
+    1. events are bucketed by ``(user, time-chunk)`` (``chunk_seconds``
+       wide, default ``1000 × gap``) and sessionized WITHIN each
+       bucket — full parallelism, the hot user's events spread across
+       all their chunks;
+    2. per-(user, chunk) SUMMARIES (session count, first/last event
+       time — one row per present chunk, ~1000× smaller than events)
+       decide chunk-boundary merges with a window over summaries:
+       chunks whose boundary gap ≤ *gap* fuse their adjacent sessions;
+    3. a per-chunk offset pair (sessions before this chunk, merges up
+       to and including this chunk) joins back and renumbers local
+       ids: ``global = preceding_sessions − merges + local``.  The
+       arithmetic chains across any run of merged chunks (a chunk
+       whose single session merges both ways collapses exactly), so
+       the result is IDENTICAL to the single-window sessionization —
+       differential-tested, including ``chunk < gap``.
+
+    Returns *events* plus ``session_id`` (dense, 1-based per user in
+    time order) — aggregate to session rollups downstream.
+    ``tiebreak_col`` breaks equal-timestamp ordering (required for a
+    deterministic result when timestamps collide).
+    """
+    if chunk_seconds is None:
+        chunk_seconds = 1000 * gap_seconds
+    gap_us = gap_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    chunked = events.withColumn(
+        "__chunk", F.floor(us / (chunk_seconds * 1_000_000))
+    )
+    in_chunk = Window.partitionBy(user_col, "__chunk").orderBy(*order)
+    prev_us = F.lag(us).over(in_chunk)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us > gap_us), 1
+    ).otherwise(0)
+    local = chunked.withColumn(
+        "__sid",
+        F.sum(new_sess).over(
+            in_chunk.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    # per-chunk summaries: ONE row per (user, present chunk)
+    summaries = local.groupBy(user_col, "__chunk").agg(
+        F.max("__sid").alias("__n"),
+        F.min(us).alias("__first"),
+        F.max(us).alias("__last"),
+    )
+    by_chunk = Window.partitionBy(user_col).orderBy("__chunk")
+    merged = summaries.withColumn(
+        "__m",
+        F.when(
+            F.col("__first") - F.lag("__last").over(by_chunk) <= gap_us, 1
+        ).otherwise(0),
+    )
+    cum = by_chunk.rowsBetween(Window.unboundedPreceding, 0)
+    offsets = merged.select(
+        user_col,
+        "__chunk",
+        (
+            F.coalesce(
+                F.sum("__n").over(
+                    by_chunk.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            - F.sum("__m").over(cum)
+        ).alias("__off"),
+    )
+    return (
+        local.join(offsets, on=[user_col, "__chunk"])
+        .withColumn(
+            "session_id", (F.col("__off") + F.col("__sid")).cast("bigint")
+        )
+        .drop("__chunk", "__sid", "__off")
+    )

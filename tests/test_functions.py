@@ -1270,3 +1270,80 @@ def test_profile_table_exact_values_and_single_pass(
     # distinct-count expansion: one expand + aggregate chain, ONE scan
     assert plan.count("LocalTableScan") <= 1 or "Scan" in plan
     assert "Join" not in plan
+
+
+def test_sessionize_segmented_matches_single_window(
+    spark: SparkSession,
+) -> None:
+    """Differential: the hot-key-safe decomposition must produce
+    byte-identical session assignments to the plain single-window
+    sessionization — across chunk sizes, including chunk < gap (long
+    merge chains across many chunks)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from sql_autoloader_spark.functions import events as ev
+
+    rnd = random.Random(11)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = 1_700_000_000
+        for _ in range(rnd.randrange(5, 40)):
+            t += rnd.choice([1, 5, 30, 120, 3600, 7200, 90000])
+            rows.append((eid, user, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, epoch long"
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+
+    # reference: plain per-user window
+    gap_us = 3600 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    ref = {
+        (r["event_id"]): (r["user_id"], r["sid"])
+        for r in df.withColumn(
+            "sid",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+
+    for chunk in (600, 3600, 7200, 86400):  # incl. chunk < gap
+        got = {
+            r["event_id"]: (r["user_id"], r["session_id"])
+            for r in ev.sessionize_segmented(
+                df,
+                gap_seconds=3600,
+                chunk_seconds=chunk,
+                tiebreak_col="event_id",
+            ).collect()
+        }
+        assert got == ref, f"chunk={chunk}"
+
+
+def test_sessionize_segmented_summary_window_is_small(
+    spark: SparkSession,
+) -> None:
+    """The only per-user window in the decomposed plan runs over chunk
+    SUMMARIES: the raw-event windows are partitioned by (user, chunk)."""
+    from sql_autoloader_spark.functions import events as ev
+
+    df = spark.createDataFrame(
+        [(1, 1, 1_700_000_000)], "event_id long, user_id long, epoch long"
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    plan = (
+        ev.sessionize_segmented(df, gap_seconds=60)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # event-level window keys include the chunk; only the summary
+    # window partitions by user alone
+    assert "__chunk" in plan
