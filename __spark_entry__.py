@@ -2640,6 +2640,30 @@ def q_docs_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.learn_bpe_merges(docs, n_merges=16)
 
 
+def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: learn 16 merges, then
+    encode every document with them — per-distinct-word Arrow encode
+    (Zipf: vocabulary ≪ token count), corpus-sized reassembly JVM-side.
+    Rows-only (BPE is not SQL-expressible); the encoder is
+    differential-tested against a rank-order merge replay in
+    tests/test_functions.py.  Returns per-doc subword counts plus a
+    losslessness witness (subword concatenation length == de-spaced
+    text length)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.learn_bpe_merges(docs, n_merges=16)
+    encoded = text.apply_bpe(docs, merges)
+    return encoded.select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate(
+            "tokens",
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.length(F.replace(t, F.lit("</w>"), F.lit(""))),
+        ).alias("concat_len"),
+    )
+
+
 def q_docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination check: which distinct test-split
     bigrams also occur in the train split.  Composes the deterministic
@@ -2964,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_rolling_fp": q_docs_rolling_fp,
         "docs_bpe_learn": q_docs_bpe_learn,
+        "docs_bpe_encode": q_docs_bpe_encode,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_quantized_topk": q_emb_ivf_quantized_topk,

@@ -430,3 +430,105 @@ def learn_bpe_merges(
         merges,
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize a corpus with a learned BPE merge table — the *encode*
+    half of the tokenizer pipeline (:func:`learn_bpe_merges` is the
+    train half).
+
+    Scale split, the production tokenizer-application shape:
+
+    - the merge table (``n_merges`` rows) collects to the driver and
+      ships to executors inside the UDF closure;
+    - words are ENCODED ONCE PER DISTINCT WORD, not per occurrence: a
+      Zipf-distributed corpus has vocabulary ≪ token count, so the
+      Arrow-batched encode UDF touches the distinct-word frame only,
+      and the corpus-sized side is a plain equi-join (AQE picks
+      broadcast when the vocabulary fits);
+    - per-document token sequences reassemble JVM-side
+      (``collect_list`` of positioned structs → ``array_sort`` →
+      ``flatten`` — no Python on the corpus-sized path).
+
+    The encoder merges the lowest-rank adjacent pair first, repeatedly —
+    provably equivalent to replaying merges in rank order (the training
+    procedure), and differential-tested against that replay.  Returns
+    ``(id_col, tokens array<string>, n_tokens)``; words are
+    lowercased/whitespace-split exactly as in training, with the
+    ``</w>`` end-of-word marker on the final subword.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    ranked = {
+        (r["left"], r["right"]): (int(r["rank"]), r["merged"])
+        for r in merges.collect()
+    }
+
+    def encode_word(word: str) -> list[str]:
+        symbols = [*word, BPE_EOW]
+        while len(symbols) > 1:
+            best_rank = None
+            for pair in zip(symbols, symbols[1:]):
+                hit = ranked.get(pair)
+                if hit is not None and (
+                    best_rank is None or hit[0] < best_rank[0]
+                ):
+                    best_rank = hit
+                    best_pair = pair
+            if best_rank is None:
+                break
+            left, right = best_pair
+            merged = best_rank[1]
+            out: list[str] = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == left
+                    and symbols[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = out
+        return symbols
+
+    def encode_batches(it):  # noqa: ANN001, ANN202
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "subwords": [encode_word(w) for w in pdf["word"]],
+                }
+            )
+
+    positioned = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__pos", "word"),
+    ).where(F.col("word") != "")
+    vocab = positioned.select("word").distinct()
+    encoded = vocab.mapInPandas(
+        encode_batches, schema="word string, subwords array<string>"
+    )
+    return (
+        positioned.join(encoded, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "subwords"))
+                ).getField("subwords")
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+    )

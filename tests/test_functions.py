@@ -1347,3 +1347,70 @@ def test_sessionize_segmented_summary_window_is_small(
     # event-level window keys include the chunk; only the summary
     # window partitions by user alone
     assert "__chunk" in plan
+
+
+def test_apply_bpe_matches_training_replay(spark: SparkSession) -> None:
+    """Encode equivalence: the priority (lowest-rank-first) encoder must
+    produce exactly the symbols that replaying the merge table in rank
+    order produces — for every word of a random corpus, including words
+    never seen in training."""
+    import random
+
+    rnd = random.Random(3)
+    words = [
+        "".join(rnd.choice("abcd") for _ in range(rnd.randrange(1, 9)))
+        for _ in range(120)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rnd.sample(words, 6))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    merges = text.learn_bpe_merges(docs, n_merges=25)
+    table = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges.orderBy("rank").collect()
+    ]
+
+    def replay(word: str) -> list[str]:
+        symbols = [*word, text.BPE_EOW]
+        for left, right, merged in table:
+            out, i = [], 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == left
+                    and symbols[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = out
+        return symbols
+
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in text.apply_bpe(docs, merges).collect()
+    }
+    for row in docs.collect():
+        expected = [
+            t
+            for w in row["text"].lower().split()
+            for t in replay(w)
+        ]
+        assert got[row["doc_id"]] == expected, row["doc_id"]
+
+
+def test_apply_bpe_hand_example(spark: SparkSession) -> None:
+    """Deterministic hand-checked merge + encode on a 2-word corpus."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab")], "doc_id long, text string"
+    )
+    merges = text.learn_bpe_merges(docs, n_merges=2)
+    [row] = text.apply_bpe(docs, merges).collect()
+    # merge 1: ('a','a')->'aa' (freq 2 in 'aa'×2 + 1 in 'ab'? pairs:
+    # 'aa': a+a, a+</w>; 'ab': a+b, b+</w> — ('a','a') count 2 wins)
+    assert row["n_tokens"] == len(row["tokens"])
+    joined = ["".join(t.replace(text.BPE_EOW, "") for t in row["tokens"])]
+    assert joined == ["aaaaab"]  # lossless concatenation
