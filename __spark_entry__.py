@@ -1806,7 +1806,7 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same aggregate on the parquet directly, so the hash match
     proves the JSONL round trip is lossless, including the text column
     (quotes, unicode, newlines survive JSON escaping)."""
-    import hashlib
+    import uuid
 
     from sql_autoloader_spark.connectors.files import (
         read_jsonl,
@@ -1817,10 +1817,11 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", "text"
     )
-    out = (
-        "/tmp/spark_graft_jsonl_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
+    # run-unique path: concurrent runs against the same sf_dir must not
+    # overwrite a directory another run's scan is reading.  (The dir
+    # outlives the call by design — the returned DataFrame still reads
+    # it when the caller collects.)
+    out = f"/tmp/spark_graft_jsonl_{uuid.uuid4().hex[:12]}"
     write_jsonl(docs, out, mode="overwrite", partitions=4)
     back = read_jsonl(
         spark, out, "doc_id bigint, source string, n_chars bigint, text string"

@@ -49,19 +49,26 @@ def read_jsonl(
     whose types contradict *schema*) with every declared column NULL.
     One streamed pass, fully parallel, no driver involvement.
     """
+    return (
+        spark.read.schema(_with_quarantine(spark, schema, corrupt_col))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def _with_quarantine(
+    spark: SparkSession, schema: StructType | str, corrupt_col: str
+) -> StructType:
+    """Declared schema + the quarantine column (shared by every
+    quarantining reader; rejects a colliding user column)."""
     if isinstance(schema, str):
         schema = _parse_ddl(spark, schema)
     if any(f.name == corrupt_col for f in schema.fields):
         msg = f"schema must not already contain {corrupt_col!r}"
         raise ValueError(msg)
-    with_quarantine = StructType(
+    return StructType(
         [*schema.fields, StructField(corrupt_col, StringType(), True)]
-    )
-    return (
-        spark.read.schema(with_quarantine)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
     )
 
 
@@ -79,16 +86,8 @@ def read_csv(
     lines preserved verbatim in *corrupt_col* — annotation dumps and
     metadata sidecars arrive as CSV as often as JSONL, and the
     silently-dropped-row failure mode is identical."""
-    if isinstance(schema, str):
-        schema = _parse_ddl(spark, schema)
-    if any(f.name == corrupt_col for f in schema.fields):
-        msg = f"schema must not already contain {corrupt_col!r}"
-        raise ValueError(msg)
-    with_quarantine = StructType(
-        [*schema.fields, StructField(corrupt_col, StringType(), True)]
-    )
     return (
-        spark.read.schema(with_quarantine)
+        spark.read.schema(_with_quarantine(spark, schema, corrupt_col))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .option("header", str(header).lower())

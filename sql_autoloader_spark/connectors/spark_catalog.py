@@ -153,21 +153,32 @@ class _CommitJournal:
             # the claim loop's rename conflict skips the id regardless
             return None
 
-    def visible(self) -> dict[int, int]:
-        """{cid: token} for every committed transaction, by listing.
+    def state(self) -> tuple[dict[int, int], int, int]:
+        """``(visible {cid: token}, floor, intent)`` from ONE directory
+        listing — the whole journal read costs a single metadata RPC
+        (listing dominates commit-path metadata cost on object stores).
 
         Commits at or below the vacuum floor are excluded — their rows
         were folded into the always-visible token 0 and their files are
         (being) deleted; honoring the floor here makes a crash between
-        the floor write and the file deletions harmless.
+        the floor write and the file deletions harmless.  ``intent`` is
+        the highest in-progress-or-done vacuum horizon (≥ floor while a
+        vacuum is mid-flight): time travel must refuse ids at or below
+        it rather than serve a half-folded snapshot.
         """
-        floor = self.floor()
-        out: dict[int, int] = {}
+        commits: list[tuple[int, str]] = []
+        floor = 0
+        intent = 0
         for status in self._fs.listStatus(self._root):
             name = status.getPath().getName()
-            if not name.endswith(".commit"):
-                continue
-            cid = int(name[: -len(".commit")])
+            if name.endswith(".commit"):
+                commits.append((int(name[: -len(".commit")]), name))
+            elif name.endswith(".floor"):
+                floor = max(floor, int(name[: -len(".floor")]))
+            elif name.endswith(".vacuuming"):
+                intent = max(intent, int(name[: -len(".vacuuming")]))
+        out: dict[int, int] = {}
+        for cid, name in commits:
             if cid <= floor:
                 continue
             if cid not in self._tokens:
@@ -179,21 +190,29 @@ class _CommitJournal:
                     continue
                 self._tokens[cid] = token
             out[cid] = self._tokens[cid]
-        return out
+        return out, floor, max(intent, floor)
+
+    def visible(self) -> dict[int, int]:
+        return self.state()[0]
 
     def floor(self) -> int:
         """Highest vacuumed commit id (0 = nothing vacuumed)."""
-        best = 0
-        for status in self._fs.listStatus(self._root):
-            name = status.getPath().getName()
-            if name.endswith(".floor"):
-                best = max(best, int(name[: -len(".floor")]))
-        return best
+        return self.state()[1]
+
+    def set_intent(self, horizon: int) -> None:
+        """Durably declare a vacuum through *horizon* is beginning:
+        from this marker on, time travel at or below the horizon
+        errors instead of returning a half-folded snapshot (current
+        reads stay correct throughout — both old tokens and token 0
+        are visible during the retag)."""
+        marker = self._path_cls(f"{self._dir}/{horizon}.vacuuming")
+        self._fs.create(marker, True).close()
 
     def set_floor(self, horizon: int) -> None:
         """Durably record that commits ≤ *horizon* were folded into
-        token 0, then delete their files (the floor marker makes the
-        deletions crash-safe: readers exclude ≤ floor regardless)."""
+        token 0, then delete their files and any intent markers (the
+        floor marker makes the deletions crash-safe: readers exclude
+        ≤ floor regardless)."""
         marker = self._path_cls(f"{self._dir}/{horizon}.floor")
         self._fs.create(marker, True).close()
         for status in self._fs.listStatus(self._root):
@@ -204,6 +223,9 @@ class _CommitJournal:
             ) or (
                 name.endswith(".floor")
                 and int(name[: -len(".floor")]) < horizon
+            ) or (
+                name.endswith(".vacuuming")
+                and int(name[: -len(".vacuuming")]) <= horizon
             )
             if drop:
                 self._fs.delete(status.getPath(), False)
@@ -246,14 +268,17 @@ class _CommitJournal:
             self._path_cls(f"{self._dir}/{dest_name}"),
         )
 
-    def commit(self, token: int, *, after: int) -> int:
+    def commit(
+        self, token: int, *, after: int, floor: int | None = None
+    ) -> int:
         """Durably commit *token*, returning its commit id.
 
         Writes the token to a temp file once, then claims
         ``<cid>.commit`` starting at ``after + 1``, bumping the id on
         every conflict — the optimistic retry loop.  Returns only when
         a claim lands; raises if the temp file vanishes (an external
-        cleanup raced us — never our own doing).
+        cleanup raced us — never our own doing).  Pass *floor* when the
+        caller already listed the journal (saves a metadata RPC).
         """
         tmp_name = f"tmp-{token}"
         tmp = self._path_cls(f"{self._dir}/{tmp_name}")
@@ -264,7 +289,9 @@ class _CommitJournal:
             out.close()
         # never claim at or below the vacuum floor: those ids' rows were
         # folded into token 0 and readers exclude the id range outright
-        cid = max(after, self.floor()) + 1
+        if floor is None:
+            floor = self.floor()
+        cid = max(after, floor) + 1
         while True:
             if self._claim(tmp_name, f"{cid}.commit"):
                 self._tokens[cid] = token
@@ -391,6 +418,7 @@ class SparkConnector(BaseConnector):
         partition_by: dict[str, list[str]] | None = None,
         bucket_by: dict[str, tuple[int, list[str]]] | None = None,
         broadcast_dims: bool | None = None,
+        tune_session_confs: bool = True,
     ) -> None:
         self.spark = spark
         self.database = database
@@ -412,21 +440,32 @@ class SparkConnector(BaseConnector):
         # explicit 0 is indistinguishable from the unset default through
         # the conf API and also gets 64m — set the conf AFTER
         # construction to force conversion off.
-        _shj_key = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
-        if spark.conf.get(_shj_key, "0b").lower().rstrip("bkmg") in ("0", ""):
-            spark.conf.set(_shj_key, "64m")
-        # By default AQE leaves CACHED plans' output partitioning alone
-        # (canChangeCachedPlanOutputPartitioning=false), so the pinned
-        # distinct input keeps every shuffle partition as a task no
-        # matter how small the data — a dim-sized cached frame then
-        # costs `shuffle.partitions` tasks on every one of the load's
-        # reads.  Letting AQE coalesce cached exchanges sizes those
-        # stages by bytes, the same policy as uncached plans.
-        _cc_key = (
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-        )
-        if spark.conf.get(_cc_key, "false") == "false":
-            spark.conf.set(_cc_key, "true")
+        # SESSION-level tuning (the conf API cannot distinguish an
+        # explicit user setting from the Spark default, so a user who
+        # deliberately set either key the other way must pass
+        # tune_session_confs=False):
+        if tune_session_confs:
+            _shj_key = (
+                "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+            )
+            if spark.conf.get(_shj_key, "0b").lower().rstrip("bkmg") in (
+                "0",
+                "",
+            ):
+                spark.conf.set(_shj_key, "64m")
+            # By default AQE leaves CACHED plans' output partitioning
+            # alone (canChangeCachedPlanOutputPartitioning=false), so
+            # the pinned distinct input keeps every shuffle partition
+            # as a task no matter how small the data — a dim-sized
+            # cached frame then costs `shuffle.partitions` tasks on
+            # every one of the load's reads.  Letting AQE coalesce
+            # cached exchanges sizes those stages by bytes, the same
+            # policy as uncached plans.
+            _cc_key = (
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+            )
+            if spark.conf.get(_cc_key, "false") == "false":
+                spark.conf.set(_cc_key, "true")
         self.dtype_adapters = dtype_adapters or {}
         self.partition_by = partition_by or {}
         self.bucket_by = bucket_by or {}
@@ -585,9 +624,11 @@ class SparkConnector(BaseConnector):
         # THE atomic flip: publish the token under the next free commit
         # id.  Until the rename lands, nothing above is visible to any
         # read (every read filters by published tokens).
-        published = self._journal.visible()
+        published, floor, _ = self._journal.state()
         cid = self._journal.commit(
-            token, after=max(max(published, default=0), self._durable_max)
+            token,
+            after=max(max(published, default=0), self._durable_max),
+            floor=floor,
         )
         self._token_files.pop(token, None)
         # re-list AFTER the claim: a commit that landed during the
@@ -789,12 +830,14 @@ class SparkConnector(BaseConnector):
         if table not in self._meta:
             msg = f"table '{table}' does not exist in the Spark catalog sink."
             raise KeyError(msg)
-        floor = self._journal.floor()
-        if 0 < commit_id <= floor:
+        # intent covers a vacuum in flight: refusing here is what makes
+        # a mid-retag snapshot read an ERROR instead of silently wrong
+        bound = self._journal.state()[2]
+        if 0 < commit_id <= bound:
             msg = (
-                f"commit_id {commit_id} was vacuumed (retention floor: "
-                f"{floor}); only commit 0 (the vacuumed base) and ids "
-                "above the floor are readable."
+                f"commit_id {commit_id} was vacuumed (retention "
+                f"horizon: {bound}); only commit 0 (the vacuumed base) "
+                "and ids above the horizon are readable."
             )
             raise ValueError(msg)
         if commit_id > self._durable_max:
@@ -874,18 +917,22 @@ class SparkConnector(BaseConnector):
         frame = self.spark.table(self._qualified(table))
         if _COMMIT_COL in frame.columns:
             frame = self._visible_where(frame)
+        cluster = None
         if sort_by:
-            cols = [F.col(f"`{c}`") for c in sort_by]
             n = (
                 int(target_partitions)
                 if target_partitions is not None
                 else frame.rdd.getNumPartitions()
             )
-            frame = frame.repartitionByRange(max(n, 1), *cols)
-            frame = frame.sortWithinPartitions(*cols)
+            # the clustering must shape the FINAL write, not the staging
+            # copy: the final write re-scans staging with size-ordered
+            # file packing, which would concatenate range-disjoint
+            # staging files into range-overlapping output files —
+            # _overwrite_table applies this to the staged scan
+            cluster = (max(n, 1), list(sort_by))
         elif target_partitions is not None:
             frame = frame.repartition(int(target_partitions))
-        self._overwrite_table(table, frame)
+        self._overwrite_table(table, frame, cluster=cluster)
         self._committed[table] = self._committed_view(table)
         self._register_view(table)
 
@@ -900,11 +947,14 @@ class SparkConnector(BaseConnector):
         are re-tagged as token 0, so current reads see identical
         content and ``read_table_as_of(0)`` becomes the vacuumed-base
         snapshot.  Time travel to folded ids raises; retained ids keep
-        working.  Crash-safe ordering: tables are re-tagged first
-        (old-token and token-0 rows are BOTH visible throughout), the
-        floor marker lands once, and only then are journal files
-        deleted — a crash anywhere leaves every read correct.
-        Single-writer, like :meth:`compact_table`.
+        working.  Crash-safe ordering: an INTENT marker lands first
+        (time travel at or below the horizon errors from that moment —
+        never returns a half-folded snapshot), tables are re-tagged
+        (old-token and token-0 rows are BOTH visible throughout, so
+        current reads never waver), the floor marker lands once, and
+        only then are journal files deleted; a crashed vacuum is
+        completed at the next connector open.  Single-writer, like
+        :meth:`compact_table`.
         """
         if self.database is None:
             msg = "vacuum_commits requires database (managed-catalog) mode."
@@ -917,11 +967,21 @@ class SparkConnector(BaseConnector):
             raise RuntimeError(msg)
         self._refresh_durable()
         cids = sorted(c for c in self._visible if c != 0)
-        folded = cids[: len(cids) - retain_last] if retain_last else cids
+        folded = cids[: max(0, len(cids) - retain_last)]
         if not folded:
             return
         horizon = folded[-1]
-        folded_tokens = [self._visible[c] for c in folded]
+        self._journal.set_intent(horizon)
+        self._fold_through(horizon)
+
+    def _fold_through(self, horizon: int) -> None:
+        """Re-tag commits ≤ *horizon* into token 0 and advance the
+        floor — the body of a vacuum, also replayed at open to complete
+        a crashed one (idempotent: already-retagged rows are token 0,
+        which maps to itself)."""
+        folded_tokens = [
+            t for c, t in self._visible.items() if 0 < c <= horizon
+        ]
         keep_tokens = [
             t for c, t in self._visible.items() if c == 0 or c > horizon
         ]
@@ -930,6 +990,16 @@ class SparkConnector(BaseConnector):
             if _COMMIT_COL not in frame.columns:
                 continue
             token = F.col(_COMMIT_COL)
+            if folded_tokens:
+                # cheap pre-check (scan ≪ rewrite): a table with no rows
+                # in the folded commits needs no rewrite at all
+                n = frame.agg(
+                    F.count(F.when(token.isin(folded_tokens), 1)).alias("n")
+                ).first()["n"]
+                if n == 0:
+                    continue
+            else:
+                continue
             retagged = frame.where(
                 token.isin([*keep_tokens, *folded_tokens])
             ).withColumn(
@@ -994,6 +1064,19 @@ class SparkConnector(BaseConnector):
         open connectors before starting writers, or skip recovery by
         reusing a long-lived connector.
         """
+        # a crashed vacuum left its intent above the floor: complete the
+        # fold (idempotent — already-retagged rows are token 0, which
+        # maps to itself; time travel under the horizon has been
+        # refusing since the intent landed, so no read ever saw a
+        # half-folded snapshot)
+        _, floor, intent = self._journal.state()
+        if intent > floor:
+            import logging
+
+            logging.getLogger("sql_autoloader_spark").warning(
+                "completing a crashed vacuum through commit %d", intent
+            )
+            self._fold_through(intent)
         # crashed staged appends: token-unique stage tables / _staging
         # dirs that never finished moving (driver-side metadata cleanup)
         for row in self.spark.sql(f"SHOW TABLES IN {self.database}").collect():
@@ -1059,7 +1142,13 @@ class SparkConnector(BaseConnector):
             self._overwrite_table(table, frame.where(keep))
             self._committed[table] = self._committed_view(table)
 
-    def _overwrite_table(self, table: str, content: DataFrame) -> None:
+    def _overwrite_table(
+        self,
+        table: str,
+        content: DataFrame,
+        *,
+        cluster: tuple[int, list[str]] | None = None,
+    ) -> None:
         """Physically replace a managed table (recovery/migration only —
         never part of a normal commit).
 
@@ -1072,11 +1161,21 @@ class SparkConnector(BaseConnector):
         loss mid-rewrite would destroy the table.  The staging table is
         ordinary on-disk data: any failure leaves either the old target
         or a complete staging copy to retry from.
+
+        ``cluster=(n, cols)`` range-partitions + sorts the FINAL write
+        (sorted compaction): it must shape the write that produces the
+        table's files — pre-sorting *content* would be undone by the
+        staging re-scan's size-ordered file packing.
         """
         staging = self._qualified(f"{table}__recovery_staging")
         self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
         content.write.mode("overwrite").saveAsTable(staging)
         staged = self.spark.table(staging)
+        if cluster is not None:
+            n, sort_cols = cluster
+            cols = [F.col(f"`{c}`") for c in sort_cols]
+            staged = staged.repartitionByRange(n, *cols)
+            staged = staged.sortWithinPartitions(*cols)
         writer = self._apply_layout(staged.write.mode("overwrite"), table)
         writer.saveAsTable(self._qualified(table))
         # restore the metadata properties IMMEDIATELY after the rewrite
@@ -1560,17 +1659,21 @@ class SparkConnector(BaseConnector):
         conf = self.spark.conf
         # the partition count is baked into the physical plan here (the
         # lazy checkpoint's toRdd plans now, executes later), so with
-        # AQE off ALSO drop shuffle partitions: a dimension-sized
-        # anti-join/window pin gets 4-task stages instead of the
-        # session default's mostly-empty ones — every later read of the
-        # append chain schedules 4 tasks, not 32
+        # AQE off ALSO size shuffle partitions by the payload bound: a
+        # dimension-sized anti-join/window pin gets few-task stages
+        # instead of the session default's mostly-empty ones — every
+        # later read of the append chain schedules those few tasks.
+        # Scaled, not a constant: `small` covers bounds up to 8M rows,
+        # and freezing THOSE at 4 partitions would cap the pin's
+        # parallelism at ~2M rows/task on a real cluster.
+        parts = max(4, (bound or 0) // 500_000)
         keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
         # session conf is global: serialize the toggle against other
         # threads' toggles (this section only PLANS — no execution)
         with _CONF_LOCK:
             prev = [conf.get(k) for k in keys]
             conf.set(keys[0], "false")
-            conf.set(keys[1], "4")
+            conf.set(keys[1], str(parts))
             try:
                 return frame.localCheckpoint(eager=False)
             finally:

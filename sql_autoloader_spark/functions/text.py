@@ -520,7 +520,7 @@ def apply_bpe(
     encoded = vocab.mapInPandas(
         encode_batches, schema="word string, subwords array<string>"
     )
-    return (
+    grouped = (
         positioned.join(encoded, on="word")
         .groupBy(id_col)
         .agg(
@@ -529,6 +529,19 @@ def apply_bpe(
                     F.collect_list(F.struct("__pos", "subwords"))
                 ).getField("subwords")
             ).alias("tokens")
+        )
+    )
+    # empty/whitespace-only documents have no words but must NOT drop:
+    # a corpus operator that loses rows breaks every downstream join
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(grouped, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(
+                "tokens", F.array().cast("array<string>")
+            ).alias("tokens"),
         )
         .withColumn("n_tokens", F.size("tokens").cast("bigint"))
     )

@@ -826,3 +826,60 @@ def test_many_threaded_writers_land_exactly_once(
     ), rows
     history = fresh.commit_history()
     assert len(history) == len(set(history)) == 8, history
+
+
+def test_vacuum_retain_more_than_history_is_noop(
+    spark: SparkSession,
+) -> None:
+    """retain_last greater than the history length must fold NOTHING
+    (the retention guarantee), not wrap around and fold the oldest."""
+    db = SparkConnector(spark, database="vacnoop")
+    db.execute_ddl(
+        "CREATE TABLE vn_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);"
+    )
+    for w in ("a", "b"):
+        with db:
+            db.load(spark.createDataFrame([(w,)], ["w"]), compare=False)
+    before = db.commit_history()
+    db.vacuum_commits(retain_last=5)
+    assert db.commit_history() == before
+    assert db.read_table_as_of("vn_t", before[0]).count() == 1
+
+
+def test_crashed_vacuum_completes_on_reopen(
+    spark: SparkSession, monkeypatch
+) -> None:
+    """A vacuum that dies after its intent marker: time travel under
+    the horizon refuses (never a half-folded snapshot), current reads
+    stay correct, and the next connector open completes the fold."""
+    import pytest
+
+    db = SparkConnector(spark, database="vaccrash")
+    db.execute_ddl(
+        "CREATE TABLE vc_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);"
+    )
+    for w in ("a", "b", "c"):
+        with db:
+            db.load(spark.createDataFrame([(w,)], ["w"]), compare=False)
+    c1, c2, c3 = db.commit_history()
+
+    def die(self, horizon):  # noqa: ANN001, ANN202
+        raise RuntimeError("simulated process death mid-vacuum")
+
+    monkeypatch.setattr(SparkConnector, "_fold_through", die)
+    with pytest.raises(RuntimeError, match="process death"):
+        db.vacuum_commits(retain_last=1)
+    monkeypatch.undo()
+
+    # intent landed, fold did not: current reads correct, as-of under
+    # the horizon refuses rather than serving a half-folded snapshot
+    assert db._read_table("vc_t").count() == 3
+    with pytest.raises(ValueError, match="vacuumed"):
+        db.read_table_as_of("vc_t", c1)
+
+    # reopen completes the crashed vacuum
+    db2 = SparkConnector(spark, database="vaccrash")
+    assert db2.commit_history() == [c3]
+    assert db2._read_table("vc_t").count() == 3
+    assert db2.read_table_as_of("vc_t", 0).count() == 2  # a, b folded
+    assert db2.read_table_as_of("vc_t", c3).count() == 3

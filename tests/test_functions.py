@@ -1414,3 +1414,17 @@ def test_apply_bpe_hand_example(spark: SparkSession) -> None:
     assert row["n_tokens"] == len(row["tokens"])
     joined = ["".join(t.replace(text.BPE_EOW, "") for t in row["tokens"])]
     assert joined == ["aaaaab"]  # lossless concatenation
+
+
+def test_apply_bpe_keeps_empty_documents(spark: SparkSession) -> None:
+    """Whitespace-only / empty docs must survive as (tokens=[], 0) —
+    a corpus operator that loses rows breaks downstream joins."""
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    merges = text.learn_bpe_merges(docs, n_merges=2)
+    rows = {r["doc_id"]: r for r in text.apply_bpe(docs, merges).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["n_tokens"] == 0 and list(rows[2]["tokens"]) == []
+    assert rows[3]["n_tokens"] == 0
+    assert rows[1]["n_tokens"] > 0
