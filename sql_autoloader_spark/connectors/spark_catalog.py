@@ -406,6 +406,14 @@ class SparkConnector(BaseConnector):
         exchange — the shuffle is paid once, at append.  Persisted as a
         table property like ``partition_by``; composable with it
         (partition dirs × hash buckets).  Ignored in temp-view mode.
+    tune_session_confs:
+        The connector sets two session-level Spark confs when they are
+        at their defaults (AQE's shuffled-hash-join conversion
+        threshold, and ``canChangeCachedPlanOutputPartitioning`` so AQE
+        sizes cached stages by bytes).  The conf API cannot
+        distinguish an explicit user setting from the default — pass
+        ``False`` if you deliberately configured either key the other
+        way and must not have the session mutated.
     """
 
     def __init__(
@@ -832,7 +840,17 @@ class SparkConnector(BaseConnector):
             raise KeyError(msg)
         # intent covers a vacuum in flight: refusing here is what makes
         # a mid-retag snapshot read an ERROR instead of silently wrong
-        bound = self._journal.state()[2]
+        _, floor, bound = self._journal.state()
+        if bound > floor and commit_id <= bound:
+            # mid-vacuum (or crashed, not yet recovered): even the
+            # commit-0 base is in flux — some tables retagged, some not
+            msg = (
+                f"a vacuum through commit {bound} is in progress; "
+                f"snapshots at or below it (including the base) are "
+                "unreadable until it completes (reopen a connector to "
+                "complete a crashed one)."
+            )
+            raise ValueError(msg)
         if 0 < commit_id <= bound:
             msg = (
                 f"commit_id {commit_id} was vacuumed (retention "
@@ -985,20 +1003,19 @@ class SparkConnector(BaseConnector):
         keep_tokens = [
             t for c, t in self._visible.items() if c == 0 or c > horizon
         ]
-        for table in self._meta:
+        # nothing to retag (recovery of a fully-applied fold): still
+        # advance the floor below, which clears the intent marker
+        for table in self._meta if folded_tokens else []:
             frame = self.spark.table(self._qualified(table))
             if _COMMIT_COL not in frame.columns:
                 continue
             token = F.col(_COMMIT_COL)
-            if folded_tokens:
-                # cheap pre-check (scan ≪ rewrite): a table with no rows
-                # in the folded commits needs no rewrite at all
-                n = frame.agg(
-                    F.count(F.when(token.isin(folded_tokens), 1)).alias("n")
-                ).first()["n"]
-                if n == 0:
-                    continue
-            else:
+            # cheap pre-check (scan ≪ rewrite): a table with no rows
+            # in the folded commits needs no rewrite at all
+            n = frame.agg(
+                F.count(F.when(token.isin(folded_tokens), 1)).alias("n")
+            ).first()["n"]
+            if n == 0:
                 continue
             retagged = frame.where(
                 token.isin([*keep_tokens, *folded_tokens])

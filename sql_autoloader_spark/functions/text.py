@@ -532,15 +532,22 @@ def apply_bpe(
         )
     )
     # empty/whitespace-only documents have no words but must NOT drop:
-    # a corpus operator that loses rows breaks every downstream join
+    # a corpus operator that loses rows breaks every downstream join.
+    # The re-join is NULL-SAFE: a NULL document id must match its own
+    # grouped row (a plain equi-join would silently replace a NULL-id
+    # doc's real tokens with []).
+    ids = df.select(id_col).distinct().alias("i")
+    g = grouped.alias("g")
     return (
-        df.select(id_col)
-        .distinct()
-        .join(grouped, on=id_col, how="left")
+        ids.join(
+            g,
+            F.col(f"i.`{id_col}`").eqNullSafe(F.col(f"g.`{id_col}`")),
+            "left",
+        )
         .select(
-            id_col,
+            F.col(f"i.`{id_col}`").alias(id_col),
             F.coalesce(
-                "tokens", F.array().cast("array<string>")
+                "g.tokens", F.array().cast("array<string>")
             ).alias("tokens"),
         )
         .withColumn("n_tokens", F.size("tokens").cast("bigint"))

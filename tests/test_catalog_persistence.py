@@ -874,8 +874,11 @@ def test_crashed_vacuum_completes_on_reopen(
     # intent landed, fold did not: current reads correct, as-of under
     # the horizon refuses rather than serving a half-folded snapshot
     assert db._read_table("vc_t").count() == 3
-    with pytest.raises(ValueError, match="vacuumed"):
+    with pytest.raises(ValueError, match="vacuum.*in progress"):
         db.read_table_as_of("vc_t", c1)
+    # the base snapshot is equally in flux mid-vacuum: refuse it too
+    with pytest.raises(ValueError, match="vacuum.*in progress"):
+        db.read_table_as_of("vc_t", 0)
 
     # reopen completes the crashed vacuum
     db2 = SparkConnector(spark, database="vaccrash")

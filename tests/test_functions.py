@@ -1428,3 +1428,16 @@ def test_apply_bpe_keeps_empty_documents(spark: SparkSession) -> None:
     assert rows[2]["n_tokens"] == 0 and list(rows[2]["tokens"]) == []
     assert rows[3]["n_tokens"] == 0
     assert rows[1]["n_tokens"] > 0
+
+
+def test_apply_bpe_null_id_keeps_tokens(spark: SparkSession) -> None:
+    """A NULL document id must keep its real tokens through the
+    row-preserving re-join (null-safe match, not a silent [])."""
+    docs = spark.createDataFrame(
+        [(None, "aa ab"), (1, "aa")], "doc_id long, text string"
+    )
+    merges = text.learn_bpe_merges(docs, n_merges=1)
+    rows = {r["doc_id"]: r for r in text.apply_bpe(docs, merges).collect()}
+    assert set(rows) == {None, 1}
+    assert rows[None]["n_tokens"] > 0
+    assert rows[1]["n_tokens"] > 0
