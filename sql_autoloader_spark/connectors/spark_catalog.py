@@ -305,6 +305,20 @@ class _CommitJournal:
                     "process cleaned the journal directory"
                 )
                 raise RuntimeError(msg)
+            # a failed claim may only mean ONE thing — the id is taken.
+            # rename() also returns false for persistent non-conflict
+            # failures (permissions, quota); retrying those would spin
+            # forever burning commit ids, so verify the loser actually
+            # lost to a real commit file before bumping the id.
+            if not self._fs.exists(
+                self._path_cls(f"{self._dir}/{cid}.commit")
+            ):
+                msg = (
+                    f"journal claim of commit {cid} failed but no "
+                    f"conflicting commit file exists in {self._dir}; "
+                    "filesystem refused the rename (permissions/quota?)"
+                )
+                raise RuntimeError(msg)
             cid += 1
 
 
@@ -757,14 +771,20 @@ class SparkConnector(BaseConnector):
 
     def _init_commit_log(self) -> None:
         self._journal = _CommitJournal(self.spark, self.database)
+        visible, floor, _intent = self._journal.state()
         # legacy databases (pre-file-journal) recorded commits as rows of
-        # a journal TABLE with token == epoch; fold them in read-only
+        # a journal TABLE with token == epoch; fold them in read-only —
+        # but never below the vacuum floor: those epochs' rows were
+        # folded into token 0, and resurrecting their ids here would
+        # make commit_history() list vacuumed commits and a later
+        # vacuum re-derive its horizon from them.
         legacy = self._qualified(_JOURNAL)
         if self.spark.catalog.tableExists(legacy):
             for r in self.spark.table(legacy).collect():
                 cid = r["commit_id"]
-                self._visible.setdefault(cid, cid)
-        self._visible.update(self._journal.visible())
+                if cid > floor:
+                    self._visible.setdefault(cid, cid)
+        self._visible.update(visible)
         self._durable_max = max(self._visible)
 
     def _visible_tokens(self, upper: int | None = None) -> list[int]:

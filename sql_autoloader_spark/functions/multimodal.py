@@ -179,11 +179,17 @@ def _png_luma(content: bytes) -> list[int]:
     _w, _h, channels, pixels = decode_png(content)
     if channels <= 2:  # gray / gray+alpha: first channel IS luma
         return list(pixels[::channels])
+    # PIL's exact rounded fixed-point weights (ImagingConvert.c L24):
+    # matching them bit-for-bit keeps feature vectors identical between
+    # PIL-present and PIL-absent environments at histogram-bin edges.
     return [
         (
-            pixels[i] * 299 + pixels[i + 1] * 587 + pixels[i + 2] * 114
+            pixels[i] * 19595
+            + pixels[i + 1] * 38470
+            + pixels[i + 2] * 7471
+            + 0x8000
         )
-        // 1000
+        >> 16
         for i in range(0, len(pixels), channels)
     ]
 

@@ -535,8 +535,26 @@ def apply_bpe(
     # a corpus operator that loses rows breaks every downstream join.
     # The re-join is NULL-SAFE: a NULL document id must match its own
     # grouped row (a plain equi-join would silently replace a NULL-id
-    # doc's real tokens with []).
-    ids = df.select(id_col).distinct().alias("i")
+    # doc's real tokens with []).  PRECONDITION: *id_col* is unique —
+    # a duplicated id would interleave both rows' word positions into
+    # one garbled token stream, so the guard below fails the job at
+    # execution time (same keyed aggregate as the distinct; no extra
+    # job) rather than silently merging documents.
+    ids = df.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__id_multiplicity")
+    ).alias("i")
+    dup_guard = F.when(
+        F.col("i.`__id_multiplicity`") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "apply_bpe requires unique document ids; "
+                    f"duplicate {id_col}="
+                ),
+                F.col(f"i.`{id_col}`").cast("string"),
+            )
+        ).cast("array<string>"),
+    )
     g = grouped.alias("g")
     return (
         ids.join(
@@ -547,7 +565,9 @@ def apply_bpe(
         .select(
             F.col(f"i.`{id_col}`").alias(id_col),
             F.coalesce(
-                "g.tokens", F.array().cast("array<string>")
+                dup_guard,
+                F.col("g.tokens"),
+                F.array().cast("array<string>"),
             ).alias("tokens"),
         )
         .withColumn("n_tokens", F.size("tokens").cast("bigint"))

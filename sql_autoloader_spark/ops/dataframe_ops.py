@@ -417,17 +417,22 @@ def _row_hash_channels(frame: DataFrame, cols: list[str]) -> tuple[Column, Colum
 
     ``xxhash64`` skips NULL inputs entirely, so ``(NULL, 'x')`` and
     ``('x', NULL)`` would collide — interleaving each value with its
-    null flag disambiguates null *positions*.  The second channel is an
-    independent re-mix of the first (a collision must survive two
-    unrelated 64-bit sums AND two xors to go unnoticed: ~2^-128 per
-    compare, far below any hardware error rate).
+    null flag disambiguates null *positions*.  The second channel
+    hashes the ROW CONTENTS again under a distinct leading literal
+    (xxhash64 folds each input into the running state, so a different
+    prefix is a different hash function of the same row) — it is NOT
+    derived from ``h1``, because any ``h2 = f(h1)`` would collide
+    whenever ``h1`` does, silently halving the bound.  A collision
+    must defeat two independent 64-bit channels across both the sum
+    and xor combiners: ~2^-128 per compare, far below any hardware
+    error rate.
     """
     interleaved: list[Column] = []
     for c in cols:
         interleaved.append(_col(frame, c).isNull().cast("int"))
         interleaved.append(_col(frame, c))
     h1 = F.xxhash64(*interleaved)
-    h2 = F.xxhash64(F.lit(-7046029254386353131), h1)
+    h2 = F.xxhash64(F.lit(-7046029254386353131), *interleaved)
     return h1, h2
 
 

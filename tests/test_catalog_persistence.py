@@ -670,6 +670,43 @@ def test_vacuum_commits_folds_history(spark: SparkSession) -> None:
     assert db3._read_table("v_dim").count() == 5
 
 
+def test_legacy_journal_fold_respects_vacuum_floor(
+    spark: SparkSession,
+) -> None:
+    """Reopening a migrated database after vacuum_commits must NOT
+    resurrect legacy journal-table epochs at or below the vacuum floor:
+    their rows were folded into token 0, so listing them again would
+    corrupt commit_history() and let a later vacuum re-derive its
+    horizon from already-vacuumed ids."""
+    db = SparkConnector(spark, database="legacyvac")
+    db.execute_ddl(
+        "CREATE TABLE lv_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);"
+    )
+    for w in ("a", "b", "c"):
+        with db:
+            db.load(
+                spark.createDataFrame([(w,)], "word string"),
+                compare=False,
+            )
+    c1, c2, c3 = db.commit_history()
+    db.vacuum_commits(retain_last=1)
+    assert db.commit_history() == [c3]
+
+    # simulate a pre-file-journal database: a legacy journal TABLE that
+    # still records every epoch, including the two just vacuumed
+    spark.createDataFrame(
+        [(c1,), (c2,), (c3,)], "commit_id long"
+    ).write.mode("overwrite").saveAsTable(
+        "legacyvac.__sql_autoloader_commits"
+    )
+
+    db2 = SparkConnector(spark, database="legacyvac")
+    assert db2.commit_history() == [c3]
+    assert sorted(
+        r["word"] for r in db2._read_table("lv_dim").collect()
+    ) == ["a", "b", "c"]
+
+
 def test_compact_sort_by_clusters_files(spark: SparkSession) -> None:
     """compact_table(sort_by=...) range-partitions + sorts the rewrite
     so parquet footer min/max ranges are disjoint across files — the

@@ -49,6 +49,24 @@ def test_fast_set_equal_false_on_null_position_swap(
     )
 
 
+def test_hash_channels_are_independent(spark: SparkSession) -> None:
+    """h2 must be a fresh hash of the ROW CONTENTS, not a re-mix of h1:
+    any h2 = f(h1) collides whenever h1 does, silently cutting the
+    documented ~2^-128 false-pass bound to ~2^-64.  Pin that h2 differs
+    from the old derived form xxhash64(seed, h1) on sample rows."""
+    from pyspark.sql import functions as F
+
+    frame = _df(spark, [("x", "1"), (None, "z"), ("y", None)])
+    h1, h2 = ops._row_hash_channels(frame, frame.columns)
+    derived = F.xxhash64(F.lit(-7046029254386353131), h1)
+    rows = frame.select(
+        h1.alias("h1"), h2.alias("h2"), derived.alias("old")
+    ).collect()
+    assert all(r["h2"] != r["old"] for r in rows)
+    # and the channels still disagree with each other (sanity)
+    assert all(r["h1"] != r["h2"] for r in rows)
+
+
 def test_fast_set_equal_false_on_empty_db(spark: SparkSession) -> None:
     empty = _df(spark, [("a", "b")]).limit(0)
     assert not ops.fast_set_equal(_df(spark, [("a", "b")]), empty)

@@ -568,9 +568,9 @@ def test_decode_image_bytes_real_png_pixels() -> None:
     expected[16 * multimodal.FEATURE_DIM // 256] = 0.5
     expected[240 * multimodal.FEATURE_DIM // 256] = 0.5
     assert vec == expected
-    # RGB: luma = (299R + 587G + 114B) // 1000, one uniform color
+    # RGB: PIL's exact rounded fixed-point luma, one uniform color
     rgb = _encode_png(3, 3, 3, [200, 100, 50] * 9, filter_type=1)
-    luma = (299 * 200 + 587 * 100 + 114 * 50) // 1000
+    luma = (200 * 19595 + 100 * 38470 + 50 * 7471 + 0x8000) >> 16
     vec3 = multimodal._decode_image_bytes(rgb)
     assert vec3[luma * multimodal.FEATURE_DIM // 256] == 1.0
 
@@ -1428,6 +1428,18 @@ def test_apply_bpe_keeps_empty_documents(spark: SparkSession) -> None:
     assert rows[2]["n_tokens"] == 0 and list(rows[2]["tokens"]) == []
     assert rows[3]["n_tokens"] == 0
     assert rows[1]["n_tokens"] > 0
+
+
+def test_apply_bpe_duplicate_id_raises(spark: SparkSession) -> None:
+    """A duplicated document id would interleave two rows' word
+    positions into one garbled token stream — the operator must fail
+    loudly at execution time, never merge documents silently."""
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (1, "ab aa"), (2, "aa")], "doc_id long, text string"
+    )
+    merges = text.learn_bpe_merges(docs, n_merges=1)
+    with pytest.raises(Exception, match="unique document ids"):
+        text.apply_bpe(docs, merges).collect()
 
 
 def test_apply_bpe_null_id_keeps_tokens(spark: SparkSession) -> None:
