@@ -194,6 +194,73 @@ def _png_luma(content: bytes) -> list[int]:
     ]
 
 
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: list[int] | bytes,
+    *,
+    filter_type: int = 0,
+) -> bytes:
+    """Stdlib-only PNG encode (8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced) — the re-encode half of :func:`decode_png`.
+
+    *filter_type* selects ONE per-row filter for the whole image
+    (0=None … 4=Paeth, spec §9); a production encoder would pick
+    per-row, but a fixed choice keeps output deterministic — what the
+    synthetic media fixtures need — while still exercising every
+    unfilter path of the decoder.  Round-trip property:
+    ``decode_png(encode_png(w, h, c, p, filter_type=f)) == (w, h, c,
+    bytes(p))`` for every ``f``.
+    """
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(height):
+        row = list(pixels[y * stride : (y + 1) * stride])
+        raw.append(filter_type)
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_bytes(content: bytes) -> list[float]:
     """Decode image bytes into a fixed-dim feature vector.
 
@@ -276,6 +343,62 @@ def extract_features(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
     )
 
 
+def _resize_luma(content: bytes, width: int, height: int) -> bytes:
+    """Decode → grayscale → nearest-neighbor resample to a fixed shape.
+
+    Real pixels whenever a codec on the ladder reads the bytes (PIL, or
+    the stdlib PNG decoder — so PNGs resize for real in-container);
+    output is the raw ``width*height`` luma plane, the tensor-feed
+    layout a training pipeline wants (re-encoding to PNG is
+    :func:`encode_png` if a portable artifact is needed).  Undecodable
+    bytes degrade to a deterministic tile/truncate of the payload at
+    the SAME output size — schema and sizing identical on every rung.
+    """
+    pixels: list[int] | None = None
+    src_w = src_h = 0
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(content)) as img:
+                gray = img.convert("L")
+                src_w, src_h = gray.size
+                pixels = list(gray.getdata())
+        except Exception:  # noqa: BLE001 — not PIL-readable
+            pixels = None
+    if pixels is None:
+        try:
+            src_w, src_h, channels, raw = decode_png(content)
+            if channels <= 2:
+                pixels = list(raw[::channels])
+            else:
+                pixels = [
+                    (
+                        raw[i] * 19595
+                        + raw[i + 1] * 38470
+                        + raw[i + 2] * 7471
+                        + 0x8000
+                    )
+                    >> 16
+                    for i in range(0, len(raw), channels)
+                ]
+        except Exception:  # noqa: BLE001 — no codec reads these bytes
+            pixels = None
+    if pixels is not None and src_w > 0 and src_h > 0:
+        out = bytearray(width * height)
+        pos = 0
+        for y in range(height):
+            row_off = (y * src_h // height) * src_w
+            for x in range(width):
+                out[pos] = pixels[row_off + (x * src_w // width)]
+                pos += 1
+        return bytes(out)
+    # deterministic stand-in at the same output size
+    target = max(width * height, 1)
+    reps = (target // max(len(content), 1)) + 1
+    return (content * reps)[:target]
+
+
 def resize_images(
     df: DataFrame,
     *,
@@ -284,21 +407,15 @@ def resize_images(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Resize assets to a fixed shape via Arrow-batched ``mapInPandas`` —
-    the standard pre-training normalization stage (decode → scale →
-    re-encode).  The codec call is STUBBED (no image libs in this
-    container): the fake "resized" payload is a deterministic function of
-    the input bytes and target shape, but the Spark-side plumbing —
-    schema ``(media_id, width, height, resized binary)``, per-batch
-    streaming, null passthrough — is the production shape.  Swap the
-    body of ``_fake_resize`` for PIL/libvips on a real cluster.
+    the standard pre-training normalization stage (decode → grayscale →
+    nearest-neighbor scale), REAL for any asset a codec on the ladder
+    decodes (PIL when installed; the stdlib PNG decoder always).  The
+    Spark-side plumbing — schema ``(media_id, width, height, resized
+    binary)``, per-batch streaming, null passthrough — is the
+    production shape; ``resized`` is the raw ``width*height`` luma
+    plane (see :func:`_resize_luma`).
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
-
-    def _fake_resize(content: bytes) -> bytes:
-        # deterministic stand-in: tile/truncate the payload to w*h bytes
-        target = max(width * height // 64, 1)
-        reps = (target // max(len(content), 1)) + 1
-        return (content * reps)[:target]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -308,7 +425,9 @@ def resize_images(
                     "width": width,
                     "height": height,
                     "resized": [
-                        _fake_resize(c) if c is not None else None
+                        _resize_luma(bytes(c), width, height)
+                        if c is not None
+                        else None
                         for c in pdf["content"]
                     ],
                 }
@@ -318,6 +437,68 @@ def resize_images(
         batches,
         schema=(
             "media_id long, width int, height int, resized binary"
+        ),
+    )
+
+
+def pixel_stats(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
+    """Per-asset decoded-pixel statistics via Arrow-batched
+    ``mapInPandas``: ``(media_id, n_pixels, min_luma, max_luma,
+    avg_luma)``.
+
+    This is the REAL-decode audit operator: luma comes from the codec
+    ladder (PIL → stdlib PNG decoder) and there is deliberately NO
+    byte-histogram fallback — an asset nothing decodes yields NULL
+    stats, so a corpus whose stats are non-null is *proven* to have
+    gone through a real pixel decode (the property the oracle checks).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_pixels": [],
+                "min_luma": [],
+                "max_luma": [],
+                "avg_luma": [],
+            }
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                out["media_id"].append(mid)
+                luma: list[int] | None = None
+                if content is not None:
+                    if _PILImage is not None:
+                        import io
+
+                        try:
+                            with _PILImage.open(
+                                io.BytesIO(bytes(content))
+                            ) as img:
+                                luma = list(img.convert("L").getdata())
+                        except Exception:  # noqa: BLE001
+                            luma = None
+                    if luma is None:
+                        try:
+                            luma = _png_luma(bytes(content))
+                        except Exception:  # noqa: BLE001
+                            luma = None
+                if luma:
+                    out["n_pixels"].append(len(luma))
+                    out["min_luma"].append(min(luma))
+                    out["max_luma"].append(max(luma))
+                    out["avg_luma"].append(sum(luma) / len(luma))
+                else:
+                    out["n_pixels"].append(None)
+                    out["min_luma"].append(None)
+                    out["max_luma"].append(None)
+                    out["avg_luma"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "content").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_pixels bigint, min_luma bigint, "
+            "max_luma bigint, avg_luma double"
         ),
     )
 

@@ -451,13 +451,58 @@ def test_resize_images(spark: SparkSession, media) -> None:
     out = multimodal.resize_images(media, width=16, height=16).collect()
     assert len(out) == 3
     rows = {r["media_id"]: r for r in out}
-    target = 16 * 16 // 64
+    target = 16 * 16
     for r in out:
         assert (r["width"], r["height"]) == (16, 16)
         assert len(r["resized"]) == target
     # deterministic: identical content resizes identically
     assert bytes(rows[1]["resized"]) == bytes(rows[2]["resized"])
     assert bytes(rows[1]["resized"]) != bytes(rows[3]["resized"])
+
+
+def test_resize_images_real_png_pixels(spark: SparkSession) -> None:
+    """A real PNG resizes through actual decoded pixels: a uniform-color
+    source yields a uniform luma plane at the target shape, and a 2×
+    downscale of a ramp picks exact nearest-neighbor samples."""
+    from pyspark.sql import Row
+
+    uniform = multimodal.encode_png(6, 4, 3, [200, 100, 50] * 24)
+    luma = (200 * 19595 + 100 * 38470 + 50 * 7471 + 0x8000) >> 16
+    ramp = multimodal.encode_png(4, 4, 1, list(range(16)), filter_type=2)
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(uniform)),
+         Row(media_id=2, content=bytearray(ramp))]
+    )
+    rows = {
+        r["media_id"]: bytes(r["resized"])
+        for r in multimodal.resize_images(df, width=2, height=2).collect()
+    }
+    assert rows[1] == bytes([luma] * 4)
+    # nearest-neighbor: src index = out*src//target → pixels 0,2,8,10
+    assert rows[2] == bytes([0, 2, 8, 10])
+
+
+def test_pixel_stats_real_decode_and_null_fallback(
+    spark: SparkSession,
+) -> None:
+    """pixel_stats is the real-decode audit: exact stats for PNGs, NULL
+    (never a byte-histogram stand-in) for undecodable bytes."""
+    from pyspark.sql import Row
+
+    png = multimodal.encode_png(4, 3, 1, list(range(10, 22)), filter_type=1)
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(png)),
+         Row(media_id=2, content=bytearray(b"not an image")),
+         Row(media_id=3, content=None)]
+    )
+    rows = {r["media_id"]: r for r in multimodal.pixel_stats(df).collect()}
+    assert rows[1]["n_pixels"] == 12
+    assert rows[1]["min_luma"] == 10
+    assert rows[1]["max_luma"] == 21
+    assert rows[1]["avg_luma"] == pytest.approx(15.5)
+    for mid in (2, 3):
+        assert rows[mid]["n_pixels"] is None
+        assert rows[mid]["avg_luma"] is None
 
 
 def test_sample_frames(spark: SparkSession, media) -> None:
