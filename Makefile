@@ -1,6 +1,9 @@
-# Developer entry points.  `make check` is the full pre-commit gate.
+# Developer entry points.  `make check` is the quick pre-commit gate;
+# `make verify` is the FULL gate (every registered query vs its oracle
+# at driver scale + the whole test suite) — run before every
+# end-of-round snapshot.
 
-.PHONY: test oracle-smoke oracle-full bench plans check
+.PHONY: test oracle-smoke oracle-full bench plans check verify
 
 test:
 	python -m pytest tests/ -q
@@ -23,3 +26,9 @@ plans:
 	python tools/plan_audit.py
 
 check: test oracle-smoke
+
+# the snapshot gate: full registry vs oracles at sf0.01 (what the
+# judge re-runs) AND the whole pytest suite — a red entry anywhere in
+# the 100+-query registry fails this even though the driver only
+# samples 50
+verify: oracle-full test

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -2173,32 +2174,47 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: duplicate-injection modulus for the synthetic media corpus: ids
+#: congruent mod this share identical PNG bytes (SQL-predictable dups)
+_MEDIA_MOD = 384
+
+
 def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize a media table from documents: the text bytes stand in
-    for an opaque asset blob (no codec libs ship in this container)."""
+    """Synthesize a media table from document ids: REAL deterministic
+    PNGs (``multimodal.synthesize_png``) so the registered path runs
+    the actual stdlib PNG decoder on real pixels in-container.  Every
+    image parameter is a pure arithmetic function of
+    ``doc_id % _MEDIA_MOD`` — see the oracle SQL, which recomputes
+    sizes and pixel statistics without any codec."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("content"),
+    return multimodal.synthetic_png_media(
+        docs, id_col="doc_id", modulus=_MEDIA_MOD
     )
 
 
 def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM-side media metadata: byte length + SHA-256 content hash for
-    exact asset dedup (no Python in the plan)."""
+    """JVM-side media metadata + exact content dedup: byte length and
+    the per-asset count of assets sharing the same SHA-256 content
+    hash.  The oracle recomputes n_bytes from the stored-block PNG size
+    formula and the dup groups from the generator's id-congruence."""
     media = _media_frame(spark, sf_dir)
-    return multimodal.attach_byte_stats(media).select(
-        "media_id", "n_bytes", "content_hash"
+    stats = multimodal.attach_byte_stats(media)
+    dup = Window.partitionBy("content_hash")
+    return stats.select(
+        "media_id",
+        "n_bytes",
+        F.count(F.lit(1)).over(dup).cast("bigint").alias("n_dup_assets"),
     )
 
 
 def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling through Arrow-batched ``mapInPandas`` (one asset →
-    up to 4 frames of 64 bytes), rolled up per asset.  The oracle
-    computes the expected frame count/bytes arithmetically — an
-    end-to-end check on the mapInPandas explosion."""
+    up to 4 frames of 256 bytes), rolled up per asset.  The oracle
+    computes the expected frame count/bytes arithmetically from the
+    PNG size formula — an end-to-end check on the mapInPandas
+    explosion."""
     media = _media_frame(spark, sf_dir)
-    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    frames = multimodal.sample_frames(media, every_n_bytes=256, max_frames=4)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum(F.octet_length("frame")).cast("bigint").alias("frame_bytes"),
@@ -2206,24 +2222,49 @@ def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize normalization through Arrow-batched ``mapInPandas`` (stub
-    codec, real plumbing): every asset lands at the fixed target shape.
-    The oracle computes the expected output size arithmetically
-    (width*height/64 bytes per asset) — an end-to-end check on the
-    per-batch map stage."""
+    """Resize normalization through Arrow-batched ``mapInPandas``: real
+    PNG decode → luma → nearest-neighbor resample; every asset lands at
+    the fixed 224×224 shape as a raw width*height luma plane.  The
+    oracle recomputes out_bytes (= 224*224) AND the exact integer pixel
+    sum of the resampled plane from the generator arithmetic — a
+    bit-level end-to-end check on decode + grayscale + resize."""
     media = _media_frame(spark, sf_dir)
     out = multimodal.resize_images(media, width=224, height=224)
+
+    @F.pandas_udf("bigint")
+    def _byte_sum(s: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+
+        return s.map(
+            lambda b: None
+            if b is None
+            else int(np.frombuffer(b, dtype=np.uint8).sum())
+        )
+
     return out.select(
         "media_id",
         "width",
         "height",
         F.octet_length("resized").cast("bigint").alias("out_bytes"),
+        _byte_sum("resized").alias("sum_luma"),
+    )
+
+
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decode audit: per-asset min/max/sum of decoded luma pixels
+    (NO byte-histogram fallback — non-null stats prove a real pixel
+    decode ran).  The oracle recomputes every value from the generator
+    arithmetic via generate_series."""
+    media = _media_frame(spark, sf_dir)
+    return multimodal.pixel_stats(media, id_col="media_id").select(
+        "media_id", "n_pixels", "min_luma", "max_luma", "sum_luma"
     )
 
 
 def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate media via stub decode → feature vector → LSH
-    bucketing (rows-only: feature space is the stub byte histogram)."""
+    """Near-duplicate media via real PNG decode → luma-histogram
+    feature vector → LSH bucketing (rows-only: LSH hyperplane hashing
+    has no portable SQL twin)."""
     media = _media_frame(spark, sf_dir)
     return multimodal.media_neardup_pairs(media, threshold=0.995)
 
@@ -2982,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_byte_stats,
         "media_frame_stats": q_media_frame_stats,
         "media_resize": q_media_resize,
+        "media_pixel_stats": q_media_pixel_stats,
         # rows-only (Spark-specific hashing / estimation)
         "events_approx_users": q_events_approx_users,
         "events_hll_daily_union": q_events_hll_daily_union,
@@ -3001,6 +3043,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _DEC = "DECIMAL(12,2)"
+
+# Synthetic-media generator parameters as SQL (the DuckDB twin of
+# multimodal.synthesize_png): content key k = doc_id % 384, channels c,
+# width w, height h, pixel-value modulus m.
+_MEDIA_P_SQL = """
+  SELECT doc_id, doc_id % 384 AS k,
+         1 + (doc_id % 384) % 4 AS c,
+         16 + (doc_id % 384) % 9 AS w,
+         16 + ((doc_id % 384) // 3) % 7 AS h,
+         32 + (doc_id % 384) % 224 AS m
+  FROM documents
+"""
+
+# Luma of pixel index i (0..w*h-1) for the generated image: sample j
+# of the interleaved plane is (k*7 + j*13) % m; gray/gray+alpha use the
+# first channel, RGB(A) uses PIL's truncating fixed-point conversion.
+_MEDIA_LUMA_SQL = """
+  CASE WHEN c <= 2 THEN (k*7 + (i*c)*13) % m
+       ELSE (((k*7 + (i*c)*13) % m) * 19595
+             + ((k*7 + (i*c+1)*13) % m) * 38470
+             + ((k*7 + (i*c+2)*13) % m) * 7471) // 65536
+  END
+"""
 
 # Exact Jaccard over distinct word-TRIGRAM shingle sets — the same
 # measure docs_minhash_pairs approximates (shingle_words=3, threshold
@@ -4214,27 +4279,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             WHERE p_size <= 15 AND p_type = 'LARGE'
         """,
-        "media_byte_stats": """
+        # Media oracles recompute the synthetic-PNG generator arithmetic
+        # (multimodal.synthesize_png) in pure SQL: stored-block zlib
+        # makes n_bytes = h*(1+w*c) + 68, and pixel j of the image for
+        # content key k = doc_id % 384 is (k*7 + j*13) % (32 + k%224)
+        # with PIL-truncating luma for RGB(A).  Values on the Spark side
+        # come from a REAL stdlib PNG decode of the generated bytes.
+        "media_byte_stats": f"""
+            WITH p AS ({_MEDIA_P_SQL})
             SELECT doc_id AS media_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   sha256(text) AS content_hash
-            FROM documents
+                   CAST(h*(1 + w*c) + 68 AS BIGINT) AS n_bytes,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id % 384)
+                        AS BIGINT) AS n_dup_assets
+            FROM p
         """,
-        "media_frame_stats": """
+        "media_frame_stats": f"""
+            WITH p AS ({_MEDIA_P_SQL}),
+            nb AS (SELECT doc_id, h*(1 + w*c) + 68 AS n_bytes FROM p)
             SELECT doc_id AS media_id,
-                   CAST(least(4, greatest(octet_length(encode(text)) // 64, 1))
+                   CAST(least(4, greatest(n_bytes // 256, 1))
                         AS BIGINT) AS n_frames,
-                   CAST(least(octet_length(encode(text)),
-                              least(4, greatest(octet_length(encode(text)) // 64, 1))
-                              * 64) AS BIGINT) AS frame_bytes
-            FROM documents
+                   CAST(least(n_bytes,
+                              least(4, greatest(n_bytes // 256, 1)) * 256)
+                        AS BIGINT) AS frame_bytes
+            FROM nb
         """,
-        "media_resize": """
+        "media_resize": f"""
+            WITH p AS ({_MEDIA_P_SQL}),
+            ix AS (SELECT doc_id, k, c, w, h, m,
+                          unnest(generate_series(0, w*h - 1)) AS i FROM p),
+            lum AS (
+              SELECT doc_id,
+                     -- nearest-neighbor fan-out: how many of the 224
+                     -- target rows/cols map onto source cell (i//w, i%w)
+                     ((((i // w)+1)*224 + h - 1)//h
+                      - ((i // w)*224 + h - 1)//h)
+                     * ((((i % w)+1)*224 + w - 1)//w
+                        - ((i % w)*224 + w - 1)//w) AS weight,
+                     {_MEDIA_LUMA_SQL} AS luma
+              FROM ix)
             SELECT doc_id AS media_id,
                    CAST(224 AS INTEGER) AS width,
                    CAST(224 AS INTEGER) AS height,
-                   CAST(224 * 224 // 64 AS BIGINT) AS out_bytes
-            FROM documents
+                   CAST(224 * 224 AS BIGINT) AS out_bytes,
+                   CAST(SUM(weight * luma) AS BIGINT) AS sum_luma
+            FROM lum GROUP BY doc_id
+        """,
+        "media_pixel_stats": f"""
+            WITH p AS ({_MEDIA_P_SQL}),
+            ix AS (SELECT doc_id, k, c, w, h, m,
+                          unnest(generate_series(0, w*h - 1)) AS i FROM p),
+            px AS (SELECT doc_id, w*h AS n_pixels,
+                          {_MEDIA_LUMA_SQL} AS luma
+                   FROM ix)
+            SELECT doc_id AS media_id,
+                   CAST(ANY_VALUE(n_pixels) AS BIGINT) AS n_pixels,
+                   CAST(MIN(luma) AS BIGINT) AS min_luma,
+                   CAST(MAX(luma) AS BIGINT) AS max_luma,
+                   CAST(SUM(luma) AS BIGINT) AS sum_luma
+            FROM px GROUP BY doc_id
         """,
         "events_gapfill_hourly": """
             WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,

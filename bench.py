@@ -63,6 +63,8 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from sql_autoloader_spark.logutil import silence_benign_scheduler_spam
+    silence_benign_scheduler_spam(spark)
 
     # Untimed warmup: touch every table and JIT the operator classes
     # (codegen, Arrow, shuffle paths) with trivial work so the timed

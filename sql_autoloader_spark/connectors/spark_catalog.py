@@ -313,6 +313,15 @@ class _CommitJournal:
             if not self._fs.exists(
                 self._path_cls(f"{self._dir}/{cid}.commit")
             ):
+                # the conflicting commit may already be GONE: a
+                # concurrent vacuum_commits deletes commits at or below
+                # its new floor between our rename and this check.
+                # Re-read the floor — if it moved past cid the race was
+                # benign; jump past it and retry instead of aborting.
+                new_floor = self.floor()
+                if new_floor >= cid:
+                    cid = new_floor + 1
+                    continue
                 msg = (
                     f"journal claim of commit {cid} failed but no "
                     f"conflicting commit file exists in {self._dir}; "
@@ -524,6 +533,7 @@ class SparkConnector(BaseConnector):
         if database is not None:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
             self._init_commit_log()
+            self._adopt_filesystem_tables()
             self._load_catalog_state()
             self._recover_orphans()
 
@@ -765,6 +775,10 @@ class SparkConnector(BaseConnector):
             self._visible.update(published)
             self._durable_max = max(self._visible)
             for table in self._meta:
+                # the new commits may be ANOTHER process's — drop this
+                # session's cached file listing so the committed view
+                # actually reads the files that process renamed in
+                self.spark.catalog.refreshTable(self._qualified(table))
                 self._committed[table] = self._committed_view(table)
                 self._committed_empty[table] = False
             self._register_views()
@@ -991,8 +1005,19 @@ class SparkConnector(BaseConnector):
         (old-token and token-0 rows are BOTH visible throughout, so
         current reads never waver), the floor marker lands once, and
         only then are journal files deleted; a crashed vacuum is
-        completed at the next connector open.  Single-writer, like
-        :meth:`compact_table`.
+        completed at the next connector open.
+
+        Concurrency: the JOURNAL side is concurrent-writer safe — a
+        writer whose claim collides with a commit file this vacuum
+        deletes re-reads the floor and jumps past it, and the fold
+        retags only the folded tokens, so rows of a not-yet-published
+        concurrent commit pass through the rewrite untouched (pinned
+        by tests/test_catalog_persistence.py and the cross-process
+        suite).  The TABLE rewrite itself is still one
+        ``_overwrite_table`` per table: a writer renaming files into
+        the directory between this vacuum's staging scan and its final
+        write can lose those files — run vacuum from a single
+        maintenance process, like :meth:`compact_table`.
         """
         if self.database is None:
             msg = "vacuum_commits requires database (managed-catalog) mode."
@@ -1020,9 +1045,6 @@ class SparkConnector(BaseConnector):
         folded_tokens = [
             t for c, t in self._visible.items() if 0 < c <= horizon
         ]
-        keep_tokens = [
-            t for c, t in self._visible.items() if c == 0 or c > horizon
-        ]
         # nothing to retag (recovery of a fully-applied fold): still
         # advance the floor below, which clears the intent marker
         for table in self._meta if folded_tokens else []:
@@ -1037,9 +1059,13 @@ class SparkConnector(BaseConnector):
             ).first()["n"]
             if n == 0:
                 continue
-            retagged = frame.where(
-                token.isin([*keep_tokens, *folded_tokens])
-            ).withColumn(
+            # retag ONLY the folded tokens; unknown tokens pass through
+            # untouched — they are either a concurrent writer's not-yet-
+            # published commit (dropping them here would lose its rows
+            # the moment it publishes) or a crashed commit's orphans,
+            # which belong to _recover_orphans/_sweep_orphans, not to
+            # vacuum.  Unknown tokens stay invisible either way.
+            retagged = frame.withColumn(
                 _COMMIT_COL,
                 F.when(token.isin(folded_tokens), F.lit(0).cast("bigint"))
                 .otherwise(token),
@@ -1300,6 +1326,16 @@ class SparkConnector(BaseConnector):
             raise InvalidTableError(msg)
         if self.database is not None:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(action.table)}")
+            # uniform drop semantics for adopted (external-location)
+            # tables: remove the persisted metadata and the data files
+            # a catalog-only DROP leaves behind
+            fs, path_cls = _hadoop_fs(self.spark, self._db_location())
+            fs.delete(
+                path_cls(f"{self._meta_dir()}/{action.table}.json"), False
+            )
+            fs.delete(
+                path_cls(f"{self._db_location()}/{action.table}"), True
+            )
         self._meta.pop(action.table, None)
         self._committed.pop(action.table, None)
         self._appends.pop(action.table, None)
@@ -1394,6 +1430,129 @@ class SparkConnector(BaseConnector):
             f"ALTER TABLE {self._qualified(parsed.name)} "
             f"SET TBLPROPERTIES ({props})"
         )
+        self._persist_table_meta(parsed)
+
+    # -- cross-process metadata (file-persisted, like the journal) -----------
+    #
+    # Session catalogs (in-memory, and any non-shared metastore) are
+    # per-process, but the DATA — parquet files, the commit journal —
+    # is all on the shared filesystem.  Persisting each table's
+    # metadata as a JSON file next to the journal makes the database
+    # REOPENABLE from any process (the analogue of opening the same
+    # SQLite file twice, reference sqlite_connector.py): a fresh
+    # connector adopts every persisted table as an external-location
+    # catalog entry over the existing files, then introspects it
+    # through the normal table-properties path.  DDL (create/alter/
+    # drop) is single-writer like any migration system; DATA commits
+    # are fully concurrent across processes via the journal.
+
+    def _db_location(self) -> str:
+        return self.spark.catalog.getDatabase(
+            self.database
+        ).locationUri.rstrip("/")
+
+    def _meta_dir(self) -> str:
+        return f"{self._db_location()}/_sql_autoloader_meta"
+
+    def _persist_table_meta(self, parsed: ParsedTable) -> None:
+        """Durably record *parsed* (plus physical layout) as
+        ``<db>/_sql_autoloader_meta/<table>.json`` — temp-write +
+        rename so readers never see a partial file."""
+        meta_dir = self._meta_dir()
+        fs, path_cls = _hadoop_fs(self.spark, meta_dir)
+        fs.mkdirs(path_cls(meta_dir))
+        payload = json.dumps(
+            {
+                "column_types": [list(ct) for ct in parsed.column_types],
+                "primary_key": parsed.primary_key,
+                "foreign_keys": parsed.foreign_keys,
+                "payload_columns": parsed.payload_columns,
+                "unique_constraints": [
+                    list(uc) for uc in parsed.unique_constraints
+                ],
+                "references": [list(r) for r in parsed.references],
+                "not_null": parsed.not_null,
+                "partition_by": self.partition_by.get(parsed.name, []),
+                "bucket_by": list(
+                    self.bucket_by.get(parsed.name, (0, []))
+                ),
+            }
+        )
+        tmp = path_cls(f"{meta_dir}/{parsed.name}.json.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload.encode()))
+        finally:
+            out.close()
+        dest = path_cls(f"{meta_dir}/{parsed.name}.json")
+        fs.delete(dest, False)
+        fs.rename(tmp, dest)
+
+    def _adopt_filesystem_tables(self) -> None:
+        """Register every file-persisted table absent from THIS
+        process's session catalog as an external-location entry over
+        its existing directory, restoring layout + table properties so
+        ``_load_catalog_state`` introspects it like any other table."""
+        meta_dir = self._meta_dir()
+        fs, path_cls = _hadoop_fs(self.spark, meta_dir)
+        root = path_cls(meta_dir)
+        if not fs.exists(root):
+            return
+        jvm = self.spark.sparkContext._jvm
+        for status in fs.listStatus(root):
+            fname = status.getPath().getName()
+            if not fname.endswith(".json"):
+                continue
+            table = fname[: -len(".json")]
+            qualified = self._qualified(table)
+            if self.spark.catalog.tableExists(qualified):
+                continue
+            stream = fs.open(status.getPath())
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            spec = json.loads(text)
+            cols = ", ".join(
+                f"`{c}` {t}" for c, t in spec["column_types"]
+            )
+            cols += f", `{_COMMIT_COL}` BIGINT"
+            clauses = ""
+            if parts := spec.get("partition_by") or []:
+                plist = ", ".join(f"`{c}`" for c in parts)
+                clauses += f" PARTITIONED BY ({plist})"
+                self.partition_by.setdefault(table, parts)
+            n_buckets, bucket_cols = spec.get("bucket_by", [0, []])
+            if n_buckets:
+                blist = ", ".join(f"`{c}`" for c in bucket_cols)
+                clauses += (
+                    f" CLUSTERED BY ({blist}) INTO {n_buckets} BUCKETS"
+                )
+                self.bucket_by.setdefault(
+                    table, (n_buckets, bucket_cols)
+                )
+            location = f"{self._db_location()}/{table}"
+            self.spark.sql(
+                f"CREATE TABLE {qualified} ({cols}) USING PARQUET"
+                f"{clauses} LOCATION '{location}'"
+            )
+            if parts:
+                self.spark.sql(f"MSCK REPAIR TABLE {qualified}")
+            parsed = ParsedTable(
+                name=table,
+                column_types=[
+                    tuple(ct) for ct in spec["column_types"]
+                ],
+                primary_key=spec["primary_key"],
+                foreign_keys=spec["foreign_keys"],
+                payload_columns=spec["payload_columns"],
+                unique_constraints=spec["unique_constraints"],
+                references=[tuple(r) for r in spec["references"]],
+                not_null=spec.get("not_null", []),
+            )
+            self._apply_table_props(parsed)
 
     def _load_catalog_state(self) -> None:
         """Introspect existing tables of the database from table properties."""
@@ -1459,6 +1618,10 @@ class SparkConnector(BaseConnector):
             )
             if n_buckets:
                 self.bucket_by.setdefault(name, (n_buckets, bucket_cols))
+            # another PROCESS may have appended since this session last
+            # listed the table's files — drop the cached file index so
+            # a fresh connector sees the current directory contents
+            self.spark.catalog.refreshTable(self._qualified(name))
             raw = self.spark.table(self._qualified(name))
             if _COMMIT_COL not in raw.columns:
                 # legacy (pre-manifest) table: one-time migration tags

@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -173,25 +174,27 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, out.tobytes()
 
 
-def _png_luma(content: bytes) -> list[int]:
-    """Grayscale (ITU-R 601 luma, PIL ``convert('L')``-compatible
-    integer formula) pixel values of a decoded PNG."""
-    _w, _h, channels, pixels = decode_png(content)
+def _luma_plane(pixels: bytes, channels: int) -> "np.ndarray":
+    """Grayscale plane (ITU-R 601 luma, PIL ``convert('L')``-compatible)
+    from row-major channel-interleaved 8-bit samples.
+
+    PIL's fixed-point conversion TRUNCATES (ImagingConvert.c: ``L24(in)
+    >> 16``, no rounding term) — matching it bit-for-bit keeps feature
+    vectors identical between PIL-present and PIL-absent environments
+    at histogram-bin edges."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, channels)
     if channels <= 2:  # gray / gray+alpha: first channel IS luma
-        return list(pixels[::channels])
-    # PIL's exact rounded fixed-point weights (ImagingConvert.c L24):
-    # matching them bit-for-bit keeps feature vectors identical between
-    # PIL-present and PIL-absent environments at histogram-bin edges.
-    return [
-        (
-            pixels[i] * 19595
-            + pixels[i + 1] * 38470
-            + pixels[i + 2] * 7471
-            + 0x8000
-        )
-        >> 16
-        for i in range(0, len(pixels), channels)
-    ]
+        return arr[:, 0].astype(np.int64)
+    a = arr.astype(np.int64)
+    return (a[:, 0] * 19595 + a[:, 1] * 38470 + a[:, 2] * 7471) >> 16
+
+
+def _png_luma(content: bytes) -> list[int]:
+    """Luma pixel values of a decoded PNG (see :func:`_luma_plane`)."""
+    _w, _h, channels, pixels = decode_png(content)
+    return [int(v) for v in _luma_plane(pixels, channels)]
 
 
 def encode_png(
@@ -201,6 +204,7 @@ def encode_png(
     pixels: list[int] | bytes,
     *,
     filter_type: int = 0,
+    compress_level: int = -1,
 ) -> bytes:
     """Stdlib-only PNG encode (8-bit gray/gray+alpha/RGB/RGBA,
     non-interlaced) — the re-encode half of :func:`decode_png`.
@@ -212,6 +216,14 @@ def encode_png(
     unfilter path of the decoder.  Round-trip property:
     ``decode_png(encode_png(w, h, c, p, filter_type=f)) == (w, h, c,
     bytes(p))`` for every ``f``.
+
+    *compress_level* is passed to ``zlib.compress``; level 0 emits
+    stored (uncompressed) DEFLATE blocks, making the total PNG size a
+    pure arithmetic function of the dimensions — for payloads under
+    64 KiB exactly ``height*(1 + width*channels) + 68`` bytes (8 sig
+    + 25 IHDR + 12 IDAT framing + 11 zlib/stored-block overhead +
+    payload + 12 IEND).  The synthetic fixtures use this so a SQL
+    oracle can recompute ``n_bytes`` without running a codec.
     """
     import struct
     import zlib
@@ -256,8 +268,81 @@ def encode_png(
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), compress_level))
         + chunk(b"IEND", b"")
+    )
+
+
+@_functools.lru_cache(maxsize=512)
+def synthesize_png(seed: int) -> bytes:
+    """Deterministic synthetic PNG for a content key *seed* — the media
+    fixture generator.  Every parameter is a pure arithmetic function
+    of ``seed`` so a SQL oracle (DuckDB) can recompute byte sizes and
+    pixel statistics without any codec:
+
+    - ``channels = 1 + seed % 4`` (gray / gray+alpha / RGB / RGBA)
+    - ``width  = 16 + seed % 9``, ``height = 16 + (seed // 3) % 7``
+    - ``filter_type = seed % 5`` (the registered path exercises every
+      PNG unfilter branch of :func:`decode_png`)
+    - sample ``j``: ``value = (seed*7 + j*13) % m`` with
+      ``m = 32 + seed % 224`` (the seed-dependent modulus spreads the
+      luma histograms apart so near-dup detection stays selective)
+    - stored-block zlib (``compress_level=0``) ⇒ total size is exactly
+      ``height*(1 + width*channels) + 68`` bytes
+
+    Cached per worker process: fixtures draw seeds from a small
+    modulus, so each of the ≤512 distinct images encodes once.
+    """
+    channels = 1 + seed % 4
+    width = 16 + seed % 9
+    height = 16 + (seed // 3) % 7
+    m = 32 + seed % 224
+    n = width * height * channels
+    pixels = bytes((seed * 7 + j * 13) % m for j in range(n))
+    return encode_png(
+        width,
+        height,
+        channels,
+        pixels,
+        filter_type=seed % 5,
+        compress_level=0,
+    )
+
+
+def synthetic_png_media(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    modulus: int = 384,
+) -> DataFrame:
+    """Attach deterministic real-PNG ``content`` to an id column —
+    ``(media_id, content)`` with ``content = synthesize_png(id %
+    modulus)``.
+
+    ``modulus`` below the corpus size deliberately injects exact
+    duplicate assets (ids congruent mod ``modulus`` share bytes), so
+    content-hash dedup has real work and a SQL oracle can predict the
+    duplicate groups.  Ids must be non-negative (Python and SQL ``%``
+    disagree on negatives).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": [
+                        None
+                        if pd.isna(i)
+                        else synthesize_png(int(i) % modulus)
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="media_id long, content binary"
     )
 
 
@@ -354,7 +439,9 @@ def _resize_luma(content: bytes, width: int, height: int) -> bytes:
     bytes degrade to a deterministic tile/truncate of the payload at
     the SAME output size — schema and sizing identical on every rung.
     """
-    pixels: list[int] | None = None
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    pixels: "np.ndarray | None" = None
     src_w = src_h = 0
     if _PILImage is not None:
         import io
@@ -363,36 +450,22 @@ def _resize_luma(content: bytes, width: int, height: int) -> bytes:
             with _PILImage.open(io.BytesIO(content)) as img:
                 gray = img.convert("L")
                 src_w, src_h = gray.size
-                pixels = list(gray.getdata())
+                pixels = np.asarray(gray.getdata(), dtype=np.int64)
         except Exception:  # noqa: BLE001 — not PIL-readable
             pixels = None
     if pixels is None:
         try:
             src_w, src_h, channels, raw = decode_png(content)
-            if channels <= 2:
-                pixels = list(raw[::channels])
-            else:
-                pixels = [
-                    (
-                        raw[i] * 19595
-                        + raw[i + 1] * 38470
-                        + raw[i + 2] * 7471
-                        + 0x8000
-                    )
-                    >> 16
-                    for i in range(0, len(raw), channels)
-                ]
+            pixels = _luma_plane(raw, channels)
         except Exception:  # noqa: BLE001 — no codec reads these bytes
             pixels = None
     if pixels is not None and src_w > 0 and src_h > 0:
-        out = bytearray(width * height)
-        pos = 0
-        for y in range(height):
-            row_off = (y * src_h // height) * src_w
-            for x in range(width):
-                out[pos] = pixels[row_off + (x * src_w // width)]
-                pos += 1
-        return bytes(out)
+        # nearest-neighbor gather, fully vectorized: one fancy-index
+        # per asset instead of width*height Python iterations
+        rows = np.arange(height, dtype=np.int64) * src_h // height
+        cols = np.arange(width, dtype=np.int64) * src_w // width
+        plane = pixels.reshape(src_h, src_w)
+        return plane[rows[:, None], cols[None, :]].astype(np.uint8).tobytes()
     # deterministic stand-in at the same output size
     target = max(width * height, 1)
     reps = (target // max(len(content), 1)) + 1
@@ -443,28 +516,34 @@ def resize_images(
 
 def pixel_stats(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
     """Per-asset decoded-pixel statistics via Arrow-batched
-    ``mapInPandas``: ``(media_id, n_pixels, min_luma, max_luma,
-    avg_luma)``.
+    ``mapInPandas``: ``(<id_col>, n_pixels, min_luma, max_luma,
+    sum_luma, avg_luma)`` — the id column keeps its input name AND
+    type.
 
     This is the REAL-decode audit operator: luma comes from the codec
     ladder (PIL → stdlib PNG decoder) and there is deliberately NO
     byte-histogram fallback — an asset nothing decodes yields NULL
     stats, so a corpus whose stats are non-null is *proven* to have
     gone through a real pixel decode (the property the oracle checks).
+    ``sum_luma`` is the exact integer pixel sum, so oracles can verify
+    without any float-division ambiguity.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {
-                "media_id": [],
+                id_col: [],
                 "n_pixels": [],
                 "min_luma": [],
                 "max_luma": [],
+                "sum_luma": [],
                 "avg_luma": [],
             }
             for mid, content in zip(pdf[id_col], pdf["content"]):
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
                 luma: list[int] | None = None
                 if content is not None:
                     if _PILImage is not None:
@@ -483,22 +562,25 @@ def pixel_stats(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
                         except Exception:  # noqa: BLE001
                             luma = None
                 if luma:
+                    total = sum(luma)
                     out["n_pixels"].append(len(luma))
                     out["min_luma"].append(min(luma))
                     out["max_luma"].append(max(luma))
-                    out["avg_luma"].append(sum(luma) / len(luma))
+                    out["sum_luma"].append(total)
+                    out["avg_luma"].append(total / len(luma))
                 else:
                     out["n_pixels"].append(None)
                     out["min_luma"].append(None)
                     out["max_luma"].append(None)
+                    out["sum_luma"].append(None)
                     out["avg_luma"].append(None)
             yield pd.DataFrame(out)
 
     return df.select(id_col, "content").mapInPandas(
         batches,
         schema=(
-            "media_id long, n_pixels bigint, min_luma bigint, "
-            "max_luma bigint, avg_luma double"
+            f"{id_col} {id_type}, n_pixels bigint, min_luma bigint, "
+            "max_luma bigint, sum_luma bigint, avg_luma double"
         ),
     )
 

@@ -546,12 +546,18 @@ def apply_bpe(
     dup_guard = F.when(
         F.col("i.`__id_multiplicity`") > 1,
         F.raise_error(
-            F.concat(
+            # concat_ws, not concat: a NULL duplicate id must not null
+            # out the whole message (raise_error with a NULL message
+            # still fails the job, but without this diagnostic)
+            F.concat_ws(
+                "",
                 F.lit(
                     "apply_bpe requires unique document ids; "
                     f"duplicate {id_col}="
                 ),
-                F.col(f"i.`{id_col}`").cast("string"),
+                F.coalesce(
+                    F.col(f"i.`{id_col}`").cast("string"), F.lit("NULL")
+                ),
             )
         ).cast("array<string>"),
     )

@@ -3,6 +3,7 @@ operators (SURVEY §2G event/stream ops)."""
 
 from sql_autoloader_spark.streaming.pipeline import (
     autoload_stream,
+    compact_signature_store,
     dedup_stream,
     fuzzy_dedup_stream,
     sessionized_counts,
@@ -12,6 +13,7 @@ from sql_autoloader_spark.streaming.pipeline import (
 
 __all__ = [
     "autoload_stream",
+    "compact_signature_store",
     "dedup_stream",
     "fuzzy_dedup_stream",
     "sessionized_counts",

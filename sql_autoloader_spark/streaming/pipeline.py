@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
     from pyspark.sql.streaming import StreamingQuery
 
     from sql_autoloader_spark.connectors.base import BaseConnector
@@ -461,10 +462,22 @@ def _fuzzy_admitter(
             store = store.select("band", "bucket")
         except AnalysisException:
             store = None
+        # ZERO-EXCHANGE probe: the store is the big side (grows with the
+        # admitted corpus — ~bands rows/doc, TBs at 100 TB corpus) and
+        # the batch keys are micro-batch-sized, so probe by scanning the
+        # store against BROADCAST batch keys (inner join + distinct id
+        # ≡ the semi-join's hit set).  Neither side shuffles: the old
+        # keys-semi-store formulation exchanged BOTH sides on
+        # (band, bucket) every batch.  Compaction (below) keeps the
+        # store scan itself cheap: few sorted files, not one per batch.
         hit_store = (
-            keys.join(store, on=["band", "bucket"], how="left_semi")
+            store.join(
+                F.broadcast(keys), on=["band", "bucket"], how="inner"
+            )
+            .select(id_col)
+            .distinct()
             if store is not None
-            else keys.limit(0)
+            else keys.limit(0).select(id_col)
         )
         # within-batch keep-first: bucket shared with a lower id drops
         lower = keys.groupBy("band", "bucket").agg(
@@ -519,3 +532,89 @@ def _fuzzy_admitter(
         ).write.mode("append").parquet(commits_path)
 
     return admit_batch
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    rows_per_file: int = 8_000_000,
+) -> dict[str, int]:
+    """Compact :func:`fuzzy_dedup_stream`'s parquet signature store.
+
+    The admitter appends one small file set per micro-batch, so a
+    long-lived stream accumulates thousands of tiny files and every
+    probe pays the listing + open cost (SCALE.md's prescribed
+    maintenance).  Compaction rewrites the store as FEW files, globally
+    range-sorted by ``(band, bucket)`` (tight parquet min/max stats per
+    row group), distinct-ed, and with uncommitted/orphaned tokens
+    dropped.
+
+    CRASH-SAFE, no unavailable window, via append-then-delete — the
+    same shape as the admitter's own protocol:
+
+    1. snapshot the current data-file list;
+    2. append the compacted row set (committed keys only, distinct,
+       ``__token = NULL`` — the admitter treats a null token as
+       committed, so the new rows are immediately usable);
+    3. delete exactly the snapshotted old files.
+
+    A crash anywhere leaves the store a superset of the committed keys
+    — admission decisions are set-based, so duplicates change nothing
+    — and a re-run converges.  Run from one maintenance process at a
+    time (like ``vacuum_commits``); concurrent ADMITTERS are safe: a
+    batch appending between (1) and (3) writes new files the snapshot
+    does not contain.
+
+    Returns ``{"files_before", "files_after", "rows"}``.
+    """
+    from pyspark.errors import AnalysisException
+
+    commits_path = f"{store_path}__commits"
+    try:
+        committed = [
+            r["token"]
+            for r in spark.read.parquet(commits_path).collect()
+        ]
+    except AnalysisException:
+        committed = []
+
+    jvm = spark.sparkContext._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    root = path_cls(store_path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    old_files = [
+        s.getPath()
+        for s in fs.listStatus(root)
+        if not s.getPath().getName().startswith(("_", "."))
+    ]
+
+    store = spark.read.parquet(store_path)
+    if "__token" in store.columns:
+        store = store.where(
+            F.col("__token").isin(committed) | F.col("__token").isNull()
+        )
+    keys = store.select("band", "bucket").distinct()
+    n_rows = keys.count()
+    n_files = max(1, -(-n_rows // rows_per_file))
+    (
+        keys.repartitionByRange(n_files, "band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+        .withColumn("__token", F.lit(None).cast("string"))
+        .write.mode("append")
+        .parquet(store_path)
+    )
+    for p in old_files:
+        fs.delete(p, False)
+    files_after = sum(
+        1
+        for s in fs.listStatus(root)
+        if not s.getPath().getName().startswith(("_", "."))
+    )
+    return {
+        "files_before": len(old_files),
+        "files_after": files_after,
+        "rows": n_rows,
+    }

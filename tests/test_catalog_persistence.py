@@ -614,6 +614,50 @@ def test_threaded_simultaneous_commits(spark: SparkSession) -> None:
     assert len(history) == len(set(history)) == 2
 
 
+def test_claim_survives_concurrent_vacuum_of_conflict(
+    spark: SparkSession,
+) -> None:
+    """A failed claim whose conflicting commit file was deleted by a
+    concurrent vacuum (floor swept past the cid between the rename and
+    the exists-check) must RETRY past the floor, not abort: the benign
+    race is indistinguishable from a filesystem refusal except through
+    the floor re-read."""
+    ddl = "CREATE TABLE vr_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    conn = SparkConnector(spark, database="vacracetest")
+    conn.execute_ddl(ddl)
+    jr = conn._journal
+
+    orig_claim = jr._claim
+    failed: list[str] = []
+
+    def racing_claim(tmp_name: str, dest_name: str) -> bool:
+        if not failed:
+            failed.append(dest_name)
+            # simulate: another writer took this cid AND a concurrent
+            # vacuum folded it away before our verification ran
+            jr.set_floor(int(dest_name.split(".")[0]))
+            return False
+        return orig_claim(tmp_name, dest_name)
+
+    jr._claim = racing_claim
+    try:
+        with conn:
+            conn.insert(
+                spark.createDataFrame([("solo",)], ["name"]), table="vr_t"
+            )
+    finally:
+        jr._claim = orig_claim
+
+    assert failed, "patched claim never exercised"
+    swept = int(failed[0].split(".")[0])
+    fresh = SparkConnector(spark, database="vacracetest")
+    history = fresh.commit_history()
+    # the commit landed exactly once, strictly above the swept floor
+    assert history and min(history) > swept
+    rows = [r["name"] for r in fresh._read_table("vr_t").collect()]
+    assert rows == ["solo"]
+
+
 def test_vacuum_commits_folds_history(spark: SparkSession) -> None:
     """vacuum_commits re-tags old commits as the always-visible base:
     current content unchanged, folded ids unreadable, retained ids
@@ -863,6 +907,40 @@ def test_many_threaded_writers_land_exactly_once(
     ), rows
     history = fresh.commit_history()
     assert len(history) == len(set(history)) == 8, history
+
+
+def test_vacuum_preserves_inflight_unpublished_rows(
+    spark: SparkSession,
+) -> None:
+    """Vacuum's fold must retag ONLY folded tokens: rows carrying an
+    unknown token (a concurrent writer's staged-but-unpublished commit)
+    must survive the rewrite untouched — invisible until their token
+    publishes, visible with their own commit afterwards."""
+    ddl = "CREATE TABLE vf_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    conn = SparkConnector(spark, database="vfoldtest")
+    conn.execute_ddl(ddl)
+    for nm in ("a", "b", "c"):
+        with conn:
+            conn.insert(
+                spark.createDataFrame([(nm,)], ["name"]), table="vf_t"
+            )
+    # simulate another process's in-flight commit: files already moved
+    # into the table directory, token not yet published in the journal
+    token = (1 << 62) + 987654321
+    spark.createDataFrame(
+        [(99, "inflight", token)], "id int, name string, __commit_id long"
+    ).write.mode("append").parquet(conn._table_location("vf_t"))
+    spark.catalog.refreshTable(conn._qualified("vf_t"))
+
+    conn.vacuum_commits(retain_last=1)
+    names = sorted(r["name"] for r in conn._read_table("vf_t").collect())
+    assert names == ["a", "b", "c"]  # folded rows kept, in-flight hidden
+
+    cid = conn._journal.commit(token, after=max(conn.commit_history()))
+    conn._refresh_durable()
+    names = sorted(r["name"] for r in conn._read_table("vf_t").collect())
+    assert names == ["a", "b", "c", "inflight"]  # survived the rewrite
+    assert cid in conn.commit_history()
 
 
 def test_vacuum_retain_more_than_history_is_noop(

@@ -1,0 +1,298 @@
+"""Cross-PROCESS concurrency: separate driver JVMs sharing one
+database location — the deployment shape (many Spark drivers, one
+warehouse) that in-JVM thread tests cannot cover.
+
+Two mechanisms make this work, both file-based and metastore-free:
+the commit journal (``link(2)``-atomic claims, floor/intent markers)
+and the table-metadata files (``_sql_autoloader_meta/*.json``) that
+let a fresh process ADOPT existing tables into its session catalog
+(the analogue of reopening a SQLite database file from any process,
+reference sqlite_connector.py).
+
+These tests spawn real subprocesses, each with its own SparkSession
+(~20 s JVM start each) — they are the slowest tests in the suite and
+deliberately so.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+_CHILD_PRELUDE = """
+import json, os, sys, time
+from pyspark.sql import SparkSession
+from sql_autoloader_spark.connectors.spark_catalog import (
+    SparkConnector, _CommitJournal,
+)
+
+tag = sys.argv[1]
+db_location = sys.argv[2]
+barrier = sys.argv[3]
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.warehouse.dir", f"{barrier}/wh_{tag}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sql(f"CREATE DATABASE IF NOT EXISTS xdb LOCATION '{db_location}'")
+
+
+def barrier_wait():
+    open(f"{barrier}/ready_{tag}", "w").close()
+    while not os.path.exists(f"{barrier}/go"):
+        time.sleep(0.05)
+"""
+
+_COMMIT_RACE_CHILD = _CHILD_PRELUDE + """
+n = int(sys.argv[4])
+conn = SparkConnector(spark, database="xdb")  # open BEFORE writers race
+barrier_wait()
+for i in range(n):
+    with conn:
+        conn.insert(
+            spark.createDataFrame([(f"{tag}-{i}",)], ["name"]),
+            table="xp_t",
+        )
+print("RESULT " + json.dumps({"history": conn.commit_history()}))
+"""
+
+_JOURNAL_WRITER_CHILD = _CHILD_PRELUDE + """
+n = int(sys.argv[4])
+jr = _CommitJournal(spark, "xdb")
+barrier_wait()
+claimed = []
+after = 0
+for i in range(n):
+    cid = jr.commit(1_000_000 + int(tag) * 1000 + i, after=after)
+    claimed.append(cid)
+    after = cid
+    time.sleep(0.01)
+print("RESULT " + json.dumps({"claimed": claimed}))
+"""
+
+_JOURNAL_VACUUM_CHILD = _CHILD_PRELUDE + """
+rounds = int(sys.argv[4])
+jr = _CommitJournal(spark, "xdb")
+barrier_wait()
+floors = []
+claimed = []
+after = 0
+for i in range(rounds):
+    # also WRITE each round so the other writer hits real claim
+    # conflicts whose commit files a subsequent fold may delete —
+    # the vanished-conflict race the claim loop must survive
+    cid = jr.commit(2_000_000 + i, after=after)
+    claimed.append(cid)
+    after = cid
+    time.sleep(0.08)
+    visible, floor, _ = jr.state()
+    cids = sorted(c for c in visible)
+    if len(cids) > 2:
+        horizon = cids[-3]  # fold all but the newest two
+        jr.set_intent(horizon)
+        jr.set_floor(horizon)
+        floors.append(horizon)
+print("RESULT " + json.dumps({"floors": floors, "claimed": claimed}))
+"""
+
+
+def _spawn(script: str, tmp: Path, name: str, *args: str) -> subprocess.Popen:
+    path = tmp / f"{name}.py"
+    path.write_text(script)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, str(path), *args],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        env=env,
+        text=True,
+    )
+
+
+def _result(proc: subprocess.Popen, timeout: int = 300) -> dict:
+    out, err = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, f"child failed:\n{out}\n{err[-3000:]}"
+    line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+    assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
+    return json.loads(line[-1][len("RESULT "):])
+
+
+def _release(barrier: Path, n_children: int, tags: list[str]) -> None:
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if all((barrier / f"ready_{t}").exists() for t in tags):
+            break
+        time.sleep(0.1)
+    else:
+        msg = "children never became ready"
+        raise AssertionError(msg)
+    (barrier / "go").touch()
+
+
+def test_cross_process_commit_race(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """Two separate driver processes committing to ONE warehouse: every
+    commit lands exactly once under a distinct id, and a third process
+    (this one) agrees — the link(2) claim is atomic ACROSS processes,
+    not just across threads."""
+    db_location = str(tmp_path / "xdb.db")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+
+    # this process plays DDL writer (migrations are single-writer):
+    # the table + its file-persisted metadata exist before children open
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS xrace LOCATION '{db_location}'")
+    ddl_conn = SparkConnector(spark, database="xrace")
+    ddl_conn.execute_ddl(
+        "CREATE TABLE xp_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+
+    n = 5
+    kids = [
+        _spawn(_COMMIT_RACE_CHILD, tmp_path, f"racer{t}",
+               str(t), db_location, str(barrier), str(n))
+        for t in (1, 2)
+    ]
+    _release(barrier, 2, ["1", "2"])
+    results = [_result(k) for k in kids]
+
+    # third-process verification: a FRESH connector in this process
+    # re-lists the journal and reads the files the children renamed in
+    fresh = SparkConnector(spark, database="xrace")
+    rows = sorted(r["name"] for r in fresh._read_table("xp_t").collect())
+    expected = sorted(f"{t}-{i}" for t in (1, 2) for i in range(n))
+    assert rows == expected  # every commit's rows exactly once
+    history = fresh.commit_history()
+    assert len(history) == len(set(history)) == 2 * n
+    # each child saw every commit id it claimed in the shared history
+    for res in results:
+        assert set(res["history"]) <= set(history)
+
+
+def test_cross_process_writer_during_journal_vacuum(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """A writer process claiming commits WHILE another process vacuums
+    the journal (intent + floor markers, commit-file deletion): the
+    writer must never abort and never land at or below a floor — the
+    race where a conflicting commit file vanishes between the failed
+    rename and its verification resolves by re-reading the floor."""
+    db_location = str(tmp_path / "xvac.db")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+
+    writer = _spawn(_JOURNAL_WRITER_CHILD, tmp_path, "writer",
+                    "1", db_location, str(barrier), "25")
+    vac = _spawn(_JOURNAL_VACUUM_CHILD, tmp_path, "vac",
+                 "2", db_location, str(barrier), "12")
+    _release(barrier, 2, ["1", "2"])
+    wres = _result(writer)
+    vres = _result(vac)
+
+    claimed = wres["claimed"]
+    assert len(claimed) == 25
+    vac_claimed = vres["claimed"]
+    # BOTH processes' claims are mutually distinct — no id ever reused,
+    # even ids whose commit files a fold deleted mid-claim
+    all_claims = claimed + vac_claimed
+    assert len(all_claims) == len(set(all_claims))
+    assert claimed == sorted(claimed)
+    floors = vres["floors"]
+    assert floors, "vacuum child never vacuumed — race shape broken"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS xvacv LOCATION '{db_location}'"
+    )
+    from sql_autoloader_spark.connectors.spark_catalog import (
+        _CommitJournal,
+    )
+
+    jr = _CommitJournal(spark, "xvacv")
+    visible, floor, _ = jr.state()
+    assert floor == max(floors)
+    assert all(cid > floor for cid in visible)
+    # every surviving journal entry is one of the two writers' claims
+    assert set(visible) == {c for c in all_claims if c > floor}
+
+
+def test_cross_process_reopen_adopts_tables(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """A fresh PROCESS reopening the database adopts every table from
+    the file-persisted metadata — schema, constraints, committed
+    content, commit history — with no access to the writer's session
+    catalog (the reference's reopen-the-SQLite-file semantics)."""
+    db_location = str(tmp_path / "xadopt.db")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    (barrier / "go").touch()  # no race here — run the child immediately
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS xadopt LOCATION '{db_location}'")
+    writer = SparkConnector(spark, database="xadopt")
+    writer.execute_ddl(
+        """
+        CREATE TABLE ad_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE ad_car (
+            id INTEGER PRIMARY KEY,
+            model TEXT UNIQUE,
+            brand_id INTEGER REFERENCES ad_brand (id)
+        );
+        """
+    )
+    with writer:
+        writer.load(
+            spark.createDataFrame(
+                [("Toyota", "Corolla"), ("Ford", "Focus")],
+                "brand string, model string",
+            )
+        )
+
+    child = _spawn(
+        _CHILD_PRELUDE + """
+conn = SparkConnector(spark, database="xdb")
+brands = sorted(r["brand"] for r in conn._read_table("ad_brand").collect())
+cars = conn._read_table("ad_car")
+refs = conn._meta["ad_car"].references
+with conn:  # and the adopted database accepts NEW loads idempotently
+    conn.load(spark.createDataFrame(
+        [("Toyota", "Corolla"), ("Volvo", "V60")],
+        "brand string, model string"), exact=False)  # db is a superset
+print("RESULT " + json.dumps({
+    "brands": brands,
+    "n_cars": cars.count(),
+    "refs": [list(r) for r in refs],
+    "brands_after": sorted(
+        r["brand"] for r in conn._read_table("ad_brand").collect()),
+    "history": conn.commit_history(),
+}))
+""",
+        tmp_path, "adopter", "9", db_location, str(barrier),
+    )
+    res = _result(child)
+    assert res["brands"] == ["Ford", "Toyota"]
+    assert res["n_cars"] == 2
+    assert res["refs"] == [["brand_id", "ad_brand", "id"]]
+    assert res["brands_after"] == ["Ford", "Toyota", "Volvo"]
+
+    # and the ORIGINAL process sees the child's commit after refresh
+    fresh = SparkConnector(spark, database="xadopt")
+    assert sorted(
+        r["brand"] for r in fresh._read_table("ad_brand").collect()
+    ) == ["Ford", "Toyota", "Volvo"]
+    assert set(res["history"]) <= set(fresh.commit_history())

@@ -467,7 +467,8 @@ def test_resize_images_real_png_pixels(spark: SparkSession) -> None:
     from pyspark.sql import Row
 
     uniform = multimodal.encode_png(6, 4, 3, [200, 100, 50] * 24)
-    luma = (200 * 19595 + 100 * 38470 + 50 * 7471 + 0x8000) >> 16
+    # PIL's rgb2l TRUNCATES (no +0x8000 rounding term) — pinned
+    luma = (200 * 19595 + 100 * 38470 + 50 * 7471) >> 16
     ramp = multimodal.encode_png(4, 4, 1, list(range(16)), filter_type=2)
     df = spark.createDataFrame(
         [Row(media_id=1, content=bytearray(uniform)),
@@ -503,6 +504,51 @@ def test_pixel_stats_real_decode_and_null_fallback(
     for mid in (2, 3):
         assert rows[mid]["n_pixels"] is None
         assert rows[mid]["avg_luma"] is None
+
+
+def test_pixel_stats_honors_id_col(spark: SparkSession) -> None:
+    """The output id column keeps the input's name AND type, and
+    sum_luma is the exact integer pixel sum."""
+    from pyspark.sql import Row
+
+    png = multimodal.encode_png(4, 3, 1, list(range(10, 22)))
+    df = spark.createDataFrame([Row(doc_key="a", content=bytearray(png))])
+    out = multimodal.pixel_stats(df, id_col="doc_key")
+    assert out.schema["doc_key"].dataType.simpleString() == "string"
+    row = out.collect()[0]
+    assert row["doc_key"] == "a"
+    assert row["sum_luma"] == sum(range(10, 22))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 37, 200, 383])
+def test_synthesize_png_formula_and_roundtrip(seed: int) -> None:
+    """The synthetic fixture PNG obeys the exact size formula the SQL
+    oracles recompute (stored-block zlib) and decodes back to the
+    arithmetic pixel pattern — the contract the media oracles rely on."""
+    png = multimodal.synthesize_png(seed)
+    c = 1 + seed % 4
+    w = 16 + seed % 9
+    h = 16 + (seed // 3) % 7
+    m = 32 + seed % 224
+    assert len(png) == h * (1 + w * c) + 68
+    dw, dh, dc, raw = multimodal.decode_png(png)
+    assert (dw, dh, dc) == (w, h, c)
+    assert raw == bytes((seed * 7 + j * 13) % m for j in range(w * h * c))
+
+
+def test_synthetic_png_media_dup_injection(spark: SparkSession) -> None:
+    """Ids congruent mod the modulus share identical real-PNG bytes;
+    others differ — the structure the dedup oracle predicts."""
+    df = spark.createDataFrame(
+        [(0,), (1,), (384,)], "doc_id long"
+    )
+    out = multimodal.synthetic_png_media(df, id_col="doc_id", modulus=384)
+    rows = {r["media_id"]: bytes(r["content"]) for r in out.collect()}
+    assert rows[0] == rows[384]
+    assert rows[0] != rows[1]
+    assert rows[1].startswith(b"\x89PNG")
+    # and it is a REAL decodable PNG (the registered path's guarantee)
+    assert multimodal.decode_png(rows[1])[2] == 1 + 1 % 4
 
 
 def test_sample_frames(spark: SparkSession, media) -> None:
@@ -615,7 +661,8 @@ def test_decode_image_bytes_real_png_pixels() -> None:
     assert vec == expected
     # RGB: PIL's exact rounded fixed-point luma, one uniform color
     rgb = _encode_png(3, 3, 3, [200, 100, 50] * 9, filter_type=1)
-    luma = (200 * 19595 + 100 * 38470 + 50 * 7471 + 0x8000) >> 16
+    # PIL's rgb2l TRUNCATES (no +0x8000 rounding term) — pinned
+    luma = (200 * 19595 + 100 * 38470 + 50 * 7471) >> 16
     vec3 = multimodal._decode_image_bytes(rgb)
     assert vec3[luma * multimodal.FEATURE_DIM // 256] == 1.0
 
@@ -1484,6 +1531,20 @@ def test_apply_bpe_duplicate_id_raises(spark: SparkSession) -> None:
     )
     merges = text.learn_bpe_merges(docs, n_merges=1)
     with pytest.raises(Exception, match="unique document ids"):
+        text.apply_bpe(docs, merges).collect()
+
+
+def test_apply_bpe_duplicate_null_id_keeps_diagnostic(
+    spark: SparkSession,
+) -> None:
+    """A duplicated NULL id must fail with the SAME readable message —
+    concat with a NULL id must not null out the diagnostic."""
+    docs = spark.createDataFrame(
+        [(None, "aa ab"), (None, "ab aa"), (2, "aa")],
+        "doc_id long, text string",
+    )
+    merges = text.learn_bpe_merges(docs, n_merges=1)
+    with pytest.raises(Exception, match="unique document ids.*NULL"):
         text.apply_bpe(docs, merges).collect()
 
 

@@ -376,6 +376,93 @@ def test_fuzzy_dedup_crash_replay_is_idempotent(
     assert counts == {1: 1, 3: 1, 11: 1}, counts
 
 
+def test_signature_store_compaction_preserves_admissions(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """compact_signature_store: many one-file-per-batch appends collapse
+    to few sorted files, admission decisions are IDENTICAL before and
+    after, re-compaction is idempotent, and the per-batch probe join
+    runs with no store-side shuffle exchange (broadcast batch keys)."""
+    from sql_autoloader_spark.streaming.pipeline import (
+        _fuzzy_admitter,
+        compact_signature_store,
+    )
+
+    store = tmp_path / "store"
+    out = tmp_path / "out"
+    admit = _fuzzy_admitter(
+        id_col="doc_id",
+        text_col="text",
+        store_path=str(store),
+        out_path=str(out),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    texts = [
+        f"distinctive prose about subject {i} with many carefully "
+        f"repeated signature words for minhash stability topic {i} " * 3
+        for i in range(8)
+    ]
+    for b in range(4):
+        admit(
+            spark.createDataFrame(
+                [(b * 2, texts[b * 2]), (b * 2 + 1, texts[b * 2 + 1])],
+                "doc_id long, text string",
+            ),
+            b,
+        )
+
+    stats = compact_signature_store(spark, str(store))
+    assert stats["files_before"] >= 4  # one file set per batch
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny store -> one sorted file
+    assert stats["rows"] > 0
+
+    # identical admissions after compaction: near-dups of docs admitted
+    # BEFORE the compaction still drop, novel content still admits
+    probe = spark.createDataFrame(
+        [
+            (100, texts[0] + " trailing tweak"),
+            (101, texts[5] + " other tweak"),
+            (102, "entirely novel writing about walled gardens " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    admit(probe, 10)
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert 100 not in admitted and 101 not in admitted
+    assert 102 in admitted
+
+    # idempotent: a second compaction keeps the same distinct key set
+    stats2 = compact_signature_store(spark, str(store))
+    assert stats2["rows"] >= stats["rows"]  # + the probe batch's keys
+    keyset = {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(str(store)).collect()
+    }
+    stats3 = compact_signature_store(spark, str(store))
+    assert stats3["rows"] == stats2["rows"]
+    assert {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(str(store)).collect()
+    } == keyset
+
+    # plan shape of the probe: store side scans straight into a
+    # BroadcastHashJoin — no shuffle exchange anywhere in the join
+    store_df = spark.read.parquet(str(store)).select("band", "bucket")
+    keys_df = spark.createDataFrame(
+        [(1, 0, 123)], "doc_id long, band int, bucket bigint"
+    )
+    join = store_df.join(
+        F.broadcast(keys_df), on=["band", "bucket"], how="inner"
+    ).select("doc_id")
+    plan = join._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 # --- watermark-boundary semantics across restarts ---------------------------
 #
 # The availableNow replays above verify END state; these two-phase tests

@@ -47,6 +47,8 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from sql_autoloader_spark.logutil import silence_benign_scheduler_spam
+    silence_benign_scheduler_spam(spark)
 
     con = duckdb.connect()
     for t in TABLES:

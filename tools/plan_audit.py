@@ -50,6 +50,8 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from sql_autoloader_spark.logutil import silence_benign_scheduler_spam
+    silence_benign_scheduler_spam(spark)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )

@@ -188,6 +188,8 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from sql_autoloader_spark.logutil import silence_benign_scheduler_spam
+    silence_benign_scheduler_spam(spark)
 
     # warmup identical in spirit to bench.py
     for t in entry_mod._TABLES:

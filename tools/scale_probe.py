@@ -110,6 +110,8 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from sql_autoloader_spark.logutil import silence_benign_scheduler_spam
+    silence_benign_scheduler_spam(spark)
 
     os.makedirs(OUT, exist_ok=True)
     build_blowup(spark)
