@@ -86,6 +86,111 @@ _TOKEN_FLOOR = 1 << 62
 _TOKEN_INLINE_LIMIT = 1024
 
 
+class ClaimStrategy:
+    """The ONE storage-specific primitive of the commit protocol:
+    atomically materialize ``<dir>/<dest_name>`` with the prepared temp
+    file's content iff it does not already exist.
+
+    Everything else in :class:`_CommitJournal` — id allocation, retry,
+    floor/intent markers, recovery — is storage-agnostic; porting the
+    journal to a new store means implementing exactly this method.
+    ``True`` = this writer owns the commit id; ``False`` = a conflicting
+    commit file exists (the loser retries with the next id); raise for
+    non-conflict failures (permissions, quota)."""
+
+    #: whether a successful claim consumes the prepared temp file
+    #: (rename does; link and conditional PUT leave it for the caller)
+    consumes_tmp = False
+
+    def claim(
+        self, journal: "_CommitJournal", tmp_name: str, dest_name: str
+    ) -> bool:
+        raise NotImplementedError
+
+
+class LinkClaim(ClaimStrategy):
+    """``file://`` — ``java.nio.Files.createLink``: ``link(2)`` is a
+    single syscall failing with ``EEXIST``, with none of the TOCTOU
+    window of Hadoop's local rename (whose no-overwrite contract is a
+    non-atomic exists-check before ``rename(2)``, which itself silently
+    replaces)."""
+
+    def claim(
+        self, journal: "_CommitJournal", tmp_name: str, dest_name: str
+    ) -> bool:
+        local = journal._dir
+        for prefix in ("file://", "file:"):
+            if local.startswith(prefix):
+                local = local[len(prefix):]
+                break
+        jf = journal._jvm.java.io.File
+        try:
+            journal._jvm.java.nio.file.Files.createLink(
+                jf(f"{local}/{dest_name}").toPath(),
+                jf(f"{local}/{tmp_name}").toPath(),
+            )
+            return True
+        except Exception as e:  # noqa: BLE001 — py4j-wrapped Java
+            java_cls = getattr(
+                getattr(e, "java_exception", None), "getClass", None
+            )
+            if (
+                java_cls is not None
+                and "FileAlreadyExistsException" in java_cls().getName()
+            ):
+                return False
+            raise
+
+
+class RenameClaim(ClaimStrategy):
+    """HDFS and other rename-atomic filesystems —
+    ``FileSystem.rename``, an atomic server-side no-overwrite
+    operation.  NOT safe on S3-like object stores, whose rename is
+    copy+delete: use :class:`ConditionalPutClaim` there."""
+
+    consumes_tmp = True
+
+    def claim(
+        self, journal: "_CommitJournal", tmp_name: str, dest_name: str
+    ) -> bool:
+        return journal._fs.rename(
+            journal._path_cls(f"{journal._dir}/{tmp_name}"),
+            journal._path_cls(f"{journal._dir}/{dest_name}"),
+        )
+
+
+class ConditionalPutClaim(ClaimStrategy):
+    """Object stores — claim via conditional PUT (``If-None-Match: *``,
+    supported by S3/GCS/Azure): write the commit object directly, the
+    store itself rejects the write if the key exists.
+
+    *put_if_absent(path, content) -> bool* is the injected store call
+    (e.g. a boto3 ``put_object(..., IfNoneMatch="*")`` wrapper that
+    maps HTTP 412 to ``False``); the journal never needs rename or
+    link on such stores.  Reads still go through the Hadoop FS —
+    S3-class stores are strongly consistent, so a successful PUT is
+    immediately visible to the journal's directory listing."""
+
+    def __init__(self, put_if_absent) -> None:  # noqa: ANN001
+        self._put_if_absent = put_if_absent
+
+    def claim(
+        self, journal: "_CommitJournal", tmp_name: str, dest_name: str
+    ) -> bool:
+        stream = journal._fs.open(
+            journal._path_cls(f"{journal._dir}/{tmp_name}")
+        )
+        try:
+            content = journal._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            ).encode()
+        finally:
+            stream.close()
+        return bool(
+            self._put_if_absent(f"{journal._dir}/{dest_name}", content)
+        )
+
+
 class _CommitJournal:
     """File-based commit log with OPTIMISTIC multi-writer concurrency.
 
@@ -118,7 +223,12 @@ class _CommitJournal:
     driver-side metadata op — refreshing durability runs no Spark jobs.
     """
 
-    def __init__(self, spark: SparkSession, database: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        database: str,
+        claim_strategy: ClaimStrategy | None = None,
+    ) -> None:
         location = spark.catalog.getDatabase(database).locationUri
         self._dir = location.rstrip("/") + "/_sql_autoloader_commits"
         jvm = spark.sparkContext._jvm
@@ -136,6 +246,11 @@ class _CommitJournal:
         #: token content cache (commit files are immutable; unreadable
         #: ones are NOT cached — re-read on the next listing)
         self._tokens: dict[int, int] = {}
+        #: scheme-appropriate atomic-claim primitive, injectable for
+        #: object stores (pass a ConditionalPutClaim)
+        self._strategy: ClaimStrategy = claim_strategy or (
+            LinkClaim() if self._local else RenameClaim()
+        )
 
     def _read_token(self, name: str) -> int | None:
         stream = self._fs.open(self._path_cls(f"{self._dir}/{name}"))
@@ -237,36 +352,10 @@ class _CommitJournal:
         """Atomically claim *dest_name* with *tmp_name*'s content.
 
         True = this writer owns the commit id; False = already claimed.
+        Delegates to the journal's :class:`ClaimStrategy` — the one
+        storage-specific primitive in the whole commit protocol.
         """
-        if self._local:
-            # link(2): one syscall, EEXIST on conflict — no TOCTOU
-            local = self._dir
-            for prefix in ("file://", "file:"):
-                if local.startswith(prefix):
-                    local = local[len(prefix):]
-                    break
-            jf = self._jvm.java.io.File
-            try:
-                self._jvm.java.nio.file.Files.createLink(
-                    jf(f"{local}/{dest_name}").toPath(),
-                    jf(f"{local}/{tmp_name}").toPath(),
-                )
-                return True
-            except Exception as e:  # noqa: BLE001 — py4j-wrapped Java
-                java_cls = getattr(
-                    getattr(e, "java_exception", None), "getClass", None
-                )
-                if (
-                    java_cls is not None
-                    and "FileAlreadyExistsException"
-                    in java_cls().getName()
-                ):
-                    return False
-                raise
-        return self._fs.rename(
-            self._path_cls(f"{self._dir}/{tmp_name}"),
-            self._path_cls(f"{self._dir}/{dest_name}"),
-        )
+        return self._strategy.claim(self, tmp_name, dest_name)
 
     def commit(
         self, token: int, *, after: int, floor: int | None = None
@@ -295,8 +384,8 @@ class _CommitJournal:
         while True:
             if self._claim(tmp_name, f"{cid}.commit"):
                 self._tokens[cid] = token
-                if self._local:
-                    # the link left the temp file behind; drop it
+                if not self._strategy.consumes_tmp:
+                    # link(2)/conditional-PUT leave the temp behind
                     self._fs.delete(tmp, False)
                 return cid
             if not self._fs.exists(tmp):
@@ -1091,6 +1180,12 @@ class SparkConnector(BaseConnector):
         (rowCount / sizeInBytes / per-column NDV+min/max); append-only
         commits do not maintain them, so run this with the other
         maintenance ops (:meth:`compact_table`) after large loads.
+        Plan effect pinned by tests/test_catalog_persistence.py::
+        test_analyze_tables_changes_join_strategy: with
+        ``spark.sql.cbo.enabled``, column stats flip a selective-filter
+        join from SortMergeJoin to BroadcastHashJoin.  Plans read stats
+        at resolution time — re-resolve (``refreshTable`` + fresh
+        ``spark.table``) after analyzing.
         Stats are computed over the physical table (including any
         not-yet-visible tokens) — they are optimizer estimates, not
         semantics, so the approximation is the standard one.

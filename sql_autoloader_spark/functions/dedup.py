@@ -132,9 +132,13 @@ def fingerprint_dedup_stats(
     count per fingerprint. One keyed shuffle; the md5 fingerprint (32-hex)
     is the shuffle key, so data volume after the map side is ~48 bytes/doc
     regardless of document size.
+
+    The normalization+hash is the CPU; spread it across cores first —
+    a single-file (or single-row-group) corpus otherwise serializes the
+    whole regex pass onto one scan task (no-op at real scale).
     """
     return (
-        df.select(
+        spread_for_compute(df.select(id_col, text_col)).select(
             fingerprint_md5(F.col(text_col)).alias("fp"),
             F.col(id_col),
         )
@@ -500,18 +504,61 @@ def minhash_signature_vectorized(
 
     @pandas_udf("array<bigint>")
     def sign(batch: pd.Series) -> pd.Series:
-        out = []
-        for hs in batch:
-            if hs is None or len(hs) == 0:
-                # bit-parity with the JVM form: array_min over an empty
-                # shingle set yields NULL per permutation (a sentinel
-                # value here would band all empty docs into one bucket
-                # in one engine and not the other)
+        # Whole-batch vectorization: concatenate every row's shingle
+        # hashes into ONE flat int64 array, then per permutation run a
+        # single modular-affine pass + np.minimum.reduceat at the row
+        # offsets — num_hashes passes over the batch total instead of
+        # one small (num_hashes × n) matrix per row (per-row numpy
+        # dispatch overhead dominated the old form).  Working set stays
+        # ~2 flat arrays regardless of num_hashes.
+        lengths = np.fromiter(
+            (0 if hs is None else len(hs) for hs in batch),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        nonempty = lengths > 0
+        if not nonempty.any():
+            # bit-parity with the JVM form: array_min over an empty
+            # shingle set yields NULL per permutation (a sentinel
+            # value here would band all empty docs into one bucket
+            # in one engine and not the other)
+            return pd.Series([[None] * num_hashes for _ in batch])
+        flat = np.concatenate(
+            [np.asarray(hs, dtype=np.int64) for hs in batch if hs is not None and len(hs)]
+        )
+        ne_lengths = lengths[nonempty]
+        # (num_hashes, n_nonempty_rows): values < 2^31 keep a*h < 2^62,
+        # exact in int64 — bit-identical to the JVM expression.  Two
+        # regimes (measured): short docs → reduceat streams the whole
+        # batch per permutation (amortizes numpy dispatch, ~2× faster);
+        # long docs → a per-row (num_hashes × n) block stays cache-hot
+        # while reduceat's num_hashes full passes thrash memory (~2×
+        # slower).  Crossover ≈ 1k shingles/doc.
+        if flat.size // max(len(ne_lengths), 1) <= 1024:
+            offsets = np.zeros(len(ne_lengths), dtype=np.int64)
+            np.cumsum(ne_lengths[:-1], out=offsets[1:])
+            mins = np.empty((num_hashes, len(ne_lengths)), dtype=np.int64)
+            for i in range(num_hashes):
+                mins[i] = np.minimum.reduceat(
+                    (a[i] * flat + b[i]) % _MERSENNE31, offsets
+                )
+            sigs = mins.T
+        else:
+            sigs = np.empty((len(ne_lengths), num_hashes), dtype=np.int64)
+            pos = 0
+            for j, n in enumerate(ne_lengths):
+                h = flat[pos : pos + n]
+                pos += n
+                sigs[j] = (
+                    (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE31
+                ).min(axis=1)
+        out, j = [], 0
+        for n in lengths:
+            if n == 0:
                 out.append([None] * num_hashes)
-                continue
-            h = np.asarray(hs, dtype=np.int64)
-            # (num_hashes, n_shingles) modular affine, min over shingles
-            out.append(((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE31).min(axis=1))
+            else:
+                out.append(sigs[j])
+                j += 1
         return pd.Series(out)
 
     return sign(hashes)

@@ -6,6 +6,7 @@ a SQLite file, reference tests/test_sqlite_connector.py:117-127,224-227).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
 
@@ -831,6 +832,76 @@ def test_analyze_tables_records_cbo_stats(spark: SparkSession) -> None:
     assert cols.get("distinct_count") == "3", cols
 
 
+def test_analyze_tables_changes_join_strategy(spark: SparkSession) -> None:
+    """PLAN-EFFECT proof: the statistics analyze_tables records are not
+    write-only — with CBO enabled, column stats (rowCount + NDV) shrink
+    a selective filter's size estimate below the broadcast threshold
+    and flip the join from SortMergeJoin to BroadcastHashJoin building
+    the filtered side.  Plans must be re-resolved from the catalog
+    (fresh ``spark.table`` after ``refreshTable``) to see new stats."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    db = SparkConnector(spark, database="cboplantest")
+    db.execute_ddl(
+        """
+        CREATE TABLE cb_a (id INTEGER PRIMARY KEY, w TEXT UNIQUE,
+                           k INTEGER);
+        CREATE TABLE cb_b (id INTEGER PRIMARY KEY, w TEXT UNIQUE,
+                           v INTEGER);
+        """
+    )
+    n = 20000
+    with db:
+        db.insert(
+            spark.range(n).select(
+                F.concat(F.lit("wa_"), F.col("id")).alias("w"),
+                (F.col("id") % 1000).cast("int").alias("k"),
+            ),
+            table="cb_a",
+        )
+        db.insert(
+            spark.range(n).select(
+                F.concat(F.lit("wb_"), F.col("id")).alias("w"),
+                (F.col("id") % 7).cast("int").alias("v"),
+            ),
+            table="cb_b",
+        )
+
+    def join_plan() -> str:
+        spark.catalog.refreshTable("cboplantest.cb_a")
+        spark.catalog.refreshTable("cboplantest.cb_b")
+        a = spark.table("cboplantest.cb_a").where(F.col("k") == 1)
+        b = spark.table("cboplantest.cb_b")
+        j = a.join(b, a["id"] == b["id"]).select(a["w"], b["v"])
+        return j._jdf.queryExecution().sparkPlan().toString()
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # raw parquet of 20k rows ≫ 64 KiB, the ~20-row filtered
+        # estimate (rowCount/NDV(k)) ≪ 64 KiB — stats decide the flip
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024)
+        )
+        before = join_plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in (
+            before
+        ), before
+        db.analyze_tables()
+        after = join_plan()
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_token_filter_semi_join_above_inline_limit(
     spark: SparkSession, monkeypatch
 ) -> None:
@@ -856,6 +927,86 @@ def test_token_filter_semi_join_above_inline_limit(
     assert sorted(r["w"] for r in joined_frame.collect()) == inline == [
         "a", "b", "c",
     ]
+
+
+def test_conditional_put_claim_single_winner(spark: SparkSession) -> None:
+    """Object-store claim seam: with a ConditionalPutClaim strategy
+    injected (mock If-None-Match store), racing claimants get exactly
+    one winner per commit id — the journal never needs rename/link on
+    such stores, and the rest of the protocol is unchanged."""
+    import os
+    import threading
+
+    from sql_autoloader_spark.connectors.spark_catalog import (
+        ConditionalPutClaim,
+        SparkConnector,
+    )
+
+    db = SparkConnector(spark, database="cputtest")
+    jr = db._journal
+
+    def local_path(path: str) -> str:
+        for prefix in ("file://", "file:"):
+            if path.startswith(prefix):
+                return path[len(prefix):]
+        return path
+
+    lock = threading.Lock()
+    objects: set[str] = set()
+    put_calls: list[str] = []
+
+    def put_if_absent(path: str, content: bytes) -> bool:
+        # the mock store's conditional PUT: the dict is the atomicity
+        # source; on success the object materializes as a real file so
+        # the journal's directory listing (its read path) sees it
+        with lock:
+            put_calls.append(path)
+            if path in objects or os.path.exists(local_path(path)):
+                return False
+            objects.add(path)
+        with open(local_path(path), "wb") as fh:
+            fh.write(content)
+        return True
+
+    jr._strategy = ConditionalPutClaim(put_if_absent)
+
+    # direct race: 8 threads fight for ONE key — exactly one wins
+    wins: list[bool] = []
+    jr_dir = local_path(jr._dir)
+    with open(f"{jr_dir}/tmp-race", "wb") as fh:
+        fh.write(b"77")
+    threads = [
+        threading.Thread(
+            target=lambda: wins.append(jr._claim("tmp-race", "99.commit"))
+        )
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert wins.count(True) == 1 and wins.count(False) == 7
+    os.remove(f"{jr_dir}/99.commit")
+    os.remove(f"{jr_dir}/tmp-race")
+    objects.clear()
+
+    # full protocol race: 4 threads commit concurrently through the
+    # injected strategy — distinct contiguous ids, every token readable
+    tokens = [5000 + i for i in range(4)]
+    claimed: list[int] = []
+
+    def run(tok: int) -> None:
+        claimed.append(jr.commit(tok, after=0))
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in tokens]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(claimed) == [1, 2, 3, 4]
+    visible, _floor, _ = jr.state()
+    assert set(visible.values()) == set(tokens)
+    assert len(put_calls) >= 4  # the injected store call actually ran
 
 
 def test_many_threaded_writers_land_exactly_once(

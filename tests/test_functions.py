@@ -995,6 +995,35 @@ def test_pil_decode_path_with_fake_codec(monkeypatch) -> None:
     assert abs(sum(vec2) - 1.0) < 1e-9
 
 
+def test_minhash_vectorized_matches_expression(spark: SparkSession) -> None:
+    """The whole-batch Arrow fold (np.minimum.reduceat over the
+    concatenated shingle hashes) must be bit-identical to the pure-JVM
+    permutation expression — including empty shingle sets (all-NULL
+    signature), single-shingle rows, and mixed batches."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, list(range(100, 300, 7))),
+        (1, [5]),
+        (2, []),                      # empty -> [None] * num_hashes
+        (3, list(range(2**30, 2**30 + 50))),   # near the modulus
+        (4, [0, 2**31 - 2]),  # extremes of the folded-hash domain
+        (5, list(range(1000))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, h array<bigint>")
+    both = docs.select(
+        "doc_id",
+        dedup.minhash_signature_from_hashes(
+            F.col("h"), num_hashes=16
+        ).alias("expr_sig"),
+        dedup.minhash_signature_vectorized(
+            F.col("h"), num_hashes=16
+        ).alias("vec_sig"),
+    ).collect()
+    for row in both:
+        assert row.expr_sig == row.vec_sig, row
+
+
 def test_simhash_vectorized_matches_expression(spark: SparkSession) -> None:
     """The Arrow fold must be bit-identical to the pure-expression
     simhash (same xxhash64 inputs, same sign rule, same bit-63
