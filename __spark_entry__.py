@@ -413,11 +413,15 @@ def q_docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact keyed dedup: one surviving row (min doc_id) per distinct text."""
+    """Exact keyed dedup: one surviving row (min doc_id) per distinct
+    text.  hash_key shuffles a 32-byte SHA-256 of the text instead of
+    the raw document bytes (the 100 TB shuffle-volume path); the oracle
+    still groups by raw text — identical groups prove the encoding."""
     return dedup.exact_dedup(
         _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source"),
         ["text"],
         id_col="doc_id",
+        hash_key=True,
     ).select("doc_id", "lang", "source")
 
 

@@ -108,14 +108,37 @@ def _local_bytes(files: list[str]) -> int:
 
 
 def exact_dedup(
-    df: DataFrame, subset: list[str], *, id_col: str
+    df: DataFrame, subset: list[str], *, id_col: str, hash_key: bool = False
 ) -> DataFrame:
     """Keep exactly one row (minimal *id_col*) per distinct *subset* value.
 
     ``min_by`` keeps the whole row in one aggregation pass — one shuffle
     on the dedup key, no self-join, no window (a window over the key would
     shuffle identically but sort within groups for no benefit).
+
+    ``hash_key=True`` groups on the SHA-256 of the subset's JSON
+    encoding instead of the raw values: the shuffle KEY drops from full
+    document bytes to 32 B/row — the 100 TB path when the dedup column
+    is the document text itself (the payload columns still shuffle;
+    the key no longer doubles them).  ``to_json(struct(...))`` is an
+    injective canonical encoding (escaped, null-omitting but
+    column-name-tagged), so groups are identical up to SHA-256
+    collisions (~n²/2²⁵⁷ — below hardware error rates).
     """
+    if hash_key:
+        key = F.sha2(
+            F.to_json(F.struct(*[F.col(c) for c in subset])), 256
+        )
+        aggs = [F.min(id_col).alias(id_col)] + [
+            F.min_by(c, id_col).alias(c)
+            for c in df.columns
+            if c != id_col
+        ]
+        return (
+            df.groupBy(key.alias("__dedup_key"))
+            .agg(*aggs)
+            .select(*df.columns)
+        )
     others = [c for c in df.columns if c not in subset]
     aggs = [F.min(id_col).alias(id_col)] + [
         F.min_by(c, id_col).alias(c) for c in others if c != id_col
@@ -731,6 +754,10 @@ def minhash_lsh_pairs(
     if not verify:
         return pairs
 
+    # No broadcast hint on the pairs side: at corpus scale the
+    # candidate set can be arbitrarily large (a hint would pin an OOM
+    # risk into the plan); AQE broadcasts it at runtime when small —
+    # measured identical locally.
     sh = signed.select("doc", "sh")
     return (
         pairs.join(sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), on="id_a")

@@ -832,6 +832,74 @@ def test_analyze_tables_records_cbo_stats(spark: SparkSession) -> None:
     assert cols.get("distinct_count") == "3", cols
 
 
+def test_adoption_restores_partitioned_and_bucketed_layout(
+    spark: SparkSession, tmp_path
+) -> None:
+    """File-metadata adoption for non-trivial physical layouts: a
+    connector under a DIFFERENT database name pointed at the same
+    location (a fresh process's catalog state) must adopt a
+    partitioned table (PARTITIONED BY + partition discovery — pruning
+    still works) and a bucketed table (CLUSTERED BY), restore the
+    layout specs, and keep appending into the same layout."""
+    loc = str(tmp_path / "layout.db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS layouta LOCATION '{loc}'")
+    writer = SparkConnector(
+        spark,
+        database="layouta",
+        partition_by={"ly_part": ["country"]},
+        bucket_by={"ly_buck": (4, ["k"])},
+    )
+    writer.execute_ddl(
+        """
+        CREATE TABLE ly_part (
+            id INTEGER PRIMARY KEY, payload TEXT UNIQUE, country TEXT
+        );
+        CREATE TABLE ly_buck (
+            id INTEGER PRIMARY KEY, k INTEGER, w TEXT UNIQUE
+        );
+        """
+    )
+    with writer:
+        writer.insert(
+            spark.createDataFrame(
+                [("NL", "a"), ("NL", "b"), ("DE", "c")],
+                "country string, payload string",
+            ),
+            table="ly_part",
+        )
+        writer.insert(
+            spark.createDataFrame(
+                [(1, "x"), (2, "y")], "k int, w string"
+            ),
+            table="ly_buck",
+        )
+
+    # second catalog name over the same location == a fresh process:
+    # nothing in THIS name's catalog, everything via the meta files
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS layoutb LOCATION '{loc}'")
+    adopted = SparkConnector(spark, database="layoutb")
+    assert adopted.partition_by.get("ly_part") == ["country"]
+    assert adopted.bucket_by.get("ly_buck") == (4, ["k"])
+    assert adopted._read_table("ly_part").count() == 3
+    assert adopted._read_table("ly_buck").count() == 2
+    # partition pruning works on the adopted entry
+    cols = spark.catalog.listColumns("ly_part", "layoutb")
+    assert [c.name for c in cols if c.isPartition] == ["country"]
+    scan = spark.table("layoutb.ly_part").where(F.col("country") == "NL")
+    assert scan.count() == 2
+    # and appending through the adopted connector keeps the layout
+    with adopted:
+        adopted.insert(
+            spark.createDataFrame(
+                [("FR", "d")], "country string, payload string"
+            ),
+            table="ly_part",
+        )
+    assert adopted._read_table("ly_part").count() == 4
+    fr_dir = tmp_path / "layout.db" / "ly_part" / "country=FR"
+    assert fr_dir.exists()  # new rows landed in the partitioned layout
+
+
 def test_analyze_tables_changes_join_strategy(spark: SparkSession) -> None:
     """PLAN-EFFECT proof: the statistics analyze_tables records are not
     write-only — with CBO enabled, column stats (rowCount + NDV) shrink

@@ -78,6 +78,36 @@ def test_exact_dedup(spark: SparkSession) -> None:
     assert rows == {(1, "a", 10.0), (3, "b", 30.0)}
 
 
+def test_exact_dedup_hash_key_identical(spark: SparkSession) -> None:
+    """hash_key=True (32-byte shuffle key) must produce IDENTICAL
+    survivors to raw-value grouping — including NULL keys, empty
+    strings, multi-column subsets, and near-miss encodings."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x", 10.0),
+            (2, "a", "x", 20.0),   # dup of 1 on (key, sub)
+            (3, "a", "y", 30.0),
+            (4, None, "x", 40.0),
+            (5, None, "x", 50.0),  # dup of 4 (NULL groups with NULL)
+            (6, "", "x", 60.0),    # empty != NULL
+            (7, 'a"|', "x", 70.0),  # quoting/escaping near-miss
+        ],
+        "id long, key string, sub string, val double",
+    )
+    for subset in (["key"], ["key", "sub"]):
+        raw = {
+            tuple(r)
+            for r in dedup.exact_dedup(df, subset, id_col="id").collect()
+        }
+        hashed = {
+            tuple(r)
+            for r in dedup.exact_dedup(
+                df, subset, id_col="id", hash_key=True
+            ).collect()
+        }
+        assert raw == hashed, subset
+
+
 def test_fingerprint_dedup_stats(spark: SparkSession) -> None:
     df = spark.createDataFrame(
         [(1, "Same text!"), (2, "same  text"), (3, "different")],
