@@ -1002,6 +1002,7 @@ class SparkConnector(BaseConnector):
         target_partitions: int | None = None,
         *,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Rewrite a managed table once to consolidate small files.
 
@@ -1018,14 +1019,21 @@ class SparkConnector(BaseConnector):
         repartitions the rewrite (e.g. total_bytes / 128 MB); default
         keeps the scan's natural partitioning.
 
-        ``sort_by`` clusters the rewrite (Delta ``OPTIMIZE ZORDER``'s
-        single-dimension analogue): range-partition on the columns,
-        sort within partitions, so each parquet file covers a narrow
-        min/max range of the sort keys and filtered scans SKIP files
-        wholesale via footer statistics — the difference between
+        ``sort_by`` clusters the rewrite: range-partition on the
+        columns, sort within partitions, so each parquet file covers a
+        narrow min/max range of the sort keys and filtered scans SKIP
+        files wholesale via footer statistics — the difference between
         reading one file and reading all of them for a point/range
         predicate at 100 TB.  Not combinable with a bucketed layout
         (buckets own their sort).
+
+        ``zorder_by`` is the multi-dimensional version (Delta
+        ``OPTIMIZE ZORDER BY``): cluster on the Morton-interleaved key
+        (:func:`~sql_autoloader_spark.functions.scale.zorder_value`),
+        so every file covers a narrow range of EVERY listed column and
+        predicates on any of them prune — a lexicographic ``sort_by``
+        only ever prunes on its leading column.  Mutually exclusive
+        with ``sort_by``; same bucketed-layout restriction.
 
         Requires no pending appends (compact between transactions) and
         managed-catalog mode; the in-memory sink compacts its union
@@ -1045,10 +1053,13 @@ class SparkConnector(BaseConnector):
                 "rollback before compacting."
             )
             raise RuntimeError(msg)
-        if sort_by and self.bucket_by.get(table):
+        if sort_by and zorder_by:
+            msg = "sort_by and zorder_by are mutually exclusive."
+            raise ValueError(msg)
+        if (sort_by or zorder_by) and self.bucket_by.get(table):
             msg = (
                 f"table '{table}' is bucketed; bucket layout already "
-                "owns the sort order — drop sort_by."
+                "owns the sort order — drop sort_by/zorder_by."
             )
             raise ValueError(msg)
         # consult the journal first: another connector may have
@@ -1059,6 +1070,18 @@ class SparkConnector(BaseConnector):
         if _COMMIT_COL in frame.columns:
             frame = self._visible_where(frame)
         cluster = None
+        drop_after: list[str] | None = None
+        if zorder_by:
+            from sql_autoloader_spark.functions.scale import zorder_value
+
+            # quantization bounds come from the VISIBLE frame (one tiny
+            # agg); the z key rides through staging and is dropped from
+            # the final write after shaping it
+            frame = frame.withColumn(
+                "__zorder", zorder_value(frame, list(zorder_by))
+            )
+            sort_by = ["__zorder"]
+            drop_after = ["__zorder"]
         if sort_by:
             n = (
                 int(target_partitions)
@@ -1073,7 +1096,9 @@ class SparkConnector(BaseConnector):
             cluster = (max(n, 1), list(sort_by))
         elif target_partitions is not None:
             frame = frame.repartition(int(target_partitions))
-        self._overwrite_table(table, frame, cluster=cluster)
+        self._overwrite_table(
+            table, frame, cluster=cluster, drop_after=drop_after
+        )
         self._committed[table] = self._committed_view(table)
         self._register_view(table)
 
@@ -1306,6 +1331,7 @@ class SparkConnector(BaseConnector):
         content: DataFrame,
         *,
         cluster: tuple[int, list[str]] | None = None,
+        drop_after: list[str] | None = None,
     ) -> None:
         """Physically replace a managed table (recovery/migration only —
         never part of a normal commit).
@@ -1334,6 +1360,11 @@ class SparkConnector(BaseConnector):
             cols = [F.col(f"`{c}`") for c in sort_cols]
             staged = staged.repartitionByRange(n, *cols)
             staged = staged.sortWithinPartitions(*cols)
+        if drop_after:
+            # synthetic shaping keys (z-order) ride through staging and
+            # the sort, but must not land in the final schema; a plain
+            # projection preserves the within-partition order
+            staged = staged.drop(*drop_after)
         writer = self._apply_layout(staged.write.mode("overwrite"), table)
         writer.saveAsTable(self._qualified(table))
         # restore the metadata properties IMMEDIATELY after the rewrite

@@ -175,3 +175,97 @@ def salted_join(
     return salted_facts.join(salted_dims, on=[on, "__salt"], how=how).drop(
         "__salt"
     )
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], *, bits: int = 8
+) -> "F.Column":
+    """Z-order (Morton) key expression over *cols* for data-skipping
+    clustering — the multi-dimensional generalization of a 1-D range
+    sort (Delta ``OPTIMIZE ZORDER BY`` shape).
+
+    Each column is quantized to ``2**bits`` buckets, and the bucket
+    bits are interleaved so that sorting by the resulting key makes
+    every output file cover a NARROW range of *every* column — parquet
+    footer min/max statistics then skip files for predicates on any
+    clustered column, not just the leading sort key.
+
+    Quantization is one tiny driver-side min/max aggregate per call
+    (a single job over *df*), then pure JVM arithmetic per row:
+
+    - numeric / date / timestamp columns: linear min-max scaling
+      (monotone ⇒ range predicates prune; heavy skew concentrates
+      buckets — pre-transform a skewed column or use fewer bits);
+    - other types (strings, binary): ``xxhash64`` folded into the
+      bucket range — equality predicates still cluster and prune,
+      range predicates do not (hashing is not monotone).
+
+    NULL quantizes to bucket 0.  Returns a bigint Column; typical use
+    is ``df.repartitionByRange(n, z).sortWithinPartitions(z)`` — which
+    is exactly what ``SparkConnector.compact_table(zorder_by=[...])``
+    does.
+    """
+    if not cols:
+        msg = "zorder_value needs at least one column."
+        raise ValueError(msg)
+    if bits * len(cols) > 63:
+        msg = (
+            f"bits={bits} × {len(cols)} columns exceeds the 63 usable "
+            "bits of a bigint z-value; lower bits or cluster fewer "
+            "columns."
+        )
+        raise ValueError(msg)
+    n_buckets = 1 << bits
+    numeric_like = {
+        "byte", "short", "int", "bigint", "float", "double", "date",
+        "timestamp", "timestamp_ntz",
+    }
+    stats_cols = []
+    kinds: dict[str, str] = {}
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt in numeric_like or dt.startswith("decimal"):
+            kinds[c] = "numeric"
+            v = F.col(c).cast("double")
+            stats_cols += [
+                F.min(v).alias(f"__min_{c}"),
+                F.max(v).alias(f"__max_{c}"),
+            ]
+        else:
+            kinds[c] = "hashed"
+    bounds = df.agg(*stats_cols).first() if stats_cols else None
+
+    def bucket(c: str) -> F.Column:
+        if kinds[c] == "hashed":
+            return F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))
+        lo = bounds[f"__min_{c}"]
+        hi = bounds[f"__max_{c}"]
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("bigint")
+        v = F.col(c).cast("double")
+        scaled = F.floor(
+            (v - F.lit(float(lo)))
+            / F.lit(float(hi) - float(lo))
+            * F.lit(n_buckets - 1)
+        )
+        return F.coalesce(
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.lit(n_buckets - 1).cast("bigint"), scaled),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        b = bucket(c)
+        for j in range(bits):
+            # bit j of this column's bucket → global position j*n + i
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, j).bitwiseAND(F.lit(1)),
+                    j * n + i,
+                )
+            )
+    return z

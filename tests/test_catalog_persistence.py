@@ -804,6 +804,80 @@ def test_compact_sort_by_clusters_files(spark: SparkSession) -> None:
         db.compact_table("s_fact", sort_by=["k"])
 
 
+def test_compact_zorder_clusters_both_dimensions(
+    spark: SparkSession,
+) -> None:
+    """compact_table(zorder_by=[x, y]) makes EVERY file cover a narrow
+    range of BOTH columns (footer stats prune on either predicate),
+    unlike a lexicographic sort whose non-leading column never prunes;
+    content unchanged, no synthetic key in the final schema."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    db = SparkConnector(spark, database="ztest")
+    db.execute_ddl("CREATE TABLE z_fact (x BIGINT, y BIGINT);")
+    rnd = random.Random(7)
+    rows = [
+        (rnd.randrange(10_000), rnd.randrange(10_000))
+        for _ in range(20_000)
+    ]
+    with db:
+        db.insert(
+            spark.createDataFrame(rows, "x long, y long"), table="z_fact"
+        )
+    before = sorted(map(tuple, db._read_table("z_fact").collect()))
+
+    db.compact_table("z_fact", target_partitions=16, zorder_by=["x", "y"])
+    assert "__zorder" not in spark.table("ztest.z_fact").columns
+    after = sorted(map(tuple, db._read_table("z_fact").collect()))
+    assert after == before
+
+    loc = db._table_location("z_fact").removeprefix("file:")
+    spans = []
+    for f in glob.glob(f"{loc}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        stats = {}
+        for col in ("x", "y"):
+            ci = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins = [md.row_group(g).column(ci).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ci).statistics.max
+                    for g in range(md.num_row_groups)]
+            stats[col] = (min(mins), max(maxs))
+        spans.append(stats)
+    assert len(spans) >= 4
+    # z-order property: MOST files are narrow in BOTH dimensions (a
+    # 1-D x-sort would leave every file's y-range ≈ the full domain;
+    # a few z-files legitimately straddle a Morton quadrant boundary
+    # because range-partition split points are sampled, not
+    # bit-aligned — those carry wide ranges)
+    narrow = [
+        s
+        for s in spans
+        if all(s[c][1] - s[c][0] < 6_000 for c in ("x", "y"))
+    ]
+    assert len(narrow) >= (2 * len(spans)) // 3, spans
+    # the y dimension prunes at all — impossible under a 1-D x-sort
+    assert any(s["y"][1] - s["y"][0] < 6_000 for s in spans)
+    # and a 2-D box predicate skips most files via footer stats alone
+    box = [
+        s
+        for s in spans
+        if s["x"][0] < 2_500 and s["y"][0] < 2_500
+    ]
+    assert len(box) <= len(spans) // 2
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        db.compact_table("z_fact", sort_by=["x"], zorder_by=["y"])
+
+
 def test_analyze_tables_records_cbo_stats(spark: SparkSession) -> None:
     """analyze_tables lands rowCount/sizeInBytes (+ column stats) in the
     catalog — the inputs Catalyst's CBO reads for join reordering."""

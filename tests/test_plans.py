@@ -304,3 +304,37 @@ def test_loader_fact_merge_broadcasts_dim_fetch(
     assert "isFinalPlan=true" in final
     final_section = final.split("Initial Plan")[0]
     assert "SortMergeJoin" not in final_section
+
+
+def test_zorder_value_domain_and_validation(spark: SparkSession) -> None:
+    """zorder_value: bigint in [0, 2^(bits*ncols)), numeric columns
+    quantize monotonically (larger value never gets a smaller bucket in
+    its own dimension), string columns take the hashed-equality path
+    (equal strings -> equal contribution), and impossible bit widths
+    are rejected up front."""
+    import pytest
+
+    from sql_autoloader_spark.functions import scale
+
+    df = spark.createDataFrame(
+        [(0, "a"), (5_000, "b"), (9_999, "a"), (None, None)],
+        "x long, s string",
+    )
+    out = df.select(
+        "x", "s", scale.zorder_value(df, ["x", "s"]).alias("z")
+    ).collect()
+    assert all(0 <= r["z"] < 1 << 16 for r in out)
+    # equal strings contribute identically: rows 'a'/x=0 and 'a'/x=9999
+    # differ only through x's interleaved bits (even positions for col 0)
+    by_key = {(r["x"], r["s"]): r["z"] for r in out}
+    odd_mask = sum(1 << (2 * j + 1) for j in range(8))
+    assert (by_key[(0, "a")] & odd_mask) == (by_key[(9_999, "a")] & odd_mask)
+    # monotone numeric quantization in the x dimension
+    even = {k: v & ~odd_mask for k, v in by_key.items()}
+    assert even[(0, "a")] <= even[(5_000, "b")] <= even[(9_999, "a")]
+    assert by_key[(None, None)] >= 0  # NULLs quantize to bucket 0
+
+    with pytest.raises(ValueError, match="63 usable"):
+        scale.zorder_value(df, ["x"] * 8, bits=8)
+    with pytest.raises(ValueError, match="at least one column"):
+        scale.zorder_value(df, [])
