@@ -96,3 +96,46 @@ def test_validate_load_compare_matches_legacy_checks(
     except (CompareNoExactMatchError, CompareMissingRowsError, AssertionError) as e:
         got = type(e) if not isinstance(e, AssertionError) else AssertionError
     assert got == legacy()
+
+
+# --- hash-key exact dedup differential --------------------------------------
+
+_KEY = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=st.lists(st.tuples(_KEY, _KEY), min_size=0, max_size=8))
+def test_exact_dedup_hash_key_differential(
+    spark: SparkSession, rows
+) -> None:
+    """exact_dedup(hash_key=True) must pick the SAME survivors as
+    raw-value grouping on arbitrary unicode / NULL / duplicate keys —
+    the JSON-encoding injectivity claim, property-tested."""
+    from sql_autoloader_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "id long, a string, b string",
+    )
+    for subset in (["a"], ["a", "b"]):
+        raw = {
+            tuple(r)
+            for r in dedup.exact_dedup(df, subset, id_col="id").collect()
+        }
+        hashed = {
+            tuple(r)
+            for r in dedup.exact_dedup(
+                df, subset, id_col="id", hash_key=True
+            ).collect()
+        }
+        assert raw == hashed, (subset, rows)
