@@ -1843,9 +1843,10 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse maintenance end-to-end: three transactional loads, a
-    sorted compaction (``compact_table(sort_by=...)`` — the data-
-    skipping rewrite), then ``vacuum_commits(retain_last=1)`` folding
-    old history into the base.  The returned row proves content
+    Z-ORDER compaction (``compact_table(zorder_by=[doc_id, n_chars])``
+    — the multi-column data-skipping rewrite; the 1-D ``sort_by`` path
+    is footer-pinned in tests), then ``vacuum_commits(retain_last=1)``
+    folding old history into the base.  The returned row proves content
     survives both rewrites, history trims to the retained commit, and
     the vacuumed-base snapshot absorbs the folded loads.  Rows-only:
     commit ids are engine state, not SQL-reconstructable; mechanisms
@@ -1873,7 +1874,9 @@ def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 compare=False,
             )
     total_before = db._read_table("vm_doc").count()
-    db.compact_table("vm_doc", target_partitions=4, sort_by=["doc_id"])
+    db.compact_table(
+        "vm_doc", target_partitions=4, zorder_by=["doc_id", "n_chars"]
+    )
     db.vacuum_commits(retain_last=1)
     history = db.commit_history()
     row = (

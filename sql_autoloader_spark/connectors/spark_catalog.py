@@ -1267,6 +1267,23 @@ class SparkConnector(BaseConnector):
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._qualified(row.tableName)}"
                 )
+        # ...and the DIRECTORIES another process's crash left behind
+        # with no entry in this session's catalog (a fresh driver can
+        # never DROP those): token-unique __stage_ dirs just leak
+        # storage; a fixed-name __recovery_staging dir would block the
+        # next rewrite with LOCATION_ALREADY_EXISTS
+        fs, path_cls = _hadoop_fs(self.spark, self._db_location())
+        db_root = path_cls(self._db_location())
+        if fs.exists(db_root):
+            for status in fs.listStatus(db_root):
+                name = status.getPath().getName()
+                if (
+                    "__stage_" in name
+                    or name.endswith("__recovery_staging")
+                ) and not self.spark.catalog.tableExists(
+                    self._qualified(name)
+                ):
+                    fs.delete(status.getPath(), True)
         for table in self._meta:
             loc = self._table_location(table)
             fs, path_cls = _hadoop_fs(self.spark, loc)
@@ -1353,6 +1370,19 @@ class SparkConnector(BaseConnector):
         """
         staging = self._qualified(f"{table}__recovery_staging")
         self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        # a rewrite CRASHED in another process leaves the staging
+        # DIRECTORY with no entry in THIS session's catalog — the DROP
+        # above can't see it, and recreating a managed table over a
+        # non-empty location fails.  Rewrites are single-writer, so an
+        # existing staging dir here is always such a leftover: clear it.
+        if self.database is not None:
+            fs, path_cls = _hadoop_fs(self.spark, self._db_location())
+            fs.delete(
+                path_cls(
+                    f"{self._db_location()}/{table}__recovery_staging"
+                ),
+                True,
+            )
         content.write.mode("overwrite").saveAsTable(staging)
         staged = self.spark.table(staging)
         if cluster is not None:

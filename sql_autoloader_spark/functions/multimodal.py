@@ -324,25 +324,27 @@ def synthetic_png_media(
     content-hash dedup has real work and a SQL oracle can predict the
     duplicate groups.  Ids must be non-negative (Python and SQL ``%``
     disagree on negatives).
+
+    Execution: the ≤``modulus`` distinct PNGs are generated ONCE on
+    the driver and broadcast-joined to the ids — the per-row plan is
+    pure JVM (no Python stage, no per-row Arrow transfer of repeated
+    bytes); NULL ids get NULL content through the left join.  The
+    decode-side operators (resize, pixel_stats, features) still run
+    their real Arrow ``mapInPandas`` stages over the content.
     """
-    import pandas as pd  # noqa: PLC0415 — executor-side import
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "content": [
-                        None
-                        if pd.isna(i)
-                        else synthesize_png(int(i) % modulus)
-                        for i in pdf[id_col]
-                    ],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(
-        batches, schema="media_id long, content binary"
+    spark = df.sparkSession
+    mapping = spark.createDataFrame(
+        [(k, synthesize_png(k)) for k in range(modulus)],
+        "__k long, content binary",
+    )
+    return (
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+        .join(
+            F.broadcast(mapping),
+            F.pmod(F.col("media_id"), F.lit(modulus)) == F.col("__k"),
+            "left",
+        )
+        .select("media_id", "content")
     )
 
 

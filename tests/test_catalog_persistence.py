@@ -804,6 +804,39 @@ def test_compact_sort_by_clusters_files(spark: SparkSession) -> None:
         db.compact_table("s_fact", sort_by=["k"])
 
 
+def test_orphan_staging_dir_from_crashed_process_is_cleared(
+    spark: SparkSession,
+) -> None:
+    """A rewrite killed in ANOTHER process leaves its staging DIRECTORY
+    with no catalog entry here — it must neither block the next rewrite
+    (LOCATION_ALREADY_EXISTS) nor leak: _overwrite_table clears the
+    fixed-name recovery dir in place, and connector open sweeps both
+    recovery and token-stage leftovers path-wise."""
+    import os
+
+    db = SparkConnector(spark, database="orphstage")
+    db.execute_ddl("CREATE TABLE os_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);")
+    with db:
+        db.insert(spark.createDataFrame([("a",), ("b",)], ["w"]), table="os_t")
+
+    loc = db._db_location().removeprefix("file:")
+    for orphan in ("os_t__recovery_staging", "os_t__stage_12345"):
+        os.makedirs(f"{loc}/{orphan}", exist_ok=True)
+        with open(f"{loc}/{orphan}/part-junk.parquet", "wb") as fh:
+            fh.write(b"leftover")
+
+    # the rewrite proceeds despite the orphan dir (no catalog entry)
+    db.compact_table("os_t", target_partitions=1, sort_by=["id"])
+    assert sorted(r["w"] for r in db._read_table("os_t").collect()) == [
+        "a", "b",
+    ]
+    assert not os.path.exists(f"{loc}/os_t__recovery_staging")
+
+    # and a fresh connector open sweeps the token-stage leftover too
+    SparkConnector(spark, database="orphstage")
+    assert not os.path.exists(f"{loc}/os_t__stage_12345")
+
+
 def test_compact_zorder_clusters_both_dimensions(
     spark: SparkSession,
 ) -> None:
