@@ -220,13 +220,20 @@ def zorder_value(
         "byte", "short", "int", "bigint", "float", "double", "date",
         "timestamp", "timestamp_ntz",
     }
+    def as_double(c: str, dt: str) -> F.Column:
+        # DateType has no direct double cast (Spark rejects it);
+        # route through timestamp (epoch seconds — monotone, fine)
+        if dt == "date":
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
     stats_cols = []
     kinds: dict[str, str] = {}
     for c in cols:
         dt = df.schema[c].dataType.simpleString()
         if dt in numeric_like or dt.startswith("decimal"):
-            kinds[c] = "numeric"
-            v = F.col(c).cast("double")
+            kinds[c] = dt
+            v = as_double(c, dt)
             stats_cols += [
                 F.min(v).alias(f"__min_{c}"),
                 F.max(v).alias(f"__max_{c}"),
@@ -242,7 +249,7 @@ def zorder_value(
         hi = bounds[f"__max_{c}"]
         if lo is None or hi is None or hi == lo:
             return F.lit(0).cast("bigint")
-        v = F.col(c).cast("double")
+        v = as_double(c, kinds[c])
         scaled = F.floor(
             (v - F.lit(float(lo)))
             / F.lit(float(hi) - float(lo))

@@ -338,3 +338,30 @@ def test_zorder_value_domain_and_validation(spark: SparkSession) -> None:
         scale.zorder_value(df, ["x"] * 8, bits=8)
     with pytest.raises(ValueError, match="at least one column"):
         scale.zorder_value(df, [])
+
+
+def test_zorder_value_date_and_timestamp_columns(
+    spark: SparkSession,
+) -> None:
+    """Date columns have no direct double cast in Spark — zorder_value
+    must route them through timestamp; both temporal types quantize
+    monotonically."""
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions import scale
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "2024-01-01 00:00:00"),
+         ("2024-06-15", "2024-06-15 12:00:00"),
+         ("2024-12-31", "2024-12-31 23:59:59")],
+        "d string, ts string",
+    ).select(
+        F.col("d").cast("date").alias("d"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = df.select(
+        "d", scale.zorder_value(df, ["d", "ts"], bits=4).alias("z")
+    ).orderBy("d").collect()
+    zs = [r["z"] for r in out]
+    assert all(0 <= z < 1 << 8 for z in zs)
+    assert zs == sorted(zs)  # both dims grow together here -> monotone z
