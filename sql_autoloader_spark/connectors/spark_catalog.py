@@ -1267,20 +1267,21 @@ class SparkConnector(BaseConnector):
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._qualified(row.tableName)}"
                 )
-        # ...and the DIRECTORIES another process's crash left behind
-        # with no entry in this session's catalog (a fresh driver can
-        # never DROP those): token-unique __stage_ dirs just leak
-        # storage; a fixed-name __recovery_staging dir would block the
-        # next rewrite with LOCATION_ALREADY_EXISTS
+        # ...and the token-unique __stage_ DIRECTORIES another
+        # process's crash left behind with no entry in this session's
+        # catalog (a fresh driver can never DROP those) — they just
+        # leak storage.  Same open-time caveat as the row sweep above:
+        # open connectors before starting writers.  Deliberately NOT
+        # swept here: __recovery_staging dirs — a crashed rewrite's
+        # staging copy may be the only surviving content of its table
+        # (see the _load_catalog_state warning); the next rewrite on
+        # that table clears it in place instead.
         fs, path_cls = _hadoop_fs(self.spark, self._db_location())
         db_root = path_cls(self._db_location())
         if fs.exists(db_root):
             for status in fs.listStatus(db_root):
                 name = status.getPath().getName()
-                if (
-                    "__stage_" in name
-                    or name.endswith("__recovery_staging")
-                ) and not self.spark.catalog.tableExists(
+                if "__stage_" in name and not self.spark.catalog.tableExists(
                     self._qualified(name)
                 ):
                     fs.delete(status.getPath(), True)
@@ -1641,8 +1642,33 @@ class SparkConnector(BaseConnector):
         finally:
             out.close()
         dest = path_cls(f"{meta_dir}/{parsed.name}.json")
-        fs.delete(dest, False)
-        fs.rename(tmp, dest)
+        local = meta_dir
+        for prefix in ("file://", "file:"):
+            if local.startswith(prefix):
+                local = local[len(prefix):]
+                break
+        if local != meta_dir or meta_dir.startswith("/"):
+            # local filesystem: ATOMIC_MOVE replace — no window where
+            # the metadata file is absent (a crash between a delete and
+            # a rename would silently drop the table from every future
+            # process's adoption)
+            sc = self.spark.sparkContext
+            jvm = sc._jvm
+            opt = jvm.java.nio.file.StandardCopyOption
+            opts = sc._gateway.new_array(jvm.java.nio.file.CopyOption, 2)
+            opts[0] = opt.REPLACE_EXISTING
+            opts[1] = opt.ATOMIC_MOVE
+            jvm.java.nio.file.Files.move(
+                jvm.java.io.File(f"{local}/{parsed.name}.json.tmp").toPath(),
+                jvm.java.io.File(f"{local}/{parsed.name}.json").toPath(),
+                opts,
+            )
+        else:
+            # remote FS: rename refuses an existing destination —
+            # delete-then-rename with its (tiny) absent window; DDL is
+            # single-writer, so only a crash inside this call hits it
+            fs.delete(dest, False)
+            fs.rename(tmp, dest)
 
     def _adopt_filesystem_tables(self) -> None:
         """Register every file-persisted table absent from THIS

@@ -126,8 +126,19 @@ def exact_dedup(
     collisions (~n²/2²⁵⁷ — below hardware error rates).
     """
     if hash_key:
+        def canon(c: str) -> Column:
+            # Spark's groupBy NORMALIZES float keys (-0.0 folds into
+            # 0.0; NaNs compare equal) but a textual encoding would
+            # keep them distinct — canonicalize so both paths group
+            # identically.  (All NaNs already serialize to one text.)
+            dt = df.schema[c].dataType.simpleString()
+            col = F.col(c)
+            if dt in ("float", "double"):
+                return F.when(col == F.lit(0.0), F.lit(0.0).cast(dt)).otherwise(col)
+            return col
+
         key = F.sha2(
-            F.to_json(F.struct(*[F.col(c) for c in subset])), 256
+            F.to_json(F.struct(*[canon(c).alias(c) for c in subset])), 256
         )
         aggs = [F.min(id_col).alias(id_col)] + [
             F.min_by(c, id_col).alias(c)

@@ -244,7 +244,12 @@ def zorder_value(
 
     def bucket(c: str) -> F.Column:
         if kinds[c] == "hashed":
-            return F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))
+            # xxhash64 of a NULL input returns the SEED, not 0 —
+            # pin NULLs to bucket 0 so the documented placement holds
+            # for hashed columns too
+            return F.when(
+                F.col(c).isNull(), F.lit(0).cast("bigint")
+            ).otherwise(F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)))
         lo = bounds[f"__min_{c}"]
         hi = bounds[f"__max_{c}"]
         if lo is None or hi is None or hi == lo:
@@ -255,12 +260,14 @@ def zorder_value(
             / F.lit(float(hi) - float(lo))
             * F.lit(n_buckets - 1)
         )
-        return F.coalesce(
+        # explicit NULL branch: least/greatest SKIP null operands
+        # (least(255, NULL) = 255), so a coalesce around the clamp
+        # would never fire and NULLs would land in the TOP bucket
+        return F.when(v.isNull(), F.lit(0).cast("bigint")).otherwise(
             F.greatest(
                 F.lit(0).cast("bigint"),
                 F.least(F.lit(n_buckets - 1).cast("bigint"), scaled),
-            ),
-            F.lit(0).cast("bigint"),
+            )
         )
 
     n = len(cols)

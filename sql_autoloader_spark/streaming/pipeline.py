@@ -468,17 +468,27 @@ def _fuzzy_admitter(
         # store against BROADCAST batch keys (inner join + distinct id
         # ≡ the semi-join's hit set).  Neither side shuffles: the old
         # keys-semi-store formulation exchanged BOTH sides on
-        # (band, bucket) every batch.  Compaction (below) keeps the
-        # store scan itself cheap: few sorted files, not one per batch.
-        hit_store = (
-            store.join(
-                F.broadcast(keys), on=["band", "bucket"], how="inner"
+        # (band, bucket) every batch.  The hint is SIZE-GATED: an
+        # availableNow/backfill first batch can be the entire backlog,
+        # and an unconditional broadcast hint bypasses every AQE size
+        # check — above the gate, fall back to a plain join and let
+        # AQE pick (keys is localCheckpointed, so the count is a cheap
+        # cached-scan job, not a recompute).  Compaction (below) keeps
+        # the store scan itself cheap: few sorted files, not one per
+        # batch.
+        if store is not None:
+            probe_keys = (
+                F.broadcast(keys)
+                if keys.count() <= 4_000_000
+                else keys
             )
-            .select(id_col)
-            .distinct()
-            if store is not None
-            else keys.limit(0).select(id_col)
-        )
+            hit_store = (
+                store.join(probe_keys, on=["band", "bucket"], how="inner")
+                .select(id_col)
+                .distinct()
+            )
+        else:
+            hit_store = keys.limit(0).select(id_col)
         # within-batch keep-first: bucket shared with a lower id drops
         lower = keys.groupBy("band", "bucket").agg(
             F.min(F.col(id_col)).alias("__min_id")
@@ -550,34 +560,41 @@ def compact_signature_store(
     row group), distinct-ed, and with uncommitted/orphaned tokens
     dropped.
 
-    CRASH-SAFE, no unavailable window, via append-then-delete — the
-    same shape as the admitter's own protocol:
+    CRASH-SAFE and admitter-concurrent, via fold-then-delete at FILE
+    granularity:
 
-    1. snapshot the current data-file list;
-    2. append the compacted row set (committed keys only, distinct,
-       ``__token = NULL`` — the admitter treats a null token as
+    1. read the commit table, then map every current store file to the
+       tokens it contains (``_metadata.file_path``); only files whose
+       tokens are ALL committed (or legacy/compacted ``NULL``) are
+       *foldable* — an in-flight admitter append (token not committed
+       YET) is left completely untouched, so a batch that commits
+       after this read keeps its keys no matter how the race
+       interleaves;
+    2. append the foldable files' distinct key set as few sorted files
+       (``__token = NULL`` — the admitter treats a null token as
        committed, so the new rows are immediately usable);
-    3. delete exactly the snapshotted old files.
+    3. delete exactly the foldable files.
 
     A crash anywhere leaves the store a superset of the committed keys
     — admission decisions are set-based, so duplicates change nothing
-    — and a re-run converges.  Run from one maintenance process at a
-    time (like ``vacuum_commits``); concurrent ADMITTERS are safe: a
-    batch appending between (1) and (3) writes new files the snapshot
-    does not contain.
+    — and a re-run converges.  A CRASHED admitter attempt's files
+    (token never commits) are never folded and linger at one batch's
+    worth of keys per crash — bounded noise, invisible to admission.
+    Run ONE compaction at a time (like ``vacuum_commits``).
 
-    Returns ``{"files_before", "files_after", "rows"}``.
+    Returns ``{"files_before", "files_after", "rows"}`` (counts over
+    the foldable set).
     """
     from pyspark.errors import AnalysisException
 
     commits_path = f"{store_path}__commits"
     try:
-        committed = [
+        committed = {
             r["token"]
             for r in spark.read.parquet(commits_path).collect()
-        ]
+        }
     except AnalysisException:
-        committed = []
+        committed = set()
 
     jvm = spark.sparkContext._jvm
     path_cls = jvm.org.apache.hadoop.fs.Path
@@ -585,18 +602,47 @@ def compact_signature_store(
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return {"files_before": 0, "files_after": 0, "rows": 0}
-    old_files = [
-        s.getPath()
-        for s in fs.listStatus(root)
-        if not s.getPath().getName().startswith(("_", "."))
-    ]
 
     store = spark.read.parquet(store_path)
-    if "__token" in store.columns:
-        store = store.where(
-            F.col("__token").isin(committed) | F.col("__token").isNull()
+    token_col = (
+        F.col("__token")
+        if "__token" in store.columns
+        else F.lit(None).cast("string")
+    )
+    per_file = (
+        store.select(
+            F.col("_metadata.file_path").alias("__f"),
+            token_col.alias("__t"),
         )
-    keys = store.select("band", "bucket").distinct()
+        .distinct()
+        .collect()
+    )
+    by_file: dict[str, set] = {}
+    for r in per_file:
+        by_file.setdefault(r["__f"], set()).add(r["__t"])
+    foldable = sorted(
+        f
+        for f, tokens in by_file.items()
+        if all(t is None or t in committed for t in tokens)
+    )
+    # ZERO-ROW part files (a batch whose every document was dropped
+    # still appends its empty write) never appear in the row scan —
+    # they are permanently dead; delete them by name so they don't
+    # accumulate outside the fold. (URI forms differ between the scan
+    # and listStatus — match basenames, unique within the flat dir.)
+    seen_names = {f.rsplit("/", 1)[-1] for f in by_file}
+    for s in fs.listStatus(root):
+        name = s.getPath().getName()
+        if not name.startswith(("_", ".")) and name not in seen_names:
+            fs.delete(s.getPath(), False)
+    if not foldable:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+
+    keys = (
+        spark.read.parquet(*foldable)
+        .select("band", "bucket")
+        .distinct()
+    )
     n_rows = keys.count()
     n_files = max(1, -(-n_rows // rows_per_file))
     (
@@ -606,15 +652,15 @@ def compact_signature_store(
         .write.mode("append")
         .parquet(store_path)
     )
-    for p in old_files:
-        fs.delete(p, False)
+    for f in foldable:
+        fs.delete(path_cls(f), False)
     files_after = sum(
         1
         for s in fs.listStatus(root)
         if not s.getPath().getName().startswith(("_", "."))
     )
     return {
-        "files_before": len(old_files),
+        "files_before": len(foldable),
         "files_after": files_after,
         "rows": n_rows,
     }

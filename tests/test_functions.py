@@ -108,6 +108,30 @@ def test_exact_dedup_hash_key_identical(spark: SparkSession) -> None:
         assert raw == hashed, subset
 
 
+def test_exact_dedup_hash_key_float_normalization(
+    spark: SparkSession,
+) -> None:
+    """groupBy folds -0.0 into 0.0 and treats NaNs as equal; the
+    hash-key textual encoding must canonicalize floats the same way or
+    the two paths silently pick different survivors."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -0.0), (3, nan), (4, nan), (5, 1.5)],
+        "id long, k double",
+    )
+    raw = {
+        r["id"]
+        for r in dedup.exact_dedup(df, ["k"], id_col="id").collect()
+    }
+    hashed = {
+        r["id"]
+        for r in dedup.exact_dedup(
+            df, ["k"], id_col="id", hash_key=True
+        ).collect()
+    }
+    assert raw == hashed == {1, 3, 5}
+
+
 def test_fingerprint_dedup_stats(spark: SparkSession) -> None:
     df = spark.createDataFrame(
         [(1, "Same text!"), (2, "same  text"), (3, "different")],

@@ -332,7 +332,9 @@ def test_zorder_value_domain_and_validation(spark: SparkSession) -> None:
     # monotone numeric quantization in the x dimension
     even = {k: v & ~odd_mask for k, v in by_key.items()}
     assert even[(0, "a")] <= even[(5_000, "b")] <= even[(9_999, "a")]
-    assert by_key[(None, None)] >= 0  # NULLs quantize to bucket 0
+    # NULLs quantize to bucket 0 in BOTH dimensions (numeric and
+    # hashed): the all-NULL row's z-value is exactly 0
+    assert by_key[(None, None)] == 0
 
     with pytest.raises(ValueError, match="63 usable"):
         scale.zorder_value(df, ["x"] * 8, bits=8)

@@ -23,6 +23,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# argv[1] (replicas) is optional per the usage string: a non-numeric
+# first arg is a query name — normalize BEFORE importing scale_probe,
+# which derives its OUT/REPLICAS from sys.argv at import time
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    sys.argv.insert(1, "10")
+
 import scale_probe  # noqa: E402 — shares argv convention: argv[1] = replicas
 
 BASE = scale_probe.BASE
