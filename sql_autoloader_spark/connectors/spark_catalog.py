@@ -1102,6 +1102,70 @@ class SparkConnector(BaseConnector):
         self._committed[table] = self._committed_view(table)
         self._register_view(table)
 
+    def recover_staging(self, table: str, *, force: bool = False) -> int:
+        """Restore *table* from a crashed rewrite's staging copy.
+
+        ``_overwrite_table`` (compaction, vacuum fold, migration) writes
+        the table's full content to ``<table>__recovery_staging`` before
+        rewriting the target; a crash between the two can leave the
+        target dropped or partial while the staging copy is complete.
+        ``_load_catalog_state`` warns when it finds one — this is the
+        actionable follow-up: move the staging copy aside, rewrite the
+        target from it (the normal crash-safe rewrite), and clean up.
+        Returns the number of restored VISIBLE rows.
+
+        Refuses when the target still reads non-empty (the crash may
+        have happened before any damage) unless ``force=True``.
+        Idempotent across its own crashes: a re-run resumes from the
+        moved-aside copy.  Single-writer, like every rewrite.
+        """
+        if self.database is None:
+            msg = "recover_staging requires database (managed-catalog) mode."
+            raise ValueError(msg)
+        if table not in self._meta:
+            msg = f"table '{table}' does not exist in the Spark catalog sink."
+            raise KeyError(msg)
+        fs, path_cls = _hadoop_fs(self.spark, self._db_location())
+        src = f"{self._db_location()}/{table}__recovery_staging"
+        aside = f"{src}__restoring"
+        have_src = fs.exists(path_cls(src))
+        have_aside = fs.exists(path_cls(aside))
+        if not have_src and not have_aside:
+            msg = f"no recovery staging copy exists for '{table}'."
+            raise RuntimeError(msg)
+        if not force:
+            try:
+                n_target = self._committed_view(table).count()
+            except Exception:  # noqa: BLE001 — unreadable target IS the
+                n_target = 0  # scenario this op exists for
+            if n_target > 0:
+                msg = (
+                    f"table '{table}' still reads {n_target} rows; the "
+                    "crashed rewrite may not have damaged it.  Inspect, "
+                    "then pass force=True to replace its content from "
+                    "the staging copy."
+                )
+                raise RuntimeError(msg)
+        if have_src:
+            # move the copy OUT of the staging path first: the rewrite
+            # below clears <table>__recovery_staging before writing
+            fs.delete(path_cls(aside), True)
+            fs.rename(path_cls(src), path_cls(aside))
+        # a same-session crash may have left the staging catalog entry;
+        # its directory is already moved, so the DROP removes only the
+        # entry, never the copy
+        self.spark.sql(
+            f"DROP TABLE IF EXISTS "
+            f"{self._qualified(table + '__recovery_staging')}"
+        )
+        content = self.spark.read.parquet(aside)
+        self._overwrite_table(table, content)
+        fs.delete(path_cls(aside), True)
+        self._committed[table] = self._committed_view(table)
+        self._register_view(table)
+        self._committed_empty[table] = False
+        return self._committed[table].count()
+
     def vacuum_commits(self, *, retain_last: int) -> None:
         """Fold history older than the newest *retain_last* commits into
         the always-visible base (token 0) and delete their journal files.
@@ -1753,9 +1817,11 @@ class SparkConnector(BaseConnector):
                 logging.getLogger("sql_autoloader_spark").warning(
                     "leftover recovery staging table '%s' found — a "
                     "table rewrite (compaction/migration) crashed; "
-                    "verify '%s' and drop the staging table, or restore "
-                    "from it if the target is missing.",
+                    "verify '%s', then run recover_staging('%s') to "
+                    "restore it from the copy (or drop the staging "
+                    "table if the target survived intact).",
                     name,
+                    name.removesuffix("__recovery_staging"),
                     name.removesuffix("__recovery_staging"),
                 )
                 continue

@@ -837,6 +837,57 @@ def test_orphan_staging_dir_from_crashed_process_is_cleared(
     assert not os.path.exists(f"{loc}/os_t__stage_12345")
 
 
+def test_recover_staging_restores_crashed_rewrite(
+    spark: SparkSession,
+) -> None:
+    """recover_staging: a rewrite that crashed after writing its staging
+    copy but before (or during) the target rewrite is restored from the
+    copy — content identical, staging cleaned up; a healthy target
+    refuses without force; absence of any copy errors."""
+    import os
+
+    import pytest
+
+    db = SparkConnector(spark, database="recstage")
+    db.execute_ddl("CREATE TABLE rs_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);")
+    with db:
+        db.insert(
+            spark.createDataFrame([("a",), ("b",), ("c",)], ["w"]),
+            table="rs_t",
+        )
+    want = sorted(map(tuple, db._read_table("rs_t").collect()))
+
+    loc = db._db_location().removeprefix("file:")
+    # simulate the crash artifact: full content (hidden token column
+    # included) parked at the staging path, exactly what
+    # _overwrite_table writes before rewriting the target
+    spark.table("recstage.rs_t").write.parquet(
+        f"{loc}/rs_t__recovery_staging"
+    )
+
+    # healthy target: refuse (the crash may not have damaged anything)
+    with pytest.raises(RuntimeError, match="force=True"):
+        db.recover_staging("rs_t")
+
+    # now damage the target the way a crashed overwrite does
+    spark.sql("TRUNCATE TABLE recstage.rs_t")
+    assert db._committed_view("rs_t").count() == 0
+
+    restored = db.recover_staging("rs_t")
+    assert restored == 3
+    assert sorted(map(tuple, db._read_table("rs_t").collect())) == want
+    assert not os.path.exists(f"{loc}/rs_t__recovery_staging")
+    assert not os.path.exists(f"{loc}/rs_t__recovery_staging__restoring")
+
+    # nothing left to recover
+    with pytest.raises(RuntimeError, match="no recovery staging"):
+        db.recover_staging("rs_t")
+
+    # and a FRESH connector still reads the restored content
+    again = SparkConnector(spark, database="recstage")
+    assert sorted(map(tuple, again._read_table("rs_t").collect())) == want
+
+
 def test_compact_zorder_clusters_both_dimensions(
     spark: SparkSession,
 ) -> None:
