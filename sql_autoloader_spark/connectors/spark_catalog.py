@@ -1003,6 +1003,7 @@ class SparkConnector(BaseConnector):
         *,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        zorder_bits: int | None = None,
     ) -> None:
         """Rewrite a managed table once to consolidate small files.
 
@@ -1034,6 +1035,9 @@ class SparkConnector(BaseConnector):
         predicates on any of them prune — a lexicographic ``sort_by``
         only ever prunes on its leading column.  Mutually exclusive
         with ``sort_by``; same bucketed-layout restriction.
+        ``zorder_bits`` overrides the per-column bucket resolution
+        (default: 8, shrunk automatically so ``bits × columns`` fits a
+        bigint).
 
         Requires no pending appends (compact between transactions) and
         managed-catalog mode; the in-memory sink compacts its union
@@ -1076,9 +1080,16 @@ class SparkConnector(BaseConnector):
 
             # quantization bounds come from the VISIBLE frame (one tiny
             # agg); the z key rides through staging and is dropped from
-            # the final write after shaping it
+            # the final write after shaping it.  Default bits shrink
+            # automatically so any column count fits a bigint.
+            bits = (
+                zorder_bits
+                if zorder_bits is not None
+                else max(1, min(8, 63 // len(zorder_by)))
+            )
             frame = frame.withColumn(
-                "__zorder", zorder_value(frame, list(zorder_by))
+                "__zorder",
+                zorder_value(frame, list(zorder_by), bits=bits),
             )
             sort_by = ["__zorder"]
             drop_after = ["__zorder"]
@@ -1159,6 +1170,16 @@ class SparkConnector(BaseConnector):
             f"{self._qualified(table + '__recovery_staging')}"
         )
         content = self.spark.read.parquet(aside)
+        # project to the table's declared schema (+ the hidden commit
+        # column): a rewrite that crashed mid-ZORDER parked its staging
+        # copy WITH the synthetic __zorder key still attached (the drop
+        # happens on the final write) — restoring it verbatim would
+        # bake the shaping column into the table's permanent schema
+        declared = {c for c, _t in self._meta[table].column_types}
+        declared.add(_COMMIT_COL)
+        content = content.select(
+            *[c for c in content.columns if c in declared]
+        )
         self._overwrite_table(table, content)
         fs.delete(path_cls(aside), True)
         self._committed[table] = self._committed_view(table)
@@ -1706,18 +1727,22 @@ class SparkConnector(BaseConnector):
         finally:
             out.close()
         dest = path_cls(f"{meta_dir}/{parsed.name}.json")
-        local = meta_dir
-        for prefix in ("file://", "file:"):
-            if local.startswith(prefix):
-                local = local[len(prefix):]
-                break
-        if local != meta_dir or meta_dir.startswith("/"):
-            # local filesystem: ATOMIC_MOVE replace — no window where
-            # the metadata file is absent (a crash between a delete and
-            # a rename would silently drop the table from every future
-            # process's adoption)
-            sc = self.spark.sparkContext
-            jvm = sc._jvm
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        if fs.getScheme() == "file":
+            # local filesystem (decided by the RESOLVED Hadoop FS, not
+            # a string prefix — a schemeless path under an hdfs
+            # defaultFS must take the Hadoop branch): java.nio
+            # ATOMIC_MOVE replace — no window where the metadata file
+            # is absent (a crash between a delete and a rename would
+            # silently drop the table from every future process's
+            # adoption).  The URI path is decoded (%-escapes) before
+            # it reaches java.io.
+            local = (
+                jvm.java.net.URI(meta_dir).getPath()
+                if meta_dir.startswith("file:")
+                else meta_dir  # a bare path is already a file path
+            )
             opt = jvm.java.nio.file.StandardCopyOption
             opts = sc._gateway.new_array(jvm.java.nio.file.CopyOption, 2)
             opts[0] = opt.REPLACE_EXISTING
@@ -1727,6 +1752,15 @@ class SparkConnector(BaseConnector):
                 jvm.java.io.File(f"{local}/{parsed.name}.json").toPath(),
                 opts,
             )
+            # the nio move bypasses Hadoop's ChecksumFileSystem: drop
+            # any CRC sidecars (the tmp's fresh one, and a stale dest
+            # one left by a pre-nio writer — a stale CRC would fail
+            # every future fs.open of the JSON with ChecksumException)
+            for sidecar in (
+                f".{parsed.name}.json.crc",
+                f".{parsed.name}.json.tmp.crc",
+            ):
+                fs.delete(path_cls(f"{meta_dir}/{sidecar}"), False)
         else:
             # remote FS: rename refuses an existing destination —
             # delete-then-rename with its (tiny) absent window; DDL is

@@ -221,9 +221,10 @@ def zorder_value(
         "timestamp", "timestamp_ntz",
     }
     def as_double(c: str, dt: str) -> F.Column:
-        # DateType has no direct double cast (Spark rejects it);
-        # route through timestamp (epoch seconds — monotone, fine)
-        if dt == "date":
+        # DateType and TIMESTAMP_NTZ have no direct double cast
+        # (Spark rejects both); route through timestamp (epoch
+        # seconds — monotone, which is all the quantizer needs)
+        if dt in ("date", "timestamp_ntz"):
             return F.col(c).cast("timestamp").cast("double")
         return F.col(c).cast("double")
 

@@ -602,6 +602,15 @@ def compact_signature_store(
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return {"files_before": 0, "files_after": 0, "rows": 0}
+    # snapshot the directory BEFORE the row scan: the dead-file sweep
+    # below may only consider files that existed at snapshot time — a
+    # concurrent admitter append landing later must never be touched,
+    # however the race interleaves
+    snapshot_names = {
+        s.getPath().getName()
+        for s in fs.listStatus(root)
+        if not s.getPath().getName().startswith(("_", "."))
+    }
 
     store = spark.read.parquet(store_path)
     token_col = (
@@ -627,14 +636,16 @@ def compact_signature_store(
     )
     # ZERO-ROW part files (a batch whose every document was dropped
     # still appends its empty write) never appear in the row scan —
-    # they are permanently dead; delete them by name so they don't
-    # accumulate outside the fold. (URI forms differ between the scan
-    # and listStatus — match basenames, unique within the flat dir.)
+    # they are permanently dead; delete them by name.  ONLY names from
+    # the pre-scan snapshot qualify: the row scan's file index was
+    # built after the snapshot, so every snapshot file either yielded
+    # rows (in by_file) or is empty — while files that landed after
+    # the snapshot are a concurrent admitter's and are left alone.
+    # (URI forms differ between the scan and listStatus — match
+    # basenames, unique within the flat dir.)
     seen_names = {f.rsplit("/", 1)[-1] for f in by_file}
-    for s in fs.listStatus(root):
-        name = s.getPath().getName()
-        if not name.startswith(("_", ".")) and name not in seen_names:
-            fs.delete(s.getPath(), False)
+    for name in snapshot_names - seen_names:
+        fs.delete(path_cls(f"{store_path}/{name}"), False)
     if not foldable:
         return {"files_before": 0, "files_after": 0, "rows": 0}
 

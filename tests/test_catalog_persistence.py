@@ -837,6 +837,35 @@ def test_orphan_staging_dir_from_crashed_process_is_cleared(
     assert not os.path.exists(f"{loc}/os_t__stage_12345")
 
 
+def test_meta_persist_clears_stale_crc_sidecar(
+    spark: SparkSession,
+) -> None:
+    """Pre-nio writers left Hadoop ChecksumFileSystem .crc sidecars next
+    to the metadata JSON; the nio ATOMIC_MOVE bypasses them, so a stale
+    CRC must be deleted on re-persist or every future fs.open of the
+    JSON fails with ChecksumException and the warehouse cannot open."""
+    db = SparkConnector(spark, database="crctest")
+    db.execute_ddl("CREATE TABLE cr_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);")
+
+    loc = db._db_location().removeprefix("file:")
+    crc = f"{loc}/_sql_autoloader_meta/.cr_t.json.crc"
+    with open(crc, "wb") as fh:  # a stale (mismatching) legacy sidecar
+        fh.write(b"\x00" * 16)
+
+    # any DDL re-persist must remove it...
+    db.execute_ddl("ALTER TABLE cr_t ADD COLUMN note TEXT")
+    import os
+
+    assert not os.path.exists(crc)
+    # ...and a fresh catalog name over the location adopts cleanly
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS crctest2 "
+        f"LOCATION '{db._db_location()}'"
+    )
+    adopted = SparkConnector(spark, database="crctest2")
+    assert "note" in [c for c, _t in adopted._meta["cr_t"].column_types]
+
+
 def test_recover_staging_restores_crashed_rewrite(
     spark: SparkSession,
 ) -> None:
@@ -860,10 +889,12 @@ def test_recover_staging_restores_crashed_rewrite(
     loc = db._db_location().removeprefix("file:")
     # simulate the crash artifact: full content (hidden token column
     # included) parked at the staging path, exactly what
-    # _overwrite_table writes before rewriting the target
-    spark.table("recstage.rs_t").write.parquet(
-        f"{loc}/rs_t__recovery_staging"
-    )
+    # _overwrite_table writes before rewriting the target — including
+    # the synthetic __zorder key a crashed z-order compaction leaves
+    # (the drop only happens on the final write)
+    spark.table("recstage.rs_t").withColumn(
+        "__zorder", F.lit(7).cast("bigint")
+    ).write.parquet(f"{loc}/rs_t__recovery_staging")
 
     # healthy target: refuse (the crash may not have damaged anything)
     with pytest.raises(RuntimeError, match="force=True"):
@@ -876,6 +907,8 @@ def test_recover_staging_restores_crashed_rewrite(
     restored = db.recover_staging("rs_t")
     assert restored == 3
     assert sorted(map(tuple, db._read_table("rs_t").collect())) == want
+    # the synthetic shaping key did NOT leak into the restored schema
+    assert "__zorder" not in spark.table("recstage.rs_t").columns
     assert not os.path.exists(f"{loc}/rs_t__recovery_staging")
     assert not os.path.exists(f"{loc}/rs_t__recovery_staging__restoring")
 

@@ -360,10 +360,13 @@ def test_zorder_value_date_and_timestamp_columns(
     ).select(
         F.col("d").cast("date").alias("d"),
         F.col("ts").cast("timestamp").alias("ts"),
+        # TIMESTAMP_NTZ is what DuckDB-written parquet carries; Spark
+        # rejects a direct ntz->double cast just like date
+        F.col("ts").cast("timestamp_ntz").alias("tsn"),
     )
     out = df.select(
-        "d", scale.zorder_value(df, ["d", "ts"], bits=4).alias("z")
+        "d", scale.zorder_value(df, ["d", "ts", "tsn"], bits=4).alias("z")
     ).orderBy("d").collect()
     zs = [r["z"] for r in out]
-    assert all(0 <= z < 1 << 8 for z in zs)
-    assert zs == sorted(zs)  # both dims grow together here -> monotone z
+    assert all(0 <= z < 1 << 12 for z in zs)
+    assert zs == sorted(zs)  # all dims grow together here -> monotone z
