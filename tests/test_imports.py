@@ -17,3 +17,27 @@ def test_connector_instantiates(spark) -> None:
 
     db = SparkConnector(spark)
     assert db.schema_is_empty()
+
+
+def test_round7_surface_importable() -> None:
+    """Round-7 additions stay on the public surface."""
+    from sql_autoloader_spark.connectors.spark_catalog import (  # noqa: F401
+        ClaimStrategy,
+        ConditionalPutClaim,
+        LinkClaim,
+        RenameClaim,
+        SparkConnector,
+    )
+    from sql_autoloader_spark.functions.multimodal import (  # noqa: F401
+        encode_png,
+        synthesize_png,
+        synthetic_png_media,
+    )
+    from sql_autoloader_spark.functions.scale import zorder_value  # noqa: F401
+    from sql_autoloader_spark.streaming import (  # noqa: F401
+        compact_signature_store,
+    )
+
+    for attr in ("recover_staging", "compact_table", "vacuum_commits",
+                 "analyze_tables"):
+        assert callable(getattr(SparkConnector, attr))
