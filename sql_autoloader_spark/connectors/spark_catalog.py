@@ -1705,6 +1705,11 @@ class SparkConnector(BaseConnector):
         fs.mkdirs(path_cls(meta_dir))
         payload = json.dumps(
             {
+                # format version for forward compatibility: adopters
+                # read known keys and ignore the rest, so additive
+                # fields never break older readers; bump on breaking
+                # layout changes
+                "meta_version": 1,
                 "column_types": [list(ct) for ct in parsed.column_types],
                 "primary_key": parsed.primary_key,
                 "foreign_keys": parsed.foreign_keys,

@@ -995,6 +995,33 @@ def test_compact_zorder_clusters_both_dimensions(
         db.compact_table("z_fact", sort_by=["x"], zorder_by=["y"])
 
 
+def test_compact_zorder_many_columns_auto_bits(
+    spark: SparkSession,
+) -> None:
+    """More than 7 z-order columns must work out of the box: the default
+    bucket resolution shrinks so bits × columns fits a bigint (the
+    explicit zorder_bits knob overrides)."""
+    cols = [f"c{i}" for i in range(9)]
+    db = SparkConnector(spark, database="zmanytest")
+    db.execute_ddl(
+        "CREATE TABLE zm_t (" + ", ".join(f"{c} BIGINT" for c in cols) + ");"
+    )
+    with db:
+        db.insert(
+            spark.range(200).select(
+                # c0 = id keeps rows distinct (a constraint-free insert
+                # dedupes identical rows by design)
+                F.col("id").alias(cols[0]),
+                *[(F.col("id") * (i + 1) % 97).alias(c)
+                  for i, c in enumerate(cols[1:], start=1)],
+            ),
+            table="zm_t",
+        )
+    db.compact_table("zm_t", target_partitions=2, zorder_by=cols)
+    assert db._read_table("zm_t").count() == 200
+    assert "__zorder" not in spark.table("zmanytest.zm_t").columns
+
+
 def test_analyze_tables_records_cbo_stats(spark: SparkSession) -> None:
     """analyze_tables lands rowCount/sizeInBytes (+ column stats) in the
     catalog — the inputs Catalyst's CBO reads for join reordering."""
