@@ -1973,6 +1973,53 @@ def q_load_star_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_load_star_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 through the wire-native Postgres sink against a LIVE embedded
+    PostgreSQL server (reference postgres/postgres_connector.py:160-254
+    executed for real — its upstream test suite is skipped for lack of a
+    server): information_schema introspection via the golden-pinned
+    dialect SQL, ``INSERT ... ON CONFLICT DO NOTHING`` under real UNIQUE
+    constraints, identity-sequence surrogate keys, and the generated
+    compare query executed by PostgreSQL itself."""
+    from sql_autoloader_spark.connectors.pgwire import EmbeddedPostgres
+    from sql_autoloader_spark.connectors.postgres import PostgresConnector
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    flat = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_name").alias("name"), F.col("r_name").alias("region"))
+
+    with EmbeddedPostgres(port=54451) as pg:
+        db = PostgresConnector(
+            spark, sock_dir=pg.sock_dir, port=pg.port
+        )
+        db.execute_ddl(
+            """
+            CREATE TABLE dim_region (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                region text UNIQUE
+            );
+            CREATE TABLE dim_nation (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                name text UNIQUE,
+                region_id bigint REFERENCES dim_region (id)
+            );
+            """
+        )
+        with db:
+            db.load(flat)
+        query = db.schema.get_compare_query(["name", "region"], quote='"')
+        result = db._execute_compare_query(query)
+        # materialize before the server goes away — the frame's rows are
+        # already driver-side (wire read), createDataFrame-backed
+        result = spark.createDataFrame(
+            result.collect(), "name string, region string"
+        )
+        db.close()
+    return result
+
+
 def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 at fact scale: the whole events table auto-loaded into an
     event-type dim + fact star in one batch ``load``.  Unlike the
@@ -3020,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "load_events_star": q_load_events_star,
         "load_star_sqlite": q_load_star_sqlite,
+        "load_star_postgres": q_load_star_postgres,
         "load_incremental": q_load_incremental,
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
@@ -4254,6 +4302,10 @@ def oracle_sql() -> dict[str, str]:
             " FROM nation JOIN region ON n_regionkey = r_regionkey"
         ),
         "load_star_jdbc": (
+            "SELECT DISTINCT n_name AS name, r_name AS region"
+            " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "load_star_postgres": (
             "SELECT DISTINCT n_name AS name, r_name AS region"
             " FROM nation JOIN region ON n_regionkey = r_regionkey"
         ),

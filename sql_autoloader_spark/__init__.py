@@ -16,6 +16,7 @@ planning runs on the driver.
 from sql_autoloader_spark import exceptions
 from sql_autoloader_spark.connectors import (
     JDBCConnector,
+    PostgresConnector,
     SparkConnector,
     SQLiteConnector,
 )
@@ -29,6 +30,7 @@ from sql_autoloader_spark.schema import (
 __all__ = [
     "JDBCConnector",
     "LoadInstructions",
+    "PostgresConnector",
     "Reference",
     "SQLiteConnector",
     "Schema",

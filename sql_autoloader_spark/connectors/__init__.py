@@ -6,12 +6,20 @@ from sql_autoloader_spark.connectors.jdbc import (
     PostgresDialect,
     SQLiteDialect,
 )
+from sql_autoloader_spark.connectors.pgwire import (
+    EmbeddedPostgres,
+    PGWireClient,
+)
+from sql_autoloader_spark.connectors.postgres import PostgresConnector
 from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
 from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
 
 __all__ = [
     "BaseConnector",
+    "EmbeddedPostgres",
     "JDBCConnector",
+    "PGWireClient",
+    "PostgresConnector",
     "PostgresDialect",
     "SQLiteConnector",
     "SQLiteDialect",

@@ -57,6 +57,13 @@ class Dialect:
     def references_query(self, table: str) -> str:
         raise NotImplementedError
 
+    def unique_query(self, table: str) -> str | None:
+        """Optional: one row per (constraint_name, column_name,
+        ordinal_position) of the table's UNIQUE constraints, or ``None``
+        when the dialect cannot introspect them (only user-supplied
+        ``unique_constraints`` apply then)."""
+        return None
+
 
 class SQLiteDialect(Dialect):
     """Introspection via sqlite_master + pragma table-valued functions
@@ -140,9 +147,95 @@ class PostgresDialect(Dialect):
               AND tc.table_name = '{table}'
         """
 
+    def unique_query(self, table: str) -> str | None:
+        return f"""
+            SELECT tc.constraint_name,
+                   kcu.column_name,
+                   kcu.ordinal_position
+            FROM information_schema.table_constraints tc
+            JOIN information_schema.key_column_usage kcu
+              ON tc.constraint_schema = kcu.constraint_schema
+             AND tc.constraint_name = kcu.constraint_name
+            WHERE tc.constraint_type = 'UNIQUE'
+              AND tc.table_schema = 'public'
+              AND tc.table_name = '{table}'
+            ORDER BY tc.constraint_name, kcu.ordinal_position
+        """
+
 
 # quote-aware statement splitting is shared with the DDL parser
 _split_statements = split_statements
+
+
+def fetch_schema_with_dialect(
+    dialect: Dialect,
+    run,  # noqa: ANN001 - Callable[[str], list[Mapping]] (Rows or dicts)
+    extra_unique: dict[str, list[list[str]]] | None = None,
+) -> tuple[list[TableDict], list[ReferenceDict]]:
+    """Introspect a database through a :class:`Dialect`'s metadata SQL.
+
+    ``run`` executes one SQL string and returns its rows as mappings —
+    the JDBC connector passes collected Spark ``Row``s, the wire-native
+    Postgres connector passes dicts straight off the socket, so the SAME
+    dialect SQL and the SAME classification logic (PK vs FK vs payload,
+    multi-constraint dedup, single-PK invariant) back both paths.
+    """
+    extra_unique = extra_unique or {}
+    tables: list[TableDict] = []
+    references: list[ReferenceDict] = []
+    names = [r["name"] for r in run(dialect.tables_query())]
+    for name in sorted(names):
+        cols = run(dialect.columns_query(name))
+        primary_key = ""
+        payload: list[str] = []
+        fks: list[str] = []
+        fk_names = set()
+        for ref in run(dialect.references_query(name)):
+            fk_names.add(ref["from_key"])
+            references.append(
+                {
+                    "from_table": name,
+                    "from_key": ref["from_key"],
+                    "to_table": ref["to_table"],
+                    "to_key": ref["to_key"],
+                }
+            )
+        seen = set()
+        for c in cols:
+            cname = c["column_name"]
+            if cname in seen:  # multi-constraint duplicate rows
+                continue
+            seen.add(cname)
+            if int(c["is_primary_key"] or 0) > 0:
+                if primary_key:
+                    msg = f"table '{name}' has more than one primary key."
+                    raise AssertionError(msg)
+                primary_key = cname
+            elif cname in fk_names:
+                fks.append(cname)
+            else:
+                payload.append(cname)
+        unique_constraints = [list(uc) for uc in extra_unique.get(name, [])]
+        unique_sql = dialect.unique_query(name)
+        if unique_sql is not None:
+            grouped: dict[str, list[str]] = {}
+            for row in run(unique_sql):
+                grouped.setdefault(row["constraint_name"], []).append(
+                    row["column_name"]
+                )
+            for members in grouped.values():
+                if members not in unique_constraints:
+                    unique_constraints.append(members)
+        tables.append(
+            {
+                "name": name,
+                "columns": payload,
+                "primary_key": primary_key,
+                "foreign_keys": fks,
+                "unique_constraints": unique_constraints,
+            }
+        )
+    return tables, references
 
 
 class JDBCConnector(BaseConnector):
@@ -225,54 +318,11 @@ class JDBCConnector(BaseConnector):
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
         if self.dialect is None:
             return self._fetch_schema_via_metadata()
-        tables: list[TableDict] = []
-        references: list[ReferenceDict] = []
-        names = [
-            r["name"] for r in self._query(self.dialect.tables_query()).collect()
-        ]
-        for name in sorted(names):
-            cols = self._query(self.dialect.columns_query(name)).collect()
-            primary_key = ""
-            payload: list[str] = []
-            fks: list[str] = []
-            fk_names = set()
-            for ref in self._query(self.dialect.references_query(name)).collect():
-                fk_names.add(ref["from_key"])
-                references.append(
-                    {
-                        "from_table": name,
-                        "from_key": ref["from_key"],
-                        "to_table": ref["to_table"],
-                        "to_key": ref["to_key"],
-                    }
-                )
-            seen = set()
-            for c in cols:
-                cname = c["column_name"]
-                if cname in seen:  # multi-constraint duplicate rows
-                    continue
-                seen.add(cname)
-                if int(c["is_primary_key"] or 0) > 0:
-                    if primary_key:
-                        msg = f"table '{name}' has more than one primary key."
-                        raise AssertionError(msg)
-                    primary_key = cname
-                elif cname in fk_names:
-                    fks.append(cname)
-                else:
-                    payload.append(cname)
-            tables.append(
-                {
-                    "name": name,
-                    "columns": payload,
-                    "primary_key": primary_key,
-                    "foreign_keys": fks,
-                    "unique_constraints": [
-                        list(uc) for uc in self.unique_constraints.get(name, [])
-                    ],
-                }
-            )
-        return tables, references
+        return fetch_schema_with_dialect(
+            self.dialect,
+            lambda sql: self._query(sql).collect(),
+            self.unique_constraints,
+        )
 
     def _fetch_schema_via_metadata(
         self,

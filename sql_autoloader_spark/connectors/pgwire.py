@@ -1,0 +1,460 @@
+"""Minimal pure-Python PostgreSQL client + embedded server harness.
+
+Why this exists: the reference ships a first-class Postgres connector
+(reference postgres/postgres_connector.py:160-254, psycopg-backed), but
+this container has neither ``psycopg`` nor a Postgres JDBC jar — only
+the server binaries themselves (``initdb``/``pg_ctl``/``postgres``).
+The frontend/backend wire protocol v3 is a public, stable format
+(https://www.postgresql.org/docs/current/protocol.html), and the subset
+the loader lifecycle needs — startup with trust auth, the simple query
+protocol, text-format results — is small, so we speak it directly over
+a unix socket with the standard library.  That turns the Postgres path
+from "dialect SQL golden-pinned against DuckDB's information_schema"
+into *live execution against a real PostgreSQL server*.
+
+Scope and deliberate non-goals:
+
+- **Simple query protocol only** ('Q' messages).  Parameters are
+  rendered as SQL literals by :func:`pg_literal` (the server reports
+  ``standard_conforming_strings=on``, asserted at connect time, so
+  quoting is the single ``'' `` escape plus hex ``bytea``).  The
+  extended protocol (Parse/Bind/Execute) buys nothing here: the
+  connector's hot path moves dimension-scale payloads (SURVEY.md §1.3 —
+  fact-scale data stays in Spark), and multi-row ``VALUES`` lists
+  amortize round trips the same way batched binds would.
+- **Trust auth over a private unix socket only.**  The embedded server
+  listens on no TCP port at all (``listen_addresses=''``) and its
+  socket directory is process-private, which is the correct posture for
+  an ephemeral test/CI database; md5/SCRAM negotiation is out of scope
+  and raises immediately.
+- **Text result format.**  Values decode by type OID into the Python
+  types ``spark.createDataFrame`` expects; OIDs this module does not
+  know stay strings and are re-cast downstream by ``ops.match_dtypes``
+  exactly like the SQLite connector's affinity fallback.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+import pwd
+import re
+import shutil
+import socket
+import struct
+import subprocess
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+__all__ = [
+    "EmbeddedPostgres",
+    "PGWireClient",
+    "PGWireError",
+    "ResultSet",
+    "pg_literal",
+]
+
+
+class PGWireError(Exception):
+    """An ErrorResponse from the backend, raised after the protocol has
+    drained to ReadyForQuery (the connection stays usable)."""
+
+    def __init__(self, fields: dict[str, str]) -> None:
+        self.fields = fields
+        self.sqlstate = fields.get("C", "")
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {self.sqlstate}: "
+            f"{fields.get('M', '(no message)')}"
+        )
+
+
+@dataclass
+class ResultSet:
+    """One SELECT-shaped result: column names, type OIDs, atttypmods,
+    and rows decoded to Python values."""
+
+    columns: list[str] = field(default_factory=list)
+    oids: list[int] = field(default_factory=list)
+    typmods: list[int] = field(default_factory=list)
+    rows: list[tuple] = field(default_factory=list)
+
+
+_TZ_SHORT_OFFSET = re.compile(r"([+-]\d{2})$")
+
+
+def _decode_timestamptz(text: str) -> datetime.datetime:
+    # PG emits ISO with a possibly-short offset ('+00'); pad for older
+    # fromisoformat implementations.
+    return datetime.datetime.fromisoformat(_TZ_SHORT_OFFSET.sub(r"\1:00", text))
+
+
+#: OID -> text-format decoder.  Public OID assignments from
+#: pg_catalog.pg_type (stable since PG 7.x).
+_DECODERS = {
+    16: lambda s: s == "t",  # bool
+    17: lambda s: bytes.fromhex(s[2:]),  # bytea, '\x...' hex output
+    20: int,  # int8
+    21: int,  # int2
+    23: int,  # int4
+    26: int,  # oid
+    700: float,  # float4
+    701: float,  # float8
+    1082: datetime.date.fromisoformat,  # date
+    1114: datetime.datetime.fromisoformat,  # timestamp
+    1184: _decode_timestamptz,  # timestamptz
+    1700: decimal.Decimal,  # numeric
+}
+
+
+def decode_value(text: str | None, oid: int):  # noqa: ANN201 - dynamic
+    """Decode one text-format column value by type OID; unknown OIDs
+    (uuid, json, enums, ...) stay strings for downstream re-casting."""
+    if text is None:
+        return None
+    decoder = _DECODERS.get(oid)
+    return decoder(text) if decoder else text
+
+
+def pg_literal(value: object) -> str:
+    """Render a Python value as a PostgreSQL SQL literal.
+
+    Requires ``standard_conforming_strings=on`` (the server default
+    since 9.1; asserted at connect) so a backslash inside a string is
+    literal and the only escape is doubling single quotes.
+    """
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        if value != value:
+            return "'NaN'::float8"
+        if value == float("inf"):
+            return "'Infinity'::float8"
+        if value == float("-inf"):
+            return "'-Infinity'::float8"
+        return repr(value)
+    if isinstance(value, decimal.Decimal):
+        return f"'{value}'::numeric"
+    if isinstance(value, (bytes, bytearray)):
+        return f"'\\x{bytes(value).hex()}'::bytea"
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            return f"'{value.isoformat(sep=' ')}'::timestamptz"
+        return f"'{value.isoformat(sep=' ')}'::timestamp"
+    if isinstance(value, datetime.date):
+        return f"'{value.isoformat()}'::date"
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    msg = f"no SQL literal rendering for {type(value).__name__}"
+    raise TypeError(msg)
+
+
+class PGWireClient:
+    """One connection speaking protocol v3 over a unix socket.
+
+    Parameters name the embedded server's socket directory and port
+    (the port only selects the ``.s.PGSQL.<port>`` socket file).
+    """
+
+    def __init__(
+        self,
+        sock_dir: str,
+        port: int,
+        *,
+        user: str = "postgres",
+        database: str = "postgres",
+    ) -> None:
+        self.sock_path = os.path.join(sock_dir, f".s.PGSQL.{port}")
+        self.user = user
+        self.database = database
+        self.parameters: dict[str, str] = {}
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.connect(self.sock_path)
+        self._rfile = self._sock.makefile("rb")
+        self._startup()
+
+    # -- protocol plumbing --------------------------------------------------
+
+    def _send(self, type_byte: bytes, payload: bytes) -> None:
+        self._sock.sendall(
+            type_byte + struct.pack("!i", len(payload) + 4) + payload
+        )
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        head = self._rfile.read(5)
+        if len(head) < 5:
+            msg = "server closed the connection"
+            raise ConnectionError(msg)
+        (length,) = struct.unpack("!i", head[1:5])
+        payload = self._rfile.read(length - 4)
+        return head[:1], payload
+
+    @staticmethod
+    def _error_fields(payload: bytes) -> dict[str, str]:
+        fields: dict[str, str] = {}
+        offset = 0
+        while offset < len(payload) and payload[offset : offset + 1] != b"\0":
+            code = payload[offset : offset + 1].decode()
+            end = payload.index(b"\0", offset + 1)
+            fields[code] = payload[offset + 1 : end].decode("utf-8", "replace")
+            offset = end + 1
+        return fields
+
+    def _startup(self) -> None:
+        body = struct.pack("!i", 196608)  # protocol 3.0
+        for key, val in (("user", self.user), ("database", self.database)):
+            body += key.encode() + b"\0" + val.encode() + b"\0"
+        body += b"\0"
+        self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"R":
+                (auth,) = struct.unpack("!i", payload[:4])
+                if auth != 0:
+                    msg = (
+                        f"server requested auth method {auth}; only trust "
+                        "(AuthenticationOk) is supported — start the "
+                        "embedded server with '-A trust'"
+                    )
+                    raise ConnectionError(msg)
+            elif mtype == b"S":
+                key, val, _ = payload.split(b"\0", 2)
+                self.parameters[key.decode()] = val.decode()
+            elif mtype == b"E":
+                raise PGWireError(self._error_fields(payload))
+            elif mtype == b"Z":
+                break
+            # 'K' BackendKeyData and notices are irrelevant here
+        if self.parameters.get("standard_conforming_strings") != "on":
+            msg = "server must run with standard_conforming_strings=on"
+            raise ConnectionError(msg)
+
+    # -- public API ---------------------------------------------------------
+
+    def query(self, sql: str) -> ResultSet | None:
+        """Run *sql* (possibly multi-statement) via the simple query
+        protocol; returns the LAST result set, or None if no statement
+        returned rows.  Raises :class:`PGWireError` on the first server
+        error (after draining to ReadyForQuery)."""
+        self._send(b"Q", sql.encode() + b"\0")
+        current: ResultSet | None = None
+        last: ResultSet | None = None
+        error: dict[str, str] | None = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"T":
+                current = ResultSet()
+                (nfields,) = struct.unpack("!h", payload[:2])
+                offset = 2
+                for _ in range(nfields):
+                    end = payload.index(b"\0", offset)
+                    current.columns.append(payload[offset:end].decode())
+                    offset = end + 1
+                    _, _, oid, _, typmod, _ = struct.unpack(
+                        "!ihihih", payload[offset : offset + 18]
+                    )
+                    offset += 18
+                    current.oids.append(oid)
+                    current.typmods.append(typmod)
+            elif mtype == b"D" and current is not None:
+                (ncols,) = struct.unpack("!h", payload[:2])
+                offset = 2
+                row = []
+                for i in range(ncols):
+                    (ln,) = struct.unpack("!i", payload[offset : offset + 4])
+                    offset += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(
+                            decode_value(
+                                payload[offset : offset + ln].decode(),
+                                current.oids[i],
+                            )
+                        )
+                        offset += ln
+                current.rows.append(tuple(row))
+            elif mtype == b"C" and current is not None:
+                last, current = current, None
+            elif mtype == b"E" and error is None:
+                error = self._error_fields(payload)
+            elif mtype == b"Z":
+                break
+            # 'C' without rows, 'N' notices, 'I' empty query: skip
+        if error is not None:
+            raise PGWireError(error)
+        return last
+
+    def execute(self, sql: str) -> None:
+        """:meth:`query` for statements whose rows are irrelevant."""
+        self.query(sql)
+
+    def close(self) -> None:
+        try:
+            self._send(b"X", b"")  # Terminate
+        except OSError:
+            pass
+        self._rfile.close()
+        self._sock.close()
+
+
+def _pg_binaries() -> dict[str, str | None]:
+    return {name: shutil.which(name) for name in ("initdb", "pg_ctl")}
+
+
+class EmbeddedPostgres:
+    """Lifecycle manager for a throwaway single-purpose PostgreSQL
+    server: ``initdb`` into a temp dir, unix-socket-only listen, trust
+    auth, durability off (fsync/synchronous_commit — it is a test
+    database).  When the current process is root (PostgreSQL refuses to
+    run as root) every server command is re-executed as the ``postgres``
+    system user via ``runuser`` and the directories are chown'd over.
+    """
+
+    def __init__(
+        self, base_dir: str | None = None, *, port: int = 54321
+    ) -> None:
+        self.base_dir = base_dir or tempfile.mkdtemp(prefix="pgemb-")
+        self.data_dir = os.path.join(self.base_dir, "data")
+        self.sock_dir = os.path.join(self.base_dir, "sock")
+        self.log_path = os.path.join(self.base_dir, "server.log")
+        self.port = port
+        self.run_as: str | None = None
+        if os.geteuid() == 0:
+            self.run_as = "postgres"
+        self._started = False
+
+    @staticmethod
+    def available() -> bool:
+        """True when the server binaries (and, for root, the runuser
+        escape hatch + postgres system user) are present."""
+        binaries = _pg_binaries()
+        if not all(binaries.values()):
+            return False
+        if os.geteuid() == 0:
+            if shutil.which("runuser") is None:
+                return False
+            try:
+                pwd.getpwnam("postgres")
+            except KeyError:
+                return False
+        return True
+
+    def _run(self, args: list[str]) -> subprocess.CompletedProcess:
+        if self.run_as:
+            args = ["runuser", "-u", self.run_as, "--", *args]
+        return subprocess.run(  # noqa: S603 - fixed binaries, no shell
+            args,
+            cwd=self.base_dir,
+            capture_output=True,
+            text=True,
+            check=False,
+            timeout=60,
+        )
+
+    def _chown_tree(self) -> None:
+        if not self.run_as:
+            return
+        uid = pwd.getpwnam(self.run_as).pw_uid
+        for root, dirs, files in os.walk(self.base_dir):
+            os.chown(root, uid, -1)
+            for name in dirs + files:
+                os.chown(os.path.join(root, name), uid, -1)
+
+    def start(self) -> "EmbeddedPostgres":
+        os.makedirs(self.sock_dir, exist_ok=True)
+        os.chmod(self.base_dir, 0o755)
+        needs_init = not os.path.exists(
+            os.path.join(self.data_dir, "PG_VERSION")
+        )
+        if needs_init:
+            os.makedirs(self.data_dir, exist_ok=True)
+        self._chown_tree()
+        if needs_init:
+            proc = self._run(
+                [
+                    "initdb",
+                    "-D",
+                    self.data_dir,
+                    "-U",
+                    "postgres",
+                    "-A",
+                    "trust",
+                    "--no-sync",
+                    "-E",
+                    "UTF8",
+                ]
+            )
+            if proc.returncode != 0:
+                msg = f"initdb failed:\n{proc.stdout}\n{proc.stderr}"
+                raise RuntimeError(msg)
+        options = (
+            f"-c listen_addresses='' "
+            f"-c unix_socket_directories={self.sock_dir} "
+            f"-c port={self.port} "
+            "-c fsync=off -c synchronous_commit=off -c full_page_writes=off"
+        )
+        proc = self._run(
+            [
+                "pg_ctl",
+                "-D",
+                self.data_dir,
+                "-l",
+                self.log_path,
+                "-o",
+                options,
+                "-w",
+                "start",
+            ]
+        )
+        if proc.returncode != 0:
+            log_tail = ""
+            if os.path.exists(self.log_path):
+                with open(self.log_path) as fh:
+                    log_tail = "".join(fh.readlines()[-20:])
+            msg = f"pg_ctl start failed:\n{proc.stderr}\n{log_tail}"
+            raise RuntimeError(msg)
+        deadline = time.monotonic() + 30
+        sock_path = os.path.join(self.sock_dir, f".s.PGSQL.{self.port}")
+        while not os.path.exists(sock_path):
+            if time.monotonic() > deadline:
+                msg = f"server socket {sock_path} never appeared"
+                raise RuntimeError(msg)
+            time.sleep(0.05)
+        self._started = True
+        return self
+
+    def stop(self) -> None:
+        if self._started:
+            self._run(["pg_ctl", "-D", self.data_dir, "-m", "immediate", "stop"])
+            self._started = False
+
+    def destroy(self) -> None:
+        self.stop()
+        shutil.rmtree(self.base_dir, ignore_errors=True)
+
+    def client(
+        self, database: str = "postgres", *, user: str = "postgres"
+    ) -> PGWireClient:
+        return PGWireClient(
+            self.sock_dir, self.port, user=user, database=database
+        )
+
+    def createdb(self, name: str) -> None:
+        admin = self.client()
+        try:
+            admin.execute(f'CREATE DATABASE "{name}"')
+        finally:
+            admin.close()
+
+    def __enter__(self) -> "EmbeddedPostgres":
+        return self.start()
+
+    def __exit__(self, *exception: object) -> None:
+        self.destroy()

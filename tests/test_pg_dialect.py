@@ -1,8 +1,13 @@
 """Executable evidence for the Postgres dialect's introspection SQL.
 
-No live Postgres server or pgJDBC driver exists in this environment
-(the reference's own Postgres suite is skipped for the same reason,
-reference tests/test_postgres_connector.py:48), so two substitutes:
+The dialect now ALSO runs against a live PostgreSQL server — the
+embedded-server suite (tests/test_postgres_live.py) executes these same
+strings over the wire and asserts end-to-end classification.  This
+module stays as the portable layer: it pins the SQL text and proves the
+semantics on a second independent engine, which still matters when the
+server binaries are absent (the reference's own Postgres suite is
+skipped for exactly that reason, reference
+tests/test_postgres_connector.py:48).  Two mechanisms:
 
 1. DIFFERENTIAL EXECUTION: DuckDB implements the SQL-standard
    ``information_schema`` views the dialect queries (``tables``,
