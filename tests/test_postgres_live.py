@@ -267,6 +267,70 @@ def test_rollback_mid_transaction_is_total(
         db.close()
 
 
+def test_fk_edges_agree_with_pg_catalog(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """The dialect's information_schema FK introspection cross-checked
+    against an INDEPENDENT pg_catalog query (written from the public
+    pg_constraint/pg_attribute docs — the reference reads the same
+    catalogs, postgres_connector.py:143-151).  Two disjoint views of
+    the server's own metadata must yield identical FK edges, including
+    a multi-column FK where ordinal pairing matters."""
+    db = _connector(spark, pg_database)
+    try:
+        db.execute_ddl(STAR_DDL)
+        # the composite-PK pair goes through the raw client: the
+        # connector's fetch_schema rejects multi-column PRIMARY KEYs by
+        # design (single-surrogate-key invariant), but the dialect's FK
+        # SQL must still pair the multi-column edge correctly
+        db.client.execute(
+            """
+            CREATE TABLE multi (
+                x bigint,
+                y bigint,
+                PRIMARY KEY (x, y)
+            );
+            CREATE TABLE refs_multi (
+                mx bigint,
+                my bigint,
+                FOREIGN KEY (mx, my) REFERENCES multi (x, y)
+            );
+            """
+        )
+        catalog_rows = db.client.query(
+            """
+            SELECT src.relname AS from_table,
+                   sa.attname AS from_key,
+                   tgt.relname AS to_table,
+                   ta.attname AS to_key
+            FROM pg_constraint con
+            JOIN pg_class src ON src.oid = con.conrelid
+            JOIN pg_class tgt ON tgt.oid = con.confrelid
+            CROSS JOIN LATERAL unnest(con.conkey, con.confkey)
+                 AS pair(src_attnum, tgt_attnum)
+            JOIN pg_attribute sa ON sa.attrelid = con.conrelid
+                 AND sa.attnum = pair.src_attnum
+            JOIN pg_attribute ta ON ta.attrelid = con.confrelid
+                 AND ta.attnum = pair.tgt_attnum
+            WHERE con.contype = 'f'
+              AND src.relnamespace = 'public'::regnamespace
+            """
+        ).rows
+        catalog_edges = {tuple(r) for r in catalog_rows}
+
+        dialect_edges = set()
+        for name in ("dim_region", "dim_nation", "multi", "refs_multi"):
+            for row in db._rows(db.dialect.references_query(name)):
+                dialect_edges.add(
+                    (name, row["from_key"], row["to_table"], row["to_key"])
+                )
+        assert dialect_edges == catalog_edges
+        assert ("refs_multi", "mx", "multi", "x") in catalog_edges
+        assert ("refs_multi", "my", "multi", "y") in catalog_edges
+    finally:
+        db.close()
+
+
 def test_typed_reads_map_oids(
     spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
 ) -> None:
