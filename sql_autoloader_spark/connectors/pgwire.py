@@ -14,19 +14,23 @@ into *live execution against a real PostgreSQL server*.
 
 Scope and deliberate non-goals:
 
-- **Simple query protocol only** ('Q' messages).  Parameters are
+- **Simple query protocol plus COPY-in** ('Q' messages; the COPY
+  FROM STDIN subprotocol for bulk loads).  Parameters are
   rendered as SQL literals by :func:`pg_literal` (the server reports
   ``standard_conforming_strings=on``, asserted at connect time, so
   quoting is the single ``'' `` escape plus hex ``bytea``).  The
-  extended protocol (Parse/Bind/Execute) buys nothing here: the
-  connector's hot path moves dimension-scale payloads (SURVEY.md §1.3 —
-  fact-scale data stays in Spark), and multi-row ``VALUES`` lists
-  amortize round trips the same way batched binds would.
-- **Trust auth over a private unix socket only.**  The embedded server
-  listens on no TCP port at all (``listen_addresses=''``) and its
-  socket directory is process-private, which is the correct posture for
-  an ephemeral test/CI database; md5/SCRAM negotiation is out of scope
-  and raises immediately.
+  extended protocol (Parse/Bind/Execute) buys nothing here: small
+  payloads go as multi-row ``VALUES`` lists, bulk payloads through
+  ``COPY`` — the fastest ingest path PostgreSQL offers and the one
+  every executor of a distributed write uses concurrently.
+- **Trust auth over a private unix socket (or loopback TCP).**  By
+  default the embedded server listens on no TCP port at all
+  (``listen_addresses=''``) and its socket directory is
+  process-private, the correct posture for an ephemeral test/CI
+  database; ``tcp=True`` adds a loopback listener so the
+  host/port connection path Spark executors use on a real cluster is
+  exercised too.  md5/SCRAM negotiation is out of scope and raises
+  immediately.
 - **Text result format.**  Values decode by type OID into the Python
   types ``spark.createDataFrame`` expects; OIDs this module does not
   know stay strings and are re-cast downstream by ``ops.match_dtypes``
@@ -53,6 +57,7 @@ __all__ = [
     "PGWireClient",
     "PGWireError",
     "ResultSet",
+    "copy_text_row",
     "pg_literal",
 ]
 
@@ -155,27 +160,80 @@ def pg_literal(value: object) -> str:
     raise TypeError(msg)
 
 
-class PGWireClient:
-    """One connection speaking protocol v3 over a unix socket.
+_COPY_ESCAPES = str.maketrans(
+    {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+)
 
-    Parameters name the embedded server's socket directory and port
-    (the port only selects the ``.s.PGSQL.<port>`` socket file).
+
+def _copy_text_cell(value: object) -> str:
+    """Render one value in COPY text format (NULL is handled by the
+    caller).  The server casts each cell to the target column's type,
+    so the rendering only has to be an unambiguous text form."""
+    if isinstance(value, bool):
+        return "t" if value else "f"
+    if isinstance(value, float):
+        if value != value:
+            return "NaN"
+        if value == float("inf"):
+            return "Infinity"
+        if value == float("-inf"):
+            return "-Infinity"
+        return repr(value)
+    if isinstance(value, (bytes, bytearray)):
+        # bytea hex input is '\x…'; the backslash itself must be
+        # escaped in COPY text format
+        return "\\\\x" + bytes(value).hex()
+    if isinstance(value, datetime.datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, (datetime.date, decimal.Decimal, int)):
+        return str(value)
+    if isinstance(value, str):
+        return value.translate(_COPY_ESCAPES)
+    msg = f"no COPY text rendering for {type(value).__name__}"
+    raise TypeError(msg)
+
+
+def copy_text_row(values: tuple) -> bytes:
+    r"""One COPY text-format line: tab-separated cells, ``\N`` for
+    NULL, newline-terminated.  UTF-8 encoded, ready for CopyData."""
+    return (
+        "\t".join(
+            "\\N" if v is None else _copy_text_cell(v) for v in values
+        )
+        + "\n"
+    ).encode()
+
+
+class PGWireClient:
+    """One connection speaking protocol v3 over a unix socket or TCP.
+
+    With ``sock_dir`` the connection goes over the unix socket
+    ``<sock_dir>/.s.PGSQL.<port>`` (the driver-side default for the
+    embedded server); with ``host`` it goes over TCP — the path Spark
+    executors use to reach a warehouse from other machines.
     """
 
     def __init__(
         self,
-        sock_dir: str,
-        port: int,
+        sock_dir: str | None = None,
+        port: int = 5432,
         *,
+        host: str | None = None,
         user: str = "postgres",
         database: str = "postgres",
     ) -> None:
-        self.sock_path = os.path.join(sock_dir, f".s.PGSQL.{port}")
         self.user = user
         self.database = database
         self.parameters: dict[str, str] = {}
-        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self._sock.connect(self.sock_path)
+        if host is not None:
+            self._sock = socket.create_connection((host, port))
+        else:
+            if sock_dir is None:
+                msg = "pass either sock_dir= (unix socket) or host= (TCP)"
+                raise ValueError(msg)
+            self.sock_path = os.path.join(sock_dir, f".s.PGSQL.{port}")
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.connect(self.sock_path)
         self._rfile = self._sock.makefile("rb")
         self._startup()
 
@@ -295,6 +353,51 @@ class PGWireClient:
         """:meth:`query` for statements whose rows are irrelevant."""
         self.query(sql)
 
+    def copy_in(self, sql: str, chunks) -> int:  # noqa: ANN001 - iterable of bytes
+        """Bulk-load via the COPY FROM STDIN subprotocol.
+
+        *sql* is a ``COPY table (cols) FROM STDIN`` statement; *chunks*
+        yields byte buffers of COPY text-format lines (see
+        :func:`copy_text_row`).  Returns the server-reported row count.
+
+        After the server errors mid-stream it discards further CopyData
+        without replying, so streaming the remainder cannot deadlock;
+        the error surfaces once the stream finishes and the protocol
+        drains to ReadyForQuery.
+        """
+        self._send(b"Q", sql.encode() + b"\0")
+        error: dict[str, str] | None = None
+        # wait for CopyInResponse (or an immediate error, e.g. bad table)
+        in_copy = False
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"G":
+                in_copy = True
+                break
+            if mtype == b"E":
+                error = self._error_fields(payload)
+            elif mtype == b"Z":
+                break
+        rows = 0
+        if in_copy:
+            for chunk in chunks:
+                if chunk:
+                    self._send(b"d", chunk)
+            self._send(b"c", b"")  # CopyDone
+            while True:
+                mtype, payload = self._read_message()
+                if mtype == b"C":
+                    tag = payload.rstrip(b"\0").decode()
+                    if tag.startswith("COPY "):
+                        rows = int(tag.split()[1])
+                elif mtype == b"E" and error is None:
+                    error = self._error_fields(payload)
+                elif mtype == b"Z":
+                    break
+        if error is not None:
+            raise PGWireError(error)
+        return rows
+
     def close(self) -> None:
         try:
             self._send(b"X", b"")  # Terminate
@@ -318,13 +421,20 @@ class EmbeddedPostgres:
     """
 
     def __init__(
-        self, base_dir: str | None = None, *, port: int = 54321
+        self,
+        base_dir: str | None = None,
+        *,
+        port: int = 54321,
+        tcp: bool = False,
     ) -> None:
         self.base_dir = base_dir or tempfile.mkdtemp(prefix="pgemb-")
         self.data_dir = os.path.join(self.base_dir, "data")
         self.sock_dir = os.path.join(self.base_dir, "sock")
         self.log_path = os.path.join(self.base_dir, "server.log")
         self.port = port
+        #: loopback TCP listener (initdb -A trust covers 127.0.0.1/32 in
+        #: pg_hba.conf) — exercises the host/port path cluster executors use
+        self.host: str | None = "127.0.0.1" if tcp else None
         self.run_as: str | None = None
         if os.geteuid() == 0:
             self.run_as = "postgres"
@@ -395,7 +505,7 @@ class EmbeddedPostgres:
                 msg = f"initdb failed:\n{proc.stdout}\n{proc.stderr}"
                 raise RuntimeError(msg)
         options = (
-            f"-c listen_addresses='' "
+            f"-c listen_addresses='{self.host or ''}' "
             f"-c unix_socket_directories={self.sock_dir} "
             f"-c port={self.port} "
             "-c fsync=off -c synchronous_commit=off -c full_page_writes=off"

@@ -27,19 +27,27 @@ Postgres path promises runs for real:
   (reference postgres_connector.py:176-199), so a failed load leaves
   the database at its pre-block state.
 
-Positioning at scale: like the SQLite sink this is the *compatibility*
-connector — data crosses the driver as row batches, exactly how the
-reference works, appropriate for dimension-scale operational targets.
-Fact-scale loads belong on ``SparkConnector`` where writes stay
-distributed; a cluster deployment against a big warehouse would add the
-Postgres JDBC jar and use ``JDBCConnector`` (same dialect SQL) for
-partitioned reads/writes.
+Positioning at scale: two physical write paths, chosen per payload.
+Small known payloads (dimension tables) move as driver-side multi-row
+INSERTs, exactly how the reference works.  Anything larger — or of
+unknown size, the scale-safe default — goes through the distributed
+COPY path: executors ``COPY`` DataFrame partitions concurrently into
+an unlogged staging table (PostgreSQL's fastest ingest primitive, N
+parallel streams), and one server-side null-safe anti-join +
+``ON CONFLICT DO NOTHING`` statement merges staging into the target,
+so no row ever crosses the driver.  On a real cluster executors dial
+the warehouse over TCP (``host=``); reads of big source tables would
+still belong on ``JDBCConnector``'s partitioned reads — this sink's
+reads are the lifecycle's own scans (key retrieval, compare), which
+are bounded by the dimension data the loader manages.
 """
 
 from __future__ import annotations
 
 import datetime
 import decimal
+import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -64,7 +72,9 @@ from sql_autoloader_spark.connectors.jdbc import (
 )
 from sql_autoloader_spark.connectors.pgwire import (
     PGWireClient,
+    PGWireError,
     ResultSet,
+    copy_text_row,
     pg_literal,
 )
 from sql_autoloader_spark.schema import ReferenceDict, TableDict
@@ -72,6 +82,59 @@ from sql_autoloader_spark.schema import ReferenceDict, TableDict
 #: rows per multi-row INSERT statement — amortizes wire round trips the
 #: way the reference's executemany batches psycopg binds
 _INSERT_BATCH = 500
+
+#: schema holding per-load staging tables for the distributed COPY
+#: path; outside 'public' so introspection (jdbc.PostgresDialect
+#: filters table_schema='public') never sees load machinery
+_STAGING_SCHEMA = "_al_staging"
+
+#: COPY bytes buffered per CopyData message from each executor
+_COPY_BUFFER = 1 << 18
+
+
+def _copy_partition_writer(
+    host: str | None,
+    sock_dir: str | None,
+    port: int,
+    user: str,
+    database: str,
+    copy_sql: str,
+):
+    """Build the ``foreachPartition`` task for the distributed COPY
+    path.  Captures only plain connect parameters (picklable); each
+    non-empty partition opens its own wire connection — on a cluster
+    that is N executors COPYing into the server concurrently, the
+    standard parallel-ingest topology for PostgreSQL."""
+
+    def write(rows) -> None:  # noqa: ANN001 - iterator of Row
+        client: PGWireClient | None = None
+        try:
+            buffer = bytearray()
+
+            def chunks():  # noqa: ANN202
+                nonlocal buffer
+                for row in rows:
+                    buffer += copy_text_row(tuple(row))
+                    if len(buffer) >= _COPY_BUFFER:
+                        yield bytes(buffer)
+                        buffer = bytearray()
+                if buffer:
+                    yield bytes(buffer)
+
+            gen = chunks()
+            try:
+                first = next(gen)
+            except StopIteration:
+                return  # empty partition: never connect
+            client = PGWireClient(
+                sock_dir, port, host=host, user=user, database=database
+            )
+            client.copy_in(copy_sql, itertools.chain([first], gen))
+        finally:
+            if client is not None:
+                client.close()
+
+    return write
 
 
 def _spark_type(oid: int, typmod: int) -> DataType:
@@ -140,8 +203,19 @@ class PostgresConnector(BaseConnector):
         null-safe key merge, compare validation).
     client:
         An open :class:`PGWireClient`; alternatively pass ``sock_dir``/
-        ``port``/``user``/``database`` and one is opened here.  The
-        connector owns whichever connection it uses (``close()``).
+        ``host``/``port``/``user``/``database`` and one is opened here.
+        The connector owns whichever connection it uses (``close()``).
+    copy_threshold:
+        Payload row-count bound at or below which inserts use the
+        driver-side multi-row INSERT path.  Above it — or whenever the
+        payload size is unknown — the write goes through the
+        distributed COPY path (executors COPY partitions concurrently
+        into an unlogged staging table; one server-side null-safe
+        anti-join + ``ON CONFLICT DO NOTHING`` merges it), provided
+        connect parameters were given so executors can dial in.
+    copy_connections:
+        Cap on concurrent executor COPY connections (partitions are
+        coalesced down to this before the write).
     """
 
     _quote = '"'
@@ -152,20 +226,40 @@ class PostgresConnector(BaseConnector):
         *,
         client: PGWireClient | None = None,
         sock_dir: str | None = None,
+        host: str | None = None,
         port: int = 54321,
         user: str = "postgres",
         database: str = "postgres",
+        copy_threshold: int = 5000,
+        copy_connections: int = 16,
     ) -> None:
         self.spark = spark
         if client is None:
-            if sock_dir is None:
-                msg = "pass either an open client= or sock_dir=/port="
+            if sock_dir is None and host is None:
+                msg = "pass either an open client= or sock_dir=/host="
                 raise ValueError(msg)
             client = PGWireClient(
-                sock_dir, port, user=user, database=database
+                sock_dir, port, host=host, user=user, database=database
             )
         self.client = client
         self.dialect = PostgresDialect()
+        self.copy_threshold = copy_threshold
+        self.copy_connections = copy_connections
+        # executor connect parameters; without them (bare client=) the
+        # distributed COPY path is unavailable and all writes stay on
+        # the driver connection
+        self._connect = (
+            {
+                "sock_dir": sock_dir,
+                "host": host,
+                "port": port,
+                "user": user,
+                "database": database,
+            }
+            if sock_dir is not None or host is not None
+            else None
+        )
+        self._staging: set[str] = set()
         self._in_transaction = False
         self.schema = self.get_schema()
 
@@ -181,9 +275,24 @@ class PostgresConnector(BaseConnector):
         # a failed statement leaves the transaction aborted; ROLLBACK is
         # always legal, COMMIT of an aborted transaction rolls back too
         self.client.execute("COMMIT" if exc_type is None else "ROLLBACK")
+        # a clean commit also committed the staging drops; after a
+        # rollback the drops rolled back while the COPY'd staging data
+        # (committed by executor connections) survived — sweep it now
+        self._sweep_staging()
 
     def close(self) -> None:
+        self._sweep_staging()
         self.client.close()
+
+    def _sweep_staging(self) -> None:
+        for stage in list(self._staging):
+            try:
+                self.client.execute(
+                    f'DROP TABLE IF EXISTS "{_STAGING_SCHEMA}"."{stage}"'
+                )
+            except PGWireError:  # pragma: no cover - sweep is best-effort
+                break
+            self._staging.discard(stage)
 
     # -- DDL / metadata -----------------------------------------------------
 
@@ -242,13 +351,27 @@ class PostgresConnector(BaseConnector):
         """Idempotent insert, two layers deep (mirrors the SQLite sink):
 
         1. rows already present — all inserted columns equal, NULLs
-           equal — are filtered out driver-side, so re-loading identical
-           data never grows constraint-less tables;
+           equal — are filtered out, so re-loading identical data never
+           grows constraint-less tables;
         2. the remainder goes through ``INSERT ... ON CONFLICT DO
            NOTHING`` so REAL constraints arbitrate genuine conflicts
            (same key, different payload), exactly like the reference
            (postgres_connector.py:13-28).
+
+        Physical strategy by payload size: at or below
+        ``copy_threshold`` known rows, the reference-shaped driver path
+        (collect + multi-row INSERT, pre-filter against a driver-side
+        set).  Above it — or when the size is unknown, the scale-safe
+        default — the distributed COPY path: nothing is ever collected
+        to the driver and both idempotency layers run server-side.
         """
+        small = (
+            payload_bound is not None
+            and payload_bound <= self.copy_threshold
+        )
+        if self._connect is not None and not small:
+            self._copy_write(table, new_rows, columns)
+            return
         quoted = ", ".join(f'"{c}"' for c in columns)
         existing = {
             tuple(_norm_cell(v) for v in row)
@@ -273,6 +396,108 @@ class PostgresConnector(BaseConnector):
                 f'INSERT INTO "{table}" ({quoted}) VALUES {values} '
                 "ON CONFLICT DO NOTHING"
             )
+
+    def _copy_write(
+        self, table: str, new_rows: DataFrame, columns: list[str]
+    ) -> None:
+        """Distributed idempotent insert: executors COPY partitions of
+        *new_rows* concurrently into a fresh unlogged staging table,
+        then ONE server-side statement merges it into *table* —
+
+        ``INSERT … SELECT DISTINCT … FROM staging s WHERE NOT EXISTS
+        (SELECT 1 FROM table t WHERE t.c IS NOT DISTINCT FROM s.c …)
+        ON CONFLICT DO NOTHING``
+
+        — the same two idempotency layers as the driver path
+        (``IS NOT DISTINCT FROM`` is the server-side spelling of the
+        null-safe pre-filter; real constraints still arbitrate genuine
+        conflicts).  No row ever crosses the driver.
+
+        Transactional shape (SURVEY §7.4 stage-validate-swap): staging
+        lives in its own schema, created and COPY'd over autocommit
+        connections so executors can see it even while the driver
+        connection is mid-transaction; the merge and the staging DROP
+        run on the driver connection, so they commit or roll back with
+        the surrounding ``with`` block.  Rolled-back staging leftovers
+        are swept on ``__exit__``/``close``; ``sweep_staging`` clears
+        anything a crashed driver left behind.
+        """
+        stage = f"stage_{table}_{os.urandom(6).hex()}"
+        quoted = ", ".join(f'"{c}"' for c in columns)
+        qualified = f'"{_STAGING_SCHEMA}"."{stage}"'
+        aux = self._aux_client()
+        try:
+            aux.execute(f'CREATE SCHEMA IF NOT EXISTS "{_STAGING_SCHEMA}"')
+            # column types cloned from the target so the server casts
+            # COPY text into exactly the landing types
+            aux.execute(
+                f"CREATE UNLOGGED TABLE {qualified} AS "
+                f'SELECT {quoted} FROM "{table}" WITH NO DATA'
+            )
+        finally:
+            aux.close()
+        self._staging.add(stage)
+        frame = new_rows.select(*columns)
+        if (
+            frame.rdd.getNumPartitions() > self.copy_connections
+        ):  # cap concurrent server connections
+            frame = frame.coalesce(self.copy_connections)
+        conn = self._connect
+        assert conn is not None  # routing guarantees this  # noqa: S101
+        frame.foreachPartition(
+            _copy_partition_writer(
+                conn["host"],
+                conn["sock_dir"],
+                conn["port"],
+                conn["user"],
+                conn["database"],
+                f"COPY {qualified} ({quoted}) FROM STDIN",
+            )
+        )
+        null_safe = " AND ".join(
+            f't."{c}" IS NOT DISTINCT FROM s."{c}"' for c in columns
+        )
+        self.client.execute(
+            f'INSERT INTO "{table}" ({quoted}) '
+            f"SELECT DISTINCT {quoted} FROM {qualified} s "
+            f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" t WHERE {null_safe}) '
+            "ON CONFLICT DO NOTHING"
+        )
+        # transactional: rolls back with the block, in which case the
+        # exit sweep drops the orphan
+        self.client.execute(f"DROP TABLE {qualified}")
+        if not self._in_transaction:
+            self._staging.discard(stage)
+
+    def _aux_client(self) -> PGWireClient:
+        conn = self._connect
+        if conn is None:  # pragma: no cover - guarded by callers
+            msg = "distributed COPY path needs sock_dir=/host= parameters"
+            raise ValueError(msg)
+        return PGWireClient(
+            conn["sock_dir"],
+            conn["port"],
+            host=conn["host"],
+            user=conn["user"],
+            database=conn["database"],
+        )
+
+    def sweep_staging(self) -> int:
+        """Drop EVERY table in the staging schema — recovery after a
+        crashed driver (cf. ``SparkConnector.recover_staging``).  Call
+        only while no load is in flight anywhere: staging tables are
+        per-statement scratch, so outside an active ``load`` the schema
+        should be empty."""
+        rows = self._rows(
+            "SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = '{_STAGING_SCHEMA}'"
+        )
+        for row in rows:
+            self.client.execute(
+                f'DROP TABLE IF EXISTS "{_STAGING_SCHEMA}"."{row["table_name"]}"'
+            )
+        self._staging.clear()
+        return len(rows)
 
     def _execute_compare_query(self, query: str) -> DataFrame:
         return self._frame(self.client.query(query))

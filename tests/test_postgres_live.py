@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 from sql_autoloader_spark.connectors.pgwire import (
     EmbeddedPostgres,
     PGWireError,
+    copy_text_row,
     pg_literal,
 )
 from sql_autoloader_spark.connectors.postgres import PostgresConnector
@@ -368,5 +369,238 @@ def test_typed_reads_map_oids(
         assert row["s"] == "x'y"
         assert bytes(row["bin"]) == b"\xde\xad"
         assert row["num"] == Decimal("12.34")
+    finally:
+        db.close()
+
+
+# -- distributed COPY path ---------------------------------------------------
+
+
+def _copy_connector(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> PostgresConnector:
+    """Connector with the distributed COPY path forced for every write
+    (copy_threshold=0: no payload is 'small')."""
+    server, name = pg_database
+    return PostgresConnector(
+        spark,
+        sock_dir=server.sock_dir,
+        port=server.port,
+        database=name,
+        copy_threshold=0,
+    )
+
+
+def test_copy_in_roundtrips_value_classes(pg: EmbeddedPostgres) -> None:
+    """copy_text_row → COPY FROM STDIN → typed read must reproduce
+    every value class the lifecycle moves, including the COPY text
+    escapes (tab/newline/backslash in strings), NULL, bytea, NaN."""
+    client = pg.client()
+    try:
+        client.execute(
+            "CREATE TABLE copy_rt (a bigint, b text, c double precision,"
+            " d timestamp, e bytea, f numeric(10, 2), g boolean)"
+        )
+        rows = [
+            (
+                1,
+                "tab\there \\ and\nnewline",
+                1.5,
+                datetime.datetime(2020, 1, 2, 3, 4, 5, 123456),
+                b"\x00\xff",
+                Decimal("12.34"),
+                True,
+            ),
+            (None, None, float("nan"), None, None, None, False),
+        ]
+        copied = client.copy_in(
+            "COPY copy_rt (a, b, c, d, e, f, g) FROM STDIN",
+            (copy_text_row(r) for r in rows),
+        )
+        assert copied == 2
+        got = client.query("SELECT * FROM copy_rt ORDER BY a NULLS LAST").rows
+        assert got[0] == rows[0]
+        assert got[1][0] is None
+        assert got[1][2] != got[1][2]  # NaN
+        assert got[1][6] is False
+        client.execute("DROP TABLE copy_rt")
+    finally:
+        client.close()
+
+
+def test_copy_in_error_drains_and_recovers(pg: EmbeddedPostgres) -> None:
+    """A server error before (bad table) or during (bad cell) the COPY
+    stream raises PGWireError and leaves the connection usable."""
+    client = pg.client()
+    try:
+        with pytest.raises(PGWireError) as err:
+            client.copy_in("COPY nosuch FROM STDIN", iter([b"1\n"]))
+        assert err.value.sqlstate == "42P01"
+        client.execute("CREATE TABLE copy_err (a bigint)")
+        with pytest.raises(PGWireError):  # 'x' does not cast to bigint
+            client.copy_in(
+                "COPY copy_err (a) FROM STDIN", iter([b"1\n", b"x\n"])
+            )
+        assert client.query("SELECT count(*) FROM copy_err").rows == [(0,)]
+        client.execute("DROP TABLE copy_err")
+    finally:
+        client.close()
+
+
+def test_copy_path_load_matches_driver_path(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """The SAME star load executed through the distributed COPY path
+    must land the identical row set the driver INSERT path lands,
+    including null-key rows, and a second identical load must not grow
+    anything (both idempotency layers run server-side)."""
+    server, name = pg_database
+    db = _copy_connector(spark, pg_database)
+    try:
+        db.execute_ddl(STAR_DDL)
+        flat = spark.createDataFrame(
+            [
+                ("FRANCE", "EUROPE"),
+                ("GERMANY", "EUROPE"),
+                ("JAPAN", "ASIA"),
+                ("LIMBO", None),  # null region must survive null-safely
+            ],
+            "name string, region string",
+        )
+        with db:
+            db.load(flat)
+        with db:
+            db.load(flat)  # idempotent through COPY
+        # surrogate ids are opaque (assignment order is unordered under
+        # SELECT DISTINCT); the comparable result is the reconstruction
+        reconstruct = (
+            'SELECT n."name" AS name, r."region" AS region '
+            'FROM "dim_nation" n LEFT JOIN "dim_region" r '
+            'ON n."region_id" = r."id"'
+        )
+        copy_nations = {
+            tuple(row) for row in db.client.query(reconstruct).rows
+        }
+        assert copy_nations == {tuple(r) for r in flat.collect()}
+        # EUROPE, ASIA, and the null region (kept null-safely; PG's
+        # UNIQUE lets NULL repeat — the IS NOT DISTINCT FROM pre-filter
+        # is what held it to one row across the two loads)
+        assert db._read_table("dim_region").count() == 3
+
+        # driver-path twin in a second database
+        twin = f"{name}_driver"
+        server.createdb(twin)
+        driver_db = PostgresConnector(
+            spark,
+            sock_dir=server.sock_dir,
+            port=server.port,
+            database=twin,
+            copy_threshold=10**9,
+        )
+        try:
+            driver_db.execute_ddl(STAR_DDL)
+            with driver_db:
+                driver_db.load(flat)
+            assert copy_nations == {
+                tuple(row)
+                for row in driver_db.client.query(reconstruct).rows
+            }
+        finally:
+            driver_db.close()
+
+        # no staging machinery may remain, and introspection never saw it
+        assert db._rows(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = '_al_staging'"
+        ) == []
+        assert set(db.get_schema().graph.nodes) == {
+            "dim_region",
+            "dim_nation",
+        }
+    finally:
+        db.close()
+
+
+def test_copy_path_conflict_raises_and_sweeps(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """Uniqueness conflict through the COPY path: ON CONFLICT keeps the
+    row out server-side, the lifecycle raises, the transaction rolls
+    back, and the rolled-back staging table is swept on exit."""
+    db = _copy_connector(spark, pg_database)
+    try:
+        db.execute_ddl(
+            """
+            CREATE TABLE a (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                naam text UNIQUE NOT NULL,
+                waarde bigint NOT NULL
+            );
+            """
+        )
+        with db:
+            db.load(spark.createDataFrame(
+                [("a", 1), ("b", 2)], "naam string, waarde long"
+            ))
+        with pytest.raises(InsertingDataFailedError), db:
+            db.load(spark.createDataFrame(
+                [("a", 4)], "naam string, waarde long"
+            ))
+        rows = {
+            (r["naam"], r["waarde"]) for r in db._read_table("a").collect()
+        }
+        assert rows == {("a", 1), ("b", 2)}
+        assert db._rows(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = '_al_staging'"
+        ) == []
+    finally:
+        db.close()
+
+
+def test_copy_path_over_tcp(spark: SparkSession) -> None:
+    """Executors dial the server over loopback TCP — the connection
+    path a real cluster uses — and the COPY load lands."""
+    server = EmbeddedPostgres(port=54431, tcp=True).start()
+    try:
+        server.createdb("tcpdb")
+        db = PostgresConnector(
+            spark,
+            host=server.host,
+            port=server.port,
+            database="tcpdb",
+            copy_threshold=0,
+        )
+        try:
+            db.execute_ddl(STAR_DDL)
+            flat = spark.createDataFrame(
+                [("FRANCE", "EUROPE"), ("JAPAN", "ASIA")],
+                "name string, region string",
+            )
+            with db:
+                db.load(flat)
+            assert db._read_table("dim_nation").count() == 2
+        finally:
+            db.close()
+    finally:
+        server.destroy()
+
+
+def test_sweep_staging_recovers_orphans(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """A crashed driver's leftover staging tables are dropped by
+    sweep_staging (the PG twin of SparkConnector.recover_staging)."""
+    db = _copy_connector(spark, pg_database)
+    try:
+        db.client.execute(
+            'CREATE SCHEMA IF NOT EXISTS "_al_staging";'
+            'CREATE TABLE "_al_staging"."stage_orphan_deadbeef" (a bigint)'
+        )
+        assert db.sweep_staging() == 1
+        assert db._rows(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = '_al_staging'"
+        ) == []
     finally:
         db.close()
