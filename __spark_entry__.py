@@ -2020,6 +2020,61 @@ def q_load_star_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_load_events_postgres_copy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E5 at fact scale against LIVE PostgreSQL through the distributed
+    COPY path (connectors/postgres.py:_copy_write): the whole events
+    projection auto-loaded into an event-type dim + fact star where the
+    fact payload exceeds ``copy_threshold``, so executors COPY
+    partitions concurrently into an unlogged staging table and ONE
+    server-side null-safe anti-join + ``ON CONFLICT DO NOTHING``
+    statement merges it — no fact row ever crosses the driver on the
+    write side.  The dim stays on the reference-shaped driver INSERT
+    path, exercising both physical strategies in one load.  Returns
+    the PostgreSQL-executed compare-query reconstruction (= the
+    distinct input projection)."""
+    from sql_autoloader_spark.connectors.pgwire import EmbeddedPostgres
+    from sql_autoloader_spark.connectors.postgres import PostgresConnector
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    with EmbeddedPostgres(port=54452) as pg:
+        db = PostgresConnector(
+            spark,
+            sock_dir=pg.sock_dir,
+            port=pg.port,
+            copy_threshold=1000,
+        )
+        db.execute_ddl(
+            """
+            CREATE TABLE pe_etype (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                event_type text UNIQUE
+            );
+            CREATE TABLE pe_event (
+                event_id bigint,
+                etype_id bigint REFERENCES pe_etype (id),
+                value double precision
+            );
+            """
+        )
+        with db:
+            db.load(ev)
+        query = db.schema.get_compare_query(
+            ["event_id", "event_type", "value"], quote='"'
+        )
+        result = db._execute_compare_query(query)
+        # materialize before the server goes away (generated column
+        # order is the planner's, so keep the frame's own schema)
+        result = spark.createDataFrame(result.collect(), result.schema)
+        db.close()
+    return result.select(
+        F.col("event_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+
+
 def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 at fact scale: the whole events table auto-loaded into an
     event-type dim + fact star in one batch ``load``.  Unlike the
@@ -3068,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_events_star": q_load_events_star,
         "load_star_sqlite": q_load_star_sqlite,
         "load_star_postgres": q_load_star_postgres,
+        "load_events_postgres_copy": q_load_events_postgres_copy,
         "load_incremental": q_load_incremental,
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
@@ -4308,6 +4364,9 @@ def oracle_sql() -> dict[str, str]:
         "load_star_postgres": (
             "SELECT DISTINCT n_name AS name, r_name AS region"
             " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "load_events_postgres_copy": (
+            "SELECT DISTINCT event_id, event_type, value FROM events"
         ),
         "orders_grouping_sets": """
             SELECT o_orderstatus AS status, o_orderpriority AS priority,
