@@ -225,6 +225,17 @@ class PGWireClient:
         self.user = user
         self.database = database
         self.parameters: dict[str, str] = {}
+        #: command tag of the most recent CommandComplete ('COMMIT',
+        #: 'ROLLBACK', 'SELECT 5', ...).  PostgreSQL reports an implicit
+        #: rollback of an aborted transaction ONLY through this tag (a
+        #: COMMIT sent to an aborted transaction succeeds protocol-wise
+        #: but completes as 'ROLLBACK') — callers that must know commit
+        #: durability check it.
+        self.last_tag: str | None = None
+        #: running count of DataRow messages decoded on this connection —
+        #: a diagnostic for scale assertions ("the happy-path validate
+        #: moved O(1) rows over the driver wire").
+        self.data_rows: int = 0
         if host is not None:
             self._sock = socket.create_connection((host, port))
         else:
@@ -321,6 +332,7 @@ class PGWireClient:
                     current.oids.append(oid)
                     current.typmods.append(typmod)
             elif mtype == b"D" and current is not None:
+                self.data_rows += 1
                 (ncols,) = struct.unpack("!h", payload[:2])
                 offset = 2
                 row = []
@@ -338,8 +350,10 @@ class PGWireClient:
                         )
                         offset += ln
                 current.rows.append(tuple(row))
-            elif mtype == b"C" and current is not None:
-                last, current = current, None
+            elif mtype == b"C":
+                self.last_tag = payload.rstrip(b"\0").decode()
+                if current is not None:
+                    last, current = current, None
             elif mtype == b"E" and error is None:
                 error = self._error_fields(payload)
             elif mtype == b"Z":
@@ -380,14 +394,27 @@ class PGWireClient:
                 break
         rows = 0
         if in_copy:
-            for chunk in chunks:
-                if chunk:
-                    self._send(b"d", chunk)
+            try:
+                for chunk in chunks:
+                    if chunk:
+                        self._send(b"d", chunk)
+            except BaseException:
+                # the PRODUCER failed mid-stream (e.g. an unrenderable
+                # Python value): abort the COPY with CopyFail and drain
+                # to ReadyForQuery so the connection stays usable for a
+                # long-lived caller, then surface the producer's error
+                self._send(b"f", b"client aborted: chunk producer raised\0")
+                while True:
+                    mtype, _ = self._read_message()
+                    if mtype == b"Z":
+                        break
+                raise
             self._send(b"c", b"")  # CopyDone
             while True:
                 mtype, payload = self._read_message()
                 if mtype == b"C":
                     tag = payload.rstrip(b"\0").decode()
+                    self.last_tag = tag
                     if tag.startswith("COPY "):
                         rows = int(tag.split()[1])
                 elif mtype == b"E" and error is None:
@@ -397,6 +424,55 @@ class PGWireClient:
         if error is not None:
             raise PGWireError(error)
         return rows
+
+    def copy_out(self, sql: str):  # noqa: ANN201 - generator of bytes
+        """Stream a ``COPY ... TO STDOUT`` — yields one COPY text-format
+        line (newline-stripped bytes) per table row.
+
+        The generator MUST be consumed to exhaustion: protocol state
+        (CopyOut → CommandComplete → ReadyForQuery) only drains as it is
+        iterated, so abandoning it mid-stream leaves the connection
+        wedged.  The intended consumers — executor-side partition
+        readers — always drain their range and close the socket in a
+        ``finally``.  A server error surfaces as :class:`PGWireError`
+        after the drain, like :meth:`query`.
+        """
+        self._send(b"Q", sql.encode() + b"\0")
+        error: dict[str, str] | None = None
+        in_copy = False
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"H":
+                in_copy = True
+                break
+            if mtype == b"E":
+                error = self._error_fields(payload)
+            elif mtype == b"Z":
+                break
+        if in_copy:
+            # CopyData message boundaries are NOT meaningful in the
+            # protocol — buffer and split on newlines (a data newline is
+            # always escaped as '\\n' in COPY text format)
+            buffer = bytearray()
+            while True:
+                mtype, payload = self._read_message()
+                if mtype == b"d":
+                    buffer += payload
+                    if b"\n" in payload:
+                        lines = bytes(buffer).split(b"\n")
+                        buffer = bytearray(lines.pop())
+                        for line in lines:
+                            self.data_rows += 1
+                            yield line
+                elif mtype == b"C":
+                    self.last_tag = payload.rstrip(b"\0").decode()
+                elif mtype == b"E" and error is None:
+                    error = self._error_fields(payload)
+                elif mtype == b"Z":
+                    break
+                # 'c' CopyDone carries nothing
+        if error is not None:
+            raise PGWireError(error)
 
     def close(self) -> None:
         try:
@@ -479,7 +555,14 @@ class EmbeddedPostgres:
 
     def start(self) -> "EmbeddedPostgres":
         os.makedirs(self.sock_dir, exist_ok=True)
-        os.chmod(self.base_dir, 0o755)
+        # trust auth means the socket directory IS the access control:
+        # keep the tree private to its owner (the postgres run-as user
+        # when root; the current user otherwise).  A root-owned client
+        # process bypasses the mode bits, so the driver still connects.
+        # NOTE tcp=True adds a loopback listener that mode bits cannot
+        # protect — anything reaching 127.0.0.1 connects as superuser;
+        # only use it for throwaway test/CI databases.
+        os.chmod(self.base_dir, 0o700)
         needs_init = not os.path.exists(
             os.path.join(self.data_dir, "PG_VERSION")
         )

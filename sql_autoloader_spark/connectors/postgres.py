@@ -50,6 +50,7 @@ import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -77,6 +78,9 @@ from sql_autoloader_spark.connectors.pgwire import (
     copy_text_row,
     pg_literal,
 )
+from sql_autoloader_spark.connectors.normalize import canonical_number
+from sql_autoloader_spark.exceptions import TransactionAbortedError
+from sql_autoloader_spark.ops import dataframe_ops as ops
 from sql_autoloader_spark.schema import ReferenceDict, TableDict
 
 #: rows per multi-row INSERT statement — amortizes wire round trips the
@@ -90,6 +94,25 @@ _STAGING_SCHEMA = "_al_staging"
 
 #: COPY bytes buffered per CopyData message from each executor
 _COPY_BUFFER = 1 << 18
+
+#: naive timestamp text is interpreted in the connection's TimeZone;
+#: every Spark-side rendering this connector produces is UTC-naive
+#: (collects run under ``ops.utc_session``, COPY payloads are formatted
+#: JVM-side in UTC), so pin the interpretation to match on EVERY
+#: connection the connector opens.
+_TZ_SETUP = "SET TIME ZONE 'UTC'"
+
+#: extra setup for auxiliary/executor connections only: these run
+#: autocommit statements that take locks on tables the DRIVER connection
+#: may hold stronger locks on mid-transaction (e.g. the staging CREATE's
+#: AccessShare vs an AccessExclusive from DDL inside an open ``with db:``
+#: block) while the driver synchronously waits on them — an untimed lock
+#: wait would be a mutual hang, a bounded ``lock_timeout`` turns it into
+#: a clear error.  NOT applied to the lifecycle connection itself, whose
+#: fact-scale merges may legitimately run long.
+_AUX_SESSION_SETUP = (
+    f"{_TZ_SETUP}; SET lock_timeout = '30s'; SET statement_timeout = '2h'"
+)
 
 
 def _copy_partition_writer(
@@ -129,6 +152,7 @@ def _copy_partition_writer(
             client = PGWireClient(
                 sock_dir, port, host=host, user=user, database=database
             )
+            client.execute(_AUX_SESSION_SETUP)
             client.copy_in(copy_sql, itertools.chain([first], gen))
         finally:
             if client is not None:
@@ -175,10 +199,15 @@ def _norm_cell(value: object) -> object:
     if isinstance(value, bool):
         return value
     if isinstance(value, float):
-        return "__nan__" if value != value else value
+        if value != value:
+            return "__nan__"
+        return canonical_number(value)
+    if isinstance(value, int):
+        return canonical_number(value)
     if isinstance(value, decimal.Decimal):
-        as_float = float(value)
-        return "__nan__" if as_float != as_float else as_float
+        if value.is_nan():
+            return "__nan__"
+        return canonical_number(value)
     if isinstance(value, datetime.datetime):
         if value.tzinfo is not None:
             value = value.astimezone(datetime.timezone.utc).replace(
@@ -242,6 +271,7 @@ class PostgresConnector(BaseConnector):
                 sock_dir, port, host=host, user=user, database=database
             )
         self.client = client
+        self.client.execute(_TZ_SETUP)
         self.dialect = PostgresDialect()
         self.copy_threshold = copy_threshold
         self.copy_connections = copy_connections
@@ -275,6 +305,18 @@ class PostgresConnector(BaseConnector):
         # a failed statement leaves the transaction aborted; ROLLBACK is
         # always legal, COMMIT of an aborted transaction rolls back too
         self.client.execute("COMMIT" if exc_type is None else "ROLLBACK")
+        if exc_type is None and self.client.last_tag == "ROLLBACK":
+            # an earlier statement aborted the transaction and user code
+            # swallowed the exception inside the block: the server turned
+            # our COMMIT into a rollback and reports it ONLY via the
+            # command tag — surface it instead of claiming durability
+            self._sweep_staging()
+            msg = (
+                "COMMIT completed as ROLLBACK: the transaction was "
+                "aborted by an earlier error inside the block; nothing "
+                "was persisted"
+            )
+            raise TransactionAbortedError(msg)
         # a clean commit also committed the staging drops; after a
         # rollback the drops rolled back while the COPY'd staging data
         # (committed by executor connections) survived — sweep it now
@@ -333,7 +375,10 @@ class PostgresConnector(BaseConnector):
             )
             for row in rs.rows
         ]
-        return self.spark.createDataFrame(rows, StructType(fields))
+        # wire timestamptz decodes to UTC-naive; enter Spark under UTC so
+        # the session timezone does not reinterpret the wall clock
+        with ops.utc_session(self.spark):
+            return self.spark.createDataFrame(rows, StructType(fields))
 
     # -- physical primitives ------------------------------------------------
 
@@ -379,12 +424,14 @@ class PostgresConnector(BaseConnector):
                 f'SELECT DISTINCT {quoted} FROM "{table}"'
             ) or ResultSet()).rows
         }
+        # collect under UTC so TimestampType crosses the boundary as the
+        # same UTC-naive wall clock the wire decode normalizes to (and
+        # that the connection's pinned 'SET TIME ZONE UTC' writes back)
+        with ops.utc_session(self.spark):
+            collected = new_rows.select(*columns).collect()
         payload = [
             row
-            for row in (
-                tuple(r[c] for c in columns)
-                for r in new_rows.select(*columns).collect()
-            )
+            for row in (tuple(r[c] for c in columns) for r in collected)
             if tuple(_norm_cell(v) for v in row) not in existing
         ]
         for start in range(0, len(payload), _INSERT_BATCH):
@@ -437,7 +484,7 @@ class PostgresConnector(BaseConnector):
         finally:
             aux.close()
         self._staging.add(stage)
-        frame = new_rows.select(*columns)
+        frame = self._render_timestamps(new_rows.select(*columns))
         if (
             frame.rdd.getNumPartitions() > self.copy_connections
         ):  # cap concurrent server connections
@@ -469,18 +516,51 @@ class PostgresConnector(BaseConnector):
         if not self._in_transaction:
             self._staging.discard(stage)
 
+    @staticmethod
+    def _render_timestamps(frame: DataFrame) -> DataFrame:
+        """Render timestamp columns to text JVM-side before a COPY.
+
+        ``TimestampType`` crosses the Python boundary as a NAIVE
+        datetime in the session timezone, which the server would then
+        reinterpret in the CONNECTION's timezone — two configs that
+        nothing forces to agree.  Formatting with an explicit offset
+        (``XXX``) makes the text self-describing, so the stored instant
+        is exact under ANY session/connection timezone pair (and the
+        executors skip per-row Python datetime rendering).  NTZ
+        timestamps are wall-clock values with no zone semantics — a
+        plain string cast is already canonical.
+        """
+        exprs = []
+        changed = False
+        for fld in frame.schema.fields:
+            if isinstance(fld.dataType, TimestampType):
+                exprs.append(
+                    F.date_format(
+                        fld.name, "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"
+                    ).alias(fld.name)
+                )
+                changed = True
+            elif isinstance(fld.dataType, TimestampNTZType):
+                exprs.append(F.col(fld.name).cast("string").alias(fld.name))
+                changed = True
+            else:
+                exprs.append(F.col(fld.name))
+        return frame.select(*exprs) if changed else frame
+
     def _aux_client(self) -> PGWireClient:
         conn = self._connect
         if conn is None:  # pragma: no cover - guarded by callers
             msg = "distributed COPY path needs sock_dir=/host= parameters"
             raise ValueError(msg)
-        return PGWireClient(
+        client = PGWireClient(
             conn["sock_dir"],
             conn["port"],
             host=conn["host"],
             user=conn["user"],
             database=conn["database"],
         )
+        client.execute(_AUX_SESSION_SETUP)
+        return client
 
     def sweep_staging(self) -> int:
         """Drop EVERY table in the staging schema — recovery after a

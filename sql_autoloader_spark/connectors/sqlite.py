@@ -33,6 +33,7 @@ where writes stay distributed.
 from __future__ import annotations
 
 import datetime
+import decimal
 import sqlite3
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,7 @@ from pyspark.sql.types import (
 )
 
 from sql_autoloader_spark.connectors.base import BaseConnector
+from sql_autoloader_spark.connectors.normalize import canonical_number
 from sql_autoloader_spark.exceptions import (
     InvalidTableError,
     MatchDatatypesError,
@@ -94,14 +96,25 @@ def _norm_cell(value: object) -> object:
     """Canonical comparable form for the idempotency pre-filter: values
     that change representation across the Spark → sqlite3 → Spark round
     trip (datetimes bound via the default adapters come back as TEXT,
-    bools as 0/1, NaN breaks reflexive equality) map to the form the
-    database would hand back, so set membership is meaningful."""
+    bools as 0/1, NaN breaks reflexive equality, numbers cross storage
+    classes) map to the form the database would hand back, so set
+    membership is meaningful.  Numbers canonicalize through
+    :func:`canonical_number` so an INTEGER readback matches the REAL
+    that produced it while high-precision decimals stay distinct."""
     if value is None:
         return None
     if isinstance(value, bool):
         return int(value)
     if isinstance(value, float):
-        return "__nan__" if value != value else value
+        if value != value:
+            return "__nan__"
+        return canonical_number(value)
+    if isinstance(value, int):
+        return canonical_number(value)
+    if isinstance(value, decimal.Decimal):
+        if value.is_nan():
+            return "__nan__"
+        return canonical_number(value)
     if isinstance(value, (datetime.date, datetime.datetime)):
         return str(value)
     if isinstance(value, bytearray):

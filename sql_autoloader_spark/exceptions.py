@@ -94,3 +94,11 @@ class InvalidTableError(SQLAutoloaderError):
 
 class InvalidReferenceError(SQLAutoloaderError):
     """Reference metadata failed validation."""
+
+
+class TransactionAbortedError(SQLAutoloaderError):
+    """A COMMIT completed as ROLLBACK: an earlier error had aborted the
+    transaction and the block's code swallowed it, so nothing the block
+    wrote was persisted.  PostgreSQL reports this implicit rollback only
+    through the CommandComplete tag; the connector checks it so success
+    is never claimed for a discarded transaction."""

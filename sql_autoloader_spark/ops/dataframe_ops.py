@@ -479,6 +479,31 @@ def _aqe_disabled(spark):  # noqa: ANN001, ANN202
                 conf.set(k, p)
 
 
+@contextmanager
+def utc_session(spark):  # noqa: ANN001, ANN202
+    """``spark.sql.session.timeZone=UTC`` for one bounded driver-side
+    conversion (a ``collect`` or ``createDataFrame``).
+
+    ``TimestampType`` crosses the Python boundary as a NAIVE datetime
+    rendered in the session timezone; database sinks that normalize
+    wall-clock values to UTC-naive on their side (the Postgres wire
+    decode) need the Spark side converted under UTC too, or the
+    idempotency pre-filter misses identical rows in any non-UTC session.
+    Serialized on the same lock as every other session-conf toggle; hold
+    it only across small bounded actions (the sinks' driver paths are
+    size-capped by construction).
+    """
+    conf = spark.conf
+    key = "spark.sql.session.timeZone"
+    with _CONF_LOCK:
+        prev = conf.get(key)
+        conf.set(key, "UTC")
+        try:
+            yield
+        finally:
+            conf.set(key, prev)
+
+
 def fast_set_equal(
     data: DataFrame, db_aligned: DataFrame, *, small: bool = False
 ) -> bool:

@@ -604,3 +604,86 @@ def test_sweep_staging_recovers_orphans(
         ) == []
     finally:
         db.close()
+
+
+def test_high_precision_decimals_both_insert(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """Two numerics equal in float53 but distinct beyond it must BOTH
+    survive the idempotency pre-filter (the old Decimal->float collapse
+    wrongly filtered the second as already-present), and a re-load of
+    either must still be filtered as a true duplicate."""
+    db = _connector(spark, pg_database)
+    try:
+        db.execute_ddl("CREATE TABLE measurements (v numeric(38, 20))")
+        first = "1.00000000000000000001"
+        second = "1.00000000000000000002"
+        assert float(first) == float(second)  # equal in float53
+        from pyspark.sql import functions as F
+
+        def frame(text: str):
+            return spark.range(1).select(
+                F.lit(text).cast("decimal(38,20)").alias("v")
+            )
+
+        db.insert(frame(first), table="measurements")
+        db.insert(frame(second), table="measurements")
+        assert db.client.query(
+            "SELECT count(*) FROM measurements"
+        ).rows == [(2,)]
+        db.insert(frame(second), table="measurements")  # true duplicate
+        assert db.client.query(
+            "SELECT count(*) FROM measurements"
+        ).rows == [(2,)]
+    finally:
+        db.close()
+
+
+def test_copy_in_producer_failure_sends_copyfail(pg: EmbeddedPostgres) -> None:
+    """A chunk producer raising mid-stream must abort the COPY with
+    CopyFail and leave the CONNECTION usable (long-lived callers reuse
+    it), with nothing persisted."""
+    client = pg.client()
+    try:
+        client.execute("CREATE TABLE copy_prod (a bigint)")
+
+        class ProducerBoom(Exception):
+            pass
+
+        def chunks():
+            yield b"1\n"
+            raise ProducerBoom
+
+        with pytest.raises(ProducerBoom):
+            client.copy_in("COPY copy_prod (a) FROM STDIN", chunks())
+        # connection drained to ReadyForQuery and still usable
+        assert client.query("SELECT 41 + 1 AS x").rows == [(42,)]
+        assert client.query("SELECT count(*) FROM copy_prod").rows == [(0,)]
+        client.execute("DROP TABLE copy_prod")
+    finally:
+        client.close()
+
+
+def test_commit_of_aborted_transaction_raises(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """If an error aborts the transaction and the block swallows it,
+    PostgreSQL turns the final COMMIT into a ROLLBACK reported only via
+    the command tag — the connector must surface that instead of
+    claiming the block persisted."""
+    from sql_autoloader_spark.exceptions import TransactionAbortedError
+
+    db = _connector(spark, pg_database)
+    try:
+        db.execute_ddl("CREATE TABLE swallowed (a bigint)")
+        with pytest.raises(TransactionAbortedError), db:
+            db.client.execute("INSERT INTO swallowed VALUES (1)")
+            try:
+                db.client.execute("SELECT 1/0")  # aborts the transaction
+            except PGWireError:
+                pass  # user code swallows the error
+        assert db.client.query("SELECT count(*) FROM swallowed").rows == [
+            (0,)
+        ]
+    finally:
+        db.close()
