@@ -119,6 +119,22 @@ class BaseConnector(ABC):
     def _execute_compare_query(self, query: str) -> DataFrame:
         """Execute a (generated or user-supplied) SQL compare query."""
 
+    def _serverside_fast_compare(
+        self, data: DataFrame, query: str
+    ) -> bool | None:
+        """Sink hook: run the checksum fast-path equality INSIDE the sink.
+
+        Remote sinks whose ``_execute_compare_query`` must pull the full
+        reconstruction result to the driver override this to compute the
+        multiset checksums (the :func:`ops.fast_set_equal` analogue) in
+        the database itself, so the happy-path validation moves O(1)
+        bytes to the driver.  Returns ``True`` (sets proven equal),
+        ``False`` (mismatch — the caller falls back to the row-pulling
+        grouped compare for classification and error samples), or
+        ``None`` (unsupported here; use the default path).  Only called
+        with the GENERATED compare query under ``exact=True``."""
+        return None
+
     def _insert_verification_unneeded(
         self, table: str, payload: DataFrame, columns: list[str]
     ) -> bool:
@@ -446,6 +462,27 @@ class BaseConnector(ABC):
             )
         logger.debug("Comparing using query:\n%s", query)
 
+        # Remote sinks first get the chance to prove set equality WITHOUT
+        # shipping the reconstruction to the driver: the checksum
+        # aggregate runs inside the database and O(1) numbers cross the
+        # wire.  A mismatch (or an unsupporting sink) falls through to
+        # the default path with identical failure semantics.
+        if _fast and exact:
+            verdict = self._serverside_fast_compare(data, query)
+            if verdict is True:
+                logger.debug("Server-side checksum compare verified")
+                self._expose_verified(data)
+                return
+            if verdict is False:
+                # same contract as the in-Spark fast path's mismatch: the
+                # deferred per-step invariants re-run first (preserving
+                # their per-table error identity), then the grouped
+                # compare classifies and samples
+                if _on_mismatch is not None:
+                    _on_mismatch()
+                    _on_mismatch = None
+                _fast = False
+
         # The generated multi-way LEFT JOIN is the most expensive query of
         # the whole lifecycle.  All validation — both raw counts, the
         # data-side null scan, and both set differences — is fused into a
@@ -466,24 +503,35 @@ class BaseConnector(ABC):
         )
         if not self.expose_reconstruction:
             return
-        # drop the previous pins FIRST: checkpointed frames free their
-        # partitions via the context cleaner once unreferenced; kept
-        # caches are released explicitly
-        self._kept_grouped = None
-        if self._kept_cache is not None and self._kept_cache is not data:
-            self._kept_cache.unpersist()
-        self._kept_cache = None
         if outcome is ops.FAST_VERIFIED:
-            # sets proven equal ⇒ the reconstruction is content-identical
-            # to the distinct input, which is already cached (and, unlike
-            # a localCheckpoint, recomputable after executor loss)
-            self.last_reconstruction = data
-            self._kept_cache = data
+            self._expose_verified(data)
         elif outcome is not None:
+            self._drop_kept_pins(data)
             self._kept_grouped = outcome
             self.last_reconstruction = ops.reconstruction_from_grouped(
                 outcome, data.columns
             )
+
+    def _drop_kept_pins(self, data: DataFrame) -> None:
+        """Release the previous compare's pins FIRST: checkpointed frames
+        free their partitions via the context cleaner once unreferenced;
+        kept caches are released explicitly (unless the kept cache IS the
+        incoming frame)."""
+        self._kept_grouped = None
+        if self._kept_cache is not None and self._kept_cache is not data:
+            self._kept_cache.unpersist()
+        self._kept_cache = None
+
+    def _expose_verified(self, data: DataFrame) -> None:
+        """Bookkeeping after a fast-path (checksum) verification: the
+        sets are proven equal, so the reconstruction is content-identical
+        to the distinct input, which is already cached (and, unlike a
+        localCheckpoint, recomputable after executor loss)."""
+        if not self.expose_reconstruction:
+            return
+        self._drop_kept_pins(data)
+        self.last_reconstruction = data
+        self._kept_cache = data
 
     def load(
         self,

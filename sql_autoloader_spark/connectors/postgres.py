@@ -115,6 +115,45 @@ _AUX_SESSION_SETUP = (
 )
 
 
+def _checksum_compare_sql(staging: str, quoted: str, query: str) -> str:
+    """The in-database twin of ``ops.fast_set_equal``'s aggregate.
+
+    Each row hashes as ``md5(ROW(cols)::text)`` — ``record_out`` is a
+    canonical, injective rendering (NULL and empty string stay distinct,
+    floats print shortest-round-trip) shared by both sides.  The two
+    64-bit halves of the digest are independent channels; each side
+    folds them with BOTH an order-independent sum (as numeric — bigint
+    sums overflow) and a bit_xor, so a collision must defeat four
+    combiners of a 128-bit digest (~2^-128, the same bound as the Spark
+    fast path).  One streaming aggregate, one result row.
+    """
+    return f"""
+        WITH __u AS (
+            SELECT 1 AS __side, md5(ROW({quoted})::text) AS __h
+              FROM (SELECT DISTINCT {quoted} FROM {staging}) __d
+            UNION ALL
+            SELECT 0 AS __side, md5(ROW({quoted})::text) AS __h
+              FROM ({query}) __b
+        ), __hh AS (
+            SELECT __side,
+                   ('x' || substr(__h, 1, 16))::bit(64)::bigint AS __h1,
+                   ('x' || substr(__h, 17, 16))::bit(64)::bigint AS __h2
+              FROM __u
+        )
+        SELECT count(*) FILTER (WHERE __side = 1) AS __n_d,
+               count(*) FILTER (WHERE __side = 0) AS __n_b,
+               coalesce(sum(__h1::numeric) FILTER (WHERE __side = 1), 0) AS __s1_d,
+               coalesce(sum(__h1::numeric) FILTER (WHERE __side = 0), 0) AS __s1_b,
+               coalesce(bit_xor(__h1) FILTER (WHERE __side = 1), 0) AS __x1_d,
+               coalesce(bit_xor(__h1) FILTER (WHERE __side = 0), 0) AS __x1_b,
+               coalesce(sum(__h2::numeric) FILTER (WHERE __side = 1), 0) AS __s2_d,
+               coalesce(sum(__h2::numeric) FILTER (WHERE __side = 0), 0) AS __s2_b,
+               coalesce(bit_xor(__h2) FILTER (WHERE __side = 1), 0) AS __x2_d,
+               coalesce(bit_xor(__h2) FILTER (WHERE __side = 0), 0) AS __x2_b
+          FROM __hh
+    """
+
+
 def _copy_partition_writer(
     host: str | None,
     sock_dir: str | None,
@@ -469,37 +508,12 @@ class PostgresConnector(BaseConnector):
         are swept on ``__exit__``/``close``; ``sweep_staging`` clears
         anything a crashed driver left behind.
         """
-        stage = f"stage_{table}_{os.urandom(6).hex()}"
         quoted = ", ".join(f'"{c}"' for c in columns)
-        qualified = f'"{_STAGING_SCHEMA}"."{stage}"'
-        aux = self._aux_client()
-        try:
-            aux.execute(f'CREATE SCHEMA IF NOT EXISTS "{_STAGING_SCHEMA}"')
-            # column types cloned from the target so the server casts
-            # COPY text into exactly the landing types
-            aux.execute(
-                f"CREATE UNLOGGED TABLE {qualified} AS "
-                f'SELECT {quoted} FROM "{table}" WITH NO DATA'
-            )
-        finally:
-            aux.close()
-        self._staging.add(stage)
-        frame = self._render_timestamps(new_rows.select(*columns))
-        if (
-            frame.rdd.getNumPartitions() > self.copy_connections
-        ):  # cap concurrent server connections
-            frame = frame.coalesce(self.copy_connections)
-        conn = self._connect
-        assert conn is not None  # routing guarantees this  # noqa: S101
-        frame.foreachPartition(
-            _copy_partition_writer(
-                conn["host"],
-                conn["sock_dir"],
-                conn["port"],
-                conn["user"],
-                conn["database"],
-                f"COPY {qualified} ({quoted}) FROM STDIN",
-            )
+        qualified, stage = self._stage_frame(
+            new_rows,
+            columns,
+            like_sql=f'SELECT {quoted} FROM "{table}"',
+            prefix=f"stage_{table}",
         )
         null_safe = " AND ".join(
             f't."{c}" IS NOT DISTINCT FROM s."{c}"' for c in columns
@@ -515,6 +529,58 @@ class PostgresConnector(BaseConnector):
         self.client.execute(f"DROP TABLE {qualified}")
         if not self._in_transaction:
             self._staging.discard(stage)
+
+    def _stage_frame(
+        self,
+        frame: DataFrame,
+        columns: list[str],
+        *,
+        like_sql: str,
+        prefix: str,
+    ) -> tuple[str, str]:
+        """Distributed COPY of *frame* into a fresh unlogged staging
+        table whose column types clone *like_sql*'s output (so the
+        server casts COPY text into exactly the landing types).
+
+        Staging lives in its own schema, created and COPY'd over
+        AUTOCOMMIT connections so executors can see it even while the
+        driver connection is mid-transaction; task retries may duplicate
+        partition rows, which every consumer neutralizes (the write
+        merge SELECTs DISTINCT, the compare checksums DISTINCT).
+        Returns ``(qualified_name, stage_name)``; the stage is
+        registered for the exit/close sweeps.
+        """
+        stage = f"{prefix}_{os.urandom(6).hex()}"
+        quoted = ", ".join(f'"{c}"' for c in columns)
+        qualified = f'"{_STAGING_SCHEMA}"."{stage}"'
+        aux = self._aux_client()
+        try:
+            aux.execute(f'CREATE SCHEMA IF NOT EXISTS "{_STAGING_SCHEMA}"')
+            aux.execute(
+                f"CREATE UNLOGGED TABLE {qualified} AS {like_sql} "
+                "WITH NO DATA"
+            )
+        finally:
+            aux.close()
+        self._staging.add(stage)
+        out = self._render_timestamps(frame.select(*columns))
+        if (
+            out.rdd.getNumPartitions() > self.copy_connections
+        ):  # cap concurrent server connections
+            out = out.coalesce(self.copy_connections)
+        conn = self._connect
+        assert conn is not None  # routing guarantees this  # noqa: S101
+        out.foreachPartition(
+            _copy_partition_writer(
+                conn["host"],
+                conn["sock_dir"],
+                conn["port"],
+                conn["user"],
+                conn["database"],
+                f"COPY {qualified} ({quoted}) FROM STDIN",
+            )
+        )
+        return qualified, stage
 
     @staticmethod
     def _render_timestamps(frame: DataFrame) -> DataFrame:
@@ -581,3 +647,58 @@ class PostgresConnector(BaseConnector):
 
     def _execute_compare_query(self, query: str) -> DataFrame:
         return self._frame(self.client.query(query))
+
+    def _serverside_fast_compare(
+        self, data: DataFrame, query: str
+    ) -> bool | None:
+        """Checksum set-equality computed ENTIRELY inside PostgreSQL.
+
+        The scale problem this solves (reference connector.py:326-374 at
+        100 TB): ``_execute_compare_query`` decodes the full fact-sized
+        reconstruction through ONE driver wire connection.  Instead, the
+        loaded frame is distributed-COPY'd once more into unlogged
+        staging (N executor streams — the same parallel topology as the
+        write path), and one server-side aggregate computes the
+        :func:`ops.fast_set_equal` analogue over both sides: per-side
+        counts plus order-independent sum/xor combiners of two
+        independent 64-bit hash channels (the halves of ``md5`` over
+        each row's canonical record text).  Eleven numbers cross the
+        wire.  Both sides hash through PostgreSQL's OWN value rendering
+        (``record_out``), so every representation question — float
+        shortest-round-trip, numeric scale, timestamptz — is answered by
+        one engine and cancels out.
+
+        ``True`` proves set equality (staging is checksummed DISTINCT —
+        data is distinct by construction and executor task retries may
+        duplicate partition rows; the reconstruction side streams raw,
+        exactly like the in-Spark fast path).  ``False`` proves nothing
+        by itself — the caller falls back to the row-pulling grouped
+        compare for classification and error samples (the rare path by
+        construction).  ``None`` when executors cannot dial in (bare
+        ``client=`` construction).
+        """
+        if self._connect is None:
+            return None
+        cols = data.columns
+        quoted = ", ".join(f'"{c}"' for c in cols)
+        qualified, stage = self._stage_frame(
+            data,
+            cols,
+            like_sql=f"SELECT {quoted} FROM ({query}) __q",
+            prefix="stage_cmp",
+        )
+        try:
+            checksum = _checksum_compare_sql(qualified, quoted, query)
+            (row,) = self.client.query(checksum).rows
+        finally:
+            # transactional like the write path: rolls back with the
+            # block, in which case the exit sweep drops the orphan
+            self.client.execute(f"DROP TABLE {qualified}")
+            if not self._in_transaction:
+                self._staging.discard(stage)
+        n_d, n_b = row[0], row[1]
+        if n_b == 0:
+            return False  # callers treat "no results" as a failure
+        return n_d == n_b and all(
+            row[i] == row[i + 1] for i in range(2, 10, 2)
+        )

@@ -687,3 +687,87 @@ def test_commit_of_aborted_transaction_raises(
         ]
     finally:
         db.close()
+
+
+FACT_DDL = """
+    CREATE TABLE dim_user (
+        id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        username text UNIQUE
+    );
+    CREATE TABLE fact_event (
+        user_id bigint REFERENCES dim_user (id),
+        kind text,
+        amount double precision
+    );
+"""
+
+
+def test_serverside_compare_moves_o1_rows(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """The happy-path load validation must NOT pull the fact-sized
+    reconstruction through the driver wire connection: the checksum
+    aggregate runs inside PostgreSQL and O(1) numbers come back.  The
+    DataRow counter on the lifecycle connection is the witness."""
+    db = _copy_connector(spark, pg_database)
+    try:
+        db.execute_ddl(FACT_DDL)
+        n = 1500
+        flat = (
+            spark.range(n)
+            .selectExpr(
+                "concat('user_', id % 40) AS username",
+                "concat('kind_', id % 7) AS kind",
+                "cast(id AS double) / 8 AS amount",
+            )
+        )
+        before = db.client.data_rows
+        with db:
+            db.load(flat)
+        driver_rows = db.client.data_rows - before
+        assert db.client.query(
+            "SELECT count(*) FROM fact_event"
+        ).rows == [(n,)]
+        # dimension scans (40 users) + metadata + the 1-row checksum —
+        # nothing fact-sized.  Without the server-side compare this is
+        # >= 1500 (the full reconstruction pull).
+        assert driver_rows < 300, driver_rows
+    finally:
+        db.close()
+
+
+def test_serverside_compare_mismatch_falls_back(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """A checksum mismatch must fall back to the row-pulling grouped
+    compare and raise the classified error with samples (identical
+    failure semantics to the in-Spark fast path)."""
+    from sql_autoloader_spark.exceptions import CompareNoExactMatchError
+
+    db = _copy_connector(spark, pg_database)
+    try:
+        db.execute_ddl(FACT_DDL)
+        flat = spark.createDataFrame(
+            [("ann", "click", 1.5), ("bob", "view", 2.5)],
+            "username string, kind string, amount double",
+        )
+        with db:
+            db.load(flat)
+        # tamper: the reconstruction no longer matches the data
+        db.client.execute(
+            "UPDATE fact_event SET amount = 99.0 WHERE kind = 'click'"
+        )
+        with pytest.raises(CompareNoExactMatchError):
+            db.compare(flat, _fast=True)
+        # and the direct hook agrees (False, not an exception)
+        query = db.schema.get_compare_query(
+            ["username", "kind", "amount"], quote='"'
+        )
+        from sql_autoloader_spark.ops import dataframe_ops as ops
+
+        assert (
+            db._serverside_fast_compare(ops.preprocess(flat, None), query)
+            is False
+        )
+    finally:
+        db.close()
