@@ -57,6 +57,7 @@ __all__ = [
     "PGWireClient",
     "PGWireError",
     "ResultSet",
+    "copy_text_parse",
     "copy_text_row",
     "pg_literal",
 ]
@@ -202,6 +203,55 @@ def copy_text_row(values: tuple) -> bytes:
         )
         + "\n"
     ).encode()
+
+
+#: COPY text-format output escapes (what the server EMITS; octal/hex
+#: forms are accepted on input only and never produced)
+_COPY_UNESCAPE_MAP = {
+    "\\": "\\",
+    "b": "\b",
+    "f": "\f",
+    "n": "\n",
+    "r": "\r",
+    "t": "\t",
+    "v": "\v",
+}
+
+
+def _copy_unescape(text: str) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = text[i + 1]
+            out.append(_COPY_UNESCAPE_MAP.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def copy_text_parse(line: bytes, oids: list[int]) -> tuple:
+    r"""Decode one ``COPY ... TO STDOUT`` text-format line (as yielded
+    by :meth:`PGWireClient.copy_out`, newline already stripped) into
+    Python values by column OID — the read twin of
+    :func:`copy_text_row`.  A raw tab always separates cells (data tabs
+    arrive escaped as ``\t``); ``\N`` is NULL; ``timestamptz`` decodes
+    AWARE so re-entry into Spark is timezone-proof."""
+    cells = line.split(b"\t")
+    out = []
+    for cell, oid in zip(cells, oids, strict=True):
+        if cell == b"\\N":
+            out.append(None)
+            continue
+        text = cell.decode()
+        if "\\" in text:
+            text = _copy_unescape(text)
+        out.append(decode_value(text, oid))
+    return tuple(out)
 
 
 class PGWireClient:

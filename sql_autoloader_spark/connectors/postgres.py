@@ -47,6 +47,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import itertools
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,6 +76,7 @@ from sql_autoloader_spark.connectors.pgwire import (
     PGWireClient,
     PGWireError,
     ResultSet,
+    copy_text_parse,
     copy_text_row,
     pg_literal,
 )
@@ -82,6 +84,8 @@ from sql_autoloader_spark.connectors.normalize import canonical_number
 from sql_autoloader_spark.exceptions import TransactionAbortedError
 from sql_autoloader_spark.ops import dataframe_ops as ops
 from sql_autoloader_spark.schema import ReferenceDict, TableDict
+
+logger = logging.getLogger("sql_autoloader_spark")
 
 #: rows per multi-row INSERT statement — amortizes wire round trips the
 #: way the reference's executemany batches psycopg binds
@@ -113,6 +117,47 @@ _TZ_SETUP = "SET TIME ZONE 'UTC'"
 _AUX_SESSION_SETUP = (
     f"{_TZ_SETUP}; SET lock_timeout = '30s'; SET statement_timeout = '2h'"
 )
+
+
+def _copy_partition_reader(
+    host: str | None,
+    sock_dir: str | None,
+    port: int,
+    user: str,
+    database: str,
+    table: str,
+    quoted: str,
+    oids: list[int],
+):
+    """Build the ``mapPartitions`` task for the distributed COPY read:
+    each partition holds one ctid block range and streams it out over
+    its own wire connection — the read twin of
+    :func:`_copy_partition_writer` (N executors COPYing OUT of the
+    server concurrently).  TID range scans (block-addressed) split the
+    heap physically, so ranges are balanced regardless of key skew and
+    need no index; the LAST range is unbounded above so blocks appended
+    after planning are still read."""
+
+    def read(ranges):  # noqa: ANN001 - iterator of (lo, hi|None)
+        for lo, hi in ranges:
+            cond = f"ctid >= '({lo},0)'"
+            if hi is not None:
+                cond += f" AND ctid < '({hi},0)'"
+            sql = (
+                f'COPY (SELECT {quoted} FROM "{table}" WHERE {cond}) '
+                "TO STDOUT"
+            )
+            client = PGWireClient(
+                sock_dir, port, host=host, user=user, database=database
+            )
+            try:
+                client.execute(_AUX_SESSION_SETUP)
+                for line in client.copy_out(sql):
+                    yield copy_text_parse(line, oids)
+            finally:
+                client.close()
+
+    return read
 
 
 def _checksum_compare_sql(staging: str, quoted: str, query: str) -> str:
@@ -283,7 +328,15 @@ class PostgresConnector(BaseConnector):
         connect parameters were given so executors can dial in.
     copy_connections:
         Cap on concurrent executor COPY connections (partitions are
-        coalesced down to this before the write).
+        coalesced down to this before the write; distributed reads
+        split into at most this many ctid ranges).
+    read_copy_bytes:
+        On-disk size (heap + TOAST) above which out-of-transaction
+        table reads are distributed: executors stream disjoint ctid
+        block ranges via ``COPY (SELECT ...) TO STDOUT`` instead of one
+        driver-connection ``SELECT *``.  Mid-transaction reads always
+        stay on the driver connection (the connector's own uncommitted
+        rows must be visible) and log a loud warning above this size.
     """
 
     _quote = '"'
@@ -300,6 +353,7 @@ class PostgresConnector(BaseConnector):
         database: str = "postgres",
         copy_threshold: int = 5000,
         copy_connections: int = 16,
+        read_copy_bytes: int = 8 << 20,
     ) -> None:
         self.spark = spark
         if client is None:
@@ -314,6 +368,7 @@ class PostgresConnector(BaseConnector):
         self.dialect = PostgresDialect()
         self.copy_threshold = copy_threshold
         self.copy_connections = copy_connections
+        self.read_copy_bytes = read_copy_bytes
         # executor connect parameters; without them (bare client=) the
         # distributed COPY path is unavailable and all writes stay on
         # the driver connection
@@ -422,7 +477,87 @@ class PostgresConnector(BaseConnector):
     # -- physical primitives ------------------------------------------------
 
     def _read_table(self, table: str) -> DataFrame:
+        """Current visible contents of *table*, routed by size.
+
+        Small tables (dimension scans, the lifecycle's common case) pull
+        through the driver connection — which is also the only correct
+        path mid-transaction, where the connector's own uncommitted rows
+        must be visible.  Above ``read_copy_bytes`` (and outside a
+        transaction, where autocommit means no uncommitted state exists)
+        the read goes DISTRIBUTED: executors stream disjoint ctid block
+        ranges concurrently via ``COPY (SELECT ...) TO STDOUT`` — the
+        read twin of the COPY write path — so a fact-sized key
+        retrieval never crosses the driver.  A fact-sized read that is
+        FORCED driver-side by an open transaction logs a loud warning
+        naming the scale-safe alternatives."""
+        size = self._table_size(table)
+        big = size is not None and size > self.read_copy_bytes
+        if big and self._connect is not None and not self._in_transaction:
+            return self._read_table_distributed(table)
+        if big:
+            logger.warning(
+                "Reading %s MiB table '%s' through the single driver "
+                "connection (%s). At scale, run fact loads outside the "
+                "'with db:' block (autocommit) so reads distribute, or "
+                "construct the connector with sock_dir=/host= so "
+                "executors can dial in.",
+                size >> 20,
+                table,
+                "open transaction"
+                if self._in_transaction
+                else "no executor connect parameters",
+            )
         return self._frame(self.client.query(f'SELECT * FROM "{table}"'))
+
+    def _table_size(self, table: str) -> int | None:
+        """Total on-disk bytes (heap + TOAST) — one catalog lookup."""
+        rs = self.client.query(
+            f"SELECT pg_table_size('\"{table}\"'::regclass)"
+        )
+        return rs.rows[0][0] if rs is not None and rs.rows else None
+
+    def _read_table_distributed(self, table: str) -> DataFrame:
+        """N executor connections each COPY one ctid block range out of
+        the server; rows parse by column OID executor-side
+        (:func:`pgwire.copy_text_parse`) and land as a typed DataFrame
+        without ever touching the driver."""
+        meta = self.client.query(f'SELECT * FROM "{table}" LIMIT 0')
+        fields = [
+            StructField(name, _spark_type(oid, typmod), nullable=True)
+            for name, oid, typmod in zip(
+                meta.columns, meta.oids, meta.typmods, strict=True
+            )
+        ]
+        (main_bytes,) = self.client.query(
+            f"SELECT pg_relation_size('\"{table}\"'::regclass)"
+        ).rows[0]
+        blocks = max(int(main_bytes) // 8192, 1)
+        # ~64 blocks (512 KiB) of heap per task at minimum; capped by
+        # the connection budget
+        nranges = max(min(self.copy_connections, blocks // 64), 1)
+        bounds = [blocks * i // nranges for i in range(nranges)]
+        ranges: list[tuple[int, int | None]] = [
+            (bounds[i], bounds[i + 1] if i + 1 < nranges else None)
+            for i in range(nranges)
+        ]
+        quoted = ", ".join(f'"{c}"' for c in meta.columns)
+        conn = self._connect
+        assert conn is not None  # routing guarantees this  # noqa: S101
+        rdd = self.spark.sparkContext.parallelize(
+            ranges, len(ranges)
+        ).mapPartitions(
+            _copy_partition_reader(
+                conn["host"],
+                conn["sock_dir"],
+                conn["port"],
+                conn["user"],
+                conn["database"],
+                table,
+                quoted,
+                list(meta.oids),
+            )
+        )
+        return self.spark.createDataFrame(rdd, StructType(fields))
 
     def _write_new_rows(
         self,

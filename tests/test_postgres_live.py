@@ -771,3 +771,104 @@ def test_serverside_compare_mismatch_falls_back(
         )
     finally:
         db.close()
+
+
+def test_copy_text_parse_is_inverse_of_row(pg: EmbeddedPostgres) -> None:
+    """copy_text_row -> server -> COPY TO STDOUT -> copy_text_parse must
+    reproduce every value class, including the text escapes, NULL,
+    bytea, NaN, aware timestamps, high-precision numerics."""
+    from sql_autoloader_spark.connectors.pgwire import copy_text_parse
+
+    client = pg.client()
+    try:
+        client.execute("SET TIME ZONE 'UTC'")
+        client.execute(
+            "CREATE TABLE copy_rt2 (a bigint, b text, c double precision,"
+            " d timestamptz, e bytea, f numeric(38, 20), g boolean,"
+            " h date)"
+        )
+        rows = [
+            (
+                1,
+                "tab\there \\ and\nnewline and \r cr",
+                -0.0000123,
+                datetime.datetime(
+                    2020, 6, 1, 3, 4, 5, 123456, tzinfo=datetime.timezone.utc
+                ),
+                b"\x00\xff\x5c",
+                Decimal("1.00000000000000000001"),
+                True,
+                datetime.date(1999, 12, 31),
+            ),
+            (None, None, float("nan"), None, None, None, None, None),
+        ]
+        client.copy_in(
+            "COPY copy_rt2 FROM STDIN",
+            (copy_text_row(r) for r in rows),
+        )
+        oids = list(client.query("SELECT * FROM copy_rt2 LIMIT 0").oids)
+        got = [
+            copy_text_parse(line, oids)
+            for line in client.copy_out(
+                "COPY (SELECT * FROM copy_rt2 ORDER BY a NULLS LAST) "
+                "TO STDOUT"
+            )
+        ]
+        assert got[0] == rows[0]
+        assert got[0][3].utcoffset() is not None  # aware timestamptz
+        assert got[1][0] is None
+        assert got[1][2] != got[1][2]  # NaN
+        client.execute("DROP TABLE copy_rt2")
+    finally:
+        client.close()
+
+
+def test_distributed_read_matches_driver_read(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """A keyed table above read_copy_bytes reads through executor ctid
+    ranges — same rows as the driver pull, with no fact-sized DataRow
+    traffic on the lifecycle connection."""
+    server, name = pg_database
+    db = PostgresConnector(
+        spark,
+        sock_dir=server.sock_dir,
+        port=server.port,
+        database=name,
+        read_copy_bytes=64 << 10,  # 64 KiB: the 20k-row heap is "big"
+    )
+    try:
+        db.execute_ddl(
+            "CREATE TABLE keyed_fact ("
+            " id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,"
+            " payload text, score double precision, UNIQUE (payload));"
+            "CREATE TABLE event_log ("
+            " kf bigint REFERENCES keyed_fact (id), note text)"
+        )
+        db.client.execute(
+            "INSERT INTO keyed_fact (payload, score)"
+            " SELECT 'payload_' || g || repeat('x', 40), g / 7.0"
+            " FROM generate_series(1, 20000) g"
+        )
+        before = db.client.data_rows
+        frame = db._read_table("keyed_fact")
+        assert frame.rdd.getNumPartitions() > 1  # genuinely ranged
+        assert frame.count() == 20000
+        stats = frame.agg(
+            {"id": "sum", "score": "max", "payload": "min"}
+        ).collect()[0]
+        assert stats["sum(id)"] == 20000 * 20001 // 2
+        assert stats["max(score)"] == 20000 / 7.0
+        assert stats["min(payload)"] == "payload_10000" + "x" * 40  # lexicographic
+        # the lifecycle connection moved only metadata (LIMIT 0, sizes)
+        assert db.client.data_rows - before < 10
+        # retrieve_ids over the big keyed table: the snapshot is the
+        # distributed read; keys come back correct
+        flat = spark.createDataFrame(
+            [("payload_5" + "x" * 40,), ("payload_77" + "x" * 40,)],
+            "payload string",
+        )
+        out = db.retrieve_ids(flat, table="keyed_fact", alias="kf")
+        assert {r["kf"] for r in out.collect()} == {5, 77}
+    finally:
+        db.close()
