@@ -370,3 +370,53 @@ def test_zorder_value_date_and_timestamp_columns(
     zs = [r["z"] for r in out]
     assert all(0 <= z < 1 << 12 for z in zs)
     assert zs == sorted(zs)  # all dims grow together here -> monotone z
+
+
+def test_aqe_skew_join_split_fires_on_planted_hot_key(
+    spark: SparkSession,
+) -> None:
+    """The 100 TB risk surface for fact-fact joins is one hot key: AQE's
+    runtime skew-join split must actually FIRE (not just be enabled) on
+    a planted 60%-hot key, asserted from the final adaptive plan
+    (``SortMergeJoin(skew=true)`` + a ``skewed`` AQEShuffleRead).
+    Thresholds are scaled down so the same mechanism that splits a
+    multi-GB partition at cluster scale splits this test's hot
+    partition; correctness is pinned against the AQE-off plain join."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    prev = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        # fact side: 300k rows, 60% on ONE key; other side: unique keys
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 5 < 3, F.lit(0))
+            .otherwise(F.col("id") % 5_000)
+            .alias("k"),
+            (F.col("id") * 7).alias("v"),
+        )
+        other = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") + 1).alias("w")
+        )
+        agg = fact.join(other, "k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+        (row,) = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # the AQEShuffleRead was split
+        # unique build keys: every fact row survives exactly once
+        assert row["n"] == 300_000
+        assert row["sv"] == 7 * (300_000 - 1) * 300_000 // 2
+    finally:
+        for k, p in prev.items():
+            if p is None:
+                conf.unset(k)
+            else:
+                conf.set(k, p)

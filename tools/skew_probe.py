@@ -63,6 +63,40 @@ def build_fixture() -> None:
             )
 
 
+def build_fact_fixture() -> None:
+    """orders ⨝ lineitem is the fact-fact risk surface: replicate both
+    ×REPLICAS with disjoint orderkeys, then remap every 5th lineitem
+    row's orderkey to ONE existing hot order (20% of all line items on
+    a single join key)."""
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    li, od = f"{BASE}/lineitem.parquet", f"{BASE}/orders.parquet"
+    (span,) = con.sql(f"SELECT MAX(o_orderkey) + 1 FROM '{od}'").fetchone()
+    if not os.path.exists(f"{OUT}/orders_big.parquet"):
+        con.sql(
+            f"COPY (SELECT * REPLACE (CAST(o_orderkey + i * {span} AS "
+            f"BIGINT) AS o_orderkey) FROM '{od}', range({REPLICAS}) t(i)) "
+            f"TO '{OUT}/orders_big.parquet' (FORMAT PARQUET)"
+        )
+    for name, expr in [
+        ("lineitem_uniform", f"CAST(l_orderkey + i * {span} AS BIGINT)"),
+        (
+            "lineitem_skewed",
+            "CASE WHEN (l_linenumber + l_orderkey) % 5 = 0 THEN 1 "
+            f"ELSE CAST(l_orderkey + i * {span} AS BIGINT) END",
+        ),
+    ]:
+        dst = f"{OUT}/{name}.parquet"
+        if not os.path.exists(dst):
+            con.sql(
+                f"COPY (SELECT * REPLACE ({expr} AS l_orderkey) "
+                f"FROM '{li}', range({REPLICAS}) t(i)) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+
+
 def main() -> None:
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
@@ -180,6 +214,75 @@ def main() -> None:
     print("\nratios skewed/uniform:")
     for k in results["uniform"]:
         print(f"  {k:20s} {results['skewed'][k] / results['uniform'][k]:5.2f}x")
+
+    # ---- fact-fact: orders ⨝ lineitem with one hot orderkey ---------------
+    build_fact_fixture()
+    orders_big = spark.read.parquet(f"{OUT}/orders_big.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li_frames = {
+        which: spark.read.parquet(
+            f"{OUT}/lineitem_{which}.parquet"
+        ).select("l_orderkey", "l_partkey", "l_extendedprice")
+        for which in ("uniform", "skewed")
+    }
+    n_li = li_frames["uniform"].count()
+    hot = li_frames["skewed"].where(F.col("l_orderkey") == 1).count()
+    print(f"\nfact-fact: {n_li} lineitems, hot-order share {hot / n_li:.1%}")
+
+    #: at this scale the hot partition is tens of MB, under the 256 MB
+    #: default split threshold — scale the knobs down the way the data
+    #: is scaled down, so the probe exercises the same mechanism a
+    #: multi-GB hot partition triggers with defaults at cluster scale
+    _SPLIT_KNOBS = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+
+    def ff_probes(which):
+        li = li_frames[which]
+
+        def join_count() -> None:
+            li.hint("shuffle_merge").join(
+                orders_big, li["l_orderkey"] == orders_big["o_orderkey"]
+            ).groupBy().agg(F.count(F.lit(1))).collect()
+
+        def aqe_split():
+            prev = {k: spark.conf.get(k, None) for k in _SPLIT_KNOBS}
+            for k, v in _SPLIT_KNOBS.items():
+                spark.conf.set(k, v)
+            try:
+                join_count()
+            finally:
+                for k, p in prev.items():
+                    spark.conf.set(k, p) if p else spark.conf.unset(k)
+
+        def no_aqe():
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                join_count()
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+        return {
+            "ff_join_aqe_split": aqe_split,
+            "ff_join_aqe_default": join_count,
+            "ff_join_noaqe": no_aqe,
+        }
+
+    ff_results: dict[str, dict[str, float]] = {"uniform": {}, "skewed": {}}
+    for key in ff_probes("uniform"):
+        for which in ("uniform", "skewed"):
+            ff_results[which][key] = bench(
+                f"{key} [{which}]", ff_probes(which)[key]
+            )
+    print("\nfact-fact ratios skewed/uniform:")
+    for k in ff_results["uniform"]:
+        print(
+            f"  {k:20s} "
+            f"{ff_results['skewed'][k] / ff_results['uniform'][k]:5.2f}x"
+        )
 
 
 if __name__ == "__main__":
