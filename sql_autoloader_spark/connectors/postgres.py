@@ -103,8 +103,10 @@ _COPY_BUFFER = 1 << 18
 #: every Spark-side rendering this connector produces is UTC-naive
 #: (collects run under ``ops.utc_session``, COPY payloads are formatted
 #: JVM-side in UTC), so pin the interpretation to match on EVERY
-#: connection the connector opens.
-_TZ_SETUP = "SET TIME ZONE 'UTC'"
+#: connection the connector opens.  DateStyle is pinned too: the wire
+#: and COPY decoders parse ISO output only, and a server configured
+#: with e.g. 'German, DMY' would otherwise break every datetime read.
+_TZ_SETUP = "SET TIME ZONE 'UTC'; SET datestyle = ISO"
 
 #: extra setup for auxiliary/executor connections only: these run
 #: autocommit statements that take locks on tables the DRIVER connection
@@ -112,11 +114,10 @@ _TZ_SETUP = "SET TIME ZONE 'UTC'"
 #: AccessShare vs an AccessExclusive from DDL inside an open ``with db:``
 #: block) while the driver synchronously waits on them — an untimed lock
 #: wait would be a mutual hang, a bounded ``lock_timeout`` turns it into
-#: a clear error.  NOT applied to the lifecycle connection itself, whose
-#: fact-scale merges may legitimately run long.
-_AUX_SESSION_SETUP = (
-    f"{_TZ_SETUP}; SET lock_timeout = '30s'; SET statement_timeout = '2h'"
-)
+#: a clear error.  Deliberately NO statement_timeout: these connections
+#: carry the fact-scale COPY streams, whose legitimate runtime is
+#: unbounded at 100 TB — only lock WAITS are capped.
+_AUX_SESSION_SETUP = f"{_TZ_SETUP}; SET lock_timeout = '30s'"
 
 
 def _copy_partition_reader(
@@ -387,6 +388,34 @@ class PostgresConnector(BaseConnector):
         self._in_transaction = False
         self.schema = self.get_schema()
 
+    # -- lifecycle wrappers: UTC-bound plan analysis --------------------------
+    #
+    # This sink's canonical wall clock is UTC: every connection is
+    # pinned ``SET TIME ZONE 'UTC'`` and both write paths store a
+    # TimestampType's UTC wall clock into zone-less columns.  The
+    # lifecycle's verification plans must interpret those wall clocks
+    # the same way — Spark binds time-zone-sensitive casts (the
+    # TIMESTAMP ↔ TIMESTAMP_NTZ alignment in ``ops.match_dtypes``) from
+    # the SESSION timezone at analysis, so each entry point analyzes its
+    # plans under ``ops.utc_session``.  Without this, a non-UTC session
+    # reinterprets a stored NTZ wall clock as session-local and every
+    # verification of a TimestampType→timestamp load mismatches.  The
+    # conf lock is held across the wrapped call (including its actions);
+    # concurrent OTHER-thread conf toggles on the same session serialize
+    # behind it — the documented trade, as in ``ops._aqe_disabled``.
+
+    def insert(self, data: DataFrame, **kwargs) -> None:  # noqa: ANN003
+        with ops.utc_session(self.spark):
+            return super().insert(data, **kwargs)
+
+    def _retrieve_ids_counted(self, data: DataFrame, **kwargs):  # noqa: ANN003, ANN202
+        with ops.utc_session(self.spark):
+            return super()._retrieve_ids_counted(data, **kwargs)
+
+    def compare(self, data: DataFrame, **kwargs) -> None:  # noqa: ANN003
+        with ops.utc_session(self.spark):
+            return super().compare(data, **kwargs)
+
     # -- transactions -------------------------------------------------------
 
     def __enter__(self):  # noqa: ANN204 - Self on 3.11 via base
@@ -510,9 +539,14 @@ class PostgresConnector(BaseConnector):
         return self._frame(self.client.query(f'SELECT * FROM "{table}"'))
 
     def _table_size(self, table: str) -> int | None:
-        """Total on-disk bytes (heap + TOAST) — one catalog lookup."""
+        """Total on-disk bytes (heap + TOAST) — one catalog lookup.
+        The table name travels INSIDE a string literal here (regclass
+        cast), so it needs literal escaping on top of the identifier
+        quoting — a table legally named ``it's`` must not terminate the
+        literal (or splice SQL)."""
+        ident = '"' + table.replace('"', '""') + '"'
         rs = self.client.query(
-            f"SELECT pg_table_size('\"{table}\"'::regclass)"
+            f"SELECT pg_table_size({pg_literal(ident)}::regclass)"
         )
         return rs.rows[0][0] if rs is not None and rs.rows else None
 
@@ -543,6 +577,15 @@ class PostgresConnector(BaseConnector):
         quoted = ", ".join(f'"{c}"' for c in meta.columns)
         conn = self._connect
         assert conn is not None  # routing guarantees this  # noqa: S101
+        # columns landing as StringType must ARRIVE as strings: mask
+        # their wire OID to text so decoders that return richer Python
+        # types (e.g. Decimal for a bare unconstrained numeric, which
+        # has no typmod to map) don't crash schema verification — the
+        # same `str(v)` coercion the driver-path _frame applies
+        masked_oids = [
+            25 if isinstance(f.dataType, StringType) else oid
+            for f, oid in zip(fields, meta.oids, strict=True)
+        ]
         rdd = self.spark.sparkContext.parallelize(
             ranges, len(ranges)
         ).mapPartitions(
@@ -554,7 +597,7 @@ class PostgresConnector(BaseConnector):
                 conn["database"],
                 table,
                 quoted,
-                list(meta.oids),
+                masked_oids,
             )
         )
         return self.spark.createDataFrame(rdd, StructType(fields))
@@ -719,17 +762,24 @@ class PostgresConnector(BaseConnector):
 
     @staticmethod
     def _render_timestamps(frame: DataFrame) -> DataFrame:
-        """Render timestamp columns to text JVM-side before a COPY.
+        """Render timestamp columns to UTC wall-clock text JVM-side
+        before a COPY.
 
         ``TimestampType`` crosses the Python boundary as a NAIVE
         datetime in the session timezone, which the server would then
         reinterpret in the CONNECTION's timezone — two configs that
-        nothing forces to agree.  Formatting with an explicit offset
-        (``XXX``) makes the text self-describing, so the stored instant
-        is exact under ANY session/connection timezone pair (and the
-        executors skip per-row Python datetime rendering).  NTZ
-        timestamps are wall-clock values with no zone semantics — a
-        plain string cast is already canonical.
+        nothing forces to agree.  Instead, format the instant's UTC
+        wall clock: every connection this connector opens is pinned
+        ``SET TIME ZONE 'UTC'``, so a ``timestamptz`` landing stores
+        the exact instant and a ``timestamp`` landing stores the SAME
+        canonical UTC wall clock the driver INSERT path stores (which
+        collects under ``ops.utc_session``) — both physical paths land
+        bit-identical values.  The UTC binding happens at ANALYSIS time
+        (Spark resolves expression time zones from the session conf
+        when the plan is analyzed), so the lock is held only across
+        plan construction, never across the COPY itself; executors skip
+        per-row Python datetime rendering entirely.  NTZ timestamps are
+        zone-free wall clocks — a plain string cast is canonical.
         """
         exprs = []
         changed = False
@@ -737,7 +787,7 @@ class PostgresConnector(BaseConnector):
             if isinstance(fld.dataType, TimestampType):
                 exprs.append(
                     F.date_format(
-                        fld.name, "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"
+                        fld.name, "yyyy-MM-dd HH:mm:ss.SSSSSS"
                     ).alias(fld.name)
                 )
                 changed = True
@@ -746,7 +796,21 @@ class PostgresConnector(BaseConnector):
                 changed = True
             else:
                 exprs.append(F.col(fld.name))
-        return frame.select(*exprs) if changed else frame
+        if not changed:
+            return frame
+        with ops.utc_session(frame.sparkSession):
+            return frame.select(*exprs)
+
+    def _drop_stage_quietly(self, qualified: str, stage: str) -> None:
+        """Best-effort staging drop on an error path: inside an aborted
+        transaction the DROP itself errors — swallow it (the exit sweep
+        or ``sweep_staging`` reclaims the orphan) so the ROOT cause
+        propagates instead of the follow-on."""
+        try:
+            self.client.execute(f"DROP TABLE IF EXISTS {qualified}")
+            self._staging.discard(stage)
+        except PGWireError:
+            pass
 
     def _aux_client(self) -> PGWireClient:
         conn = self._connect
@@ -822,15 +886,27 @@ class PostgresConnector(BaseConnector):
             like_sql=f"SELECT {quoted} FROM ({query}) __q",
             prefix="stage_cmp",
         )
+        checksum = _checksum_compare_sql(qualified, quoted, query)
         try:
-            checksum = _checksum_compare_sql(qualified, quoted, query)
             (row,) = self.client.query(checksum).rows
-        finally:
-            # transactional like the write path: rolls back with the
-            # block, in which case the exit sweep drops the orphan
-            self.client.execute(f"DROP TABLE {qualified}")
-            if not self._in_transaction:
-                self._staging.discard(stage)
+        except PGWireError as e:
+            self._drop_stage_quietly(qualified, stage)
+            if self._in_transaction:
+                # the failed statement aborted the transaction; nothing
+                # (not even the fallback compare) can proceed — let the
+                # ROOT error surface, not a drop/abort follow-on
+                raise
+            logger.warning(
+                "server-side checksum compare unavailable (%s); "
+                "falling back to the driver-side compare",
+                e,
+            )
+            return None
+        # transactional like the write path: rolls back with the
+        # block, in which case the exit sweep drops the orphan
+        self.client.execute(f"DROP TABLE {qualified}")
+        if not self._in_transaction:
+            self._staging.discard(stage)
         n_d, n_b = row[0], row[1]
         if n_b == 0:
             return False  # callers treat "no results" as a failure

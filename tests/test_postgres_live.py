@@ -872,3 +872,104 @@ def test_distributed_read_matches_driver_read(
         assert {r["kf"] for r in out.collect()} == {5, 77}
     finally:
         db.close()
+
+
+def test_distributed_read_bare_numeric_and_quoted_name(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """A bare unconstrained ``numeric`` column maps to StringType (no
+    typmod to carry precision) — the distributed reader must land it as
+    strings like the driver path's _frame coercion, not crash schema
+    verification with Decimals.  And a table name containing a quote
+    must survive the size lookup (it travels inside a string literal)."""
+    server, name = pg_database
+    db = PostgresConnector(
+        spark,
+        sock_dir=server.sock_dir,
+        port=server.port,
+        database=name,
+        read_copy_bytes=16 << 10,
+    )
+    try:
+        db.client.execute(
+            "CREATE TABLE bare_num (i bigint, v numeric);"
+            "INSERT INTO bare_num SELECT g, g * 1.5"
+            " FROM generate_series(1, 5000) g"
+        )
+        frame = db._read_table("bare_num")
+        assert frame.count() == 5000
+        assert dict(frame.dtypes)["v"] == "string"
+        sample = {r["v"] for r in frame.where("i <= 2").collect()}
+        assert sample == {"1.5", "3.0"}
+        # quote-bearing identifier: size lookup + driver read both work
+        db.client.execute("CREATE TABLE \"it's\" (a bigint)")
+        assert db._table_size("it's") is not None
+        assert db._read_table("it's").count() == 0
+    finally:
+        db.close()
+
+
+def test_copy_and_driver_paths_store_identical_timestamps(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """Under a NON-UTC session timezone the driver INSERT path and the
+    distributed COPY path must store bit-identical values for both
+    timestamptz and timestamp columns — otherwise re-loading the same
+    data through the other path duplicates rows with shifted clocks."""
+    server, name = pg_database
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        flat = spark.createDataFrame(
+            [
+                (
+                    i,
+                    datetime.datetime(
+                        2024, 3, 10, 6, 30, i, tzinfo=datetime.timezone.utc
+                    ),
+                )
+                for i in range(4)
+            ],
+            "i long, moment timestamp",
+        )
+        for label, threshold in (("driver", 10_000), ("copy", 0)):
+            db = PostgresConnector(
+                spark,
+                sock_dir=server.sock_dir,
+                port=server.port,
+                database=name,
+                copy_threshold=threshold,
+            )
+            try:
+                db.client.execute(
+                    f"CREATE TABLE ts_{label} ("
+                    " i bigint, moment_tz timestamptz, moment_ntz timestamp)"
+                )
+                db.schema = db.get_schema()
+                db.insert(
+                    flat.selectExpr(
+                        "i", "moment AS moment_tz", "moment AS moment_ntz"
+                    ),
+                    table=f"ts_{label}",
+                )
+            finally:
+                db.close()
+        check = server.client(database=name)
+        try:
+            check.execute("SET TIME ZONE 'UTC'")
+            a = check.query(
+                "SELECT i, moment_tz::text, moment_ntz::text"
+                " FROM ts_driver ORDER BY i"
+            ).rows
+            b = check.query(
+                "SELECT i, moment_tz::text, moment_ntz::text"
+                " FROM ts_copy ORDER BY i"
+            ).rows
+            assert a == b, (a, b)
+            # the exact instant survived: 06:30 UTC
+            assert a[0][1].startswith("2024-03-10 06:30:00")
+            assert a[0][2].startswith("2024-03-10 06:30:00")
+        finally:
+            check.close()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
