@@ -23,14 +23,17 @@ Scope and deliberate non-goals:
   payloads go as multi-row ``VALUES`` lists, bulk payloads through
   ``COPY`` — the fastest ingest path PostgreSQL offers and the one
   every executor of a distributed write uses concurrently.
-- **Trust auth over a private unix socket (or loopback TCP).**  By
-  default the embedded server listens on no TCP port at all
-  (``listen_addresses=''``) and its socket directory is
-  process-private, the correct posture for an ephemeral test/CI
-  database; ``tcp=True`` adds a loopback listener so the
+- **Trust auth over a private unix socket (or loopback TCP) by
+  default, plus SCRAM-SHA-256 and md5 password auth.**  The embedded
+  server defaults to no TCP listener (``listen_addresses=''``) with an
+  owner-private socket directory, the correct posture for an ephemeral
+  test/CI database; ``tcp=True`` adds a loopback listener so the
   host/port connection path Spark executors use on a real cluster is
-  exercised too.  md5/SCRAM negotiation is out of scope and raises
-  immediately.
+  exercised too, and ``auth="scram-sha-256", password=...`` runs the
+  server the way production deployments run (PostgreSQL's default auth
+  since v14).  The client implements the SCRAM-SHA-256 exchange (RFC
+  7677, incl. server-signature verification) and md5 in pure stdlib;
+  TLS (and thus SCRAM-…-PLUS channel binding) is out of scope.
 - **Text result format.**  Values decode by type OID into the Python
   types ``spark.createDataFrame`` expects; OIDs this module does not
   know stay strings and are re-cast downstream by ``ops.match_dtypes``
@@ -39,8 +42,11 @@ Scope and deliberate non-goals:
 
 from __future__ import annotations
 
+import base64
 import datetime
 import decimal
+import hashlib
+import hmac
 import os
 import pwd
 import re
@@ -261,6 +267,13 @@ class PGWireClient:
     ``<sock_dir>/.s.PGSQL.<port>`` (the driver-side default for the
     embedded server); with ``host`` it goes over TCP — the path Spark
     executors use to reach a warehouse from other machines.
+
+    Authentication: trust (AuthenticationOk), ``md5``, and
+    ``SCRAM-SHA-256`` (RFC 7677, PostgreSQL's default since v14) — the
+    last two need ``password=``.  SCRAM runs without channel binding
+    (``n,,``), which PostgreSQL accepts on non-SSL connections; the
+    ``SCRAM-SHA-256-PLUS`` variant requires TLS and is out of scope
+    like TLS itself.
     """
 
     def __init__(
@@ -271,9 +284,11 @@ class PGWireClient:
         host: str | None = None,
         user: str = "postgres",
         database: str = "postgres",
+        password: str | None = None,
     ) -> None:
         self.user = user
         self.database = database
+        self.password = password
         self.parameters: dict[str, str] = {}
         #: command tag of the most recent CommandComplete ('COMMIT',
         #: 'ROLLBACK', 'SELECT 5', ...).  PostgreSQL reports an implicit
@@ -334,14 +349,7 @@ class PGWireClient:
         while True:
             mtype, payload = self._read_message()
             if mtype == b"R":
-                (auth,) = struct.unpack("!i", payload[:4])
-                if auth != 0:
-                    msg = (
-                        f"server requested auth method {auth}; only trust "
-                        "(AuthenticationOk) is supported — start the "
-                        "embedded server with '-A trust'"
-                    )
-                    raise ConnectionError(msg)
+                self._authenticate(payload)
             elif mtype == b"S":
                 key, val, _ = payload.split(b"\0", 2)
                 self.parameters[key.decode()] = val.decode()
@@ -352,6 +360,112 @@ class PGWireClient:
             # 'K' BackendKeyData and notices are irrelevant here
         if self.parameters.get("standard_conforming_strings") != "on":
             msg = "server must run with standard_conforming_strings=on"
+            raise ConnectionError(msg)
+
+    # -- authentication -------------------------------------------------------
+
+    def _authenticate(self, payload: bytes) -> None:
+        """Handle one AuthenticationRequest ('R') message."""
+        (auth,) = struct.unpack("!i", payload[:4])
+        if auth == 0:  # AuthenticationOk
+            return
+        if auth == 3:  # AuthenticationCleartextPassword
+            self._send(b"p", self._require_password().encode() + b"\0")
+            return
+        if auth == 5:  # AuthenticationMD5Password
+            salt = payload[4:8]
+            inner = hashlib.md5(  # noqa: S324 - the protocol's algorithm
+                self._require_password().encode() + self.user.encode()
+            ).hexdigest()
+            outer = hashlib.md5(  # noqa: S324
+                inner.encode() + salt
+            ).hexdigest()
+            self._send(b"p", b"md5" + outer.encode() + b"\0")
+            return
+        if auth == 10:  # AuthenticationSASL: mechanism list follows
+            mechanisms = payload[4:].split(b"\0")
+            if b"SCRAM-SHA-256" not in mechanisms:
+                msg = f"no supported SASL mechanism in {mechanisms!r}"
+                raise ConnectionError(msg)
+            self._scram_sha_256()
+            return
+        msg = (
+            f"server requested auth method {auth}; supported: trust, "
+            "md5, SCRAM-SHA-256 (pass password= for the latter two)"
+        )
+        raise ConnectionError(msg)
+
+    def _require_password(self) -> str:
+        if self.password is None:
+            msg = "server requires a password; pass password="
+            raise ConnectionError(msg)
+        return self.password
+
+    def _scram_sha_256(self) -> None:
+        """SCRAM-SHA-256 client (RFC 5802/7677), no channel binding."""
+        password = self._require_password().encode()
+        nonce = base64.b64encode(os.urandom(18)).decode()
+        client_first_bare = f"n={self.user},r={nonce}"
+        initial = (
+            b"SCRAM-SHA-256\0"
+            + struct.pack("!i", len(client_first_bare) + 3)
+            + b"n,,"
+            + client_first_bare.encode()
+        )
+        self._send(b"p", initial)  # SASLInitialResponse
+
+        mtype, payload = self._read_message()
+        if mtype == b"E":
+            raise PGWireError(self._error_fields(payload))
+        (code,) = struct.unpack("!i", payload[:4])
+        if mtype != b"R" or code != 11:  # AuthenticationSASLContinue
+            msg = f"expected SASLContinue, got {mtype!r}/{code}"
+            raise ConnectionError(msg)
+        server_first = payload[4:].decode()
+        fields = dict(f.split("=", 1) for f in server_first.split(","))
+        full_nonce, salt, iters = (
+            fields["r"],
+            base64.b64decode(fields["s"]),
+            int(fields["i"]),
+        )
+        if not full_nonce.startswith(nonce):
+            msg = "server nonce does not extend the client nonce"
+            raise ConnectionError(msg)
+
+        salted = hashlib.pbkdf2_hmac("sha256", password, salt, iters)
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        # 'biws' = b64('n,,'), the gs2 header echoed in the final message
+        client_final_bare = f"c=biws,r={full_nonce}"
+        auth_message = ",".join(
+            (client_first_bare, server_first, client_final_bare)
+        ).encode()
+        signature = hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+        proof = bytes(k ^ s for k, s in zip(client_key, signature))
+        self._send(
+            b"p",
+            (
+                f"{client_final_bare},p="
+                f"{base64.b64encode(proof).decode()}"
+            ).encode(),
+        )
+
+        mtype, payload = self._read_message()
+        if mtype == b"E":
+            raise PGWireError(self._error_fields(payload))
+        (code,) = struct.unpack("!i", payload[:4])
+        if mtype != b"R" or code != 12:  # AuthenticationSASLFinal
+            msg = f"expected SASLFinal, got {mtype!r}/{code}"
+            raise ConnectionError(msg)
+        # verify the SERVER too (mutual auth): v= must be
+        # HMAC(ServerKey, AuthMessage)
+        server_final = dict(
+            f.split("=", 1) for f in payload[4:].decode().split(",")
+        )
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        expected = hmac.new(server_key, auth_message, hashlib.sha256).digest()
+        if base64.b64decode(server_final.get("v", "")) != expected:
+            msg = "server signature verification failed (not the real server?)"
             raise ConnectionError(msg)
 
     # -- public API ---------------------------------------------------------
@@ -552,7 +666,14 @@ class EmbeddedPostgres:
         *,
         port: int = 54321,
         tcp: bool = False,
+        auth: str = "trust",
+        password: str | None = None,
     ) -> None:
+        if auth != "trust" and password is None:
+            msg = f"auth={auth!r} needs a password="
+            raise ValueError(msg)
+        self.auth = auth
+        self.password = password
         self.base_dir = base_dir or tempfile.mkdtemp(prefix="pgemb-")
         self.data_dir = os.path.join(self.base_dir, "data")
         self.sock_dir = os.path.join(self.base_dir, "sock")
@@ -620,20 +741,29 @@ class EmbeddedPostgres:
             os.makedirs(self.data_dir, exist_ok=True)
         self._chown_tree()
         if needs_init:
-            proc = self._run(
-                [
-                    "initdb",
-                    "-D",
-                    self.data_dir,
-                    "-U",
-                    "postgres",
-                    "-A",
-                    "trust",
-                    "--no-sync",
-                    "-E",
-                    "UTF8",
-                ]
-            )
+            args = [
+                "initdb",
+                "-D",
+                self.data_dir,
+                "-U",
+                "postgres",
+                "-A",
+                self.auth,
+                "--no-sync",
+                "-E",
+                "UTF8",
+            ]
+            pwfile = None
+            if self.password is not None:
+                pwfile = os.path.join(self.base_dir, ".pgpass_init")
+                with open(pwfile, "w") as fh:
+                    fh.write(self.password + "\n")
+                os.chmod(pwfile, 0o600)
+                self._chown_tree()
+                args += ["--pwfile", pwfile]
+            proc = self._run(args)
+            if pwfile is not None:
+                os.unlink(pwfile)
             if proc.returncode != 0:
                 msg = f"initdb failed:\n{proc.stdout}\n{proc.stderr}"
                 raise RuntimeError(msg)
@@ -686,7 +816,11 @@ class EmbeddedPostgres:
         self, database: str = "postgres", *, user: str = "postgres"
     ) -> PGWireClient:
         return PGWireClient(
-            self.sock_dir, self.port, user=user, database=database
+            self.sock_dir,
+            self.port,
+            user=user,
+            database=database,
+            password=self.password,
         )
 
     def createdb(self, name: str) -> None:

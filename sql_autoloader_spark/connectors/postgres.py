@@ -126,6 +126,7 @@ def _copy_partition_reader(
     port: int,
     user: str,
     database: str,
+    password: str | None,
     table: str,
     quoted: str,
     oids: list[int],
@@ -149,7 +150,12 @@ def _copy_partition_reader(
                 "TO STDOUT"
             )
             client = PGWireClient(
-                sock_dir, port, host=host, user=user, database=database
+                sock_dir,
+                port,
+                host=host,
+                user=user,
+                database=database,
+                password=password,
             )
             try:
                 client.execute(_AUX_SESSION_SETUP)
@@ -206,6 +212,7 @@ def _copy_partition_writer(
     port: int,
     user: str,
     database: str,
+    password: str | None,
     copy_sql: str,
 ):
     """Build the ``foreachPartition`` task for the distributed COPY
@@ -235,7 +242,12 @@ def _copy_partition_writer(
             except StopIteration:
                 return  # empty partition: never connect
             client = PGWireClient(
-                sock_dir, port, host=host, user=user, database=database
+                sock_dir,
+                port,
+                host=host,
+                user=user,
+                database=database,
+                password=password,
             )
             client.execute(_AUX_SESSION_SETUP)
             client.copy_in(copy_sql, itertools.chain([first], gen))
@@ -317,7 +329,9 @@ class PostgresConnector(BaseConnector):
         null-safe key merge, compare validation).
     client:
         An open :class:`PGWireClient`; alternatively pass ``sock_dir``/
-        ``host``/``port``/``user``/``database`` and one is opened here.
+        ``host``/``port``/``user``/``database``/``password`` and one is
+        opened here (``password`` also flows to every executor/aux
+        connection — md5 and SCRAM-SHA-256 servers are supported).
         The connector owns whichever connection it uses (``close()``).
     copy_threshold:
         Payload row-count bound at or below which inserts use the
@@ -352,6 +366,7 @@ class PostgresConnector(BaseConnector):
         port: int = 54321,
         user: str = "postgres",
         database: str = "postgres",
+        password: str | None = None,
         copy_threshold: int = 5000,
         copy_connections: int = 16,
         read_copy_bytes: int = 8 << 20,
@@ -362,7 +377,12 @@ class PostgresConnector(BaseConnector):
                 msg = "pass either an open client= or sock_dir=/host="
                 raise ValueError(msg)
             client = PGWireClient(
-                sock_dir, port, host=host, user=user, database=database
+                sock_dir,
+                port,
+                host=host,
+                user=user,
+                database=database,
+                password=password,
             )
         self.client = client
         self.client.execute(_TZ_SETUP)
@@ -380,6 +400,7 @@ class PostgresConnector(BaseConnector):
                 "port": port,
                 "user": user,
                 "database": database,
+                "password": password,
             }
             if sock_dir is not None or host is not None
             else None
@@ -595,6 +616,7 @@ class PostgresConnector(BaseConnector):
                 conn["port"],
                 conn["user"],
                 conn["database"],
+                conn["password"],
                 table,
                 quoted,
                 masked_oids,
@@ -755,6 +777,7 @@ class PostgresConnector(BaseConnector):
                 conn["port"],
                 conn["user"],
                 conn["database"],
+                conn["password"],
                 f"COPY {qualified} ({quoted}) FROM STDIN",
             )
         )
@@ -823,6 +846,7 @@ class PostgresConnector(BaseConnector):
             host=conn["host"],
             user=conn["user"],
             database=conn["database"],
+            password=conn["password"],
         )
         client.execute(_AUX_SESSION_SETUP)
         return client

@@ -21,6 +21,7 @@ from pyspark.sql import SparkSession
 
 from sql_autoloader_spark.connectors.pgwire import (
     EmbeddedPostgres,
+    PGWireClient,
     PGWireError,
     copy_text_row,
     pg_literal,
@@ -973,3 +974,63 @@ def test_copy_and_driver_paths_store_identical_timestamps(
             check.close()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_scram_sha256_auth_full_lifecycle(spark: SparkSession) -> None:
+    """SCRAM-SHA-256 (PostgreSQL's default auth since v14) end to end:
+    the pure-stdlib exchange authenticates driver, aux, and executor
+    COPY connections over TCP, a wrong password is rejected, and the
+    server's own signature is verified (mutual auth)."""
+    server = EmbeddedPostgres(
+        port=54462, tcp=True, auth="scram-sha-256", password="s3cret pw"
+    ).start()
+    try:
+        with pytest.raises((PGWireError, ConnectionError)):
+            PGWireClient(
+                host=server.host,
+                port=server.port,
+                password="wrong",
+            )
+        with pytest.raises(ConnectionError, match="password"):
+            PGWireClient(host=server.host, port=server.port)  # none given
+        server.createdb("scramdb")
+        db = PostgresConnector(
+            spark,
+            host=server.host,
+            port=server.port,
+            database="scramdb",
+            password="s3cret pw",
+            copy_threshold=0,  # force executor COPY connections
+        )
+        try:
+            db.execute_ddl(STAR_DDL)
+            flat = spark.createDataFrame(
+                [("FRANCE", "EUROPE"), ("JAPAN", "ASIA")],
+                "name string, region string",
+            )
+            with db:
+                db.load(flat)
+            assert db.client.query(
+                "SELECT count(*) FROM dim_nation"
+            ).rows == [(2,)]
+        finally:
+            db.close()
+    finally:
+        server.destroy()
+
+
+def test_md5_auth_connects(spark: SparkSession) -> None:
+    """md5 password auth (legacy deployments) over the unix socket."""
+    server = EmbeddedPostgres(
+        port=54463, auth="md5", password="legacy"
+    ).start()
+    try:
+        client = server.client()
+        try:
+            assert client.query("SELECT 1 AS one").rows == [(1,)]
+        finally:
+            client.close()
+        with pytest.raises((PGWireError, ConnectionError)):
+            PGWireClient(server.sock_dir, server.port, password="nope")
+    finally:
+        server.destroy()
