@@ -285,6 +285,8 @@ class PGWireClient:
         user: str = "postgres",
         database: str = "postgres",
         password: str | None = None,
+        tls: bool = False,
+        tls_ca: str | None = None,
     ) -> None:
         self.user = user
         self.database = database
@@ -303,15 +305,44 @@ class PGWireClient:
         self.data_rows: int = 0
         if host is not None:
             self._sock = socket.create_connection((host, port))
+            if tls or tls_ca is not None:
+                self._sock = self._tls_wrap(self._sock, host, tls_ca)
         else:
             if sock_dir is None:
                 msg = "pass either sock_dir= (unix socket) or host= (TCP)"
+                raise ValueError(msg)
+            if tls or tls_ca is not None:
+                msg = "tls= applies to TCP (host=) connections only"
                 raise ValueError(msg)
             self.sock_path = os.path.join(sock_dir, f".s.PGSQL.{port}")
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.connect(self.sock_path)
         self._rfile = self._sock.makefile("rb")
         self._startup()
+
+    @staticmethod
+    def _tls_wrap(sock, host: str, tls_ca: str | None):  # noqa: ANN001, ANN205
+        """SSLRequest handshake + TLS wrap (the protocol's STARTTLS).
+
+        Without ``tls_ca`` the session is encrypted but the certificate
+        is NOT verified — libpq's ``sslmode=require`` semantics, the
+        posture for self-signed warehouse certs.  With ``tls_ca`` the
+        server certificate must chain to it (``sslmode=verify-ca``)."""
+        import ssl
+
+        sock.sendall(struct.pack("!ii", 8, 80877103))  # SSLRequest
+        answer = sock.recv(1)
+        if answer != b"S":
+            msg = f"server refused TLS (answered {answer!r}); ssl=on needed"
+            raise ConnectionError(msg)
+        context = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        if tls_ca is not None:
+            context.load_verify_locations(tls_ca)
+            context.check_hostname = False  # verify-ca, not verify-full
+        else:
+            context.check_hostname = False
+            context.verify_mode = ssl.CERT_NONE
+        return context.wrap_socket(sock, server_hostname=host)
 
     # -- protocol plumbing --------------------------------------------------
 
@@ -668,12 +699,17 @@ class EmbeddedPostgres:
         tcp: bool = False,
         auth: str = "trust",
         password: str | None = None,
+        ssl: bool = False,
     ) -> None:
         if auth != "trust" and password is None:
             msg = f"auth={auth!r} needs a password="
             raise ValueError(msg)
+        if ssl and not tcp:
+            msg = "ssl=True needs tcp=True (TLS is a TCP-listener feature)"
+            raise ValueError(msg)
         self.auth = auth
         self.password = password
+        self.ssl = ssl
         self.base_dir = base_dir or tempfile.mkdtemp(prefix="pgemb-")
         self.data_dir = os.path.join(self.base_dir, "data")
         self.sock_dir = os.path.join(self.base_dir, "sock")
@@ -773,6 +809,8 @@ class EmbeddedPostgres:
             f"-c port={self.port} "
             "-c fsync=off -c synchronous_commit=off -c full_page_writes=off"
         )
+        if self.ssl:
+            options += self._ssl_options()
         proc = self._run(
             [
                 "pg_ctl",
@@ -802,6 +840,46 @@ class EmbeddedPostgres:
             time.sleep(0.05)
         self._started = True
         return self
+
+    def _ssl_options(self) -> str:
+        """Generate a self-signed cert (once) and return the server's
+        ssl options.  PostgreSQL requires the key file be 0600 and owned
+        by the server user; the cert doubles as the ``tls_ca`` for a
+        verify-ca client."""
+        self.cert_path = os.path.join(self.base_dir, "server.crt")
+        key_path = os.path.join(self.base_dir, "server.key")
+        if not os.path.exists(self.cert_path):
+            proc = subprocess.run(  # noqa: S603 - fixed binary, no shell
+                [
+                    "openssl",
+                    "req",
+                    "-x509",
+                    "-newkey",
+                    "rsa:2048",
+                    "-nodes",
+                    "-keyout",
+                    key_path,
+                    "-out",
+                    self.cert_path,
+                    "-days",
+                    "2",
+                    "-subj",
+                    "/CN=localhost",
+                ],
+                capture_output=True,
+                text=True,
+                check=False,
+                timeout=60,
+            )
+            if proc.returncode != 0:
+                msg = f"openssl cert generation failed:\n{proc.stderr}"
+                raise RuntimeError(msg)
+            os.chmod(key_path, 0o600)
+            self._chown_tree()
+        return (
+            f" -c ssl=on -c ssl_cert_file={self.cert_path}"
+            f" -c ssl_key_file={key_path}"
+        )
 
     def stop(self) -> None:
         if self._started:

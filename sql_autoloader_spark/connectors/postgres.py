@@ -127,6 +127,7 @@ def _copy_partition_reader(
     user: str,
     database: str,
     password: str | None,
+    tls: bool,
     table: str,
     quoted: str,
     oids: list[int],
@@ -156,6 +157,7 @@ def _copy_partition_reader(
                 user=user,
                 database=database,
                 password=password,
+                tls=tls,
             )
             try:
                 client.execute(_AUX_SESSION_SETUP)
@@ -213,6 +215,7 @@ def _copy_partition_writer(
     user: str,
     database: str,
     password: str | None,
+    tls: bool,
     copy_sql: str,
 ):
     """Build the ``foreachPartition`` task for the distributed COPY
@@ -248,6 +251,7 @@ def _copy_partition_writer(
                 user=user,
                 database=database,
                 password=password,
+                tls=tls,
             )
             client.execute(_AUX_SESSION_SETUP)
             client.copy_in(copy_sql, itertools.chain([first], gen))
@@ -330,9 +334,11 @@ class PostgresConnector(BaseConnector):
     client:
         An open :class:`PGWireClient`; alternatively pass ``sock_dir``/
         ``host``/``port``/``user``/``database``/``password`` and one is
-        opened here (``password`` also flows to every executor/aux
-        connection — md5 and SCRAM-SHA-256 servers are supported).
-        The connector owns whichever connection it uses (``close()``).
+        opened here (``password`` and ``tls`` also flow to every
+        executor/aux connection — md5 and SCRAM-SHA-256 servers are
+        supported, and ``tls=True`` STARTTLS-wraps every TCP
+        connection).  The connector owns whichever connection it uses
+        (``close()``).
     copy_threshold:
         Payload row-count bound at or below which inserts use the
         driver-side multi-row INSERT path.  Above it — or whenever the
@@ -367,6 +373,7 @@ class PostgresConnector(BaseConnector):
         user: str = "postgres",
         database: str = "postgres",
         password: str | None = None,
+        tls: bool = False,
         copy_threshold: int = 5000,
         copy_connections: int = 16,
         read_copy_bytes: int = 8 << 20,
@@ -383,6 +390,7 @@ class PostgresConnector(BaseConnector):
                 user=user,
                 database=database,
                 password=password,
+                tls=tls,
             )
         self.client = client
         self.client.execute(_TZ_SETUP)
@@ -401,6 +409,7 @@ class PostgresConnector(BaseConnector):
                 "user": user,
                 "database": database,
                 "password": password,
+                "tls": tls,
             }
             if sock_dir is not None or host is not None
             else None
@@ -617,6 +626,7 @@ class PostgresConnector(BaseConnector):
                 conn["user"],
                 conn["database"],
                 conn["password"],
+                conn["tls"],
                 table,
                 quoted,
                 masked_oids,
@@ -778,6 +788,7 @@ class PostgresConnector(BaseConnector):
                 conn["user"],
                 conn["database"],
                 conn["password"],
+                conn["tls"],
                 f"COPY {qualified} ({quoted}) FROM STDIN",
             )
         )
@@ -847,6 +858,7 @@ class PostgresConnector(BaseConnector):
             user=conn["user"],
             database=conn["database"],
             password=conn["password"],
+            tls=conn["tls"],
         )
         client.execute(_AUX_SESSION_SETUP)
         return client

@@ -1034,3 +1034,77 @@ def test_md5_auth_connects(spark: SparkSession) -> None:
             PGWireClient(server.sock_dir, server.port, password="nope")
     finally:
         server.destroy()
+
+
+def test_tls_scram_full_lifecycle(spark: SparkSession) -> None:
+    """Production posture — TLS + SCRAM-SHA-256 over TCP: the
+    SSLRequest/STARTTLS wrap encrypts every connection (driver, aux,
+    executor COPY), verify-ca validates the server cert, and a client
+    demanding TLS from a non-TLS server fails loudly."""
+    server = EmbeddedPostgres(
+        port=54464,
+        tcp=True,
+        ssl=True,
+        auth="scram-sha-256",
+        password="tls pw",
+    ).start()
+    try:
+        # verify-ca against the server's own cert
+        client = PGWireClient(
+            host=server.host,
+            port=server.port,
+            password="tls pw",
+            tls_ca=server.cert_path,
+        )
+        try:
+            assert client.query("SELECT ssl FROM pg_stat_ssl "
+                                "WHERE pid = pg_backend_pid()").rows == [
+                (True,)
+            ]
+        finally:
+            client.close()
+        server.createdb("tlsdb")
+        db = PostgresConnector(
+            spark,
+            host=server.host,
+            port=server.port,
+            database="tlsdb",
+            password="tls pw",
+            tls=True,
+            copy_threshold=0,  # executor COPY connections also TLS
+        )
+        try:
+            db.execute_ddl(STAR_DDL)
+            flat = spark.createDataFrame(
+                [("FRANCE", "EUROPE"), ("JAPAN", "ASIA")],
+                "name string, region string",
+            )
+            with db:
+                db.load(flat)
+            assert db.client.query(
+                "SELECT count(*) FROM dim_nation"
+            ).rows == [(2,)]
+            # every current backend of this db is SSL-wrapped
+            rows = db.client.query(
+                "SELECT bool_and(s.ssl) FROM pg_stat_ssl s"
+                " JOIN pg_stat_activity a USING (pid)"
+                " WHERE a.datname = 'tlsdb'"
+            ).rows
+            assert rows == [(True,)]
+        finally:
+            db.close()
+    finally:
+        server.destroy()
+
+
+def test_tls_refused_by_plain_server(pg: EmbeddedPostgres) -> None:
+    """tls=True against a server without ssl=on errors clearly instead
+    of silently downgrading to cleartext."""
+    plain_tcp = EmbeddedPostgres(port=54465, tcp=True).start()
+    try:
+        with pytest.raises(ConnectionError, match="refused TLS"):
+            PGWireClient(
+                host=plain_tcp.host, port=plain_tcp.port, tls=True
+            )
+    finally:
+        plain_tcp.destroy()
