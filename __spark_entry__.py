@@ -2075,6 +2075,64 @@ def q_load_events_postgres_copy(
     )
 
 
+def q_load_events_postgres_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full round-9 PostgreSQL surface in one oracle-checked round
+    trip: the events star loads through the distributed COPY write
+    (executors stream partitions into unlogged staging, one server-side
+    merge), the happy-path validation runs as the IN-DATABASE checksum
+    aggregate (O(1) bytes to the driver), and the fact table is then
+    read BACK through the distributed ctid-ranged ``COPY ... TO
+    STDOUT`` path (connectors/postgres.py:_read_table_distributed) —
+    no fact row ever crosses the driver connection in either direction.
+    Returns a per-type aggregate of the read-back fact ⨝ dim, checked
+    against DuckDB over the original parquet."""
+    from sql_autoloader_spark.connectors.pgwire import EmbeddedPostgres
+    from sql_autoloader_spark.connectors.postgres import PostgresConnector
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    with EmbeddedPostgres(port=54453) as pg:
+        db = PostgresConnector(
+            spark,
+            sock_dir=pg.sock_dir,
+            port=pg.port,
+            copy_threshold=1000,
+            read_copy_bytes=64 << 10,  # the fact heap counts as "big"
+        )
+        db.execute_ddl(
+            """
+            CREATE TABLE pr_etype (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                event_type text UNIQUE
+            );
+            CREATE TABLE pr_event (
+                event_id bigint,
+                etype_id bigint REFERENCES pr_etype (id),
+                value double precision
+            );
+            """
+        )
+        with db:
+            db.load(ev)
+        fact = db._read_table("pr_event")  # distributed ctid-range read
+        dim = db._read_table("pr_etype")  # dimension: driver read
+        agg = (
+            fact.join(dim, fact["etype_id"] == dim["id"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        # materialize before the server goes away
+        result = spark.createDataFrame(agg.collect(), agg.schema)
+        db.close()
+    return result
+
+
 def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 at fact scale: the whole events table auto-loaded into an
     event-type dim + fact star in one batch ``load``.  Unlike the
@@ -3124,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_star_sqlite": q_load_star_sqlite,
         "load_star_postgres": q_load_star_postgres,
         "load_events_postgres_copy": q_load_events_postgres_copy,
+        "load_events_postgres_readback": q_load_events_postgres_readback,
         "load_incremental": q_load_incremental,
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
@@ -4368,6 +4427,14 @@ def oracle_sql() -> dict[str, str]:
         "load_events_postgres_copy": (
             "SELECT DISTINCT event_id, event_type, value FROM events"
         ),
+        "load_events_postgres_readback": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM (SELECT DISTINCT event_id, event_type, value FROM events) d
+            GROUP BY event_type
+        """,
         "orders_grouping_sets": """
             SELECT o_orderstatus AS status, o_orderpriority AS priority,
                    order_year,
