@@ -32,8 +32,11 @@ Scope and deliberate non-goals:
   exercised too, and ``auth="scram-sha-256", password=...`` runs the
   server the way production deployments run (PostgreSQL's default auth
   since v14).  The client implements the SCRAM-SHA-256 exchange (RFC
-  7677, incl. server-signature verification) and md5 in pure stdlib;
-  TLS (and thus SCRAM-…-PLUS channel binding) is out of scope.
+  7677, incl. server-signature verification) and md5 in pure stdlib,
+  plus TLS via the SSLRequest/STARTTLS handshake (``tls=True`` =
+  sslmode=require, ``tls_ca=`` = verify-ca; ``ssl=True`` runs the
+  embedded server with a generated self-signed cert).  Channel-bound
+  SCRAM-…-PLUS stays out of scope — plain SCRAM works over TLS.
 - **Text result format.**  Values decode by type OID into the Python
   types ``spark.createDataFrame`` expects; OIDs this module does not
   know stay strings and are re-cast downstream by ``ops.match_dtypes``
@@ -436,12 +439,15 @@ class PGWireClient:
         """SCRAM-SHA-256 client (RFC 5802/7677), no channel binding."""
         password = self._require_password().encode()
         nonce = base64.b64encode(os.urandom(18)).decode()
-        client_first_bare = f"n={self.user},r={nonce}"
+        # RFC 5802 saslname escaping; length fields count BYTES
+        user = self.user.replace("=", "=3D").replace(",", "=2C")
+        client_first_bare = f"n={user},r={nonce}"
+        first_bytes = client_first_bare.encode()
         initial = (
             b"SCRAM-SHA-256\0"
-            + struct.pack("!i", len(client_first_bare) + 3)
+            + struct.pack("!i", len(first_bytes) + 3)
             + b"n,,"
-            + client_first_bare.encode()
+            + first_bytes
         )
         self._send(b"p", initial)  # SASLInitialResponse
 

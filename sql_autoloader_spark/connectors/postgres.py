@@ -128,6 +128,7 @@ def _copy_partition_reader(
     database: str,
     password: str | None,
     tls: bool,
+    tls_ca: str | None,
     table: str,
     quoted: str,
     oids: list[int],
@@ -158,6 +159,7 @@ def _copy_partition_reader(
                 database=database,
                 password=password,
                 tls=tls,
+                tls_ca=tls_ca,
             )
             try:
                 client.execute(_AUX_SESSION_SETUP)
@@ -216,6 +218,7 @@ def _copy_partition_writer(
     database: str,
     password: str | None,
     tls: bool,
+    tls_ca: str | None,
     copy_sql: str,
 ):
     """Build the ``foreachPartition`` task for the distributed COPY
@@ -252,6 +255,7 @@ def _copy_partition_writer(
                 database=database,
                 password=password,
                 tls=tls,
+                tls_ca=tls_ca,
             )
             client.execute(_AUX_SESSION_SETUP)
             client.copy_in(copy_sql, itertools.chain([first], gen))
@@ -336,9 +340,10 @@ class PostgresConnector(BaseConnector):
         ``host``/``port``/``user``/``database``/``password`` and one is
         opened here (``password`` and ``tls`` also flow to every
         executor/aux connection — md5 and SCRAM-SHA-256 servers are
-        supported, and ``tls=True`` STARTTLS-wraps every TCP
-        connection).  The connector owns whichever connection it uses
-        (``close()``).
+        supported, ``tls=True`` STARTTLS-wraps every TCP connection,
+        and ``tls_ca=`` additionally verifies the server certificate
+        chain on each of them).  The connector owns whichever
+        connection it uses (``close()``).
     copy_threshold:
         Payload row-count bound at or below which inserts use the
         driver-side multi-row INSERT path.  Above it — or whenever the
@@ -374,6 +379,7 @@ class PostgresConnector(BaseConnector):
         database: str = "postgres",
         password: str | None = None,
         tls: bool = False,
+        tls_ca: str | None = None,
         copy_threshold: int = 5000,
         copy_connections: int = 16,
         read_copy_bytes: int = 8 << 20,
@@ -391,6 +397,7 @@ class PostgresConnector(BaseConnector):
                 database=database,
                 password=password,
                 tls=tls,
+                tls_ca=tls_ca,
             )
         self.client = client
         self.client.execute(_TZ_SETUP)
@@ -410,6 +417,7 @@ class PostgresConnector(BaseConnector):
                 "database": database,
                 "password": password,
                 "tls": tls,
+                "tls_ca": tls_ca,
             }
             if sock_dir is not None or host is not None
             else None
@@ -568,15 +576,19 @@ class PostgresConnector(BaseConnector):
             )
         return self._frame(self.client.query(f'SELECT * FROM "{table}"'))
 
-    def _table_size(self, table: str) -> int | None:
-        """Total on-disk bytes (heap + TOAST) — one catalog lookup.
-        The table name travels INSIDE a string literal here (regclass
-        cast), so it needs literal escaping on top of the identifier
-        quoting — a table legally named ``it's`` must not terminate the
-        literal (or splice SQL)."""
+    @staticmethod
+    def _regclass(table: str) -> str:
+        """Escaped ``::regclass`` literal for *table*: the name travels
+        INSIDE a string literal for catalog lookups, so it needs literal
+        escaping on top of the identifier quoting — a table legally
+        named ``it's`` must not terminate the literal (or splice SQL)."""
         ident = '"' + table.replace('"', '""') + '"'
+        return f"{pg_literal(ident)}::regclass"
+
+    def _table_size(self, table: str) -> int | None:
+        """Total on-disk bytes (heap + TOAST) — one catalog lookup."""
         rs = self.client.query(
-            f"SELECT pg_table_size({pg_literal(ident)}::regclass)"
+            f"SELECT pg_table_size({self._regclass(table)})"
         )
         return rs.rows[0][0] if rs is not None and rs.rows else None
 
@@ -593,7 +605,7 @@ class PostgresConnector(BaseConnector):
             )
         ]
         (main_bytes,) = self.client.query(
-            f"SELECT pg_relation_size('\"{table}\"'::regclass)"
+            f"SELECT pg_relation_size({self._regclass(table)})"
         ).rows[0]
         blocks = max(int(main_bytes) // 8192, 1)
         # ~64 blocks (512 KiB) of heap per task at minimum; capped by
@@ -627,6 +639,7 @@ class PostgresConnector(BaseConnector):
                 conn["database"],
                 conn["password"],
                 conn["tls"],
+                conn["tls_ca"],
                 table,
                 quoted,
                 masked_oids,
@@ -789,6 +802,7 @@ class PostgresConnector(BaseConnector):
                 conn["database"],
                 conn["password"],
                 conn["tls"],
+                conn["tls_ca"],
                 f"COPY {qualified} ({quoted}) FROM STDIN",
             )
         )
@@ -859,6 +873,7 @@ class PostgresConnector(BaseConnector):
             database=conn["database"],
             password=conn["password"],
             tls=conn["tls"],
+            tls_ca=conn["tls_ca"],
         )
         client.execute(_AUX_SESSION_SETUP)
         return client

@@ -902,10 +902,19 @@ def test_distributed_read_bare_numeric_and_quoted_name(
         assert dict(frame.dtypes)["v"] == "string"
         sample = {r["v"] for r in frame.where("i <= 2").collect()}
         assert sample == {"1.5", "3.0"}
-        # quote-bearing identifier: size lookup + driver read both work
+        # quote-bearing identifier: size lookup, the driver read, AND
+        # the distributed ctid-range read (its pg_relation_size call
+        # also carries the name inside a regclass literal) all survive
         db.client.execute("CREATE TABLE \"it's\" (a bigint)")
         assert db._table_size("it's") is not None
         assert db._read_table("it's").count() == 0
+        db.client.execute(
+            "INSERT INTO \"it's\" SELECT g FROM generate_series(1, 9000) g"
+        )
+        # 38 heap blocks -> one ctid range, but the DISTRIBUTED path
+        # (executor COPY-out + both regclass lookups) is what runs:
+        # the heap exceeds read_copy_bytes=16K
+        assert db._read_table("it's").count() == 9000
     finally:
         db.close()
 
@@ -947,11 +956,16 @@ def test_copy_and_driver_paths_store_identical_timestamps(
                     " i bigint, moment_tz timestamptz, moment_ntz timestamp)"
                 )
                 db.schema = db.get_schema()
+                # _known_count routes the 'driver' leg through the
+                # multi-row INSERT path (payload_bound <= threshold);
+                # without it the bound is unknown and BOTH legs would
+                # take the COPY path, comparing COPY with itself
                 db.insert(
                     flat.selectExpr(
                         "i", "moment AS moment_tz", "moment AS moment_ntz"
                     ),
                     table=f"ts_{label}",
+                    _known_count=4,
                 )
             finally:
                 db.close()
@@ -1019,7 +1033,7 @@ def test_scram_sha256_auth_full_lifecycle(spark: SparkSession) -> None:
         server.destroy()
 
 
-def test_md5_auth_connects(spark: SparkSession) -> None:
+def test_md5_auth_connects() -> None:
     """md5 password auth (legacy deployments) over the unix socket."""
     server = EmbeddedPostgres(
         port=54463, auth="md5", password="legacy"
@@ -1097,7 +1111,7 @@ def test_tls_scram_full_lifecycle(spark: SparkSession) -> None:
         server.destroy()
 
 
-def test_tls_refused_by_plain_server(pg: EmbeddedPostgres) -> None:
+def test_tls_refused_by_plain_server() -> None:
     """tls=True against a server without ssl=on errors clearly instead
     of silently downgrading to cleartext."""
     plain_tcp = EmbeddedPostgres(port=54465, tcp=True).start()
