@@ -1586,6 +1586,70 @@ def q_events_stream_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(compare_sql)
 
 
+def q_events_stream_postgres_autoload(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest into a LIVE PostgreSQL warehouse: the events
+    parquet replayed as a file stream, each micro-batch auto-loaded
+    through the wire-native sink via ``streaming.autoload_stream``
+    (foreachBatch → plan → idempotent insert → key merge; fact batches
+    above ``copy_threshold`` take the distributed COPY path).  A SECOND
+    stream over the same files with a FRESH checkpoint then replays
+    every batch — the sink's idempotency must make them all no-ops.
+    Returns the PostgreSQL-executed compare reconstruction, which must
+    equal the distinct input projection (the batch SQL oracle)."""
+    import tempfile
+
+    from sql_autoloader_spark.connectors.pgwire import EmbeddedPostgres
+    from sql_autoloader_spark.connectors.postgres import PostgresConnector
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    def stream():  # noqa: ANN202
+        return (
+            spark.readStream.schema(
+                "event_id bigint, event_type string, value double"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    with EmbeddedPostgres(port=54454) as pg:
+        db = PostgresConnector(
+            spark,
+            sock_dir=pg.sock_dir,
+            port=pg.port,
+            copy_threshold=1000,
+        )
+        db.execute_ddl(
+            """
+            CREATE TABLE sp_etype (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                event_type text UNIQUE
+            );
+            CREATE TABLE sp_event (
+                event_id bigint,
+                etype_id bigint REFERENCES sp_etype (id),
+                value double precision
+            );
+            """
+        )
+        for _ in range(2):  # second pass = full replay, must no-op
+            streaming.autoload_stream(
+                db, stream(), checkpoint_dir=tempfile.mkdtemp()
+            ).awaitTermination()
+        query = db.schema.get_compare_query(
+            ["event_id", "event_type", "value"], quote='"'
+        )
+        result = db._execute_compare_query(query)
+        result = spark.createDataFrame(result.collect(), result.schema)
+        db.close()
+    return result.select(
+        F.col("event_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+
+
 def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ``session_window`` with watermark eviction: per-user
     30-minute-gap sessions over the replayed events stream, append mode
@@ -3175,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Structured Streaming, verified against the batch SQL oracle
         "events_stream_hourly": q_events_stream_hourly,
         "events_stream_autoload": q_events_stream_autoload,
+        "events_stream_postgres_autoload": q_events_stream_postgres_autoload,
         "events_stream_sessions": q_events_stream_sessions,
         "events_stream_dedup": q_events_stream_dedup,
         "orders_grouping_sets": q_orders_grouping_sets,
@@ -4356,6 +4421,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(value AS DOUBLE) AS value
             FROM events
         """,
+        "events_stream_postgres_autoload": (
+            "SELECT DISTINCT event_id, event_type, value FROM events"
+        ),
         "events_stream_sessions": """
             WITH g AS (
                 SELECT user_id, ts,
