@@ -1,0 +1,131 @@
+"""Property tests for the PG wire codec — pure Python, no server, no
+Spark: these pin the algebra the live suite then checks against a real
+PostgreSQL (tests/test_postgres_live.py exercises the same functions
+through actual COPY round trips).
+
+- ``copy_text_parse ∘ copy_text_row = id`` over every value class the
+  lifecycle moves, including adversarial strings (tabs, newlines,
+  backslashes, a literal ``\\N``);
+- ``canonical_number`` is consistent across int/float/Decimal
+  representations of the same value and injective on distinct values.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sql_autoloader_spark.connectors.normalize import canonical_number
+from sql_autoloader_spark.connectors.pgwire import (
+    copy_text_parse,
+    copy_text_row,
+)
+
+#: (hypothesis strategy, wire OID) per column type; text uses OID 25
+#: (identity decode), NUL excluded (PostgreSQL cannot store it — the
+#: live tests own server-side semantics, this file owns the codec)
+_COLUMNS = [
+    (st.booleans(), 16),
+    (st.binary(max_size=64), 17),
+    (st.integers(min_value=-(2**63), max_value=2**63 - 1), 20),
+    (st.floats(allow_nan=False), 701),
+    (
+        st.dates(
+            min_value=datetime.date(1, 1, 1),
+            max_value=datetime.date(9999, 12, 31),
+        ),
+        1082,
+    ),
+    (
+        st.datetimes(
+            min_value=datetime.datetime(1, 1, 1),
+            max_value=datetime.datetime(9999, 12, 28),
+        ),
+        1114,
+    ),
+    (
+        st.datetimes(
+            min_value=datetime.datetime(2, 1, 1),
+            max_value=datetime.datetime(9998, 12, 28),
+            timezones=st.timezones(),
+        ),
+        1184,
+    ),
+    (
+        st.decimals(allow_nan=False, allow_infinity=False, places=8),
+        1700,
+    ),
+    (st.text(alphabet=st.characters(exclude_characters="\x00")), 25),
+]
+
+
+@st.composite
+def _row_and_oids(draw):  # noqa: ANN001, ANN202
+    cols = draw(
+        st.lists(st.sampled_from(_COLUMNS), min_size=1, max_size=6)
+    )
+    row = tuple(
+        draw(st.one_of(st.none(), strategy)) for strategy, _ in cols
+    )
+    return row, [oid for _, oid in cols]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_row_and_oids())
+def test_copy_codec_round_trips(case) -> None:
+    row, oids = case
+    line = copy_text_row(row)
+    assert line.endswith(b"\n")
+    got = copy_text_parse(line[:-1], oids)
+    assert got == row, (row, got)
+
+
+def test_copy_codec_adversarial_strings() -> None:
+    """The escape-bearing corner cases spelled out: a data tab must not
+    split cells, a data newline must not split rows, and a literal
+    backslash-N string must stay distinct from NULL."""
+    rows = [
+        ("a\tb", "c\nd", "e\\f"),
+        ("\\N", "", "\r\x0b\x0c"),
+        (None, "\\", "\t\t"),
+    ]
+    for row in rows:
+        got = copy_text_parse(copy_text_row(row)[:-1], [25, 25, 25])
+        assert got == row, (row, got)
+    # NULL and the two-character string '\N' encode differently
+    assert copy_text_row(("\\N",)) != copy_text_row((None,))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**70), max_value=2**70))
+def test_canonical_number_int_decimal_agree(n: int) -> None:
+    assert canonical_number(n) == canonical_number(Decimal(n))
+    if abs(n) <= 2**53:  # exactly representable as a double
+        assert canonical_number(n) == canonical_number(float(n))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False))
+def test_canonical_number_float_matches_its_shortest_decimal(
+    f: float,
+) -> None:
+    """A float and the Decimal a database mints from its shortest
+    round-trip text (what pg_literal sends) must agree."""
+    assert canonical_number(f) == canonical_number(Decimal(repr(f)))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.decimals(allow_nan=False, allow_infinity=False),
+    st.decimals(allow_nan=False, allow_infinity=False),
+)
+def test_canonical_number_injective_on_decimals(
+    a: Decimal, b: Decimal
+) -> None:
+    """Equal canonical strings iff equal values — the old float53
+    collapse violated exactly this (distinct high-precision decimals
+    mapped to one float)."""
+    assert (canonical_number(a) == canonical_number(b)) == (a == b)
