@@ -27,25 +27,30 @@ Postgres path promises runs for real:
   (reference postgres_connector.py:176-199), so a failed load leaves
   the database at its pre-block state.
 
-Positioning at scale: two physical write paths, chosen per payload.
-Small known payloads (dimension tables) move as driver-side multi-row
-INSERTs, exactly how the reference works.  Anything larger — or of
-unknown size, the scale-safe default — goes through the distributed
-COPY path: executors ``COPY`` DataFrame partitions concurrently into
-an unlogged staging table (PostgreSQL's fastest ingest primitive, N
-parallel streams), and one server-side null-safe anti-join +
-``ON CONFLICT DO NOTHING`` statement merges staging into the target,
-so no row ever crosses the driver.  On a real cluster executors dial
-the warehouse over TCP (``host=``); reads of big source tables would
-still belong on ``JDBCConnector``'s partitioned reads — this sink's
-reads are the lifecycle's own scans (key retrieval, compare), which
-are bounded by the dimension data the loader manages.
+Positioning at scale: the driver's single connection never carries
+table-sized traffic in either direction.
+
+- **Writes**: small known payloads (dimension tables) move as
+  driver-rendered ``VALUES`` lists, reference-shaped — but the
+  idempotency filter runs SERVER-side in the same statement (``WHERE
+  NOT EXISTS`` + ``ON CONFLICT``), so the target table is never read
+  back.  Anything larger — or of unknown size, the scale-safe default
+  — goes through the distributed COPY path: executors ``COPY``
+  DataFrame partitions concurrently into an unlogged staging table
+  (PostgreSQL's fastest ingest primitive, N parallel streams), and one
+  server-side null-safe anti-join + ``ON CONFLICT DO NOTHING``
+  statement merges staging into the target.
+- **Validation**: the generated compare's happy path is an in-database
+  checksum aggregate — eleven numbers cross the wire.
+- **Reads**: tables above ``read_copy_bytes`` stream out of the server
+  through executor-side ctid-ranged ``COPY ... TO STDOUT``.
+
+On a real cluster executors dial the warehouse over TCP (``host=``),
+with md5/SCRAM-SHA-256 auth and TLS when the deployment requires them.
 """
 
 from __future__ import annotations
 
-import datetime
-import decimal
 import itertools
 import logging
 import os
@@ -80,7 +85,6 @@ from sql_autoloader_spark.connectors.pgwire import (
     copy_text_row,
     pg_literal,
 )
-from sql_autoloader_spark.connectors.normalize import canonical_number
 from sql_autoloader_spark.exceptions import TransactionAbortedError
 from sql_autoloader_spark.ops import dataframe_ops as ops
 from sql_autoloader_spark.schema import ReferenceDict, TableDict
@@ -291,39 +295,6 @@ def _spark_type(oid: int, typmod: int) -> DataType:
         if 0 < precision <= 38 and scale <= precision:
             return DecimalType(precision, scale)
     return StringType()
-
-
-def _norm_cell(value: object) -> object:
-    """Canonical comparable form for the idempotency pre-filter: values
-    whose representation differs between a Spark ``collect`` and the
-    wire decode (aware vs naive timestamps, Decimal vs float text, NaN's
-    non-reflexive equality) map to one form so set membership means
-    value equality."""
-    if value is None:
-        return None
-    if isinstance(value, bool):
-        return value
-    if isinstance(value, float):
-        if value != value:
-            return "__nan__"
-        return canonical_number(value)
-    if isinstance(value, int):
-        return canonical_number(value)
-    if isinstance(value, decimal.Decimal):
-        if value.is_nan():
-            return "__nan__"
-        return canonical_number(value)
-    if isinstance(value, datetime.datetime):
-        if value.tzinfo is not None:
-            value = value.astimezone(datetime.timezone.utc).replace(
-                tzinfo=None
-            )
-        return str(value)
-    if isinstance(value, datetime.date):
-        return str(value)
-    if isinstance(value, bytearray):
-        return bytes(value)
-    return value
 
 
 class PostgresConnector(BaseConnector):
@@ -666,11 +637,18 @@ class PostgresConnector(BaseConnector):
            (postgres_connector.py:13-28).
 
         Physical strategy by payload size: at or below
-        ``copy_threshold`` known rows, the reference-shaped driver path
-        (collect + multi-row INSERT, pre-filter against a driver-side
-        set).  Above it — or when the size is unknown, the scale-safe
-        default — the distributed COPY path: nothing is ever collected
-        to the driver and both idempotency layers run server-side.
+        ``copy_threshold`` known rows, the driver path — the PAYLOAD is
+        collected and rendered into ``VALUES`` lists (reference-shaped,
+        postgres_connector.py executemany analogue), but BOTH
+        idempotency layers run server-side in the same statement
+        (``WHERE NOT EXISTS`` with ``IS NOT DISTINCT FROM`` + ``ON
+        CONFLICT``), so the TARGET table is never read: a 100-row
+        incremental load into a billion-row dimension moves 100 rows,
+        not the dimension.  Server-side comparison is also exact typed
+        equality — no driver-side value normalization can diverge from
+        the database's own semantics.  Above the threshold — or when
+        the size is unknown, the scale-safe default — the distributed
+        COPY path: nothing is ever collected to the driver either.
         """
         small = (
             payload_bound is not None
@@ -680,29 +658,25 @@ class PostgresConnector(BaseConnector):
             self._copy_write(table, new_rows, columns)
             return
         quoted = ", ".join(f'"{c}"' for c in columns)
-        existing = {
-            tuple(_norm_cell(v) for v in row)
-            for row in (self.client.query(
-                f'SELECT DISTINCT {quoted} FROM "{table}"'
-            ) or ResultSet()).rows
-        }
-        # collect under UTC so TimestampType crosses the boundary as the
-        # same UTC-naive wall clock the wire decode normalizes to (and
-        # that the connection's pinned 'SET TIME ZONE UTC' writes back)
+        # collect under UTC so TimestampType renders as the same UTC
+        # wall clock the connection's pinned 'SET TIME ZONE UTC' writes
         with ops.utc_session(self.spark):
             collected = new_rows.select(*columns).collect()
-        payload = [
-            row
-            for row in (tuple(r[c] for c in columns) for r in collected)
-            if tuple(_norm_cell(v) for v in row) not in existing
-        ]
+        payload = [tuple(r[c] for c in columns) for r in collected]
+        null_safe = " AND ".join(
+            f'__t."{c}" IS NOT DISTINCT FROM __v."{c}"' for c in columns
+        )
         for start in range(0, len(payload), _INSERT_BATCH):
             values = ", ".join(
                 "(" + ", ".join(pg_literal(v) for v in row) + ")"
                 for row in payload[start : start + _INSERT_BATCH]
             )
             self.client.execute(
-                f'INSERT INTO "{table}" ({quoted}) VALUES {values} '
+                f'INSERT INTO "{table}" ({quoted}) '
+                f"SELECT {quoted} FROM (VALUES {values}) "
+                f"AS __v ({quoted}) "
+                f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" AS __t '
+                f"WHERE {null_safe}) "
                 "ON CONFLICT DO NOTHING"
             )
 

@@ -1122,3 +1122,42 @@ def test_tls_refused_by_plain_server() -> None:
             )
     finally:
         plain_tcp.destroy()
+
+
+def test_driver_insert_path_never_reads_the_target(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """The small-payload driver INSERT path must move only the payload
+    over the lifecycle connection: its idempotency filter runs
+    server-side (WHERE NOT EXISTS — the old pre-filter SELECT
+    DISTINCTed the whole target through the driver first), and the
+    post-insert verification scan routes through the DISTRIBUTED read
+    above read_copy_bytes — so a standalone incremental insert into a
+    large table is driver-bounded end to end."""
+    server, name = pg_database
+    db = PostgresConnector(
+        spark,
+        sock_dir=server.sock_dir,
+        port=server.port,
+        database=name,
+        read_copy_bytes=64 << 10,  # the 20k-row table counts as big
+    )
+    try:
+        db.execute_ddl("CREATE TABLE big_dim (k bigint, v text)")
+        db.client.execute(
+            "INSERT INTO big_dim SELECT g, 'v' || g"
+            " FROM generate_series(1, 20000) g"
+        )
+        trickle = spark.createDataFrame(
+            [(20001, "new"), (1, "v1")], "k long, v string"
+        )
+        before = db.client.data_rows
+        db.insert(trickle, table="big_dim", _known_count=2)
+        assert db.client.data_rows - before < 10
+        (n,) = db.client.query("SELECT count(*) FROM big_dim").rows[0]
+        assert n == 20001  # (1,'v1') already present: filtered server-side
+        db.insert(trickle, table="big_dim", _known_count=2)  # reload: no-op
+        (n2,) = db.client.query("SELECT count(*) FROM big_dim").rows[0]
+        assert n2 == 20001
+    finally:
+        db.close()
