@@ -91,9 +91,11 @@ from sql_autoloader_spark.schema import ReferenceDict, TableDict
 
 logger = logging.getLogger("sql_autoloader_spark")
 
-#: rows per multi-row INSERT statement — amortizes wire round trips the
-#: way the reference's executemany batches psycopg binds
-_INSERT_BATCH = 500
+#: rows per multi-row INSERT statement — sized so the default
+#: ``copy_threshold`` payload fits ONE statement (= one linear
+#: hash-anti-join scan of the target for the whole insert); the
+#: reference's executemany batched at wire-bind granularity instead
+_INSERT_BATCH = 5000
 
 #: schema holding per-load staging tables for the distributed COPY
 #: path; outside 'public' so introspection (jdbc.PostgresDialect
@@ -663,9 +665,27 @@ class PostgresConnector(BaseConnector):
         with ops.utc_session(self.spark):
             collected = new_rows.select(*columns).collect()
         payload = [tuple(r[c] for c in columns) for r in collected]
-        null_safe = " AND ".join(
-            f'__t."{c}" IS NOT DISTINCT FROM __v."{c}"' for c in columns
-        )
+        # The anti-join condition must be HASHABLE: a plain
+        # ``IS NOT DISTINCT FROM`` conjunction plans as a Nested Loop
+        # Anti Join (O(payload × table) — measured 239 s for 100k rows
+        # into 100k), while md5-record EQUALITY hash-anti-joins in one
+        # linear scan of the target per statement.  record_out is the
+        # same canonical injective rendering (NULL-safe for free) the
+        # checksum compare trusts, at the same ~2^-128 bound; the
+        # VALUES side casts through the TARGET's declared column types
+        # so both sides render equal values identically.
+        types = {
+            row["attname"]: row["coltype"]
+            for row in self._rows(
+                "SELECT attname, format_type(atttypid, atttypmod) "
+                f"AS coltype FROM pg_attribute "
+                f"WHERE attrelid = {self._regclass(table)} "
+                "AND attnum > 0 AND NOT attisdropped"
+            )
+        }
+        t_row = ", ".join(f'__t."{c}"' for c in columns)
+        v_row = ", ".join(f'__v."{c}"::{types[c]}' for c in columns)
+        match = f"md5(ROW({t_row})::text) = md5(ROW({v_row})::text)"
         for start in range(0, len(payload), _INSERT_BATCH):
             values = ", ".join(
                 "(" + ", ".join(pg_literal(v) for v in row) + ")"
@@ -676,7 +696,7 @@ class PostgresConnector(BaseConnector):
                 f"SELECT {quoted} FROM (VALUES {values}) "
                 f"AS __v ({quoted}) "
                 f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" AS __t '
-                f"WHERE {null_safe}) "
+                f"WHERE {match}) "
                 "ON CONFLICT DO NOTHING"
             )
 
