@@ -643,7 +643,7 @@ class PostgresConnector(BaseConnector):
         collected and rendered into ``VALUES`` lists (reference-shaped,
         postgres_connector.py executemany analogue), but BOTH
         idempotency layers run server-side in the same statement
-        (``WHERE NOT EXISTS`` with ``IS NOT DISTINCT FROM`` + ``ON
+        (a hashable ``WHERE NOT EXISTS`` anti-join + ``ON
         CONFLICT``), so the TARGET table is never read: a 100-row
         incremental load into a billion-row dimension moves 100 rows,
         not the dimension.  Server-side comparison is also exact typed
@@ -708,13 +708,14 @@ class PostgresConnector(BaseConnector):
         then ONE server-side statement merges it into *table* —
 
         ``INSERT … SELECT DISTINCT … FROM staging s WHERE NOT EXISTS
-        (SELECT 1 FROM table t WHERE t.c IS NOT DISTINCT FROM s.c …)
-        ON CONFLICT DO NOTHING``
+        (SELECT 1 FROM table t WHERE md5(ROW(t.…)::text) =
+        md5(ROW(s.…)::text)) ON CONFLICT DO NOTHING``
 
-        — the same two idempotency layers as the driver path
-        (``IS NOT DISTINCT FROM`` is the server-side spelling of the
-        null-safe pre-filter; real constraints still arbitrate genuine
-        conflicts).  No row ever crosses the driver.
+        — the same two idempotency layers as the driver path (the
+        md5-record equality is the HASHABLE null-safe spelling of the
+        pre-filter — see the comment at the statement; real
+        constraints still arbitrate genuine conflicts).  No row ever
+        crosses the driver.
 
         Transactional shape (SURVEY §7.4 stage-validate-swap): staging
         lives in its own schema, created and COPY'd over autocommit
