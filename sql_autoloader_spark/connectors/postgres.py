@@ -665,27 +665,14 @@ class PostgresConnector(BaseConnector):
         with ops.utc_session(self.spark):
             collected = new_rows.select(*columns).collect()
         payload = [tuple(r[c] for c in columns) for r in collected]
-        # The anti-join condition must be HASHABLE: a plain
-        # ``IS NOT DISTINCT FROM`` conjunction plans as a Nested Loop
-        # Anti Join (O(payload × table) — measured 239 s for 100k rows
-        # into 100k), while md5-record EQUALITY hash-anti-joins in one
-        # linear scan of the target per statement.  record_out is the
-        # same canonical injective rendering (NULL-safe for free) the
-        # checksum compare trusts, at the same ~2^-128 bound; the
-        # VALUES side casts through the TARGET's declared column types
-        # so both sides render equal values identically.
-        types = {
-            row["attname"]: row["coltype"]
-            for row in self._rows(
-                "SELECT attname, format_type(atttypid, atttypmod) "
-                f"AS coltype FROM pg_attribute "
-                f"WHERE attrelid = {self._regclass(table)} "
-                "AND attnum > 0 AND NOT attisdropped"
-            )
-        }
-        t_row = ", ".join(f'__t."{c}"' for c in columns)
-        v_row = ", ".join(f'__v."{c}"::{types[c]}' for c in columns)
-        match = f"md5(ROW({t_row})::text) = md5(ROW({v_row})::text)"
+        # The null-safe already-present filter is ``EXCEPT``: exact SQL
+        # VALUE equality (numeric 1.5 ≡ 1.50, float -0 ≡ 0, NULLs not
+        # distinct — semantics a rendered-text or driver-side
+        # normalization can only approximate) that PostgreSQL executes
+        # as a linear HashSetOp.  A hand-rolled ``NOT EXISTS`` with
+        # ``IS NOT DISTINCT FROM`` has the same semantics but CANNOT
+        # hash — it plans as a Nested Loop Anti Join, O(payload ×
+        # table), measured 239 s where this shape takes 5 s.
         for start in range(0, len(payload), _INSERT_BATCH):
             values = ", ".join(
                 "(" + ", ".join(pg_literal(v) for v in row) + ")"
@@ -693,10 +680,10 @@ class PostgresConnector(BaseConnector):
             )
             self.client.execute(
                 f'INSERT INTO "{table}" ({quoted}) '
-                f"SELECT {quoted} FROM (VALUES {values}) "
-                f"AS __v ({quoted}) "
-                f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" AS __t '
-                f"WHERE {match}) "
+                f"SELECT {quoted} FROM ("
+                f"SELECT {quoted} FROM (VALUES {values}) AS __v ({quoted}) "
+                f'EXCEPT SELECT {quoted} FROM "{table}"'
+                ") AS __new "
                 "ON CONFLICT DO NOTHING"
             )
 
@@ -707,12 +694,11 @@ class PostgresConnector(BaseConnector):
         *new_rows* concurrently into a fresh unlogged staging table,
         then ONE server-side statement merges it into *table* —
 
-        ``INSERT … SELECT DISTINCT … FROM staging s WHERE NOT EXISTS
-        (SELECT 1 FROM table t WHERE md5(ROW(t.…)::text) =
-        md5(ROW(s.…)::text)) ON CONFLICT DO NOTHING``
+        ``INSERT … SELECT … FROM (staging EXCEPT SELECT … FROM table)
+        ON CONFLICT DO NOTHING``
 
-        — the same two idempotency layers as the driver path (the
-        md5-record equality is the HASHABLE null-safe spelling of the
+        — the same two idempotency layers as the driver path (EXCEPT
+        is the HASHABLE exact-value null-safe spelling of the
         pre-filter — see the comment at the statement; real
         constraints still arbitrate genuine conflicts).  No row ever
         crosses the driver.
@@ -733,22 +719,20 @@ class PostgresConnector(BaseConnector):
             like_sql=f'SELECT {quoted} FROM "{table}"',
             prefix=f"stage_{table}",
         )
-        # The null-safe anti-join must be HASHABLE: an ``IS NOT
-        # DISTINCT FROM`` conjunction cannot hash in PostgreSQL and
-        # plans the merge as a Nested Loop Anti Join — O(staging ×
-        # target), a 10,000× plan-cost blowup already at 100k × 100k
-        # (EXPLAIN-verified).  md5-record equality is the canonical
-        # injective rendering the checksum compare trusts (NULL-safe
-        # for free; staging's column types are CLONED from the target,
-        # so equal values render identically on both sides) and
-        # hash-anti-joins in one linear pass of each relation.
-        t_row = ", ".join(f't."{c}"' for c in columns)
-        s_row = ", ".join(f's."{c}"' for c in columns)
-        match = f"md5(ROW({t_row})::text) = md5(ROW({s_row})::text)"
+        # The null-safe already-present filter is ``EXCEPT``: exact SQL
+        # VALUE equality with set semantics (it also dedups staging, so
+        # no separate DISTINCT), executed as a linear HashSetOp.  A
+        # hand-rolled ``NOT EXISTS`` with ``IS NOT DISTINCT FROM`` has
+        # the same semantics but CANNOT hash — it plans the merge as a
+        # Nested Loop Anti Join, O(staging × target): a 10,000× plan-
+        # cost blowup already at 100k × 100k (EXPLAIN-verified), i.e.
+        # every incremental fact load would go quadratic.
         self.client.execute(
             f'INSERT INTO "{table}" ({quoted}) '
-            f"SELECT DISTINCT {quoted} FROM {qualified} s "
-            f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" t WHERE {match}) '
+            f"SELECT {quoted} FROM ("
+            f"SELECT {quoted} FROM {qualified} "
+            f'EXCEPT SELECT {quoted} FROM "{table}"'
+            ") AS __new "
             "ON CONFLICT DO NOTHING"
         )
         # transactional: rolls back with the block, in which case the

@@ -1161,3 +1161,41 @@ def test_driver_insert_path_never_reads_the_target(
         assert n2 == 20001
     finally:
         db.close()
+
+
+def test_value_equal_render_distinct_rows_filtered(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """The idempotency filter must use SQL VALUE equality, not rendered
+    text: numeric 1.50 equals the stored 1.5 and float -0.0 equals 0.0
+    even though their texts differ — reloading them through EITHER
+    write path must not grow a constraint-less table (a rendered-hash
+    filter treats them as new rows)."""
+    server, name = pg_database
+    for label, threshold in (("driver", 10_000), ("copy", 0)):
+        db = PostgresConnector(
+            spark,
+            sock_dir=server.sock_dir,
+            port=server.port,
+            database=name,
+            copy_threshold=threshold,
+        )
+        try:
+            db.execute_ddl(
+                f"CREATE TABLE rv_{label} (v numeric, f double precision)"
+            )
+            db.client.execute(
+                f"INSERT INTO rv_{label} VALUES (1.5, 0.0)"
+            )
+            db.schema = db.get_schema()
+            reload_frame = spark.sql(
+                "SELECT CAST(1.50 AS DECIMAL(10,2)) AS v,"
+                " CAST(-0.0 AS DOUBLE) AS f"
+            )
+            db.insert(reload_frame, table=f"rv_{label}", _known_count=1)
+            (n,) = db.client.query(
+                f"SELECT count(*) FROM rv_{label}"
+            ).rows[0]
+            assert n == 1, (label, n)
+        finally:
+            db.close()
