@@ -1640,8 +1640,8 @@ def q_events_stream_postgres_autoload(
         query = db.schema.get_compare_query(
             ["event_id", "event_type", "value"], quote='"'
         )
+        # already driver-local (wire-decoded rows) — no server dependency
         result = db._execute_compare_query(query)
-        result = spark.createDataFrame(result.collect(), result.schema)
         db.close()
     return result.select(
         F.col("event_id").cast("long"),
@@ -2074,12 +2074,9 @@ def q_load_star_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
         with db:
             db.load(flat)
         query = db.schema.get_compare_query(["name", "region"], quote='"')
+        # the frame is createDataFrame-backed over wire-decoded rows —
+        # already driver-local, no dependency on the departing server
         result = db._execute_compare_query(query)
-        # materialize before the server goes away — the frame's rows are
-        # already driver-side (wire read), createDataFrame-backed
-        result = spark.createDataFrame(
-            result.collect(), "name string, region string"
-        )
         db.close()
     return result
 
@@ -2127,10 +2124,9 @@ def q_load_events_postgres_copy(
         query = db.schema.get_compare_query(
             ["event_id", "event_type", "value"], quote='"'
         )
+        # the frame is createDataFrame-backed over wire-decoded rows —
+        # already driver-local, no dependency on the departing server
         result = db._execute_compare_query(query)
-        # materialize before the server goes away (generated column
-        # order is the planner's, so keep the frame's own schema)
-        result = spark.createDataFrame(result.collect(), result.schema)
         db.close()
     return result.select(
         F.col("event_id").cast("long"),

@@ -702,6 +702,13 @@ def test_autoload_stream_into_postgres(
         db = PostgresConnector(
             spark, sock_dir=server.sock_dir, port=server.port
         )
+        try:
+            _run_pg_autoload(spark, db, src, tmp_path)
+        finally:
+            db.close()
+
+
+def _run_pg_autoload(spark, db, src, tmp_path):  # noqa: ANN001, ANN202
         db.execute_ddl(
             """
             CREATE TABLE sp_brand (
@@ -739,5 +746,5 @@ def test_autoload_stream_into_postgres(
                 " JOIN sp_brand b ON c.brand_id = b.id"
             ).rows
         }
-        assert got == {tuple(r) for r in flat.collect()}
-        db.close()
+        flat_again = spark.read.parquet(src)
+        assert got == {tuple(r) for r in flat_again.collect()}

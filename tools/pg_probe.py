@@ -77,8 +77,6 @@ def main() -> None:
         print(f"  {label:46s} {time.time() - t0:7.2f}s")
         return out
 
-    results: dict[str, float] = {}
-
     def bench(server, label, **kwargs):  # noqa: ANN001, ANN003, ANN202
         server.createdb(label)
         db = PostgresConnector(
@@ -96,7 +94,6 @@ def main() -> None:
         wall = time.time() - t0
         rows = db.client.data_rows - before
         print(f"  {label:30s} {wall:7.2f}s  driver DataRows: {rows}")
-        results[label] = wall
         return db
 
     with EmbeddedPostgres(port=54470) as server:
@@ -138,7 +135,7 @@ def main() -> None:
             f"  driver DataRows: {db2.client.data_rows - before}"
         )
         # driver VALUES-INSERT write (threshold above the fact size)
-        bench(server, "driver_write_checksum", copy_threshold=n + 1)
+        db3 = bench(server, "driver_write_checksum", copy_threshold=n + 1)
 
         # -- read: distributed ctid ranges vs driver SELECT * --------------
         fact_bytes = db._table_size("pp_event")
@@ -150,7 +147,7 @@ def main() -> None:
             "read distributed ctid COPY-out",
             lambda: db._read_table("pp_event").count(),
         )
-        for conn in (db, db2):
+        for conn in (db, db2, db3):
             conn.close()
 
 
