@@ -54,7 +54,14 @@ spark.sql(f"CREATE DATABASE IF NOT EXISTS xdb LOCATION '{db_location}'")
 
 def barrier_wait():
     open(f"{barrier}/ready_{tag}", "w").close()
+    # DEADLINE, not an infinite spin: if the parent dies before writing
+    # 'go' (pytest timeout/kill), an orphaned child must exit rather
+    # than idle its Spark JVM forever (observed: orphans from killed
+    # runs surviving for hours and loading the host)
+    deadline = time.time() + 600
     while not os.path.exists(f"{barrier}/go"):
+        if time.time() > deadline:
+            sys.exit(3)
         time.sleep(0.05)
 """
 
