@@ -643,7 +643,7 @@ class PostgresConnector(BaseConnector):
         collected and rendered into ``VALUES`` lists (reference-shaped,
         postgres_connector.py executemany analogue), but BOTH
         idempotency layers run server-side in the same statement
-        (a hashable ``WHERE NOT EXISTS`` anti-join + ``ON
+        (a hashable ``EXCEPT`` set difference + ``ON
         CONFLICT``), so the TARGET table is never read: a 100-row
         incremental load into a billion-row dimension moves 100 rows,
         not the dimension.  Server-side comparison is also exact typed
@@ -672,7 +672,24 @@ class PostgresConnector(BaseConnector):
         # as a linear HashSetOp.  A hand-rolled ``NOT EXISTS`` with
         # ``IS NOT DISTINCT FROM`` has the same semantics but CANNOT
         # hash — it plans as a Nested Loop Anti Join, O(payload ×
-        # table), measured 239 s where this shape takes 5 s.
+        # table), measured 239 s where this shape takes 5 s.  The
+        # VALUES branch casts each column through the TARGET's declared
+        # type: bare literals for uuid/enum/inet/... columns resolve to
+        # text otherwise, and EXCEPT (unlike INSERT) refuses to match
+        # text against them ('EXCEPT types text and uuid cannot be
+        # matched', live-verified).
+        types = {
+            row["attname"]: row["coltype"]
+            for row in self._rows(
+                "SELECT attname, format_type(atttypid, atttypmod) "
+                f"AS coltype FROM pg_attribute "
+                f"WHERE attrelid = {self._regclass(table)} "
+                "AND attnum > 0 AND NOT attisdropped"
+            )
+        }
+        casted = ", ".join(
+            f'__v."{c}"::{types[c]} AS "{c}"' for c in columns
+        )
         for start in range(0, len(payload), _INSERT_BATCH):
             values = ", ".join(
                 "(" + ", ".join(pg_literal(v) for v in row) + ")"
@@ -681,7 +698,7 @@ class PostgresConnector(BaseConnector):
             self.client.execute(
                 f'INSERT INTO "{table}" ({quoted}) '
                 f"SELECT {quoted} FROM ("
-                f"SELECT {quoted} FROM (VALUES {values}) AS __v ({quoted}) "
+                f"SELECT {casted} FROM (VALUES {values}) AS __v ({quoted}) "
                 f'EXCEPT SELECT {quoted} FROM "{table}"'
                 ") AS __new "
                 "ON CONFLICT DO NOTHING"

@@ -1187,7 +1187,6 @@ def test_value_equal_render_distinct_rows_filtered(
             db.client.execute(
                 f"INSERT INTO rv_{label} VALUES (1.5, 0.0)"
             )
-            db.schema = db.get_schema()
             reload_frame = spark.sql(
                 "SELECT CAST(1.50 AS DECIMAL(10,2)) AS v,"
                 " CAST(-0.0 AS DOUBLE) AS f"
@@ -1199,3 +1198,33 @@ def test_value_equal_render_distinct_rows_filtered(
             assert n == 1, (label, n)
         finally:
             db.close()
+
+
+def test_driver_insert_into_exotic_column_types(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """The VALUES-path filter must cast through the target's declared
+    types: bare string literals resolve to text, and EXCEPT (unlike
+    INSERT) refuses to match text against uuid/enum/inet columns.
+    Idempotency must hold for them too."""
+    db = _connector(spark, pg_database)
+    try:
+        db.client.execute("CREATE TYPE mood AS ENUM ('happy', 'sad')")
+        db.execute_ddl(
+            "CREATE TABLE exotic (u uuid, m mood, ip inet)"
+        )
+        frame = spark.createDataFrame(
+            [
+                ("550e8400-e29b-41d4-a716-446655440000", "happy", "10.0.0.1"),
+                ("6fa459ea-ee8a-3ca4-894e-db77e160355e", "sad", "::1"),
+            ],
+            "u string, m string, ip string",
+        )
+        db.insert(frame, table="exotic", _known_count=2)
+        (n,) = db.client.query("SELECT count(*) FROM exotic").rows[0]
+        assert n == 2
+        db.insert(frame, table="exotic", _known_count=2)  # reload: no-op
+        (n2,) = db.client.query("SELECT count(*) FROM exotic").rows[0]
+        assert n2 == 2
+    finally:
+        db.close()
