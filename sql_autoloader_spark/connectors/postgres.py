@@ -665,30 +665,31 @@ class PostgresConnector(BaseConnector):
         with ops.utc_session(self.spark):
             collected = new_rows.select(*columns).collect()
         payload = [tuple(r[c] for c in columns) for r in collected]
-        # The null-safe already-present filter is ``EXCEPT``: exact SQL
-        # VALUE equality (numeric 1.5 ≡ 1.50, float -0 ≡ 0, NULLs not
-        # distinct — semantics a rendered-text or driver-side
-        # normalization can only approximate) that PostgreSQL executes
-        # as a linear HashSetOp.  A hand-rolled ``NOT EXISTS`` with
-        # ``IS NOT DISTINCT FROM`` has the same semantics but CANNOT
-        # hash — it plans as a Nested Loop Anti Join, O(payload ×
-        # table), measured 239 s where this shape takes 5 s.  The
-        # VALUES branch casts each column through the TARGET's declared
-        # type: bare literals for uuid/enum/inet/... columns resolve to
-        # text otherwise, and EXCEPT (unlike INSERT) refuses to match
-        # text against them ('EXCEPT types text and uuid cannot be
-        # matched', live-verified).
-        types = {
-            row["attname"]: row["coltype"]
-            for row in self._rows(
-                "SELECT attname, format_type(atttypid, atttypmod) "
-                f"AS coltype FROM pg_attribute "
-                f"WHERE attrelid = {self._regclass(table)} "
-                "AND attnum > 0 AND NOT attisdropped"
-            )
-        }
-        casted = ", ".join(
-            f'__v."{c}"::{types[c]} AS "{c}"' for c in columns
+        if not payload:
+            return
+        # The payload lands first in a SESSION-TEMP table typed like the
+        # target (CTAS WITH NO DATA clones exact typmods), so literals
+        # take ASSIGNMENT casts — a value too long for varchar(n) errors
+        # exactly like a plain INSERT or the COPY path would, where an
+        # explicit ::cast would silently truncate; bare literals for
+        # uuid/enum/inet columns resolve to the landing types with no
+        # catalog machinery.  The null-safe already-present filter is
+        # then a type-exact ``EXCEPT``: exact SQL VALUE equality
+        # (numeric 1.5 ≡ 1.50, float -0 ≡ 0, NULLs not distinct —
+        # semantics a rendered-text or driver-side normalization can
+        # only approximate) that PostgreSQL executes as a linear
+        # HashSetOp.  A hand-rolled ``NOT EXISTS`` with ``IS NOT
+        # DISTINCT FROM`` has the same semantics but CANNOT hash — it
+        # plans as a Nested Loop Anti Join, O(payload × table),
+        # measured 239 s where this shape takes ~4 s.  The temp table
+        # is per-connection (each connector owns its driver
+        # connection), joins the surrounding transaction's fate, and is
+        # dropped eagerly on the happy path.
+        tmp = 'pg_temp."__al_values"'
+        self.client.execute(f"DROP TABLE IF EXISTS {tmp}")
+        self.client.execute(
+            f'CREATE TEMP TABLE "__al_values" AS '
+            f'SELECT {quoted} FROM "{table}" WITH NO DATA'
         )
         for start in range(0, len(payload), _INSERT_BATCH):
             values = ", ".join(
@@ -696,13 +697,17 @@ class PostgresConnector(BaseConnector):
                 for row in payload[start : start + _INSERT_BATCH]
             )
             self.client.execute(
-                f'INSERT INTO "{table}" ({quoted}) '
-                f"SELECT {quoted} FROM ("
-                f"SELECT {casted} FROM (VALUES {values}) AS __v ({quoted}) "
-                f'EXCEPT SELECT {quoted} FROM "{table}"'
-                ") AS __new "
-                "ON CONFLICT DO NOTHING"
+                f"INSERT INTO {tmp} ({quoted}) VALUES {values}"
             )
+        self.client.execute(
+            f'INSERT INTO "{table}" ({quoted}) '
+            f"SELECT {quoted} FROM ("
+            f"SELECT {quoted} FROM {tmp} "
+            f'EXCEPT SELECT {quoted} FROM "{table}"'
+            ") AS __new "
+            "ON CONFLICT DO NOTHING"
+        )
+        self.client.execute(f"DROP TABLE {tmp}")
 
     def _copy_write(
         self, table: str, new_rows: DataFrame, columns: list[str]

@@ -1228,3 +1228,31 @@ def test_driver_insert_into_exotic_column_types(
         assert n2 == 2
     finally:
         db.close()
+
+
+def test_overlong_varchar_raises_not_truncates(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """A value too long for varchar(n) must raise PostgreSQL's own
+    'value too long' error through BOTH write paths — never silently
+    truncate (an explicit ::varchar(n) cast would)."""
+    server, name = pg_database
+    for label, threshold in (("driver", 10_000), ("copy", 0)):
+        db = PostgresConnector(
+            spark,
+            sock_dir=server.sock_dir,
+            port=server.port,
+            database=name,
+            copy_threshold=threshold,
+        )
+        try:
+            db.execute_ddl(f"CREATE TABLE vc_{label} (v varchar(5))")
+            frame = spark.createDataFrame([("abcdefgh",)], "v string")
+            with pytest.raises(Exception, match="too long|SparkException"):
+                db.insert(frame, table=f"vc_{label}", _known_count=1)
+            (n,) = db.client.query(
+                f"SELECT count(*) FROM vc_{label}"
+            ).rows[0]
+            assert n == 0  # nothing truncated-and-inserted
+        finally:
+            db.close()
