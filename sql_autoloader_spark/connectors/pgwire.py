@@ -66,10 +66,63 @@ __all__ = [
     "PGWireClient",
     "PGWireError",
     "ResultSet",
+    "UnstorableTextError",
     "copy_text_parse",
     "copy_text_row",
     "pg_literal",
 ]
+
+
+class UnstorableTextError(ValueError):
+    """A Python ``str`` contains a lone UTF-16 surrogate
+    (U+D800–U+DFFF), which has NO UTF-8 encoding — PostgreSQL cannot
+    store such a value in text at all, in any client.  The codec
+    rejects it eagerly with value context instead of letting the
+    ``.encode()`` die mid-COPY on an executor with staging already
+    created and an opaque ``UnicodeEncodeError``.  Callers that know
+    the column layout (the COPY writer, the VALUES renderer) re-raise
+    with the column name attached.  Callers who want the value anyway
+    must scrub it first (e.g. ``errors='replace'`` re-decode) — a
+    silent pass-through cannot exist, so the contract is loud.
+
+    Attributes: ``cell_index`` (position in the offending row, or None
+    when raised for a scalar) and ``value`` (the offending string).
+    """
+
+    def __init__(
+        self,
+        message: str,
+        *,
+        cell_index: int | None = None,
+        value: str | None = None,
+    ) -> None:
+        super().__init__(message)
+        self.cell_index = cell_index
+        self.value = value
+
+
+def _surrogate_error(
+    values: tuple, exc: UnicodeEncodeError
+) -> UnstorableTextError:
+    """Locate which cell of *values* carries the lone surrogate and
+    build the descriptive rejection."""
+    for i, v in enumerate(values):
+        if isinstance(v, str):
+            try:
+                v.encode()
+            except UnicodeEncodeError:
+                snippet = v.encode("utf-8", "backslashreplace")[:80]
+                return UnstorableTextError(
+                    f"cell {i} contains a lone UTF-16 surrogate "
+                    f"(U+{ord(exc.object[exc.start]):04X}): "
+                    f"{snippet!r} — PostgreSQL cannot store lone "
+                    "surrogates in UTF-8 text; scrub or drop the value "
+                    "before loading",
+                    cell_index=i,
+                    value=v,
+                )
+    # unreachable for well-formed input, but never mask the original
+    return UnstorableTextError(str(exc))
 
 
 class PGWireError(Exception):
@@ -164,6 +217,17 @@ def pg_literal(value: object) -> str:
     if isinstance(value, datetime.date):
         return f"'{value.isoformat()}'::date"
     if isinstance(value, str):
+        try:  # reject here, not in the statement's wire encode
+            value.encode()
+        except UnicodeEncodeError as exc:
+            snippet = value.encode("utf-8", "backslashreplace")[:80]
+            raise UnstorableTextError(
+                "string literal contains a lone UTF-16 surrogate "
+                f"(U+{ord(exc.object[exc.start]):04X}): {snippet!r} — "
+                "PostgreSQL cannot store lone surrogates in UTF-8 "
+                "text; scrub or drop the value before loading",
+                value=value,
+            ) from None
         escaped = value.replace("'", "''")
         return f"'{escaped}'"
     msg = f"no SQL literal rendering for {type(value).__name__}"
@@ -205,13 +269,22 @@ def _copy_text_cell(value: object) -> str:
 
 def copy_text_row(values: tuple) -> bytes:
     r"""One COPY text-format line: tab-separated cells, ``\N`` for
-    NULL, newline-terminated.  UTF-8 encoded, ready for CopyData."""
-    return (
+    NULL, newline-terminated.  UTF-8 encoded, ready for CopyData.
+
+    Raises :class:`UnstorableTextError` when a cell carries a lone
+    UTF-16 surrogate (hot path pays nothing: the check is the encode
+    itself, and the cell hunt runs only on the failure path).
+    """
+    line = (
         "\t".join(
             "\\N" if v is None else _copy_text_cell(v) for v in values
         )
         + "\n"
-    ).encode()
+    )
+    try:
+        return line.encode()
+    except UnicodeEncodeError as exc:
+        raise _surrogate_error(values, exc) from None
 
 
 #: COPY text-format output escapes (what the server EMITS; octal/hex

@@ -81,6 +81,7 @@ from sql_autoloader_spark.connectors.pgwire import (
     PGWireClient,
     PGWireError,
     ResultSet,
+    UnstorableTextError,
     copy_text_parse,
     copy_text_row,
     pg_literal,
@@ -216,6 +217,21 @@ def _checksum_compare_sql(staging: str, quoted: str, query: str) -> str:
     """
 
 
+def _render_values_row(row: tuple, columns: list[str]) -> str:
+    """One parenthesized VALUES tuple, naming the column on an
+    :class:`UnstorableTextError` so the driver-path rejection is as
+    actionable as the COPY path's."""
+    parts = []
+    for col, v in zip(columns, row):
+        try:
+            parts.append(pg_literal(v))
+        except UnstorableTextError as exc:
+            raise UnstorableTextError(
+                f'column "{col}": {exc}', value=exc.value
+            ) from None
+    return "(" + ", ".join(parts) + ")"
+
+
 def _copy_partition_writer(
     host: str | None,
     sock_dir: str | None,
@@ -226,6 +242,7 @@ def _copy_partition_writer(
     tls: bool,
     tls_ca: str | None,
     copy_sql: str,
+    columns: list[str],
 ):
     """Build the ``foreachPartition`` task for the distributed COPY
     path.  Captures only plain connect parameters (picklable); each
@@ -265,6 +282,17 @@ def _copy_partition_writer(
             )
             client.execute(_AUX_SESSION_SETUP)
             client.copy_in(copy_sql, itertools.chain([first], gen))
+        except UnstorableTextError as exc:
+            # name the column so the task failure is actionable
+            named = (
+                f'column "{columns[exc.cell_index]}": {exc}'
+                if exc.cell_index is not None
+                and exc.cell_index < len(columns)
+                else str(exc)
+            )
+            raise UnstorableTextError(
+                named, cell_index=exc.cell_index, value=exc.value
+            ) from None
         finally:
             if client is not None:
                 client.close()
@@ -693,7 +721,7 @@ class PostgresConnector(BaseConnector):
         )
         for start in range(0, len(payload), _INSERT_BATCH):
             values = ", ".join(
-                "(" + ", ".join(pg_literal(v) for v in row) + ")"
+                _render_values_row(row, columns)
                 for row in payload[start : start + _INSERT_BATCH]
             )
             self.client.execute(
@@ -814,6 +842,7 @@ class PostgresConnector(BaseConnector):
                 conn["tls"],
                 conn["tls_ca"],
                 f"COPY {qualified} ({quoted}) FROM STDIN",
+                list(columns),
             )
         )
         return qualified, stage

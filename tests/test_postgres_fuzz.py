@@ -55,8 +55,15 @@ _cell = {
     "n": st.decimals(
         allow_nan=False, allow_infinity=False, places=10
     ).filter(lambda v: abs(v) < Decimal("1e28")),
+    # NUL excluded (PostgreSQL rejects it server-side); lone UTF-16
+    # surrogates excluded from the ROUND-TRIP strategy because the
+    # codec contract REJECTS them typed before the wire — that branch
+    # has its own live test below (test_surrogate_payload_rejected).
     "s": st.text(
-        alphabet=st.characters(exclude_characters="\x00"), max_size=20
+        alphabet=st.characters(
+            exclude_characters="\x00", exclude_categories=("Cs",)
+        ),
+        max_size=20,
     ),
     "b": st.booleans(),
     "ts": st.datetimes(
@@ -138,3 +145,49 @@ def test_double_write_matches_sql_distinct(
     ).rows[0]
     (got,) = db.client.query(f"SELECT count(*) FROM {filtered}").rows[0]
     assert got == expected, (label, payload)
+
+
+def test_surrogate_payload_rejected(fuzz_db) -> None:  # noqa: ANN001
+    """A lone UTF-16 surrogate is unstorable in PostgreSQL UTF-8 text,
+    so the wire client's two write surfaces reject it with the typed
+    error BEFORE anything hits the wire, and the table stays empty.
+
+    DataFrame-sourced payloads cannot carry the value at all: Spark's
+    Python→JVM boundary replaces lone surrogates with U+FFFD (verified
+    — ``createDataFrame`` then ``collect``/``foreachPartition`` yields
+    the replacement character), so the codec contract guards the wire
+    client's DIRECT API (``pg_literal`` statement rendering and
+    ``copy_in`` lines), which tools and the connector's internals use
+    with Python-sourced values."""
+    from sql_autoloader_spark.connectors.pgwire import (
+        UnstorableTextError,
+        copy_text_row,
+    )
+
+    db, label = fuzz_db
+    filtered = f"filtered_{label}"
+    db.client.execute(f"DELETE FROM {filtered}")
+    bad = "bad \ud800 cell"
+    # statement path: rejected at literal-render time
+    with pytest.raises(UnstorableTextError) as err:
+        db.client.execute(
+            f"INSERT INTO {filtered} (s) VALUES ({pg_literal(bad)})"
+        )
+    assert "surrogate" in str(err.value)
+    # COPY path: the producer raises MID-STREAM (after a good line);
+    # copy_in aborts with CopyFail, drains to ReadyForQuery, and the
+    # atomic COPY lands nothing — connection stays usable after
+    def bad_chunks():  # noqa: ANN202
+        yield copy_text_row(("fine",))
+        yield copy_text_row((bad,))
+
+    with pytest.raises(UnstorableTextError):
+        db.client.copy_in(f"COPY {filtered} (s) FROM STDIN", bad_chunks())
+    (count,) = db.client.query(
+        f"SELECT count(*) FROM {filtered}"
+    ).rows[0]
+    assert count == 0
+    # and the DataFrame boundary's own scrub: the value a frame
+    # delivers is ALREADY replacement-charactered, hence storable
+    frame = db.spark.createDataFrame([(bad,)], "s string")
+    assert frame.collect()[0].s == "bad � cell"
