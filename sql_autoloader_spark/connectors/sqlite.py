@@ -104,7 +104,12 @@ def _norm_cell(value: object) -> object:
     if value is None:
         return None
     if isinstance(value, bool):
-        return int(value)
+        # sqlite stores bools as INTEGER 0/1, and the readback int
+        # routes through canonical_number below — the payload side must
+        # land on the SAME form or a bool column defeats the
+        # idempotency pre-filter and every re-load duplicates
+        # constraint-less tables
+        return canonical_number(int(value))
     if isinstance(value, float):
         if value != value:
             return "__nan__"

@@ -273,6 +273,30 @@ def test_idempotent_reload_constraintless_datetime_table(spark) -> None:
     assert count == 2
 
 
+def test_idempotent_reload_constraintless_bool_table(spark) -> None:
+    """Payload bools normalize to the SAME canonical form as their
+    INTEGER readback (advice round 10): before the fix, _norm_cell(True)
+    was the int 1 while the readback normalized to the string '1', so a
+    bool column made the pre-filter never match and every re-load
+    duplicated constraint-less tables."""
+    from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
+
+    db = SQLiteConnector(spark)
+    db.execute_ddl("CREATE TABLE flags (active BOOLEAN, note TEXT);")
+    data = spark.createDataFrame(
+        [(True, "a"), (False, "b"), (None, "c")],
+        "active boolean, note string",
+    )
+    with db:
+        db.insert(data, table="flags")
+    with db:
+        db.insert(data, table="flags")
+    count = db.connection.execute(
+        "SELECT count(*) FROM flags"
+    ).fetchone()[0]
+    assert count == 3
+
+
 def test_heterogeneous_column_falls_back_to_string(spark) -> None:
     """A dynamically-typed SQLite column mixing ints and text must not
     blow up with a bare ValueError mid-compare: the inferred frame falls
