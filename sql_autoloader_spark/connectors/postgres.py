@@ -30,16 +30,20 @@ Postgres path promises runs for real:
 Positioning at scale: the driver's single connection never carries
 table-sized traffic in either direction.
 
-- **Writes**: small known payloads (dimension tables) move as
-  driver-rendered ``VALUES`` lists, reference-shaped — but the
-  idempotency filter runs SERVER-side in the same statement (``WHERE
-  NOT EXISTS`` + ``ON CONFLICT``), so the target table is never read
-  back.  Anything larger — or of unknown size, the scale-safe default
-  — goes through the distributed COPY path: executors ``COPY``
-  DataFrame partitions concurrently into an unlogged staging table
-  (PostgreSQL's fastest ingest primitive, N parallel streams), and one
-  server-side null-safe anti-join + ``ON CONFLICT DO NOTHING``
-  statement merges staging into the target.
+- **Writes**: small known payloads (dimension tables) land in a typed
+  session-temp table via driver-rendered ``VALUES`` lists,
+  reference-shaped — but BOTH idempotency layers run SERVER-side in
+  the merge statement (a hashable typed ``EXCEPT`` set difference +
+  ``ON CONFLICT DO NOTHING``), so the target is never read back
+  through the driver.  Anything larger — or of unknown size, the
+  scale-safe default — goes through the distributed COPY path:
+  executors ``COPY`` DataFrame partitions concurrently into an
+  unlogged staging table (PostgreSQL's fastest ingest primitive, N
+  parallel streams), and the same one-statement ``EXCEPT`` +
+  ``ON CONFLICT`` merge folds staging into the target.  When a
+  covering UNIQUE/PK constraint guarantees duplicates conflict, the
+  ``EXCEPT`` pre-filter (an O(target) scan per load) is skipped
+  entirely — ``ON CONFLICT`` alone keeps re-loads idempotent.
 - **Validation**: the generated compare's happy path is an in-database
   checksum aggregate — eleven numbers cross the wire.
 - **Reads**: tables above ``read_copy_bytes`` stream out of the server
@@ -425,6 +429,9 @@ class PostgresConnector(BaseConnector):
         )
         self._staging: set[str] = set()
         self._in_transaction = False
+        #: per-table cache of (constraint columns, necessarily-conflicts)
+        #: for the EXCEPT-skip decision; cleared on re-introspection
+        self._unique_cover: dict[str, list[tuple[set[str], bool]]] = {}
         self.schema = self.get_schema()
 
     # -- lifecycle wrappers: UTC-bound plan analysis --------------------------
@@ -509,7 +516,61 @@ class PostgresConnector(BaseConnector):
         self.update_schema()
 
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
+        self._unique_cover.clear()  # DDL may have changed constraints
         return fetch_schema_with_dialect(self.dialect, self._rows)
+
+    def _unique_covers(self, table: str, columns: list[str]) -> bool:
+        """True when some non-deferrable UNIQUE or PRIMARY KEY
+        constraint's columns are a subset of *columns* and a duplicate
+        key NECESSARILY conflicts (every member NOT NULL, or the
+        constraint is NULLS NOT DISTINCT — plain UNIQUE treats NULL
+        keys as distinct, so a nullable member lets exact-duplicate
+        NULL-key rows slip past ON CONFLICT).
+
+        When true, re-inserting an exactly-present row is guaranteed to
+        hit ``ON CONFLICT DO NOTHING``, so the ``EXCEPT SELECT … FROM
+        target`` pre-filter — an O(target) scan per load — is provably
+        redundant and the write paths skip it.  Deferrable constraints
+        are excluded because ON CONFLICT cannot use them as arbiters;
+        partial unique INDEXES are not constraints and are (soundly)
+        never considered.
+        """
+        cached = self._unique_cover.get(table)
+        if cached is None:
+            sql = (
+                "SELECT c.conname, a.attname, a.attnotnull, {nnd} AS nnd"
+                "  FROM pg_constraint c"
+                "  JOIN pg_attribute a"
+                "    ON a.attrelid = c.conrelid"
+                "   AND a.attnum = ANY (c.conkey)"
+                "  LEFT JOIN pg_index i ON i.indexrelid = c.conindid"
+                f" WHERE c.conrelid = {self._regclass(table)}"
+                "   AND c.contype IN ('p', 'u')"
+                "   AND NOT c.condeferrable"
+            )
+            try:
+                rows = self._rows(
+                    sql.format(nnd="COALESCE(i.indnullsnotdistinct, FALSE)")
+                )
+            except PGWireError:  # pre-15 server: no NULLS NOT DISTINCT
+                rows = self._rows(sql.format(nnd="FALSE"))
+            by_con: dict[str, list[dict]] = {}
+            for r in rows:
+                by_con.setdefault(r["conname"], []).append(r)
+            cached = [
+                (
+                    {r["attname"] for r in members},
+                    all(r["attnotnull"] for r in members)
+                    or members[0]["nnd"],
+                )
+                for members in by_con.values()
+            ]
+            self._unique_cover[table] = cached
+        cols = set(columns)
+        return any(
+            conflict_sure and con_cols <= cols
+            for con_cols, conflict_sure in cached
+        )
 
     # -- wire plumbing ------------------------------------------------------
 
@@ -730,12 +791,36 @@ class PostgresConnector(BaseConnector):
         self.client.execute(
             f'INSERT INTO "{table}" ({quoted}) '
             f"SELECT {quoted} FROM ("
-            f"SELECT {quoted} FROM {tmp} "
-            f'EXCEPT SELECT {quoted} FROM "{table}"'
+            f"{self._merge_source(table, tmp, quoted, columns)}"
             ") AS __new "
             "ON CONFLICT DO NOTHING"
         )
         self.client.execute(f"DROP TABLE {tmp}")
+
+    def _merge_source(
+        self, table: str, staging: str, quoted: str, columns: list[str]
+    ) -> str:
+        """The merge statement's row source, shared by both physical
+        write paths.
+
+        Default: ``staging EXCEPT SELECT … FROM target`` — the
+        HASHABLE exact-value null-safe already-present filter (see the
+        comments at the call sites), which both dedups staging and
+        keeps re-loads of identical data from growing CONSTRAINT-LESS
+        tables.  When a covering UNIQUE/PK constraint guarantees that
+        an exactly-present row conflicts (:meth:`_unique_covers`), the
+        EXCEPT's O(target) scan per load is provably redundant — ``ON
+        CONFLICT DO NOTHING`` alone already provides both idempotency
+        layers — so the source collapses to ``SELECT DISTINCT`` over
+        staging only: an incremental load into a billion-row
+        constrained fact table then touches the index, not the heap.
+        """
+        if self._unique_covers(table, columns):
+            return f"SELECT DISTINCT {quoted} FROM {staging}"
+        return (
+            f"SELECT {quoted} FROM {staging} "
+            f'EXCEPT SELECT {quoted} FROM "{table}"'
+        )
 
     def _copy_write(
         self, table: str, new_rows: DataFrame, columns: list[str]
@@ -780,8 +865,7 @@ class PostgresConnector(BaseConnector):
         self.client.execute(
             f'INSERT INTO "{table}" ({quoted}) '
             f"SELECT {quoted} FROM ("
-            f"SELECT {quoted} FROM {qualified} "
-            f'EXCEPT SELECT {quoted} FROM "{table}"'
+            f"{self._merge_source(table, qualified, quoted, columns)}"
             ") AS __new "
             "ON CONFLICT DO NOTHING"
         )

@@ -1129,7 +1129,7 @@ def test_driver_insert_path_never_reads_the_target(
 ) -> None:
     """The small-payload driver INSERT path must move only the payload
     over the lifecycle connection: its idempotency filter runs
-    server-side (WHERE NOT EXISTS — the old pre-filter SELECT
+    server-side (typed EXCEPT — the old pre-filter SELECT
     DISTINCTed the whole target through the driver first), and the
     post-insert verification scan routes through the DISTRIBUTED read
     above read_copy_bytes — so a standalone incremental insert into a
@@ -1256,3 +1256,86 @@ def test_overlong_varchar_raises_not_truncates(
             assert n == 0  # nothing truncated-and-inserted
         finally:
             db.close()
+
+
+def test_covered_unique_skips_except_prefilter(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """When a UNIQUE(NOT NULL) / PK constraint covers a subset of the
+    inserted columns, an exactly-present row necessarily conflicts, so
+    the EXCEPT pre-filter's O(target) scan is skipped in BOTH physical
+    write paths — the merge source collapses to staging-only DISTINCT —
+    while re-loads stay idempotent and same-key-new-payload rows still
+    surface through the lifecycle as InsertingDataFailedError."""
+    server, name = pg_database
+    for label, threshold in (("driver", 10_000), ("copy", 0)):
+        db = PostgresConnector(
+            spark,
+            sock_dir=server.sock_dir,
+            port=server.port,
+            database=name,
+            copy_threshold=threshold,
+        )
+        try:
+            db.execute_ddl(
+                f"CREATE TABLE k_{label} ("
+                "  id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,"
+                "  nat text UNIQUE NOT NULL, payload int)"
+            )
+            # the decision itself, both polarities
+            assert db._unique_covers(f"k_{label}", ["nat", "payload"])
+            assert not db._unique_covers(f"k_{label}", ["payload"])
+            src = db._merge_source(
+                f"k_{label}", "stg", '"nat", "payload"', ["nat", "payload"]
+            )
+            assert "EXCEPT" not in src and "DISTINCT" in src
+            frame = spark.createDataFrame(
+                [("a", 1), ("b", 2)], "nat string, payload long"
+            )
+            db.insert(frame, table=f"k_{label}", _known_count=2)
+            db.insert(frame, table=f"k_{label}", _known_count=2)
+            (n,) = db.client.query(
+                f"SELECT count(*) FROM k_{label}"
+            ).rows[0]
+            assert n == 2  # idempotent without the EXCEPT layer
+            # same key, new payload: constraint arbitration still ends
+            # in the lifecycle's failure, not a silent drop
+            clash = spark.createDataFrame(
+                [("a", 99)], "nat string, payload long"
+            )
+            with pytest.raises(InsertingDataFailedError):
+                db.insert(clash, table=f"k_{label}", _known_count=1)
+        finally:
+            db.close()
+
+
+def test_nullable_unique_keeps_except_prefilter(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """A NULLABLE unique column must NOT trigger the skip: PostgreSQL
+    treats NULL keys as distinct, so ON CONFLICT alone cannot keep
+    NULL-key re-loads idempotent — the EXCEPT layer is load-bearing.
+    A NULLS NOT DISTINCT constraint (PG 15+) restores the guarantee."""
+    server, name = pg_database
+    db = _connector(spark, pg_database)
+    try:
+        db.execute_ddl(
+            "CREATE TABLE nu (nat text UNIQUE, payload int);"
+            "CREATE TABLE nnd (nat text UNIQUE NULLS NOT DISTINCT,"
+            "                  payload int)"
+        )
+        assert not db._unique_covers("nu", ["nat", "payload"])
+        assert "EXCEPT" in db._merge_source(
+            "nu", "stg", '"nat", "payload"', ["nat", "payload"]
+        )
+        assert db._unique_covers("nnd", ["nat", "payload"])
+        # and the behavior the EXCEPT protects: NULL-key re-load
+        frame = spark.createDataFrame(
+            [(None, 7)], "nat string, payload long"
+        )
+        db.insert(frame, table="nu", _known_count=1)
+        db.insert(frame, table="nu", _known_count=1)
+        (n,) = db.client.query("SELECT count(*) FROM nu").rows[0]
+        assert n == 1
+    finally:
+        db.close()

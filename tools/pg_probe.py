@@ -37,6 +37,14 @@ DDL = """
 """
 
 
+def _timed_once(db, tbl, trickle) -> float:  # noqa: ANN001
+    t0 = time.time()
+    db._write_new_rows(
+        tbl, trickle, ["event_id", "value"], payload_bound=200
+    )
+    return time.time() - t0
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -136,6 +144,60 @@ def main() -> None:
         )
         # driver VALUES-INSERT write (threshold above the fact size)
         db3 = bench(server, "driver_write_checksum", copy_threshold=n + 1)
+
+        # -- incremental reload vs target size: the EXCEPT skip -------------
+        # A covering PK lets the merge drop its `EXCEPT SELECT … FROM
+        # target` pre-filter (ON CONFLICT alone is idempotent), so a
+        # fixed trickle into a UNIQUE-keyed table should cost the same
+        # no matter how big the target is, while the constraint-less
+        # table's EXCEPT layer scans the whole heap per load.
+        server.createdb("skiprobe")
+        db4 = PostgresConnector(
+            spark,
+            sock_dir=server.sock_dir,
+            port=server.port,
+            database="skiprobe",
+            copy_threshold=1000,
+        )
+        db4.execute_ddl(
+            "CREATE TABLE uq_event (event_id bigint PRIMARY KEY,"
+            "                       value double precision);"
+            "CREATE TABLE cl_event (event_id bigint,"
+            "                       value double precision)"
+        )
+        trickle = (
+            spark.range(200)
+            .select(
+                (F.col("id") - 1_000_000).alias("event_id"),
+                (F.col("id") * 0.25).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for target_rows in (200_000, 2_000_000):
+            for tbl in ("uq_event", "cl_event"):
+                db4.client.execute(f"TRUNCATE {tbl}")
+                db4.client.execute(
+                    f"INSERT INTO {tbl} SELECT g, g * 0.5"
+                    f" FROM generate_series(1, {target_rows}) g"
+                )
+                db4.client.execute(f"ANALYZE {tbl}")
+                # time the write movement itself (insert's subset
+                # verification is a separate, already-probed movement)
+                wall = min(
+                    _timed_once(
+                        db4, tbl, trickle
+                    )
+                    for _ in range(3)
+                )
+                mode = (
+                    "skip-EXCEPT" if tbl == "uq_event" else "EXCEPT-scan"
+                )
+                print(
+                    f"  trickle 200 rows → {tbl} ({mode}),"
+                    f" target {target_rows:>9,}: "
+                    f"{wall:7.3f}s (best of 3)"
+                )
+        db4.close()
 
         # -- read: distributed ctid ranges vs driver SELECT * --------------
         fact_bytes = db._table_size("pp_event")
