@@ -467,6 +467,19 @@ class BaseConnector(ABC):
         # aggregate runs inside the database and O(1) numbers cross the
         # wire.  A mismatch (or an unsupporting sink) falls through to
         # the default path with identical failure semantics.
+        #
+        # Semantic note: a True verdict certifies equality under the
+        # DATABASE's assignment-cast semantics — the staged payload is
+        # coerced into the reconstruction's column types before
+        # hashing — which is (deliberately) a hair wider than the
+        # default path's match_dtypes alignment for NON-CANONICAL text
+        # payloads: a string '01' loaded into an int column passes
+        # here (the database casts '01' to the same 1 it stored),
+        # where the in-Spark path reconstructs '1' and reports a
+        # mismatch.  The database's answer is the truer one (the
+        # stored value IS what the payload maps to); inputs that are
+        # already the canonical rendering — everything a DataFrame
+        # read produces — behave identically on both paths.
         if _fast and exact:
             verdict = self._serverside_fast_compare(data, query)
             if verdict is True:

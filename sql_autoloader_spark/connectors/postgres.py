@@ -143,6 +143,7 @@ def _copy_partition_reader(
     table: str,
     quoted: str,
     oids: list[int],
+    snapshot_id: str | None,
 ):
     """Build the ``mapPartitions`` task for the distributed COPY read:
     each partition holds one ctid block range and streams it out over
@@ -151,7 +152,15 @@ def _copy_partition_reader(
     server concurrently).  TID range scans (block-addressed) split the
     heap physically, so ranges are balanced regardless of key skew and
     need no index; the LAST range is unbounded above so blocks appended
-    after planning are still read."""
+    after planning are still read.
+
+    *snapshot_id*: a ``pg_export_snapshot()`` export every partition
+    imports (``SET TRANSACTION SNAPSHOT``) so ALL ranges — and any
+    Spark task retry or re-execution — read ONE MVCC snapshot of the
+    table, exactly like a single-connection read would.  If the
+    exporting transaction has since closed (connector closed before a
+    lazy re-read), the import fails LOUDLY server-side rather than
+    silently reading the table's later state."""
 
     def read(ranges):  # noqa: ANN001 - iterator of (lo, hi|None)
         for lo, hi in ranges:
@@ -174,8 +183,16 @@ def _copy_partition_reader(
             )
             try:
                 client.execute(_AUX_SESSION_SETUP)
+                if snapshot_id is not None:
+                    client.execute(
+                        "BEGIN ISOLATION LEVEL REPEATABLE READ READ"
+                        f" ONLY; SET TRANSACTION SNAPSHOT"
+                        f" {pg_literal(snapshot_id)}"
+                    )
                 for line in client.copy_out(sql):
                     yield copy_text_parse(line, oids)
+                if snapshot_id is not None:
+                    client.execute("COMMIT")
             finally:
                 client.close()
 
@@ -219,6 +236,14 @@ def _checksum_compare_sql(staging: str, quoted: str, query: str) -> str:
                coalesce(bit_xor(__h2) FILTER (WHERE __side = 0), 0) AS __x2_b
           FROM __hh
     """
+
+
+def _close_quietly(client: PGWireClient) -> None:
+    """Finalizer-safe close (runs from gc, socket may be dead)."""
+    try:
+        client.close()
+    except Exception:  # noqa: BLE001, S110
+        pass
 
 
 def _render_values_row(row: tuple, columns: list[str]) -> str:
@@ -429,6 +454,8 @@ class PostgresConnector(BaseConnector):
         )
         self._staging: set[str] = set()
         self._in_transaction = False
+        #: open snapshot-export connections backing distributed reads
+        self._snapshot_holders: list[PGWireClient] = []
         #: per-table cache of (constraint columns, necessarily-conflicts)
         #: for the EXCEPT-skip decision; cleared on re-introspection
         self._unique_cover: dict[str, list[tuple[set[str], bool]]] = {}
@@ -492,6 +519,7 @@ class PostgresConnector(BaseConnector):
         self._sweep_staging()
 
     def close(self) -> None:
+        self._release_snapshots()
         self._sweep_staging()
         self.client.close()
 
@@ -654,11 +682,75 @@ class PostgresConnector(BaseConnector):
         )
         return rs.rows[0][0] if rs is not None and rs.rows else None
 
+    def _export_read_snapshot(self) -> str | None:
+        """Export one MVCC snapshot for a distributed read.
+
+        A lazy partitioned read would otherwise take a separate
+        autocommit snapshot per partition connection at action time —
+        no single point-in-time view (a concurrent UPDATE can surface a
+        row twice or not at all across ranges), and any Spark task
+        retry or second action silently re-reads the table's LATER
+        state.  Exporting ``pg_export_snapshot()`` from a driver-held
+        ``REPEATABLE READ READ ONLY`` transaction and importing it in
+        every partition restores exactly the single-connection
+        semantics of the driver-side ``_frame`` path.
+
+        The exporting connection must stay open until the partitions
+        have imported; derived frames (lifecycle joins/aggregates)
+        share the read's RDD plan and may re-execute it much later, so
+        the holder lives on the connector until ``close()``.  A
+        re-execution AFTER close fails loudly server-side ("invalid
+        snapshot identifier") instead of silently diverging.  The cost
+        is one idle read-only REPEATABLE READ transaction per
+        distributed read for the connector's lifetime (it can pin the
+        vacuum horizon on a busy server — close connectors promptly; a
+        server-side ``idle_in_transaction_session_timeout`` reaping
+        the holder degrades a later re-read to the same loud error).
+        Failure to export (old server, aux dial-in problem) degrades
+        to the previous per-partition-snapshot behavior with a
+        warning.
+        """
+        try:
+            holder = self._aux_client()
+        except Exception as e:  # noqa: BLE001 - snapshot is best-effort
+            logger.warning(
+                "could not open a snapshot-export connection (%s); "
+                "distributed read proceeds without a shared snapshot",
+                e,
+            )
+            return None
+        try:
+            holder.execute(
+                "BEGIN ISOLATION LEVEL REPEATABLE READ READ ONLY"
+            )
+            (snapshot_id,) = holder.query(
+                "SELECT pg_export_snapshot()"
+            ).rows[0]
+        except Exception as e:  # noqa: BLE001
+            holder.close()
+            logger.warning(
+                "pg_export_snapshot unavailable (%s); distributed "
+                "read proceeds without a shared snapshot",
+                e,
+            )
+            return None
+        self._snapshot_holders.append(holder)
+        return str(snapshot_id)
+
+    def _release_snapshots(self) -> None:
+        """Close all snapshot-export connections (their transactions
+        abort server-side; later imports then fail loudly)."""
+        while self._snapshot_holders:
+            _close_quietly(self._snapshot_holders.pop())
+
     def _read_table_distributed(self, table: str) -> DataFrame:
         """N executor connections each COPY one ctid block range out of
         the server; rows parse by column OID executor-side
         (:func:`pgwire.copy_text_parse`) and land as a typed DataFrame
-        without ever touching the driver."""
+        without ever touching the driver.  All partitions import ONE
+        exported MVCC snapshot (:meth:`_export_read_snapshot`), so the
+        frame is a consistent point-in-time view even under concurrent
+        writers and across task retries."""
         meta = self.client.query(f'SELECT * FROM "{table}" LIMIT 0')
         fields = [
             StructField(name, _spark_type(oid, typmod), nullable=True)
@@ -690,6 +782,7 @@ class PostgresConnector(BaseConnector):
             25 if isinstance(f.dataType, StringType) else oid
             for f, oid in zip(fields, meta.oids, strict=True)
         ]
+        snapshot_id = self._export_read_snapshot()
         rdd = self.spark.sparkContext.parallelize(
             ranges, len(ranges)
         ).mapPartitions(
@@ -705,8 +798,13 @@ class PostgresConnector(BaseConnector):
                 table,
                 quoted,
                 masked_oids,
+                snapshot_id,
             )
         )
+        # NOTE: the export is held until close() — NOT tied to this
+        # wrapper's garbage collection, because derived frames (joins,
+        # aggregates the lifecycle builds on top) share the underlying
+        # RDD plan and outlive the wrapper object.
         return self.spark.createDataFrame(rdd, StructType(fields))
 
     def _write_new_rows(
@@ -1041,7 +1139,13 @@ class PostgresConnector(BaseConnector):
         shortest-round-trip, numeric scale, timestamptz — is answered by
         one engine and cancels out.
 
-        ``True`` proves set equality (staging is checksummed DISTINCT —
+        ``True`` proves set equality under PostgreSQL's ASSIGNMENT-CAST
+        semantics (the staged payload coerces into the reconstruction's
+        column types before hashing) — for non-canonical text payloads
+        (e.g. '01' into an int column) that is a hair wider than the
+        in-Spark path's match_dtypes alignment; see the semantic note
+        at the ``compare`` hook (base.py).  Mechanically: staging is
+        checksummed DISTINCT (
         data is distinct by construction and executor task retries may
         duplicate partition rows; the reconstruction side streams raw,
         exactly like the in-Spark fast path).  ``False`` proves nothing
@@ -1054,12 +1158,35 @@ class PostgresConnector(BaseConnector):
             return None
         cols = data.columns
         quoted = ", ".join(f'"{c}"' for c in cols)
-        qualified, stage = self._stage_frame(
-            data,
-            cols,
-            like_sql=f"SELECT {quoted} FROM ({query}) __q",
-            prefix="stage_cmp",
-        )
+        try:
+            qualified, stage = self._stage_frame(
+                data,
+                cols,
+                like_sql=f"SELECT {quoted} FROM ({query}) __q",
+                prefix="stage_cmp",
+            )
+        except Exception as e:  # noqa: BLE001 - staging is best-effort here
+            # Staging runs on AUX/executor connections (aux CREATE
+            # SCHEMA/TABLE, executor COPY dial-in), so its failure
+            # NEVER touches the driver connection or its transaction —
+            # e.g. a sock_dir= deployment where executors on other
+            # machines cannot reach the socket but the driver can.  The
+            # fast path is an optimization, never a gate: degrade to
+            # the driver-side compare, mid-transaction included (the
+            # driver transaction is still valid by construction, and the
+            # motivating deployment loads small dimensions entirely
+            # driver-side inside a ``with`` bracket — raise-through
+            # here would regress exactly that).  A half-created stage
+            # is registered and reclaimed by the exit/close sweeps.
+            # Contrast the CHECKSUM-query failure below, which runs on
+            # the driver connection and aborts the bracket — that one
+            # must raise through mid-transaction.
+            logger.warning(
+                "server-side checksum compare could not stage the "
+                "frame (%s); falling back to the driver-side compare",
+                e,
+            )
+            return None
         checksum = _checksum_compare_sql(qualified, quoted, query)
         try:
             (row,) = self.client.query(checksum).rows

@@ -1339,3 +1339,92 @@ def test_nullable_unique_keeps_except_prefilter(
         assert n == 1
     finally:
         db.close()
+
+
+def test_checksum_compare_degrades_when_executors_cannot_dial(
+    spark: SparkSession,
+    pg_database: tuple[EmbeddedPostgres, str],
+    caplog,  # noqa: ANN001
+) -> None:
+    """A _stage_frame failure (aux CREATE / executor COPY dial-in) must
+    degrade the checksum fast path to the driver-side compare — not
+    hard-fail the load — including mid-transaction: staging runs on
+    aux/executor connections and never touches the driver bracket
+    (advice round 10: a sock_dir= deployment where the driver reaches
+    the server but executors cannot previously loaded small dimensions
+    fine, then regressed to a hard failure when the r9 fast compare
+    landed)."""
+    import logging as _logging
+
+    server, name = pg_database
+    db = PostgresConnector(
+        spark,
+        sock_dir=server.sock_dir,
+        port=server.port,
+        database=name,
+        copy_threshold=10_000,  # writes stay on the driver VALUES path
+    )
+    try:
+        db.execute_ddl(STAR_DDL)
+        # corrupt the EXECUTOR/AUX connect parameters only: the already
+        # connected driver client keeps working, _aux_client cannot dial
+        db._connect = {**db._connect, "port": db._connect["port"] + 1}
+        flat = spark.createDataFrame(
+            [("FRANCE", "EUROPE"), ("JAPAN", "ASIA")],
+            "name string, region string",
+        )
+        with caplog.at_level(
+            _logging.WARNING, logger="sql_autoloader_spark"
+        ):
+            with db:  # mid-transaction: the motivating deployment
+                db.load(flat)
+        assert any(
+            "could not stage" in r.message for r in caplog.records
+        )
+        assert db._read_table("dim_nation").count() == 2
+        assert db._read_table("dim_region").count() == 2
+        with db:
+            db.load(flat)  # still idempotent through the fallback
+        assert db._read_table("dim_nation").count() == 2
+    finally:
+        db.close()
+
+
+def test_distributed_read_is_snapshot_consistent(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """The ctid-ranged distributed read imports ONE exported MVCC
+    snapshot in every partition (advice round 10): a concurrent UPDATE
+    after frame construction must be invisible — no row doubled (old
+    tuple in an early block + rewritten tuple in the unbounded tail
+    range), none lost, and a SECOND action on the same frame must read
+    the same point-in-time state instead of silently re-reading the
+    table's later state."""
+    server, name = pg_database
+    db = PostgresConnector(
+        spark,
+        sock_dir=server.sock_dir,
+        port=server.port,
+        database=name,
+        read_copy_bytes=64 << 10,
+    )
+    try:
+        db.execute_ddl("CREATE TABLE snapped (k bigint, v text)")
+        db.client.execute(
+            "INSERT INTO snapped SELECT g, repeat('x', 30)"
+            " FROM generate_series(1, 50000) g"
+        )
+        frame = db._read_table("snapped")
+        assert db._snapshot_holders  # export actually happened
+        # committed concurrent writer AFTER frame construction
+        db.client.execute("UPDATE snapped SET v = 'changed'")
+        assert frame.count() == 50000  # no doubled/lost rows
+        assert frame.filter("v = 'changed'").count() == 0
+        # re-execution reads the SAME snapshot, not the later state
+        assert frame.filter("v = 'changed'").count() == 0
+        # a FRESH read sees the new state
+        fresh = db._read_table("snapped")
+        assert fresh.filter("v = 'changed'").count() == 50000
+    finally:
+        db.close()
+    assert not db._snapshot_holders  # close() released the exports
