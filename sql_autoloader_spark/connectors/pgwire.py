@@ -55,10 +55,12 @@ import pwd
 import re
 import shutil
 import socket
+import stringprep
 import struct
 import subprocess
 import tempfile
 import time
+import unicodedata
 from dataclasses import dataclass, field
 
 __all__ = [
@@ -336,6 +338,61 @@ def copy_text_parse(line: bytes, oids: list[int]) -> tuple:
     return tuple(out)
 
 
+#: RFC 4013 prohibited-output tables (C.1.2 cannot survive the space
+#: mapping but is listed for fidelity to the RFC's §2.3 enumeration)
+_SASLPREP_PROHIBITED = (
+    stringprep.in_table_c12,
+    stringprep.in_table_c21,
+    stringprep.in_table_c22,
+    stringprep.in_table_c3,
+    stringprep.in_table_c4,
+    stringprep.in_table_c5,
+    stringprep.in_table_c6,
+    stringprep.in_table_c7,
+    stringprep.in_table_c8,
+    stringprep.in_table_c9,
+    stringprep.in_table_a1,  # unassigned: prohibited in stored strings
+)
+
+
+def _saslprep(s: str) -> str:
+    """RFC 4013 SASLprep of a SCRAM password (RFC 5802 §5.1).
+
+    Mapping (B.1 to nothing, C.1.2 to SPACE), NFKC normalization,
+    prohibited-output rejection, and the RFC 3454 §6 bidi checks.
+    ASCII printable passwords — the overwhelmingly common case — pass
+    through unchanged on a fast path."""
+    if s.isascii() and all(" " <= c <= "~" for c in s):
+        return s
+    mapped = "".join(
+        " " if stringprep.in_table_c12(c) else c
+        for c in s
+        if not stringprep.in_table_b1(c)
+    )
+    out = unicodedata.normalize("NFKC", mapped)
+    for c in out:
+        if any(table(c) for table in _SASLPREP_PROHIBITED):
+            msg = (
+                f"SASLprep-prohibited character U+{ord(c):04X} in the "
+                "password"
+            )
+            raise ValueError(msg)
+    if any(stringprep.in_table_d1(c) for c in out):
+        if any(stringprep.in_table_d2(c) for c in out):
+            msg = "SASLprep: password mixes RTL and LTR characters"
+            raise ValueError(msg)
+        if not (
+            stringprep.in_table_d1(out[0])
+            and stringprep.in_table_d1(out[-1])
+        ):
+            msg = (
+                "SASLprep: RTL password must start and end with RTL "
+                "characters"
+            )
+            raise ValueError(msg)
+    return out
+
+
 class PGWireClient:
     """One connection speaking protocol v3 over a unix socket or TCP.
 
@@ -363,6 +420,7 @@ class PGWireClient:
         password: str | None = None,
         tls: bool = False,
         tls_ca: str | None = None,
+        tls_verify_hostname: bool = False,
     ) -> None:
         self.user = user
         self.database = database
@@ -379,10 +437,15 @@ class PGWireClient:
         #: a diagnostic for scale assertions ("the happy-path validate
         #: moved O(1) rows over the driver wire").
         self.data_rows: int = 0
+        if tls_verify_hostname and tls_ca is None:
+            msg = "tls_verify_hostname= requires tls_ca= (verify-full)"
+            raise ValueError(msg)
         if host is not None:
             self._sock = socket.create_connection((host, port))
             if tls or tls_ca is not None:
-                self._sock = self._tls_wrap(self._sock, host, tls_ca)
+                self._sock = self._tls_wrap(
+                    self._sock, host, tls_ca, tls_verify_hostname
+                )
         else:
             if sock_dir is None:
                 msg = "pass either sock_dir= (unix socket) or host= (TCP)"
@@ -397,13 +460,21 @@ class PGWireClient:
         self._startup()
 
     @staticmethod
-    def _tls_wrap(sock, host: str, tls_ca: str | None):  # noqa: ANN001, ANN205
+    def _tls_wrap(  # noqa: ANN205
+        sock,  # noqa: ANN001
+        host: str,
+        tls_ca: str | None,
+        verify_hostname: bool = False,
+    ):
         """SSLRequest handshake + TLS wrap (the protocol's STARTTLS).
 
         Without ``tls_ca`` the session is encrypted but the certificate
         is NOT verified — libpq's ``sslmode=require`` semantics, the
         posture for self-signed warehouse certs.  With ``tls_ca`` the
-        server certificate must chain to it (``sslmode=verify-ca``)."""
+        server certificate must chain to it (``sslmode=verify-ca``);
+        add ``verify_hostname`` and the certificate's SAN/CN must also
+        match *host* (``sslmode=verify-full``, the posture that defeats
+        an on-path attacker holding ANY cert the CA signed)."""
         import ssl
 
         sock.sendall(struct.pack("!ii", 8, 80877103))  # SSLRequest
@@ -414,7 +485,7 @@ class PGWireClient:
         context = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
         if tls_ca is not None:
             context.load_verify_locations(tls_ca)
-            context.check_hostname = False  # verify-ca, not verify-full
+            context.check_hostname = verify_hostname
         else:
             context.check_hostname = False
             context.verify_mode = ssl.CERT_NONE
@@ -509,8 +580,10 @@ class PGWireClient:
         return self.password
 
     def _scram_sha_256(self) -> None:
-        """SCRAM-SHA-256 client (RFC 5802/7677), no channel binding."""
-        password = self._require_password().encode()
+        """SCRAM-SHA-256 client (RFC 5802/7677), no channel binding.
+        The password is SASLprep'd (RFC 5802 §5.1 mandates RFC 4013) so
+        non-ASCII passwords agree with spec-compliant servers."""
+        password = _saslprep(self._require_password()).encode()
         nonce = base64.b64encode(os.urandom(18)).decode()
         # RFC 5802 saslname escaping; length fields count BYTES
         user = self.user.replace("=", "=3D").replace(",", "=2C")
@@ -944,6 +1017,12 @@ class EmbeddedPostgres:
                     "2",
                     "-subj",
                     "/CN=localhost",
+                    # SAN so a verify-full client (check_hostname) can
+                    # match 'localhost' — Python's ssl ignores the CN.
+                    # Deliberately NO IP SAN: connecting by 127.0.0.1
+                    # under verify-full must FAIL (the mismatch test).
+                    "-addext",
+                    "subjectAltName=DNS:localhost",
                 ],
                 capture_output=True,
                 text=True,

@@ -140,6 +140,7 @@ def _copy_partition_reader(
     password: str | None,
     tls: bool,
     tls_ca: str | None,
+    tls_verify_hostname: bool,
     table: str,
     quoted: str,
     oids: list[int],
@@ -180,6 +181,7 @@ def _copy_partition_reader(
                 password=password,
                 tls=tls,
                 tls_ca=tls_ca,
+                tls_verify_hostname=tls_verify_hostname,
             )
             try:
                 client.execute(_AUX_SESSION_SETUP)
@@ -270,6 +272,7 @@ def _copy_partition_writer(
     password: str | None,
     tls: bool,
     tls_ca: str | None,
+    tls_verify_hostname: bool,
     copy_sql: str,
     columns: list[str],
 ):
@@ -308,6 +311,7 @@ def _copy_partition_writer(
                 password=password,
                 tls=tls,
                 tls_ca=tls_ca,
+                tls_verify_hostname=tls_verify_hostname,
             )
             client.execute(_AUX_SESSION_SETUP)
             client.copy_in(copy_sql, itertools.chain([first], gen))
@@ -372,7 +376,8 @@ class PostgresConnector(BaseConnector):
         executor/aux connection — md5 and SCRAM-SHA-256 servers are
         supported, ``tls=True`` STARTTLS-wraps every TCP connection,
         and ``tls_ca=`` additionally verifies the server certificate
-        chain on each of them).  The connector owns whichever
+        chain on each of them; ``tls_verify_hostname=True`` upgrades
+        to verify-full).  The connector owns whichever
         connection it uses (``close()``).
     copy_threshold:
         Payload row-count bound at or below which inserts use the
@@ -410,6 +415,7 @@ class PostgresConnector(BaseConnector):
         password: str | None = None,
         tls: bool = False,
         tls_ca: str | None = None,
+        tls_verify_hostname: bool = False,
         copy_threshold: int = 5000,
         copy_connections: int = 16,
         read_copy_bytes: int = 8 << 20,
@@ -428,6 +434,7 @@ class PostgresConnector(BaseConnector):
                 password=password,
                 tls=tls,
                 tls_ca=tls_ca,
+                tls_verify_hostname=tls_verify_hostname,
             )
         self.client = client
         self.client.execute(_TZ_SETUP)
@@ -448,6 +455,7 @@ class PostgresConnector(BaseConnector):
                 "password": password,
                 "tls": tls,
                 "tls_ca": tls_ca,
+                "tls_verify_hostname": tls_verify_hostname,
             }
             if sock_dir is not None or host is not None
             else None
@@ -795,6 +803,7 @@ class PostgresConnector(BaseConnector):
                 conn["password"],
                 conn["tls"],
                 conn["tls_ca"],
+                conn["tls_verify_hostname"],
                 table,
                 quoted,
                 masked_oids,
@@ -1023,6 +1032,7 @@ class PostgresConnector(BaseConnector):
                 conn["password"],
                 conn["tls"],
                 conn["tls_ca"],
+                conn["tls_verify_hostname"],
                 f"COPY {qualified} ({quoted}) FROM STDIN",
                 list(columns),
             )
@@ -1095,6 +1105,7 @@ class PostgresConnector(BaseConnector):
             password=conn["password"],
             tls=conn["tls"],
             tls_ca=conn["tls_ca"],
+            tls_verify_hostname=conn["tls_verify_hostname"],
         )
         client.execute(_AUX_SESSION_SETUP)
         return client

@@ -22,6 +22,7 @@ from hypothesis import strategies as st
 from sql_autoloader_spark.connectors.normalize import canonical_number
 from sql_autoloader_spark.connectors.pgwire import (
     UnstorableTextError,
+    _saslprep,
     copy_text_parse,
     copy_text_row,
     pg_literal,
@@ -191,3 +192,39 @@ def test_canonical_number_injective_on_decimals(
     collapse violated exactly this (distinct high-precision decimals
     mapped to one float)."""
     assert (canonical_number(a) == canonical_number(b)) == (a == b)
+
+
+# -- SASLprep (RFC 4013) --------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("raw", "prepped"),
+    [
+        ("I\u00adX", "IX"),  # B.1: soft hyphen maps to nothing
+        ("user", "user"),  # no transformation
+        ("USER", "USER"),  # case preserved
+        ("\u00aa", "a"),  # NFKC: FEMININE ORDINAL -> a
+        ("\u2168", "IX"),  # NFKC: ROMAN NUMERAL NINE -> IX
+        ("pa\u00a0ss", "pa ss"),  # C.1.2: non-ASCII space -> SPACE
+        ("p\u00e4ss", "p\u00e4ss"),  # non-ASCII letter survives
+    ],
+)
+def test_saslprep_rfc4013_examples(raw: str, prepped: str) -> None:
+    """The RFC 4013 \u00a73 worked examples (plus space mapping),
+    verbatim."""
+    assert _saslprep(raw) == prepped
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "\u0007",  # C.2.1 ASCII control (RFC 4013 example 6)
+        "\u06271",  # bidi violation (example 7: RTL first, digit last)
+        "a\u200eb",  # C.8: change-display LRM
+        "tag\U000e0001",  # C.9: language tag
+        "x\ud800y",  # C.5: lone surrogate
+    ],
+)
+def test_saslprep_rejects_prohibited(bad: str) -> None:
+    with pytest.raises(ValueError, match="SASLprep"):
+        _saslprep(bad)

@@ -1428,3 +1428,76 @@ def test_distributed_read_is_snapshot_consistent(
     finally:
         db.close()
     assert not db._snapshot_holders  # close() released the exports
+
+
+def test_scram_non_ascii_password_saslprep() -> None:
+    """A non-ASCII password authenticates against a spec-compliant
+    server: initdb stores the SCRAM secret after PostgreSQL's own
+    pg_saslprep, so the client must apply RFC 4013 too — the NFKC case
+    (ROMAN NUMERAL NINE -> 'IX') and the soft hyphen (mapped away)
+    both diverge without it."""
+    pw = "pä­ssⅨ"  # soft hyphen + ROMAN NUMERAL NINE
+    server = EmbeddedPostgres(
+        port=54466, tcp=True, auth="scram-sha-256", password=pw
+    ).start()
+    try:
+        client = PGWireClient(
+            host=server.host, port=server.port, password=pw
+        )
+        try:
+            assert client.query("SELECT 1 AS one").rows == [(1,)]
+        finally:
+            client.close()
+        # the PREPPED form authenticates too (same stored secret)
+        client = PGWireClient(
+            host=server.host, port=server.port, password="pässIX"
+        )
+        try:
+            assert client.query("SELECT 1 AS one").rows == [(1,)]
+        finally:
+            client.close()
+        with pytest.raises((PGWireError, ConnectionError)):
+            PGWireClient(
+                host=server.host, port=server.port, password="päss"
+            )
+    finally:
+        server.destroy()
+
+
+def test_tls_verify_full_hostname() -> None:
+    """sslmode=verify-full: with tls_verify_hostname the server cert's
+    SAN must match the host the client dialed — 'localhost' (in the
+    SAN) connects, '127.0.0.1' (deliberately NOT in the SAN) is
+    rejected during the handshake, and the option without a CA is a
+    usage error."""
+    import ssl
+
+    server = EmbeddedPostgres(port=54467, tcp=True, ssl=True).start()
+    try:
+        client = PGWireClient(
+            host="localhost",
+            port=server.port,
+            tls_ca=server.cert_path,
+            tls_verify_hostname=True,
+        )
+        try:
+            assert client.query(
+                "SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()"
+            ).rows == [(True,)]
+        finally:
+            client.close()
+        with pytest.raises(ssl.SSLCertVerificationError):
+            PGWireClient(
+                host="127.0.0.1",
+                port=server.port,
+                tls_ca=server.cert_path,
+                tls_verify_hostname=True,
+            )
+        with pytest.raises(ValueError, match="verify-full"):
+            PGWireClient(
+                host="127.0.0.1",
+                port=server.port,
+                tls_verify_hostname=True,
+            )
+    finally:
+        server.destroy()
