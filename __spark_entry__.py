@@ -2193,6 +2193,81 @@ def q_load_events_postgres_readback(
     return result
 
 
+def q_load_star_postgres_typed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E5 with TYPE-CORNER columns through the driver INSERT path
+    against LIVE PostgreSQL (round-10 gap close): the dimension carries
+    ``numeric(18,6)``, ``bytea``, and ``timestamptz`` payload columns
+    and the fact a ``numeric(18,6)`` measure, all moving as
+    driver-rendered VALUES into the typed session-temp table + EXCEPT
+    merge (``connectors/postgres.py:_write_new_rows``), validated by
+    the in-database checksum, and read back through the generated
+    compare query — so decimal scale, binary round-trip fidelity, and
+    the UTC timestamptz canon are all oracle-checked end to end (the
+    fuzz suite covers these live, but this puts them under the
+    driver's value-hash gate).  Binary and timestamptz render to
+    engine-neutral forms (UTF-8 decode, UTC wall-clock string) only in
+    the FINAL select — the lifecycle itself moves the raw types."""
+    from sql_autoloader_spark.connectors.pgwire import EmbeddedPostgres
+    from sql_autoloader_spark.connectors.postgres import PostgresConnector
+
+    orders = _t(spark, sf_dir, "orders")
+    flat = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_orderkey").cast("decimal(18,6)") / 64)
+        .cast("decimal(18,6)")
+        .alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+        (F.length("o_orderpriority").cast("decimal(18,6)") / 8)
+        .cast("decimal(18,6)")
+        .alias("weight"),
+        F.encode("o_orderpriority", "UTF-8").alias("tag"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, length(o_orderpriority))"
+        ).alias("first_seen"),
+    )
+    with EmbeddedPostgres(port=54455) as pg:
+        db = PostgresConnector(spark, sock_dir=pg.sock_dir, port=pg.port)
+        db.execute_ddl(
+            """
+            CREATE TABLE typed_prio (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                prio text UNIQUE,
+                weight numeric(18,6),
+                tag bytea,
+                first_seen timestamptz
+            );
+            CREATE TABLE typed_fact (
+                prio_id bigint REFERENCES typed_prio (id),
+                okey bigint,
+                price numeric(18,6)
+            );
+            """
+        )
+        with db:
+            db.load(flat)
+        query = db.schema.get_compare_query(
+            ["okey", "price", "prio", "weight", "tag", "first_seen"],
+            quote='"',
+        )
+        # the frame is createDataFrame-backed over wire-decoded rows —
+        # already driver-local, no dependency on the departing server
+        result = db._execute_compare_query(query)
+        db.close()
+    return result.select(
+        F.col("okey").cast("long"),
+        F.col("price").cast("decimal(18,6)"),
+        "prio",
+        F.col("weight").cast("decimal(18,6)"),
+        F.decode(F.col("tag"), "UTF-8").alias("tag_txt"),
+        F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_seen_utc"
+        ),
+    )
+
+
 def q_load_events_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 at fact scale: the whole events table auto-loaded into an
     event-type dim + fact star in one batch ``load``.  Unlike the
@@ -3242,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_events_star": q_load_events_star,
         "load_star_sqlite": q_load_star_sqlite,
         "load_star_postgres": q_load_star_postgres,
+        "load_star_postgres_typed": q_load_star_postgres_typed,
         "load_events_postgres_copy": q_load_events_postgres_copy,
         "load_events_postgres_readback": q_load_events_postgres_readback,
         "load_incremental": q_load_incremental,
@@ -4488,6 +4564,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT n_name AS name, r_name AS region"
             " FROM nation JOIN region ON n_regionkey = r_regionkey"
         ),
+        "load_star_postgres_typed": """
+            SELECT DISTINCT
+                o_orderkey AS okey,
+                CAST(CAST(o_orderkey AS DECIMAL(18,6)) / 64
+                     AS DECIMAL(18,6)) AS price,
+                o_orderpriority AS prio,
+                CAST(CAST(length(o_orderpriority) AS DECIMAL(18,6)) / 8
+                     AS DECIMAL(18,6)) AS weight,
+                o_orderpriority AS tag_txt,
+                strftime(TIMESTAMP '2024-01-01 00:00:00'
+                         + to_days(CAST(length(o_orderpriority)
+                                        AS INTEGER)),
+                         '%Y-%m-%d %H:%M:%S') AS first_seen_utc
+            FROM orders WHERE o_orderkey % 20 = 0
+        """,
         "load_events_postgres_copy": (
             "SELECT DISTINCT event_id, event_type, value FROM events"
         ),
