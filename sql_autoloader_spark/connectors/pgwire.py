@@ -582,8 +582,25 @@ class PGWireClient:
     def _scram_sha_256(self) -> None:
         """SCRAM-SHA-256 client (RFC 5802/7677), no channel binding.
         The password is SASLprep'd (RFC 5802 §5.1 mandates RFC 4013) so
-        non-ASCII passwords agree with spec-compliant servers."""
-        password = _saslprep(self._require_password()).encode()
+        non-ASCII passwords agree with spec-compliant servers; when the
+        password cannot be prepped, fall back to the RAW password —
+        exactly what PostgreSQL's own pg_saslprep and libpq do on prep
+        failure, so a password the server accepted at ALTER ROLE time
+        (e.g. containing an emoji, which Python's Unicode-3.2
+        stringprep tables class as unassigned) still authenticates."""
+        raw = self._require_password()
+        try:
+            password = _saslprep(raw).encode()
+        except ValueError:
+            try:
+                password = raw.encode()
+            except UnicodeEncodeError as exc:
+                msg = (
+                    "password contains a lone UTF-16 surrogate — it "
+                    "has no UTF-8 form, so no PostgreSQL server could "
+                    "hold a matching SCRAM secret"
+                )
+                raise ConnectionError(msg) from exc
         nonce = base64.b64encode(os.urandom(18)).decode()
         # RFC 5802 saslname escaping; length fields count BYTES
         user = self.user.replace("=", "=3D").replace(",", "=2C")

@@ -110,6 +110,15 @@ _STAGING_SCHEMA = "_al_staging"
 #: COPY bytes buffered per CopyData message from each executor
 _COPY_BUFFER = 1 << 18
 
+#: cap on concurrently-held snapshot-export connections (one idle
+#: read-only REPEATABLE READ transaction each): a long-lived connector
+#: doing many distributed reads must not exhaust max_connections or
+#: pin the vacuum horizon indefinitely — past the cap the OLDEST
+#: export is released, so a long-forgotten frame re-executed later
+#: fails loudly ("invalid snapshot identifier") instead of the SERVER
+#: failing new connections ("sorry, too many clients already")
+_MAX_SNAPSHOT_HOLDERS = 8
+
 #: naive timestamp text is interpreted in the connection's TimeZone;
 #: every Spark-side rendering this connector produces is UTC-naive
 #: (collects run under ``ops.utc_session``, COPY payloads are formatted
@@ -464,9 +473,6 @@ class PostgresConnector(BaseConnector):
         self._in_transaction = False
         #: open snapshot-export connections backing distributed reads
         self._snapshot_holders: list[PGWireClient] = []
-        #: per-table cache of (constraint columns, necessarily-conflicts)
-        #: for the EXCEPT-skip decision; cleared on re-introspection
-        self._unique_cover: dict[str, list[tuple[set[str], bool]]] = {}
         self.schema = self.get_schema()
 
     # -- lifecycle wrappers: UTC-bound plan analysis --------------------------
@@ -552,7 +558,6 @@ class PostgresConnector(BaseConnector):
         self.update_schema()
 
     def fetch_schema(self) -> tuple[list[TableDict], list[ReferenceDict]]:
-        self._unique_cover.clear()  # DDL may have changed constraints
         return fetch_schema_with_dialect(self.dialect, self._rows)
 
     def _unique_covers(self, table: str, columns: list[str]) -> bool:
@@ -571,41 +576,43 @@ class PostgresConnector(BaseConnector):
         partial unique INDEXES are not constraints and are (soundly)
         never considered.
         """
-        cached = self._unique_cover.get(table)
-        if cached is None:
-            sql = (
-                "SELECT c.conname, a.attname, a.attnotnull, {nnd} AS nnd"
-                "  FROM pg_constraint c"
-                "  JOIN pg_attribute a"
-                "    ON a.attrelid = c.conrelid"
-                "   AND a.attnum = ANY (c.conkey)"
-                "  LEFT JOIN pg_index i ON i.indexrelid = c.conindid"
-                f" WHERE c.conrelid = {self._regclass(table)}"
-                "   AND c.contype IN ('p', 'u')"
-                "   AND NOT c.condeferrable"
-            )
-            try:
-                rows = self._rows(
-                    sql.format(nnd="COALESCE(i.indnullsnotdistinct, FALSE)")
-                )
-            except PGWireError:  # pre-15 server: no NULLS NOT DISTINCT
-                rows = self._rows(sql.format(nnd="FALSE"))
-            by_con: dict[str, list[dict]] = {}
-            for r in rows:
-                by_con.setdefault(r["conname"], []).append(r)
-            cached = [
-                (
-                    {r["attname"] for r in members},
-                    all(r["attnotnull"] for r in members)
-                    or members[0]["nnd"],
-                )
-                for members in by_con.values()
-            ]
-            self._unique_cover[table] = cached
+        # Probed fresh per WRITE, deliberately uncached: a constraint
+        # dropped by ANOTHER session (migration, DBA) must flip the
+        # next load back to the EXCEPT layer, or re-loads would
+        # silently duplicate — one indexed catalog lookup per write is
+        # noise next to the O(target) scan the skip saves.
+        # pg_index.indnullsnotdistinct exists from PG 15; version-gate
+        # rather than try/except — a failed probe statement would abort
+        # an open ``with db:`` transaction.
+        version = self.client.parameters.get("server_version", "")
+        major = int(version.split(".")[0]) if version.split(".")[0].isdigit() else 0
+        nnd = (
+            "COALESCE(i.indnullsnotdistinct, FALSE)"
+            if major >= 15
+            else "FALSE"
+        )
+        rows = self._rows(
+            f"SELECT c.conname, a.attname, a.attnotnull, {nnd} AS nnd"
+            "  FROM pg_constraint c"
+            "  JOIN pg_attribute a"
+            "    ON a.attrelid = c.conrelid"
+            "   AND a.attnum = ANY (c.conkey)"
+            "  LEFT JOIN pg_index i ON i.indexrelid = c.conindid"
+            f" WHERE c.conrelid = {self._regclass(table)}"
+            "   AND c.contype IN ('p', 'u')"
+            "   AND NOT c.condeferrable"
+        )
+        by_con: dict[str, list[dict]] = {}
+        for r in rows:
+            by_con.setdefault(r["conname"], []).append(r)
         cols = set(columns)
         return any(
-            conflict_sure and con_cols <= cols
-            for con_cols, conflict_sure in cached
+            ({r["attname"] for r in members} <= cols)
+            and (
+                all(r["attnotnull"] for r in members)
+                or members[0]["nnd"]
+            )
+            for members in by_con.values()
         )
 
     # -- wire plumbing ------------------------------------------------------
@@ -706,7 +713,8 @@ class PostgresConnector(BaseConnector):
         The exporting connection must stay open until the partitions
         have imported; derived frames (lifecycle joins/aggregates)
         share the read's RDD plan and may re-execute it much later, so
-        the holder lives on the connector until ``close()``.  A
+        the holder lives on the connector until ``close()`` — bounded
+        by ``_MAX_SNAPSHOT_HOLDERS`` (oldest released first).  A
         re-execution AFTER close fails loudly server-side ("invalid
         snapshot identifier") instead of silently diverging.  The cost
         is one idle read-only REPEATABLE READ transaction per
@@ -743,6 +751,14 @@ class PostgresConnector(BaseConnector):
             )
             return None
         self._snapshot_holders.append(holder)
+        while len(self._snapshot_holders) > _MAX_SNAPSHOT_HOLDERS:
+            _close_quietly(self._snapshot_holders.pop(0))
+            logger.warning(
+                "released the oldest snapshot export (> %d held): a "
+                "frame from that read will now fail loudly if "
+                "re-executed",
+                _MAX_SNAPSHOT_HOLDERS,
+            )
         return str(snapshot_id)
 
     def _release_snapshots(self) -> None:
