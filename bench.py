@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
 
+#: timed repetitions per query; the published number is the MINIMUM
+#: (shared noisy host: identical code measures up to 4x apart)
+BEST_OF = 4
+
 HEADLINE = [
     "load_star_roundtrip",
     "load_events_star",
@@ -100,11 +104,9 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-4: the container shares a noisy host (identical code
-        # measures up to 4x apart across runs); the minimum measures the
-        # code, the rest measure the neighbors
+        # the minimum measures the code, the rest measure the neighbors
         best, n = None, 0
-        for _ in range(4):
+        for _ in range(BEST_OF):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             n = df.count()
@@ -120,10 +122,7 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                # every per-query number is already a MIN over this
-                # many timed repetitions (shared noisy host: identical
-                # code measures up to 4x apart run-to-run)
-                "best_of": 4,
+                "best_of": BEST_OF,
                 "queries": timings,
                 "sf": sf,
             }

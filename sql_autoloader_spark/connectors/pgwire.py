@@ -587,7 +587,15 @@ class PGWireClient:
         exactly what PostgreSQL's own pg_saslprep and libpq do on prep
         failure, so a password the server accepted at ALTER ROLE time
         (e.g. containing an emoji, which Python's Unicode-3.2
-        stringprep tables class as unassigned) still authenticates."""
+        stringprep tables class as unassigned) still authenticates.
+
+        Known table-skew corner: a post-3.2 codepoint WITH an NFKC
+        mapping (e.g. U+1F100 → '0.') that a NEWER server preps
+        successfully authenticates there via the mapped form, while
+        this client's tables call it unassigned and send the raw form
+        — the server then reports a plain auth failure.  Rotate such a
+        password to prepped-or-ASCII form; the failure mode is
+        identical to libpq built against older Unicode tables."""
         raw = self._require_password()
         try:
             password = _saslprep(raw).encode()

@@ -58,6 +58,7 @@ from __future__ import annotations
 import itertools
 import logging
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,13 +111,9 @@ _STAGING_SCHEMA = "_al_staging"
 #: COPY bytes buffered per CopyData message from each executor
 _COPY_BUFFER = 1 << 18
 
-#: cap on concurrently-held snapshot-export connections (one idle
-#: read-only REPEATABLE READ transaction each): a long-lived connector
-#: doing many distributed reads must not exhaust max_connections or
-#: pin the vacuum horizon indefinitely — past the cap the OLDEST
-#: export is released, so a long-forgotten frame re-executed later
-#: fails loudly ("invalid snapshot identifier") instead of the SERVER
-#: failing new connections ("sorry, too many clients already")
+#: default cap on concurrently-held snapshot-export connections (one
+#: idle read-only REPEATABLE READ transaction each); see the
+#: ``snapshot_exports=`` constructor parameter
 _MAX_SNAPSHOT_HOLDERS = 8
 
 #: naive timestamp text is interpreted in the connection's TimeZone;
@@ -428,6 +425,7 @@ class PostgresConnector(BaseConnector):
         copy_threshold: int = 5000,
         copy_connections: int = 16,
         read_copy_bytes: int = 8 << 20,
+        snapshot_exports: int = _MAX_SNAPSHOT_HOLDERS,
     ) -> None:
         self.spark = spark
         if client is None:
@@ -451,6 +449,17 @@ class PostgresConnector(BaseConnector):
         self.copy_threshold = copy_threshold
         self.copy_connections = copy_connections
         self.read_copy_bytes = read_copy_bytes
+        #: cap on live snapshot-export connections (one idle read-only
+        #: REPEATABLE READ transaction per distributed read): a
+        #: long-lived connector must not exhaust max_connections or
+        #: pin the vacuum horizon indefinitely.  Past the cap the
+        #: OLDEST export is released — any frame from that read (even
+        #: one never yet acted on: exports happen at construction,
+        #: imports at action time) then fails loudly with "invalid
+        #: snapshot identifier" instead of the SERVER failing new
+        #: connections.  Size it to the number of big-table frames the
+        #: application keeps live simultaneously.
+        self.snapshot_exports = snapshot_exports
         # executor connect parameters; without them (bare client=) the
         # distributed COPY path is unavailable and all writes stay on
         # the driver connection
@@ -584,8 +593,11 @@ class PostgresConnector(BaseConnector):
         # pg_index.indnullsnotdistinct exists from PG 15; version-gate
         # rather than try/except — a failed probe statement would abort
         # an open ``with db:`` transaction.
-        version = self.client.parameters.get("server_version", "")
-        major = int(version.split(".")[0]) if version.split(".")[0].isdigit() else 0
+        # leading digits only: betas/devel report '16beta1'/'17devel'
+        digits = re.match(
+            r"\d+", self.client.parameters.get("server_version", "")
+        )
+        major = int(digits.group()) if digits else 0
         nnd = (
             "COALESCE(i.indnullsnotdistinct, FALSE)"
             if major >= 15
@@ -751,13 +763,13 @@ class PostgresConnector(BaseConnector):
             )
             return None
         self._snapshot_holders.append(holder)
-        while len(self._snapshot_holders) > _MAX_SNAPSHOT_HOLDERS:
+        while len(self._snapshot_holders) > self.snapshot_exports:
             _close_quietly(self._snapshot_holders.pop(0))
             logger.warning(
-                "released the oldest snapshot export (> %d held): a "
-                "frame from that read will now fail loudly if "
-                "re-executed",
-                _MAX_SNAPSHOT_HOLDERS,
+                "released the oldest snapshot export (> %d held — "
+                "raise snapshot_exports= to keep more): any frame "
+                "from that read now fails loudly when (re-)executed",
+                self.snapshot_exports,
             )
         return str(snapshot_id)
 

@@ -1530,17 +1530,13 @@ def test_scram_unpreppable_password_falls_back_raw() -> None:
 
 
 def test_snapshot_holders_are_bounded(
-    spark: SparkSession,
-    pg_database: tuple[EmbeddedPostgres, str],
-    monkeypatch,  # noqa: ANN001
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
 ) -> None:
     """Distributed reads must not accumulate snapshot-export
-    connections without bound (review round 10): past the cap the
-    OLDEST export is released — its frame then fails loudly on
-    re-execution — while newer frames keep their snapshot."""
-    from sql_autoloader_spark.connectors import postgres as pgmod
-
-    monkeypatch.setattr(pgmod, "_MAX_SNAPSHOT_HOLDERS", 2)
+    connections without bound (review round 10): past the
+    ``snapshot_exports=`` cap the OLDEST export is released — its
+    frame then fails loudly when (re-)executed — while newer frames
+    keep their snapshot."""
     server, name = pg_database
     db = PostgresConnector(
         spark,
@@ -1548,6 +1544,7 @@ def test_snapshot_holders_are_bounded(
         port=server.port,
         database=name,
         read_copy_bytes=64 << 10,
+        snapshot_exports=2,
     )
     try:
         db.execute_ddl("CREATE TABLE capped (k bigint, v text)")
@@ -1617,6 +1614,10 @@ def test_unique_covers_pre15_version_gate(
         # probe works INSIDE a transaction (no aborted-txn fallback)
         with db:
             assert db._unique_covers("vgate", ["nat", "payload"])
+            # beta/devel version strings parse by leading digits
+            db.client.parameters["server_version"] = "16beta1"
+            assert db._unique_covers("vgate", ["nat", "payload"])
+            db.client.parameters["server_version"] = "15.18"
             db.insert(
                 spark.createDataFrame(
                     [("a", 1)], "nat string, payload long"
