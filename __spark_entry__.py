@@ -1905,6 +1905,74 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-metadata ingestion through the CSV front door: write the
+    documents table as CSV shards with DELIBERATELY hostile text
+    (embedded commas and double quotes, so the writer must quote and
+    the reader must unescape), inject three malformed lines into the
+    directory, read back with the quarantining reader (PERMISSIVE +
+    explicit schema, ``connectors/files.py:read_csv``), and aggregate
+    per source.  The oracle computes the same aggregate from parquet
+    directly with the quarantine count hard-coded to the injected 3 —
+    so the hash match proves (a) CSV quoting round-trips losslessly,
+    (b) malformed lines are quarantined, never silently dropped or
+    fatal, and (c) clean rows are untouched by the quarantine split.
+    (Embedded NEWLINES are deliberately out of scope: splittable CSV is
+    for metadata sidecars; text with newlines belongs in JSONL —
+    ``docs_jsonl_roundtrip`` — or needs multiLine=true, which reads one
+    task per file.)"""
+    import uuid
+
+    from sql_autoloader_spark.connectors.files import (
+        read_csv,
+        split_quarantine,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(F.lit('v,"q" '), F.substring("text", 1, 40)).alias("text"),
+    )
+    # run-unique path: concurrent runs against the same sf_dir must not
+    # overwrite a directory another run's scan is reading
+    out = f"/tmp/spark_graft_csv_{uuid.uuid4().hex[:12]}"
+    (
+        docs.repartition(4)
+        .write.mode("overwrite")
+        .option("header", "false")
+        # the CSV WRITER trims surrounding whitespace by default —
+        # silently lossy for text ending in a space; pin it off (the
+        # reader's same-named options already default to false)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
+    with open(f"{out}/zz-malformed.csv", "w", encoding="utf-8") as fh:
+        fh.write("not_a_number,web,1,ok\n")  # unparseable bigint
+        fh.write('12,"unterminated,3,x\n')  # broken quoting
+        fh.write("‽,‽,‽,‽\n")  # type garbage everywhere
+    back = read_csv(
+        spark,
+        out,
+        "doc_id bigint, source string, n_chars bigint, text string",
+        header=False,
+    )
+    clean, bad = split_quarantine(back)
+    n_bad = bad.count()
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .withColumn("n_quarantined", F.lit(n_bad).cast("bigint"))
+    )
+
+
 def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse maintenance end-to-end: three transactional loads, a
     Z-ORDER compaction (``compact_table(zorder_by=[doc_id, n_chars])``
@@ -3245,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dupspan_coverage": q_docs_dupspan_coverage,
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+        "docs_csv_roundtrip": q_docs_csv_roundtrip,
         "lineitem_constraints": q_lineitem_constraints,
         "lineitem_profile": q_lineitem_profile,
         "docs_split_span_leakage": q_docs_split_span_leakage,
@@ -3810,6 +3879,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents
+            GROUP BY source
+        """,
+        "docs_csv_roundtrip": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(LENGTH('v,"q" ' || substring(text, 1, 40)))
+                        AS BIGINT) AS sum_text_len,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+                   CAST(3 AS BIGINT) AS n_quarantined
             FROM documents
             GROUP BY source
         """,

@@ -85,7 +85,15 @@ def read_csv(
     :func:`read_jsonl`: PERMISSIVE parsing, explicit schema, malformed
     lines preserved verbatim in *corrupt_col* — annotation dumps and
     metadata sidecars arrive as CSV as often as JSONL, and the
-    silently-dropped-row failure mode is identical."""
+    silently-dropped-row failure mode is identical.
+
+    Fidelity notes (oracle-checked by ``docs_csv_roundtrip``): this
+    READER does not trim field whitespace (Spark's reader defaults),
+    but Spark's CSV *writer* trims surrounding whitespace unless
+    ``ignoreLeading/TrailingWhiteSpace`` are set ``false`` — a silent
+    lossiness trap for text ending in a space.  Embedded newlines need
+    ``multiLine=true``, which reads one task per file; keep
+    newline-bearing text in JSONL and CSV for metadata sidecars."""
     return (
         spark.read.schema(_with_quarantine(spark, schema, corrupt_col))
         .option("mode", "PERMISSIVE")

@@ -92,3 +92,28 @@ def test_csv_quarantines_malformed_lines(
     assert rows == {1: "ok", 2: "quoted, comma", 3: "fine"}
     raws = [r[CORRUPT_COL] for r in bad.collect()]
     assert len(raws) == 1 and "NOT_A_NUMBER" in raws[0]
+
+
+def test_csv_roundtrip_preserves_surrounding_whitespace(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """Spark's CSV WRITER trims surrounding whitespace unless the
+    ignore*WhiteSpace options are pinned false (round 10: caught by the
+    docs_csv_roundtrip oracle as a 4-char length loss) — the write
+    settings the registered query uses must round-trip exactly."""
+    from sql_autoloader_spark.connectors.files import read_csv
+
+    df = spark.createDataFrame(
+        [(1, "ends with space ", 5), (2, " leading", 7)], SCHEMA
+    )
+    out = str(tmp_path / "ws")
+    (
+        df.write.option("header", "false")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
+    back, bad = split_quarantine(read_csv(spark, out, SCHEMA, header=False))
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {1: "ends with space ", 2: " leading"}
+    assert bad.count() == 0
