@@ -1905,6 +1905,75 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in ONE lazy plan
+    — the flagship composition proving the cleaning operators stack:
+
+    1. QUALITY GATE: whitespace token count in [20, 80] (the
+       two-tail cut; ``text.token_count``);
+    2. FUZZY-EXACT DEDUP: first (min doc_id) document per normalized
+       fingerprint survives (``text.fingerprint_md5`` +
+       ``dedup.exact_dedup`` — one keyed shuffle of 32-hex keys);
+    3. PII SCRUB: deterministic salt (fixtures carry no organic PII),
+       then ``text.scrub_pii`` typed placeholders — zero-shuffle regex
+       map;
+    4. SEQUENCE PACKING: post-scrub token counts packed into 2048-token
+       training sequences by exact global offset
+       (``scale.prefix_sum`` — data-derived range buckets +
+       per-bucket offsets, never a single-partition window).
+
+    The oracle restates all four stages in SQL (gate → GROUP BY
+    fingerprint → identical regex chain → cumsum window), so the value
+    hash certifies the whole composition, not just each stage alone.
+    Plan shape: one shuffle for the dedup, one range exchange for the
+    pack — everything else fuses into scan-speed map stages.
+    """
+    from sql_autoloader_spark.functions import dedup, scale
+    from sql_autoloader_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gated = docs.withColumn(
+        "n_raw_tokens", textf.token_count(F.col("text"))
+    ).filter(F.col("n_raw_tokens").between(20, 80))
+    survivors = dedup.exact_dedup(
+        gated.withColumn("fp", textf.fingerprint_md5(F.col("text"))),
+        ["fp"],
+        id_col="doc_id",
+    ).drop("fp", "n_raw_tokens")
+    salted = survivors.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    scrubbed = salted.select(
+        "doc_id",
+        "source",
+        textf.scrub_pii(F.col("text")).alias("text"),
+    )
+    toks = scrubbed.select(
+        "doc_id", "source", textf.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = scale.prefix_sum(
+        toks, order_by=["doc_id"], value_col="n_tokens", out_col="end_off"
+    )
+    start = F.col("end_off") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.cast("bigint").alias("start_offset"),
+        F.floor(start / F.lit(2048)).cast("bigint").alias("seq_id"),
+    )
+
+
 def q_docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-metadata ingestion through the CSV front door: write the
     documents table as CSV shards with DELIBERATELY hostile text
@@ -3314,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
+        "docs_training_pipeline": q_docs_training_pipeline,
         "lineitem_constraints": q_lineitem_constraints,
         "lineitem_profile": q_lineitem_profile,
         "docs_split_span_leakage": q_docs_split_span_leakage,
@@ -3491,6 +3561,7 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
     )
+    n_tokens_txt = n_tokens.replace("(text)", "(txt)")
 
     def occ(hay: str, needle: str) -> str:
         n = needle.replace("'", "''")
@@ -3881,6 +3952,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents
             GROUP BY source
+        """,
+        "docs_training_pipeline": f"""
+            WITH gated AS (
+                SELECT doc_id, source, text
+                FROM documents
+                WHERE {n_tokens} BETWEEN 20 AND 80
+            ),
+            keep AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM gated GROUP BY md5({normalized})
+            ),
+            salted AS (
+                SELECT g.doc_id, g.source,
+                       g.text || ' contact user'
+                              || CAST(g.doc_id AS VARCHAR)
+                              || '@example.com or +1-555-'
+                              || lpad(CAST(g.doc_id % 10000 AS VARCHAR),
+                                      4, '0')
+                              || ' from 10.0.'
+                              || CAST(g.doc_id % 256 AS VARCHAR)
+                              || '.7' AS txt
+                FROM gated g JOIN keep k USING (doc_id)
+            ),
+            scrubbed AS (
+                SELECT doc_id, source,
+                       regexp_replace(regexp_replace(regexp_replace(txt,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '<EMAIL>', 'g'),
+                           '\\+?[0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3,4}}(-[0-9]{{3,4}})?',
+                           '<PHONE>', 'g'),
+                           '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b',
+                           '<IP>', 'g') AS txt
+                FROM salted
+            ),
+            toks AS (
+                SELECT doc_id, source,
+                       {n_tokens_txt} AS n_tokens
+                FROM scrubbed
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       COALESCE(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start_offset
+                FROM toks
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_id
+            FROM c
         """,
         "docs_csv_roundtrip": """
             SELECT source,

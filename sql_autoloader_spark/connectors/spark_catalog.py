@@ -2227,20 +2227,28 @@ class SparkConnector(BaseConnector):
     def _distributed_rank(self, payload: DataFrame, columns: list[str]) -> DataFrame:
         """Dense 1-based rank by the natural key, no single-partition window.
 
-        Range-partition on the key (global order across partitions), tag
-        rows with their partition id, rank within each partition, and add
-        the running sum of preceding partition counts.  The count branch
-        and the window branch consume the same range exchange (Catalyst's
-        ReuseExchange), so the payload is computed and range-shuffled
-        once; the per-partition counts frame has one row per partition
-        and is broadcast back.
+        Bucket rows by data-derived range boundaries
+        (``scale.range_bucket`` — literal-embedded, so the id is a pure
+        function of the data and safe to recompute), rank within each
+        bucket's window, and add the running sum of preceding bucket
+        counts (one row per bucket, broadcast back).  The previous
+        ``repartitionByRange + spark_partition_id()`` form was correct
+        only when Catalyst REUSED the range exchange across the count
+        branch and the window branch — when reuse failed to fire (seen
+        under AQE over an upstream aggregate) the branches re-sampled
+        range boundaries independently over a shuffle-nondeterministic
+        input and the partition tags disagreed, silently corrupting the
+        surrogate keys.
         """
         sort_cols = [F.col(f"`{c}`") for c in columns]
-        from sql_autoloader_spark.functions.scale import shuffle_partitions
+        from sql_autoloader_spark.functions.scale import (
+            range_bucket,
+            shuffle_partitions,
+        )
 
         n_parts = shuffle_partitions(payload)
-        ranged = payload.repartitionByRange(n_parts, *sort_cols).withColumn(
-            "__pid", F.spark_partition_id()
+        ranged = payload.withColumn(
+            "__pid", range_bucket(payload, columns, n_parts)
         )
         counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
         offsets = counts.withColumn(

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["prefix_sum", "shuffle_partitions", "write_bucketed", "salted_join"]
+__all__ = [
+    "prefix_sum",
+    "range_bucket",
+    "shuffle_partitions",
+    "write_bucketed",
+    "salted_join",
+]
 
 
 def shuffle_partitions(df: DataFrame, default: int = 200) -> int:
@@ -75,6 +81,67 @@ def write_bucketed(
 _SALT_SAFE_JOINS = {"inner", "left", "left_outer", "left_semi", "left_anti"}
 
 
+def range_bucket(
+    df: DataFrame, order_by: list[str], n_parts: int
+) -> "F.Column":
+    """Deterministic order-preserving bucket id as a PURE FUNCTION OF
+    THE DATA: sample boundary keys once on the driver, embed them as
+    literals, and assign each row the count of boundaries ≤ its key
+    (struct comparison = lexicographic over *order_by*).
+
+    This replaces ``repartitionByRange + spark_partition_id()`` in the
+    two-phase global-ordering schemes (:func:`prefix_sum`, the
+    loader's surrogate ranking).  The physical-placement form has a
+    SPLIT-BRAIN hazard: it is only correct when Catalyst reuses the
+    range exchange across the totals branch and the window branch, and
+    when reuse does NOT fire (observed: AQE-compiled composition over
+    an upstream aggregate — two independent ``Exchange
+    rangepartitioning`` nodes, zero ``ReusedExchange``) each branch
+    re-executes the range sampling over a shuffle-nondeterministic
+    input and the ``spark_partition_id`` tags disagree, silently
+    corrupting every offset.  A literal-embedded bucket expression is
+    recompute-safe by construction: re-evaluating it anywhere always
+    yields the same id for the same row.
+
+    Monotone by construction (``Σ 1[key ≥ bᵢ]`` is non-decreasing in
+    the key, whatever order the boundaries were picked in), so bucket
+    ids are contiguous key ranges; NULL keys compare NULL → bucket 0,
+    matching the window's nulls-first ascending order.  Boundary
+    QUALITY only affects balance, never correctness.
+    """
+    cols = [F.col(f"`{c}`") for c in order_by]
+    rows = df.select(*cols).rdd.takeSample(
+        False, max(n_parts, 2) * 64, seed=29
+    )
+    if len(rows) > 1:
+        # python-side sort only picks evenly-strided boundaries; its
+        # None handling need not match Spark's ordering exactly
+        rows.sort(
+            key=lambda r: tuple(
+                (v is not None, v) for v in r
+            )
+        )
+    stride = max(len(rows) // max(n_parts, 1), 1)
+    seen: set = set()
+    boundaries = []
+    for i in range(stride, len(rows), stride):
+        t = tuple(rows[i])
+        if t not in seen:
+            seen.add(t)
+            boundaries.append(rows[i])
+    key = F.struct(*cols)
+    bucket = F.lit(0)
+    for b in boundaries[: max(n_parts - 1, 0)]:
+        lit = F.struct(
+            *[
+                F.lit(v).cast(df.schema[c].dataType).alias(c)
+                for c, v in zip(order_by, b)
+            ]
+        )
+        bucket = bucket + F.when(key >= lit, 1).otherwise(0)
+    return bucket
+
+
 def prefix_sum(
     df: DataFrame,
     *,
@@ -88,21 +155,22 @@ def prefix_sum(
     ``F.sum().over(Window.orderBy(...))`` with no ``partitionBy``
     collapses the whole input onto one task; this is the distributed
     restatement (the same two-phase scheme as the loader's surrogate
-    ranking): range-partition on the order key (global order across
-    partitions), sum within each partition, and add the running total
-    of preceding partitions — one row per partition, broadcast back.
+    ranking): bucket rows by data-derived range boundaries
+    (:func:`range_bucket` — deterministic literals, recompute-safe),
+    sum within each bucket's window, and add the running total of
+    preceding buckets — one row per bucket, broadcast back.
 
-    Shuffle accounting, honestly: the input is exchanged TWICE — the
-    range partition, then a hash exchange on the partition id that the
-    within-partition window requires (range partitioning does not
-    satisfy the window's clustering requirement, and Catalyst cannot
-    know each range partition holds exactly one ``__pid``).  The
-    second exchange moves each partition as a block — no skew, no
-    fan-out — and both the window branch and the totals branch reuse
-    the first exchange.  The alternatives are worse: a single-partition
-    window serializes the cluster, and a ``mapInPandas`` cumsum would
-    trade the exchange for an Arrow round-trip of every row through
-    Python.
+    Shuffle accounting, honestly: the input moves through ONE hash
+    exchange on the bucket id (the within-bucket window's clustering
+    requirement); the totals branch exchanges only map-side partial
+    sums (n_buckets rows).  The boundary sample costs one extra small
+    job — the price the old ``repartitionByRange`` form paid inside
+    its RangePartitioner sketch anyway, and the literal boundaries
+    remove that form's exchange-reuse correctness dependence (see
+    :func:`range_bucket`).  The alternatives are worse: a
+    single-partition window serializes the cluster, and a
+    ``mapInPandas`` cumsum would trade the exchange for an Arrow
+    round-trip of every row through Python.
 
     The order key must be unique per row for a deterministic result
     (ties would make "preceding rows" ambiguous); rows with NULL in
@@ -111,10 +179,10 @@ def prefix_sum(
     sort_cols = [F.col(c) for c in order_by]
     n_parts = shuffle_partitions(df)
     val = F.coalesce(F.col(value_col), F.lit(0))
-    ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    keyed = df.withColumn(
+        "__pid", range_bucket(df, order_by, n_parts)
     )
-    totals = ranged.groupBy("__pid").agg(F.sum(val).alias("__tot"))
+    totals = keyed.groupBy("__pid").agg(F.sum(val).alias("__tot"))
     offsets = totals.withColumn(
         "__off",
         F.coalesce(
@@ -132,7 +200,7 @@ def prefix_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        ranged.withColumn("__w", within)
+        keyed.withColumn("__w", within)
         .join(F.broadcast(offsets), on="__pid")
         .withColumn(out_col, F.col("__w") + F.col("__off"))
         .drop("__pid", "__w", "__off")

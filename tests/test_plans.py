@@ -420,3 +420,71 @@ def test_aqe_skew_join_split_fires_on_planted_hot_key(
                 conf.unset(k)
             else:
                 conf.set(k, p)
+
+
+def test_range_bucket_deterministic_and_monotone(
+    spark: SparkSession,
+) -> None:
+    """The bucket id must be a pure function of the data (round 10:
+    the repartitionByRange + spark_partition_id form silently corrupted
+    prefix sums whenever Catalyst failed to reuse the range exchange —
+    each branch re-sampled boundaries over a shuffle-nondeterministic
+    input).  Evaluating the expression in two INDEPENDENT plans over an
+    aggregate (nondeterministic-layout) input must agree row-for-row,
+    and ids must be non-decreasing in key order with NULL keys in
+    bucket 0."""
+    from sql_autoloader_spark.functions import scale
+
+    base = (
+        spark.range(0, 5000)
+        .select((F.col("id") % 2500).alias("k"), F.lit(1).alias("one"))
+        .groupBy("k")
+        .agg(F.sum("one").alias("v"))
+        .withColumn(
+            "k", F.when(F.col("k") == 7, F.lit(None)).otherwise(F.col("k"))
+        )
+    )
+    bucket = scale.range_bucket(base, ["k"], 8)
+    a = {r["k"]: r["b"] for r in base.withColumn("b", bucket).collect()}
+    b = {r["k"]: r["b"] for r in base.withColumn("b", bucket).collect()}
+    assert a == b  # recompute-safe
+    assert a[None] == 0  # NULL keys sort first
+    ordered = [a[k] for k in sorted(k for k in a if k is not None)]
+    assert ordered == sorted(ordered)  # monotone in key order
+    assert len(set(ordered)) > 1  # genuinely bucketed, not degenerate
+
+
+def test_prefix_sum_plan_has_no_physical_partition_id(
+    spark: SparkSession,
+) -> None:
+    """prefix_sum must not derive its bucket from physical placement:
+    no spark_partition_id and no range repartition anywhere in the
+    plan (the split-brain ingredients), and the composition over an
+    upstream aggregate must match the single-partition window exactly."""
+    from pyspark.sql.window import Window
+
+    from sql_autoloader_spark.functions import scale
+
+    agg = (
+        spark.range(0, 4000)
+        .select((F.col("id") % 2000).alias("k"), F.lit(1).alias("one"))
+        .groupBy("k")
+        .agg(F.sum("one").alias("v"))
+    )
+    out = scale.prefix_sum(agg, order_by=["k"], value_col="v")
+    got = {r["k"]: r["cumsum"] for r in out.collect()}
+    want = {
+        r["k"]: r["c"]
+        for r in agg.withColumn(
+            "c",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "spark_partition_id" not in plan
+    assert "rangepartitioning" not in plan.lower()
