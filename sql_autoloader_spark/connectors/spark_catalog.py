@@ -2192,12 +2192,13 @@ class SparkConnector(BaseConnector):
         # - small payloads (bound known and under max_window_rows, the
         #   incremental-dimension-load case): one single-partition window
         #   over just this load's novel members;
-        # - large/unknown bulk loads: range-partition on the natural key,
-        #   rank within partitions, and add per-partition offsets — two
-        #   full shuffles, no single-task sort, scales to billions of
-        #   members.  (``load`` threads its input count through as the
-        #   bound; a standalone ``insert`` has no bound and takes the
-        #   distributed path, which is always safe.)
+        # - large/unknown bulk loads: data-derived literal range
+        #   buckets (scale.range_bucket), rank within each bucket's
+        #   window, and add per-bucket offsets — one hash exchange, no
+        #   single-task sort, scales to billions of members.  (``load``
+        #   threads its input count through as the bound; a standalone
+        #   ``insert`` has no bound and takes the distributed path,
+        #   which is always safe.)
         small = payload_bound is not None and payload_bound <= self.max_window_rows
         sort_cols = [F.col(f"`{c}`") for c in columns]
         if small:

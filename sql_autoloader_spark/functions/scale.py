@@ -81,6 +81,14 @@ def write_bucketed(
 _SALT_SAFE_JOINS = {"inner", "left", "left_outer", "left_semi", "left_anti"}
 
 
+#: cap on data-derived range buckets: the unit of global-ordering
+#: parallelism AND the per-row probe cost (one vectorized array filter
+#: of this many struct comparisons).  Ranked/packed inputs are key
+#: projections (dimension-scale), so a few hundred buckets saturate
+#: real clusters without deep plans or per-row blowup.
+_MAX_RANGE_BUCKETS = 256
+
+
 def range_bucket(
     df: DataFrame, order_by: list[str], n_parts: int
 ) -> "F.Column":
@@ -108,11 +116,31 @@ def range_bucket(
     ids are contiguous key ranges; NULL keys compare NULL → bucket 0,
     matching the window's nulls-first ascending order.  Boundary
     QUALITY only affects balance, never correctness.
+
+    Mechanics chosen for scale and compatibility (review round 10):
+    the bucket expression is ONE array literal probed with a
+    higher-order ``filter`` — constant plan depth at any bucket count
+    (a chained ``WHEN`` sum would nest n_parts deep and overflow
+    Catalyst's tree recursion at production partition counts) — and
+    the boundary sample is DataFrame-only (``sample().limit()``, one
+    short-circuiting job; ``.rdd.takeSample`` would run an extra
+    count job and is unsupported under Spark Connect).  Bucket count
+    is capped at ``_MAX_RANGE_BUCKETS``: per-row cost is one
+    O(buckets) vectorized array probe, and the ranked/packed inputs
+    are key projections, so a few hundred buckets of parallelism is
+    the right trade.
     """
+    n_buckets = max(min(n_parts, _MAX_RANGE_BUCKETS), 1)
     cols = [F.col(f"`{c}`") for c in order_by]
-    rows = df.select(*cols).rdd.takeSample(
-        False, max(n_parts, 2) * 64, seed=29
-    )
+    want = max(n_buckets, 2) * 16
+    keys = df.select(*cols)
+    rows = keys.sample(
+        withReplacement=False, fraction=0.05, seed=29
+    ).limit(want).collect()
+    if len(rows) < want:
+        # small frame (or unlucky sample): take rows directly — any
+        # bias only skews balance, never correctness
+        rows = keys.limit(want).collect()
     if len(rows) > 1:
         # python-side sort only picks evenly-strided boundaries; its
         # None handling need not match Spark's ordering exactly
@@ -121,7 +149,7 @@ def range_bucket(
                 (v is not None, v) for v in r
             )
         )
-    stride = max(len(rows) // max(n_parts, 1), 1)
+    stride = max(len(rows) // n_buckets, 1)
     seen: set = set()
     boundaries = []
     for i in range(stride, len(rows), stride):
@@ -129,17 +157,22 @@ def range_bucket(
         if t not in seen:
             seen.add(t)
             boundaries.append(rows[i])
+    boundaries = boundaries[: n_buckets - 1]
+    if not boundaries:
+        return F.lit(0)
     key = F.struct(*cols)
-    bucket = F.lit(0)
-    for b in boundaries[: max(n_parts - 1, 0)]:
-        lit = F.struct(
-            *[
-                F.lit(v).cast(df.schema[c].dataType).alias(c)
-                for c, v in zip(order_by, b)
-            ]
-        )
-        bucket = bucket + F.when(key >= lit, 1).otherwise(0)
-    return bucket
+    arr = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(v).cast(df.schema[c].dataType).alias(c)
+                    for c, v in zip(order_by, b)
+                ]
+            )
+            for b in boundaries
+        ]
+    )
+    return F.size(F.filter(arr, lambda b: key >= b))
 
 
 def prefix_sum(
@@ -156,9 +189,10 @@ def prefix_sum(
     collapses the whole input onto one task; this is the distributed
     restatement (the same two-phase scheme as the loader's surrogate
     ranking): bucket rows by data-derived range boundaries
-    (:func:`range_bucket` — deterministic literals, recompute-safe),
-    sum within each bucket's window, and add the running total of
-    preceding buckets — one row per bucket, broadcast back.
+    (:func:`range_bucket` — deterministic literals, recompute-safe,
+    capped at ``_MAX_RANGE_BUCKETS``), sum within each bucket's
+    window, and add the running total of preceding buckets — one row
+    per bucket, broadcast back.
 
     Shuffle accounting, honestly: the input moves through ONE hash
     exchange on the bucket id (the within-bucket window's clustering
