@@ -124,7 +124,9 @@ def range_bucket(
     Catalyst's tree recursion at production partition counts) — and
     the boundary sample is DataFrame-only (``sample().limit()``, one
     short-circuiting job; ``.rdd.takeSample`` would run an extra
-    count job and is unsupported under Spark Connect).  Bucket count
+    count job and is unsupported under Spark Connect — this function
+    stays DataFrame-only by construction, though Connect itself is not
+    smoke-testable in this container: grpcio is absent).  Bucket count
     is capped at ``_MAX_RANGE_BUCKETS``: per-row cost is one
     O(buckets) vectorized array probe, and the ranked/packed inputs
     are key projections, so a few hundred buckets of parallelism is
