@@ -554,17 +554,25 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: assign documents (in doc_id
     order) to fixed 2048-token training sequences by exact global token
     offset — the packing step that turns a cleaned corpus into training
-    batches.  The running offset uses ``scale.prefix_sum`` (range
-    partition + per-partition offsets), NOT a single-partition window,
-    so the plan holds at corpus scale; the oracle states the same
-    cumsum as a SQL window."""
+    batches.  The running offset uses ``scale.prefix_sum`` (data-
+    derived range buckets + per-bucket offsets), NOT a single-partition
+    window, so the plan holds at corpus scale; the oracle states the
+    same cumsum as a SQL window.  The one eager boundary-sampling job
+    prefix_sum runs at construction samples the raw doc_id projection
+    (``boundary_hint``), not the token-counted frame, so it never pays
+    the tokenizer regex."""
     from sql_autoloader_spark.functions import scale
 
-    toks = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
         "doc_id", text.token_count(F.col("text")).alias("n_tokens")
     )
     packed = scale.prefix_sum(
-        toks, order_by=["doc_id"], value_col="n_tokens", out_col="end_off"
+        toks,
+        order_by=["doc_id"],
+        value_col="n_tokens",
+        out_col="end_off",
+        boundary_hint=docs.select("doc_id"),
     )
     start = F.col("end_off") - F.col("n_tokens")
     return packed.select(
@@ -1906,8 +1914,8 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pipeline, end to end in ONE lazy plan
-    — the flagship composition proving the cleaning operators stack:
+    """The composed training-data pipeline — the flagship composition
+    proving the cleaning operators stack:
 
     1. QUALITY GATE: whitespace token count in [20, 80] (the
        two-tail cut; ``text.token_count``);
@@ -1925,8 +1933,13 @@ def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle restates all four stages in SQL (gate → GROUP BY
     fingerprint → identical regex chain → cumsum window), so the value
     hash certifies the whole composition, not just each stage alone.
-    Plan shape: one shuffle for the dedup, one range exchange for the
-    pack — everything else fuses into scan-speed map stages.
+    Plan shape: one MAIN lazy plan with one keyed shuffle for the dedup
+    and one bucket exchange for the pack — everything else fuses into
+    scan-speed map stages.  prefix_sum additionally runs one eager
+    boundary-sampling job at construction (its documented cost
+    contract); ``boundary_hint`` points that job at the raw documents
+    key projection, so it costs one cheap column scan instead of
+    re-executing the gate→dedup→scrub lineage.
     """
     from sql_autoloader_spark.functions import dedup, scale
     from sql_autoloader_spark.functions import text as textf
@@ -1962,7 +1975,11 @@ def q_docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", textf.token_count(F.col("text")).alias("n_tokens")
     )
     packed = scale.prefix_sum(
-        toks, order_by=["doc_id"], value_col="n_tokens", out_col="end_off"
+        toks,
+        order_by=["doc_id"],
+        value_col="n_tokens",
+        out_col="end_off",
+        boundary_hint=docs.select("doc_id"),
     )
     start = F.col("end_off") - F.col("n_tokens")
     return packed.select(
@@ -1997,6 +2014,8 @@ def q_docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_quarantine,
     )
 
+    import shutil
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -2006,40 +2025,49 @@ def q_docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run-unique path: concurrent runs against the same sf_dir must not
     # overwrite a directory another run's scan is reading
     out = f"/tmp/spark_graft_csv_{uuid.uuid4().hex[:12]}"
-    (
-        docs.repartition(4)
-        .write.mode("overwrite")
-        .option("header", "false")
-        # the CSV WRITER trims surrounding whitespace by default —
-        # silently lossy for text ending in a space; pin it off (the
-        # reader's same-named options already default to false)
-        .option("ignoreLeadingWhiteSpace", "false")
-        .option("ignoreTrailingWhiteSpace", "false")
-        .csv(out)
-    )
-    with open(f"{out}/zz-malformed.csv", "w", encoding="utf-8") as fh:
-        fh.write("not_a_number,web,1,ok\n")  # unparseable bigint
-        fh.write('12,"unterminated,3,x\n')  # broken quoting
-        fh.write("‽,‽,‽,‽\n")  # type garbage everywhere
-    back = read_csv(
-        spark,
-        out,
-        "doc_id bigint, source string, n_chars bigint, text string",
-        header=False,
-    )
-    clean, bad = split_quarantine(back)
-    n_bad = bad.count()
-    return (
-        clean.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("sum_chars"),
-            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
-            F.min("doc_id").cast("bigint").alias("min_doc"),
-            F.max("doc_id").cast("bigint").alias("max_doc"),
+    try:
+        (
+            docs.repartition(4)
+            .write.mode("overwrite")
+            .option("header", "false")
+            # the CSV WRITER trims surrounding whitespace by default —
+            # silently lossy for text ending in a space; pin it off (the
+            # reader's same-named options already default to false)
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(out)
         )
-        .withColumn("n_quarantined", F.lit(n_bad).cast("bigint"))
-    )
+        with open(f"{out}/zz-malformed.csv", "w", encoding="utf-8") as fh:
+            fh.write("not_a_number,web,1,ok\n")  # unparseable bigint
+            fh.write('12,"unterminated,3,x\n')  # broken quoting
+            fh.write("‽,‽,‽,‽\n")  # type garbage everywhere
+        back = read_csv(
+            spark,
+            out,
+            "doc_id bigint, source string, n_chars bigint, text string",
+            header=False,
+        )
+        clean, bad = split_quarantine(back)
+        n_bad = bad.count()
+        agg = (
+            clean.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+                F.max("doc_id").cast("bigint").alias("max_doc"),
+            )
+            .withColumn("n_quarantined", F.lit(n_bad).cast("bigint"))
+        )
+        # pin the tiny per-source aggregate to executor-local storage
+        # (eager — the lazy form's toRdd is an AQE trap) so the shard
+        # directory can be removed NOW instead of leaking one
+        # /tmp/spark_graft_csv_* per correctness/bench invocation
+        # while the caller still holds an uncollected lazy frame
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:

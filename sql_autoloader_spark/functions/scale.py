@@ -90,7 +90,11 @@ _MAX_RANGE_BUCKETS = 256
 
 
 def range_bucket(
-    df: DataFrame, order_by: list[str], n_parts: int
+    df: DataFrame,
+    order_by: list[str],
+    n_parts: int,
+    *,
+    sample_from: DataFrame | None = None,
 ) -> "F.Column":
     """Deterministic order-preserving bucket id as a PURE FUNCTION OF
     THE DATA: sample boundary keys once on the driver, embed them as
@@ -117,32 +121,58 @@ def range_bucket(
     matching the window's nulls-first ascending order.  Boundary
     QUALITY only affects balance, never correctness.
 
-    Mechanics chosen for scale and compatibility (review round 10):
-    the bucket expression is ONE array literal probed with a
-    higher-order ``filter`` — constant plan depth at any bucket count
-    (a chained ``WHEN`` sum would nest n_parts deep and overflow
-    Catalyst's tree recursion at production partition counts) — and
-    the boundary sample is DataFrame-only (``sample().limit()``, one
-    short-circuiting job; ``.rdd.takeSample`` would run an extra
-    count job and is unsupported under Spark Connect — this function
-    stays DataFrame-only by construction, though Connect itself is not
-    smoke-testable in this container: grpcio is absent).  Bucket count
-    is capped at ``_MAX_RANGE_BUCKETS``: per-row cost is one
+    Mechanics chosen for scale and compatibility (review round 10;
+    sampling fixed round 11): the bucket expression is ONE array
+    literal probed with a higher-order ``filter`` — constant plan
+    depth at any bucket count (a chained ``WHEN`` sum would nest
+    n_parts deep and overflow Catalyst's tree recursion at production
+    partition counts).  The boundary sample is a GLOBAL hash-ordered
+    take: ``sample(0.05).orderBy(xxhash64(keys)).limit(want)``
+    compiles to TakeOrdered, so every partition contributes its
+    locally-smallest hashes and the take is a uniform draw over the
+    whole key space.  A bare ``limit(want)`` — the round-10 form —
+    short-circuits on the first partitions scanned, and for
+    key-CLUSTERED inputs (time/id-ordered ingest, the common case)
+    covered only the low end of the key space, collapsing nearly all
+    rows into the last bucket and the downstream ranking into the
+    single hot task this scheme exists to avoid.  Still
+    DataFrame-only (``.rdd.takeSample`` would run an extra count job
+    and is unsupported under Spark Connect — Connect itself is not
+    smoke-testable in this container: grpcio is absent).  Bucket
+    count is capped at ``_MAX_RANGE_BUCKETS``: per-row cost is one
     O(buckets) vectorized array probe, and the ranked/packed inputs
     are key projections, so a few hundred buckets of parallelism is
     the right trade.
+
+    COST CONTRACT: the boundary sample is an EAGER driver job at
+    expression-construction time, and it executes the full upstream
+    lineage of the sampled frame (the main query later recomputes
+    it).  When *df* sits downstream of expensive stages (a dedup
+    shuffle, a regex scrub), pass ``sample_from=`` a CHEAP frame with
+    the same ``order_by`` columns (typically the raw base-table key
+    projection): boundary QUALITY only affects bucket balance, never
+    correctness, so sampling from a superset of the keys is safe —
+    the literals are still embedded, still recompute-safe.
     """
     n_buckets = max(min(n_parts, _MAX_RANGE_BUCKETS), 1)
     cols = [F.col(f"`{c}`") for c in order_by]
     want = max(n_buckets, 2) * 16
-    keys = df.select(*cols)
-    rows = keys.sample(
-        withReplacement=False, fraction=0.05, seed=29
-    ).limit(want).collect()
+    src = df if sample_from is None else sample_from
+    keys = src.select(*cols)
+    # hash-ordered global take: TakeOrdered reads every partition's
+    # local top-`want` by a pseudo-random key, so clustered physical
+    # layouts cannot bias the boundary set toward early partitions
+    spread = F.xxhash64(*cols)
+    rows = (
+        keys.sample(withReplacement=False, fraction=0.05, seed=29)
+        .orderBy(spread)
+        .limit(want)
+        .collect()
+    )
     if len(rows) < want:
-        # small frame (or unlucky sample): take rows directly — any
-        # bias only skews balance, never correctness
-        rows = keys.limit(want).collect()
+        # small frame (or unlucky sample): take over the full frame —
+        # it holds < ~20x `want` rows, so the ordered take is cheap
+        rows = keys.orderBy(spread).limit(want).collect()
     if len(rows) > 1:
         # python-side sort only picks evenly-strided boundaries; its
         # None handling need not match Spark's ordering exactly
@@ -183,6 +213,7 @@ def prefix_sum(
     order_by: list[str],
     value_col: str,
     out_col: str = "cumsum",
+    boundary_hint: DataFrame | None = None,
 ) -> DataFrame:
     """Exact running sum of *value_col* in *order_by* order — WITHOUT a
     single-partition window.
@@ -199,14 +230,25 @@ def prefix_sum(
     Shuffle accounting, honestly: the input moves through ONE hash
     exchange on the bucket id (the within-bucket window's clustering
     requirement); the totals branch exchanges only map-side partial
-    sums (n_buckets rows).  The boundary sample costs one extra small
-    job — the price the old ``repartitionByRange`` form paid inside
-    its RangePartitioner sketch anyway, and the literal boundaries
-    remove that form's exchange-reuse correctness dependence (see
-    :func:`range_bucket`).  The alternatives are worse: a
-    single-partition window serializes the cluster, and a
+    sums (n_buckets rows).  The literal boundaries remove the old
+    ``repartitionByRange`` form's exchange-reuse correctness
+    dependence (see :func:`range_bucket`).  The alternatives are
+    worse: a single-partition window serializes the cluster, and a
     ``mapInPandas`` cumsum would trade the exchange for an Arrow
     round-trip of every row through Python.
+
+    COST CONTRACT: calling this function runs ONE EAGER boundary-
+    sampling job on the driver before the returned frame's own (lazy)
+    plan ever executes, and that job evaluates the full lineage of the
+    sampled frame.  By default it samples *df* itself — fine when *df*
+    is a scan or a cheap map, wasteful when it sits downstream of a
+    shuffle.  Pass ``boundary_hint=`` a cheap frame carrying the same
+    ``order_by`` columns (e.g. the raw base-table key projection) to
+    decouple the sampling cost from the pipeline: boundaries from a
+    superset of the keys are still correct (balance-only effect), and
+    the main plan stays untouched.  (``localCheckpoint(eager=False)``
+    is NOT a remedy here: under AQE its ``toRdd`` executes every
+    upstream shuffle synchronously at call time.)
 
     The order key must be unique per row for a deterministic result
     (ties would make "preceding rows" ambiguous); rows with NULL in
@@ -216,7 +258,8 @@ def prefix_sum(
     n_parts = shuffle_partitions(df)
     val = F.coalesce(F.col(value_col), F.lit(0))
     keyed = df.withColumn(
-        "__pid", range_bucket(df, order_by, n_parts)
+        "__pid",
+        range_bucket(df, order_by, n_parts, sample_from=boundary_hint),
     )
     totals = keyed.groupBy("__pid").agg(F.sum(val).alias("__tot"))
     offsets = totals.withColumn(

@@ -488,3 +488,49 @@ def test_prefix_sum_plan_has_no_physical_partition_id(
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "spark_partition_id" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+def test_range_bucket_balanced_on_clustered_input(
+    spark: SparkSession,
+) -> None:
+    """Boundary sampling must cover the WHOLE key space even when the
+    input is physically key-clustered (time/id-ordered ingest — the
+    common case).  The round-10 ``sample().limit()`` form
+    short-circuited on the first partitions, drew every boundary from
+    the low end, and collapsed nearly all rows into the last bucket —
+    degenerating the distributed ranking back into one hot task.  The
+    hash-ordered global take (TakeOrdered over every partition) must
+    keep the largest bucket within a small factor of the mean, and a
+    cheap ``sample_from`` hint frame must be honored."""
+    from sql_autoloader_spark.functions import scale
+
+    # spark.range is id-ordered across partitions: partition 0 holds
+    # the lowest ids — exactly the clustered layout that broke limit()
+    clustered = spark.range(0, 200_000, 1, 16).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    n_parts = 8
+    counts = {
+        r["b"]: r["n"]
+        for r in clustered.withColumn(
+            "b", scale.range_bucket(clustered, ["k"], n_parts)
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(counts) >= n_parts // 2  # genuinely spread, not 1-2 buckets
+    mean = 200_000 / len(counts)
+    assert max(counts.values()) < 3 * mean, counts
+
+    # sample_from: boundaries drawn from a hint frame give the same
+    # guarantees (monotone, balanced) without touching df's lineage
+    hint = spark.range(0, 200_000, 1, 16).select(F.col("id").alias("k"))
+    b2 = scale.range_bucket(clustered, ["k"], n_parts, sample_from=hint)
+    counts2 = {
+        r["b"]: r["n"]
+        for r in clustered.withColumn("b", b2)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert max(counts2.values()) < 3 * (200_000 / len(counts2)), counts2
