@@ -62,7 +62,12 @@ def spread_for_compute(df: DataFrame, *, barrier: bool = True) -> DataFrame:
     parallelism, and the repartition this would add is a no-op-sized
     shuffle of raw rows either way.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — Connect sessions have no context
+        from sql_autoloader_spark.functions.scale import shuffle_partitions
+
+        target = shuffle_partitions(df)
     files = df.inputFiles()
     if not (0 < len(files) * 2 <= target):
         return df

@@ -534,3 +534,34 @@ def test_range_bucket_balanced_on_clustered_input(
         .collect()
     }
     assert max(counts2.values()) < 3 * (200_000 / len(counts2)), counts2
+
+def test_exchange_count_ceilings(spark: SparkSession) -> None:
+    """Shuffle budgets for the most expensive registered queries,
+    pinned so a plan regression fails tests instead of waiting for a
+    PLANS.md re-read.  Ceilings are the counts plan_audit measures
+    today (PLANS.md); UNIQUE operator ids are counted because
+    formatted explain reprints a cached subtree under every scan that
+    reads it (a raw substring count overstates pinned pipelines
+    several-fold)."""
+    ceilings = {
+        "docs_training_pipeline": 6,
+        "docs_pack_sequences": 4,
+        "media_neardup": 11,
+        "emb_neardup_lsh": 7,
+        "q8_market_share": 7,
+        "q21_sole_returned_supplier": 7,
+    }
+    queries = entry_mod.queries()
+    for name, ceiling in ceilings.items():
+        plan = formatted_plan(queries[name](spark, SF_DIR))
+        got = len(
+            set(
+                re.findall(
+                    r"(?<![A-Za-z])(?:Broadcast)?Exchange\b[^\n(]*\((\d+)\)",
+                    plan,
+                )
+            )
+        )
+        assert got <= ceiling, (
+            f"{name}: {got} unique exchanges > pinned ceiling {ceiling}"
+        )
