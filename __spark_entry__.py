@@ -2739,13 +2739,86 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- rows-only (Spark-specific hashing; no portable SQL oracle) ------------
 
 
-def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_minhash_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure MinHash-LSH scale path (banded buckets, representative-
+    star caps, NO all-pairs) — what bench.py and tools/scale_probe.py
+    time, because the registered certificate below deliberately embeds
+    the quadratic exact twin and would wreck the sub-quadratic probe."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         id_col="doc_id",
         text_col="text",
         threshold=0.4,
         shingle_words=3,
+    )
+
+
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying MinHash-LSH near-dup certificate (round 11: the
+    former rows-only entry upgraded to a value-hash oracle).
+
+    MinHash signatures/bucket hashes are engine-specific, so the pair
+    set itself cannot be value-hashed against DuckDB — but the
+    RELATIONSHIP to the exact ground truth can: this emits ONE row
+    joining the approx pairs against the exact word-trigram Jaccard
+    twin (``docs_jaccard_pairs``, same shingle space and threshold):
+
+    - ``n_exact_pairs`` / ``sum_exact_ids``: the exact twin's size and
+      id checksum — pure SQL, the oracle recomputes them;
+    - ``n_false_positives``: approx pairs absent from the exact set —
+      provably 0 because ``verify=True`` re-scores every candidate
+      with exact Jaccard (the oracle pins the literal 0);
+    - ``recall_ok``: approx∩exact ≥ 80% of exact (measured 100% at
+      sf0.01 and sf0.1; the banding S-curve at j≥0.4 with 32 hashes /
+      8 bands plus exact verification loses only pairs never bucketed
+      together).  The oracle pins TRUE, so a recall regression
+      hash-mismatches instead of passing rows-only.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    approx = dedup.minhash_lsh_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.4,
+        shingle_words=3,
+    ).select("id_a", "id_b")
+    exact = dedup.token_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.4,
+        shingle_words=3,
+    ).select("id_a", "id_b")
+    hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    false_pos = approx.join(exact, ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+            F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+            .cast("bigint")
+            .alias("sum_exact_ids"),
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+        )
+        .crossJoin(
+            F.broadcast(
+                false_pos.agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("n_false_positives")
+                )
+            )
+        )
+        .select(
+            "n_exact_pairs",
+            "sum_exact_ids",
+            "n_false_positives",
+            (
+                F.col("__n_hit")
+                >= F.col("n_exact_pairs") * F.lit(0.8)
+            ).alias("recall_ok"),
+        )
     )
 
 
@@ -2771,11 +2844,79 @@ def q_docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_lsh_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure hyperplane-LSH top-k scale path — what bench.py and
+    tools/scale_probe.py time (the registered certificate below embeds
+    the brute-force twin).  (planes, tables) = (5, 24) is tuned to the
+    FIXTURE corpus (500-2k random 64-dim vectors: 32 buckets/table,
+    measured recall 0.86-0.92 vs exact top-5 across sf0.001-0.1; the
+    round-10 default (8, 4) measured 0.06 — an ANN that finds nothing).
+    At production corpus sizes planes grows ~log(n) to keep buckets
+    bounded; recall is then bought with tables, not fewer planes."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(
-        emb, queries, id_col="vec_id", vec_col="embedding", dim=64, k=5
+        emb,
+        queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=5,
+        planes=5,
+        tables=24,
+    )
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying hyperplane-LSH top-k certificate (round 11: the
+    former rows-only entry upgraded to a value-hash oracle).
+
+    Hyperplane signatures are engine-specific, so the neighbor lists
+    cannot be value-hashed directly — the relationship to the exact
+    brute-force twin (``emb_cosine_topk``, already a green value-hash
+    oracle, hence deterministic top-5 sets) can: one row with the exact
+    twin's size/id checksum (oracle-recomputed) and ``recall_ok`` =
+    LSH∩exact ≥ 75% of the exact neighbor set (measured 0.86-0.92
+    across sf0.001/0.01/0.1 with planes=5, tables=24 — the tuning this
+    certificate exists to pin; the old default config's 0.06 recall
+    would have failed loudly here instead of passing rows-only).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = similarity.lsh_topk(
+        emb,
+        queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=5,
+        planes=5,
+        tables=24,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_neighbors"),
+            F.coalesce(F.sum("neighbor_id"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_exact_neighbor_ids"),
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+        )
+        .select(
+            "n_queries",
+            "n_exact_neighbors",
+            "sum_exact_neighbor_ids",
+            (
+                F.col("__n_hit")
+                >= F.col("n_exact_neighbors") * F.lit(0.75)
+            ).alias("recall_ok"),
+        )
     )
 
 
@@ -3380,6 +3521,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_load_star_roundtrip(spark, "/root/testdata/sf0.001")
 
 
+def scale_path_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Pure approximate scale paths for the two self-verifying recall
+    certificates (round 11).  The REGISTERED ``docs_minhash_pairs`` /
+    ``emb_lsh_topk`` entries deliberately embed their quadratic exact
+    twins so the oracle can value-hash the recall relationship; bench.py
+    and tools/scale_probe.py overlay THESE callables under the same keys
+    so throughput numbers keep measuring the sub-quadratic LSH path
+    itself (comparable across rounds), not the correctness-scale twin."""
+    return {
+        "docs_minhash_pairs": q_docs_minhash_pairs_raw,
+        "emb_lsh_topk": q_emb_lsh_topk_raw,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # loader ops (SURVEY §2A/E)
@@ -3575,6 +3730,34 @@ _JACCARD_PAIRS_SQL = """
     JOIN toks tb ON tb.doc_id = id_b
     WHERE round(CAST(inter AS DOUBLE) /
                 (len(ta.ts) + len(tb.ts) - inter), 6) >= 0.4
+"""
+
+
+#: exact cosine top-5 for queries vec_id < 10 — shared by the
+#: emb_cosine_topk oracle and the emb_lsh_topk recall certificate
+_EMB_EXACT_TOPK_CTE = """
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(
+                   list_zip(q.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+               ))
+               / (sqrt(list_sum(list_transform(q.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS sim_raw
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim_raw DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
 """
 
 
@@ -4162,32 +4345,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp.id AS doc_id, comp.component, d.lang, d.n_chars
             FROM comp JOIN documents d ON comp.id = d.doc_id
         """,
-        "emb_cosine_topk": """
-            WITH scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       list_sum(list_transform(
-                           list_zip(q.embedding, c.embedding),
-                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
-                       ))
-                       / (sqrt(list_sum(list_transform(q.embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                          * sqrt(list_sum(list_transform(c.embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-                       AS sim_raw
-                FROM embeddings q, embeddings c
-                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
-            ),
-            ranked AS (
-                SELECT query_id, neighbor_id, sim_raw,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY query_id
-                           ORDER BY sim_raw DESC, neighbor_id
-                       ) AS rank
-                FROM scored
-            )
+        "emb_cosine_topk": f"""
+            WITH {_EMB_EXACT_TOPK_CTE}
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    round(sim_raw, 6) AS sim
             FROM ranked WHERE rank <= 5
+        """,
+        # recall certificate: the exact-side values are pure SQL; the
+        # literal 0 / TRUE pin the LSH path's precision (verify=True)
+        # and recall floor — a regression hash-mismatches
+        "emb_lsh_topk": f"""
+            WITH {_EMB_EXACT_TOPK_CTE}
+            SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                   CAST(count(*) AS BIGINT) AS n_exact_neighbors,
+                   CAST(coalesce(sum(neighbor_id), 0) AS BIGINT)
+                       AS sum_exact_neighbor_ids,
+                   TRUE AS recall_ok
+            FROM ranked WHERE rank <= 5
+        """,
+        "docs_minhash_pairs": f"""
+            WITH p AS ({_JACCARD_PAIRS_SQL})
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                   CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT)
+                       AS sum_exact_ids,
+                   CAST(0 AS BIGINT) AS n_false_positives,
+                   TRUE AS recall_ok
+            FROM p
         """,
         "emb_quantized_topk": """
             WITH quant AS (

@@ -116,7 +116,9 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     build_blowup(spark)
 
-    queries = entry_mod.queries()
+    # overlay: time the pure LSH scale paths, not the registered
+    # recall certificates (which embed quadratic exact twins)
+    queries = {**entry_mod.queries(), **entry_mod.scale_path_queries()}
     print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(REPLICAS):>8s} {'ratio':>7s}")
     for name in PROBES:
         if ONLY and name not in ONLY:
