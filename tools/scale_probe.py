@@ -42,7 +42,19 @@ PROBES = [
     "load_star3_roundtrip",    # connector load, dedup-heavy dim path
     "events_stream_dedup",     # streaming dedup state (bounded per key)
     "docs_stream_fuzzy_dedup", # streaming near-dup admission (LSH store)
+    "docs_pack_sequences",     # distributed prefix sum (range_bucket)
+    "docs_training_pipeline",  # composed flagship: gate→dedup→scrub→pack
 ]
+
+#: global-ordering probes additionally assert DETERMINISM at the blown-
+#: up scale: the packed output must be bit-identical across two
+#: INDEPENDENTLY-PLANNED executions (fresh frame each time).  The
+#: round-10 split-brain class (repartitionByRange + spark_partition_id
+#: branches disagreeing when AQE declines to reuse the range exchange)
+#: only manifests when AQE compiles the branches differently — exactly
+#: what big inputs provoke — so the test_plans.py:425 assertion is
+#: re-run here at probe scale.
+DETERMINISTIC = {"docs_pack_sequences", "docs_training_pipeline"}
 
 # key columns to offset per table so replicas stay disjoint
 OFFSETS = {
@@ -140,6 +152,32 @@ def main() -> None:
             f"{name:28s} {times['small']:8.2f} {times['big']:8.2f} "
             f"{ratio:6.1f}x"
         )
+        if name in DETERMINISTIC:
+            from pyspark.sql import functions as F
+
+            def content_hash():
+                # fresh construction → independent plan (AQE compiles
+                # it from scratch, including boundary sampling)
+                df = fn(spark, OUT)
+                row = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(
+                        F.xxhash64(*[F.col(c) for c in df.columns])
+                    ).alias("h"),
+                ).collect()[0]
+                return row["n"], row["h"]
+
+            a, b = content_hash(), content_hash()
+            if a != b:
+                msg = (
+                    f"{name}: NONDETERMINISTIC at x{REPLICAS}: "
+                    f"{a} != {b} — global-ordering corruption"
+                )
+                raise AssertionError(msg)
+            print(
+                f"{'':28s} determinism OK at x{REPLICAS}: "
+                f"rows={a[0]} xxhash-xor={a[1] & 0xFFFFFFFFFFFFFFFF:016x}"
+            )
 
 
 if __name__ == "__main__":
