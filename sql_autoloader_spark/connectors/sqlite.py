@@ -92,6 +92,46 @@ def _coerce(value: object, dtype: DataType) -> object:
     return value
 
 
+class UnstorableValueError(ValueError):
+    """A payload value SQLite cannot store faithfully.
+
+    SQLite has no NaN: binding ``float('nan')`` (or a NaN Decimal)
+    silently stores NULL (sqlite.org/floatingpoint.html), so a NaN row
+    would come back as a different row — the re-load filter could never
+    match it and every reload would grow the table.  The sink rejects
+    the value loudly BEFORE any write instead (the same contract as the
+    PG wire client's lone-surrogate rejection)."""
+
+
+def _bind_cell(value: object) -> object:
+    """sqlite3-bindable canonical form of one payload cell (round 11 —
+    found by the type-lattice fuzz): ``decimal.Decimal`` is not a
+    registered sqlite3 adapter type (raises ``ProgrammingError``), so
+    it binds as its :func:`canonical_number` string — NUMERIC/INTEGER
+    affinity columns convert numeric text back to INTEGER/REAL exactly
+    when the conversion is lossless, TEXT columns keep full precision;
+    either way the readback re-canonicalizes to the same string the
+    idempotency filter normed the payload to.  NaN (float or Decimal)
+    is rejected typed — see :class:`UnstorableValueError`."""
+    if isinstance(value, float):
+        if value != value:
+            msg = (
+                "SQLite cannot store NaN (it silently coerces to NULL);"
+                " filter NaN rows out or map them to NULL explicitly."
+            )
+            raise UnstorableValueError(msg)
+        return value
+    if isinstance(value, decimal.Decimal):
+        if value.is_nan():
+            msg = (
+                "SQLite cannot store a NaN numeric (it silently"
+                " coerces to NULL); filter NaN rows out first."
+            )
+            raise UnstorableValueError(msg)
+        return canonical_number(value)
+    return value
+
+
 def _norm_cell(value: object) -> object:
     """Canonical comparable form for the idempotency pre-filter: values
     that change representation across the Spark → sqlite3 → Spark round
@@ -329,8 +369,11 @@ class SQLiteConnector(BaseConnector):
                 f'SELECT DISTINCT {quoted} FROM "{table}"'
             )
         }
+        # bind-canonicalize AFTER filtering, and build the full list
+        # BEFORE executemany: a typed rejection (NaN) must fire with
+        # nothing partially written
         payload = [
-            row
+            tuple(_bind_cell(v) for v in row)
             for row in (
                 tuple(r[c] for c in columns)
                 for r in new_rows.select(*columns).collect()
