@@ -1459,15 +1459,18 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.col("value").cast("decimal(18,6)"))
     agg = streaming.windowed_event_counts(stream, watermark="1 minute")
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .start()
-    )
-    query.awaitTermination()
+    # stateful: run on the RocksDB store (bounded memory at
+    # 100 TB/day; see streaming.rocksdb_state)
+    with streaming.rocksdb_state(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).withColumn(
         "sum_value", F.col("sum_value").cast("double")
     )
@@ -1621,7 +1624,7 @@ def q_events_stream_postgres_autoload(
             .parquet(sf_dir)
         )
 
-    with EmbeddedPostgres(port=54454) as pg:
+    with EmbeddedPostgres() as pg:
         db = PostgresConnector(
             spark,
             sock_dir=pg.sock_dir,
@@ -1681,15 +1684,18 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, gap="30 minutes", watermark="0 seconds"
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .start()
-    )
-    query.awaitTermination()
+    # stateful: run on the RocksDB store (bounded memory at
+    # 100 TB/day; see streaming.rocksdb_state)
+    with streaming.rocksdb_state(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -1775,15 +1781,18 @@ def q_events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("delay_us"),
     )
     name = f"stream_attr_{uuid.uuid4().hex[:8]}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .start()
-    )
-    query.awaitTermination()
+    # stateful: run on the RocksDB store (bounded memory at
+    # 100 TB/day; see streaming.rocksdb_state)
+    with streaming.rocksdb_state(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -2219,7 +2228,7 @@ def q_load_star_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
         region, nation["n_regionkey"] == region["r_regionkey"]
     ).select(F.col("n_name").alias("name"), F.col("r_name").alias("region"))
 
-    with EmbeddedPostgres(port=54451) as pg:
+    with EmbeddedPostgres() as pg:
         db = PostgresConnector(
             spark, sock_dir=pg.sock_dir, port=pg.port
         )
@@ -2264,7 +2273,7 @@ def q_load_events_postgres_copy(
     from sql_autoloader_spark.connectors.postgres import PostgresConnector
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    with EmbeddedPostgres(port=54452) as pg:
+    with EmbeddedPostgres() as pg:
         db = PostgresConnector(
             spark,
             sock_dir=pg.sock_dir,
@@ -2317,7 +2326,7 @@ def q_load_events_postgres_readback(
     from sql_autoloader_spark.connectors.postgres import PostgresConnector
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    with EmbeddedPostgres(port=54453) as pg:
+    with EmbeddedPostgres() as pg:
         db = PostgresConnector(
             spark,
             sock_dir=pg.sock_dir,
@@ -2393,7 +2402,7 @@ def q_load_star_postgres_typed(
             " + make_interval(0, 0, 0, length(o_orderpriority))"
         ).alias("first_seen"),
     )
-    with EmbeddedPostgres(port=54455) as pg:
+    with EmbeddedPostgres() as pg:
         db = PostgresConnector(spark, sock_dir=pg.sock_dir, port=pg.port)
         db.execute_ddl(
             """
@@ -2492,15 +2501,18 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src().unionAll(src()), keys=["event_id"], watermark="3650 days"
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .start()
-    )
-    query.awaitTermination()
+    # stateful: run on the RocksDB store (bounded memory at
+    # 100 TB/day; see streaming.rocksdb_state)
+    with streaming.rocksdb_state(spark):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 

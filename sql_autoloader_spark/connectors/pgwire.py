@@ -868,11 +868,28 @@ class EmbeddedPostgres:
     system user via ``runuser`` and the directories are chown'd over.
     """
 
+    @staticmethod
+    def free_port() -> int:
+        """An OS-assigned free TCP port (bind 0, read, release).
+
+        Default when no ``port=`` is given: a FIXED port collides with
+        leaked servers from killed runs or a parallel test/bench session
+        on the same host and fails the handshake rather than the code
+        under test (round-10 advice; two suites had even pinned the
+        same number).  A tiny claim race remains between release and
+        the server's own bind — far smaller than the leaked-server
+        hazard.  For unix-socket-only servers the number merely names
+        the socket file inside a per-instance temp dir, so any value
+        is collision-free."""
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
     def __init__(
         self,
         base_dir: str | None = None,
         *,
-        port: int = 54321,
+        port: int | None = None,
         tcp: bool = False,
         auth: str = "trust",
         password: str | None = None,
@@ -891,7 +908,7 @@ class EmbeddedPostgres:
         self.data_dir = os.path.join(self.base_dir, "data")
         self.sock_dir = os.path.join(self.base_dir, "sock")
         self.log_path = os.path.join(self.base_dir, "server.log")
-        self.port = port
+        self.port = port if port is not None else self.free_port()
         #: loopback TCP listener (initdb -A trust covers 127.0.0.1/32 in
         #: pg_hba.conf) — exercises the host/port path cluster executors use
         self.host: str | None = "127.0.0.1" if tcp else None

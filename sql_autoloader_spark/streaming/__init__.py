@@ -6,6 +6,7 @@ from sql_autoloader_spark.streaming.pipeline import (
     compact_signature_store,
     dedup_stream,
     fuzzy_dedup_stream,
+    rocksdb_state,
     sessionized_counts,
     user_activity_state,
     windowed_event_counts,
@@ -16,6 +17,7 @@ __all__ = [
     "compact_signature_store",
     "dedup_stream",
     "fuzzy_dedup_stream",
+    "rocksdb_state",
     "sessionized_counts",
     "user_activity_state",
     "windowed_event_counts",

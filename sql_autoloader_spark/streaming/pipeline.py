@@ -20,6 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import contextlib
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
@@ -30,6 +31,49 @@ if TYPE_CHECKING:
     from pyspark.sql.streaming import StreamingQuery
 
     from sql_autoloader_spark.connectors.base import BaseConnector
+
+
+#: spilling state store (ships with Spark: rocksdbjni is a bundled jar)
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state(spark: "SparkSession"):  # noqa: ANN201
+    """Start the streaming queries inside this block on the RocksDB
+    state store instead of the default HDFS-backed in-memory map.
+
+    Why (round 11, after the ×30 probe): the default provider keeps
+    every live state row as JVM objects on the executor heap — for
+    ``dropDuplicatesWithinWatermark`` that is one entry PER KEY inside
+    the lateness horizon, so a high-cardinality dedup key at 100 TB/day
+    (billions of events inside a multi-hour watermark) linearly grows
+    the heap until GC collapse.  RocksDB keeps state off-heap with
+    spill-to-disk and changelog checkpointing: memory stays bounded by
+    the block cache, state size is bounded by rate × watermark horizon
+    on LOCAL DISK per executor, and eviction still happens at watermark
+    passage exactly as before (provider choice never changes
+    semantics — the RocksDB-backed runs are value-equal to the batch
+    oracles, pinned in tests/test_streaming.py).
+
+    The provider is a per-query setting read at STREAM START and
+    persisted in the checkpoint; this context manager scopes the
+    session conf around query construction+start, restoring the prior
+    value after (safe because our availableNow queries terminate inside
+    the block; a long-lived query keeps the provider it started with).
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def autoload_stream(

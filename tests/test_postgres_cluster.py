@@ -50,7 +50,7 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-with EmbeddedPostgres(port=54461, tcp=True) as server:
+with EmbeddedPostgres(tcp=True) as server:
     server.createdb("clusterdb")
     db = PostgresConnector(
         spark,

@@ -46,7 +46,7 @@ COLS = ["a", "b", "c"]
 
 @pytest.fixture(scope="module")
 def pg() -> EmbeddedPostgres:
-    server = EmbeddedPostgres(port=54418).start()
+    server = EmbeddedPostgres().start()
     yield server
     server.destroy()
 

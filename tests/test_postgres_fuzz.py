@@ -93,7 +93,7 @@ _payload = st.lists(_row, min_size=1, max_size=12).flatmap(
 
 @pytest.fixture(scope="module")
 def pg() -> EmbeddedPostgres:
-    server = EmbeddedPostgres(port=54480).start()
+    server = EmbeddedPostgres().start()
     server.createdb("fuzz")
     yield server
     server.destroy()

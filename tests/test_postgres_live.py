@@ -37,7 +37,7 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def pg() -> EmbeddedPostgres:
-    server = EmbeddedPostgres(port=54417).start()
+    server = EmbeddedPostgres().start()
     yield server
     server.destroy()
 
@@ -562,7 +562,7 @@ def test_copy_path_conflict_raises_and_sweeps(
 def test_copy_path_over_tcp(spark: SparkSession) -> None:
     """Executors dial the server over loopback TCP — the connection
     path a real cluster uses — and the COPY load lands."""
-    server = EmbeddedPostgres(port=54431, tcp=True).start()
+    server = EmbeddedPostgres(tcp=True).start()
     try:
         server.createdb("tcpdb")
         db = PostgresConnector(
@@ -996,7 +996,7 @@ def test_scram_sha256_auth_full_lifecycle(spark: SparkSession) -> None:
     COPY connections over TCP, a wrong password is rejected, and the
     server's own signature is verified (mutual auth)."""
     server = EmbeddedPostgres(
-        port=54462, tcp=True, auth="scram-sha-256", password="s3cret pw"
+        tcp=True, auth="scram-sha-256", password="s3cret pw"
     ).start()
     try:
         with pytest.raises((PGWireError, ConnectionError)):
@@ -1036,7 +1036,7 @@ def test_scram_sha256_auth_full_lifecycle(spark: SparkSession) -> None:
 def test_md5_auth_connects() -> None:
     """md5 password auth (legacy deployments) over the unix socket."""
     server = EmbeddedPostgres(
-        port=54463, auth="md5", password="legacy"
+        auth="md5", password="legacy"
     ).start()
     try:
         client = server.client()
@@ -1056,7 +1056,6 @@ def test_tls_scram_full_lifecycle(spark: SparkSession) -> None:
     executor COPY), verify-ca validates the server cert, and a client
     demanding TLS from a non-TLS server fails loudly."""
     server = EmbeddedPostgres(
-        port=54464,
         tcp=True,
         ssl=True,
         auth="scram-sha-256",
@@ -1114,7 +1113,7 @@ def test_tls_scram_full_lifecycle(spark: SparkSession) -> None:
 def test_tls_refused_by_plain_server() -> None:
     """tls=True against a server without ssl=on errors clearly instead
     of silently downgrading to cleartext."""
-    plain_tcp = EmbeddedPostgres(port=54465, tcp=True).start()
+    plain_tcp = EmbeddedPostgres(tcp=True).start()
     try:
         with pytest.raises(ConnectionError, match="refused TLS"):
             PGWireClient(
@@ -1438,7 +1437,7 @@ def test_scram_non_ascii_password_saslprep() -> None:
     both diverge without it."""
     pw = "pä­ssⅨ"  # soft hyphen + ROMAN NUMERAL NINE
     server = EmbeddedPostgres(
-        port=54466, tcp=True, auth="scram-sha-256", password=pw
+        tcp=True, auth="scram-sha-256", password=pw
     ).start()
     try:
         client = PGWireClient(
@@ -1472,7 +1471,7 @@ def test_tls_verify_full_hostname() -> None:
     usage error."""
     import ssl
 
-    server = EmbeddedPostgres(port=54467, tcp=True, ssl=True).start()
+    server = EmbeddedPostgres(tcp=True, ssl=True).start()
     try:
         client = PGWireClient(
             host="localhost",
@@ -1511,7 +1510,7 @@ def test_scram_unpreppable_password_falls_back_raw() -> None:
     accepted at initdb time could never authenticate here."""
     pw = "s3cret \U0001F600 pw"
     server = EmbeddedPostgres(
-        port=54468, tcp=True, auth="scram-sha-256", password=pw
+        tcp=True, auth="scram-sha-256", password=pw
     ).start()
     try:
         client = PGWireClient(

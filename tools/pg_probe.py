@@ -104,7 +104,7 @@ def main() -> None:
         print(f"  {label:30s} {wall:7.2f}s  driver DataRows: {rows}")
         return db
 
-    with EmbeddedPostgres(port=54470) as server:
+    with EmbeddedPostgres() as server:
         # -- write + validate combinations ----------------------------------
         # scale posture: COPY write + in-database checksum validate
         db = bench(server, "copy_write_checksum", copy_threshold=1000)
