@@ -2361,8 +2361,11 @@ def q_load_events_postgres_readback(
                 .alias("sum_value"),
             )
         )
-        # materialize before the server goes away
-        result = spark.createDataFrame(agg.collect(), agg.schema)
+        # materialize before the server goes away: an eager
+        # localCheckpoint pins the tiny per-type aggregate to executor
+        # storage without the collect-and-recreate round trip through
+        # the driver (the pattern the codebase otherwise avoids)
+        result = agg.localCheckpoint(eager=True)
         db.close()
     return result
 

@@ -949,6 +949,23 @@ class PostgresConnector(BaseConnector):
         layers — so the source collapses to ``SELECT DISTINCT`` over
         staging only: an incremental load into a billion-row
         constrained fact table then touches the index, not the heap.
+
+        Documented side effect of the skip (round-11 advice): ``ON
+        CONFLICT DO NOTHING`` evaluates identity/sequence defaults
+        BEFORE arbitration, so re-loading an already-present payload
+        into a covered table with a ``GENERATED ... AS IDENTITY``
+        column consumes sequence values for the skipped rows —
+        surrogate-id GAPS grow by up to the payload size per re-load
+        (the EXCEPT layer used to keep those rows out of the INSERT
+        entirely).  Gaps are semantically harmless (identity columns
+        promise uniqueness, not density) and PostgreSQL sequences hold
+        2^63 values, but a pipeline that re-loads a large static
+        payload hourly into an ``integer`` identity column could
+        exhaust 2^31 in ~weeks — use ``bigint`` identities (this
+        repo's DDL does) or, if gap growth matters operationally,
+        re-introduce the pre-filter by dropping the covering
+        constraint's NOT NULL/uniqueness assumption.  See
+        OPERATIONS.md § Operating the PostgreSQL sink.
         """
         if self._unique_covers(table, columns):
             return f"SELECT DISTINCT {quoted} FROM {staging}"
