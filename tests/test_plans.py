@@ -551,7 +551,10 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
         "q8_market_share": 7,
         "q21_sole_returned_supplier": 7,
     }
-    queries = entry_mod.queries()
+    # the overlay points the LSH names at their pure scale paths — the
+    # registered certificates embed quadratic exact twins by design,
+    # and the ceilings guard the scale path
+    queries = {**entry_mod.queries(), **entry_mod.scale_path_queries()}
     for name, ceiling in ceilings.items():
         plan = formatted_plan(queries[name](spark, SF_DIR))
         got = len(
