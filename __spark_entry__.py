@@ -2810,14 +2810,24 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``n_exact_pairs`` / ``sum_exact_ids``: the exact twin's size and
       id checksum — pure SQL, the oracle recomputes them;
-    - ``n_false_positives``: approx pairs absent from the exact set —
-      provably 0 because ``verify=True`` re-scores every candidate
-      with exact Jaccard (the oracle pins the literal 0);
+    - ``n_false_positives``: approx pairs absent from the exact set.
+      ``verify=True`` re-scores every candidate, so the only way a
+      false positive can exist is a shingle xxhash64-mod-2³¹ collision
+      inflating a near-threshold pair's hashed Jaccard over the exact
+      string-set value (dedup.py documents the ~|shingles|²/2³² odds:
+      ≈10⁻⁶ per pair on these fixtures).  The oracle pins the literal
+      0 — a collision-induced red would localize here, by design;
     - ``recall_ok``: approx∩exact ≥ 80% of exact (measured 100% at
       sf0.01 and sf0.1; the banding S-curve at j≥0.4 with 32 hashes /
       8 bands plus exact verification loses only pairs never bucketed
       together).  The oracle pins TRUE, so a recall regression
       hash-mismatches instead of passing rows-only.
+
+    Plan shape: ONE full-outer join of the two pair sets with
+    presence flags, then ONE aggregate — each twin's subtree appears
+    exactly once in the plan (an earlier semi+anti+agg form referenced
+    the deliberately-quadratic exact twin three times and re-executed
+    it each time).
     """
     docs = _t(spark, sf_dir, "documents")
     approx = dedup.minhash_lsh_pairs(
@@ -2826,44 +2836,32 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         threshold=0.4,
         shingle_words=3,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b", F.lit(1).alias("__a"))
     exact = dedup.token_jaccard_pairs(
         docs,
         id_col="doc_id",
         text_col="text",
         threshold=0.4,
         shingle_words=3,
-    ).select("id_a", "id_b")
-    hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
-    false_pos = approx.join(exact, ["id_a", "id_b"], "left_anti")
-    return (
-        exact.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
-            F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
-            .cast("bigint")
-            .alias("sum_exact_ids"),
+    ).select("id_a", "id_b", F.lit(1).alias("__e"))
+    joined = exact.join(approx, ["id_a", "id_b"], "full_outer")
+    e = F.col("__e").isNotNull()
+    a = F.col("__a").isNotNull()
+    # coalesce every aggregate: an empty join (no pairs on either
+    # side) must yield the oracle's zeros/TRUE, not NULLs
+    n_exact = F.coalesce(F.sum(F.when(e, 1).otherwise(0)), F.lit(0))
+    n_hit = F.coalesce(F.sum(F.when(e & a, 1).otherwise(0)), F.lit(0))
+    return joined.agg(
+        n_exact.cast("bigint").alias("n_exact_pairs"),
+        F.coalesce(
+            F.sum(F.when(e, F.col("id_a") + F.col("id_b"))), F.lit(0)
         )
-        .crossJoin(
-            F.broadcast(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
-        )
-        .crossJoin(
-            F.broadcast(
-                false_pos.agg(
-                    F.count(F.lit(1))
-                    .cast("bigint")
-                    .alias("n_false_positives")
-                )
-            )
-        )
-        .select(
-            "n_exact_pairs",
-            "sum_exact_ids",
-            "n_false_positives",
-            (
-                F.col("__n_hit")
-                >= F.col("n_exact_pairs") * F.lit(0.8)
-            ).alias("recall_ok"),
-        )
+        .cast("bigint")
+        .alias("sum_exact_ids"),
+        F.coalesce(F.sum(F.when(a & ~e, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        (n_hit >= n_exact * F.lit(0.8)).alias("recall_ok"),
     )
 
 
@@ -2948,37 +2946,31 @@ def _topk_recall_certificate(
     brute-force exact twin: exact-side size + id checksum (pure SQL —
     the oracle recomputes them from ``_EMB_EXACT_TOPK_CTE``) and
     ``recall_ok`` = approx∩exact ≥ *floor* of the exact neighbor set
-    (the oracle pins TRUE, so a recall regression hash-mismatches)."""
+    (the oracle pins TRUE, so a recall regression hash-mismatches).
+
+    Plan shape: ONE left join of exact onto approx with a presence
+    flag, then ONE aggregate — the brute-force twin's subtree appears
+    exactly once (a semi-join + separate agg would execute it twice).
+    Exact-preserving left join: approx extras are irrelevant to every
+    emitted value, so no full-outer needed here."""
     from sql_autoloader_spark.functions import similarity as _sim
 
     exact = _sim.brute_force_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", k=5
     ).select("query_id", "neighbor_id")
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
+    flagged = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("__a")
     )
-    return (
-        exact.agg(
-            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-            F.count(F.lit(1)).cast("bigint").alias("n_exact_neighbors"),
-            F.coalesce(F.sum("neighbor_id"), F.lit(0))
-            .cast("bigint")
-            .alias("sum_exact_neighbor_ids"),
-        )
-        .crossJoin(
-            F.broadcast(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
-        )
-        .select(
-            "n_queries",
-            "n_exact_neighbors",
-            "sum_exact_neighbor_ids",
-            (
-                F.col("__n_hit")
-                >= F.col("n_exact_neighbors") * F.lit(floor)
-            ).alias("recall_ok"),
-        )
+    joined = exact.join(flagged, ["query_id", "neighbor_id"], "left")
+    n_exact = F.coalesce(F.count(F.lit(1)), F.lit(0))
+    n_hit = F.coalesce(F.sum(F.when(F.col("__a").isNotNull(), 1)), F.lit(0))
+    return joined.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        n_exact.cast("bigint").alias("n_exact_neighbors"),
+        F.coalesce(F.sum("neighbor_id"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_exact_neighbor_ids"),
+        (n_hit >= n_exact * F.lit(floor)).alias("recall_ok"),
     )
 
 
@@ -3048,48 +3040,37 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's 0.3-pairs are the random-noise tail, not planted dups);
     the operator's design range is the high-similarity mass, and THAT
     is what the certificate holds it to."""
-    approx = q_emb_neardup_lsh_raw(spark, sf_dir).select("id_a", "id_b")
-    exact = q_emb_neardup_exact(spark, sf_dir)
-    tail = exact.where(F.col("sim") >= 0.45).select("id_a", "id_b")
-    tail_hits = tail.join(approx, ["id_a", "id_b"], "left_semi")
-    false_pos = approx.join(
-        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    approx = q_emb_neardup_lsh_raw(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("__a")
     )
-    return (
-        exact.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
-            F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
-            .cast("bigint")
-            .alias("sum_exact_ids"),
+    exact = q_emb_neardup_exact(spark, sf_dir).select(
+        "id_a", "id_b", "sim", F.lit(1).alias("__e")
+    )
+    # ONE full-outer join + ONE aggregate: the quadratic exact twin's
+    # subtree appears exactly once in the plan (the semi/anti/agg form
+    # re-executed it three times)
+    joined = exact.join(approx, ["id_a", "id_b"], "full_outer")
+    e = F.col("__e").isNotNull()
+    a = F.col("__a").isNotNull()
+    in_tail = e & (F.col("sim") >= 0.45)
+    n_tail = F.coalesce(F.sum(F.when(in_tail, 1).otherwise(0)), F.lit(0))
+    n_hit = F.coalesce(
+        F.sum(F.when(in_tail & a, 1).otherwise(0)), F.lit(0)
+    )
+    return joined.agg(
+        F.coalesce(F.sum(F.when(e, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+        F.coalesce(
+            F.sum(F.when(e, F.col("id_a") + F.col("id_b"))), F.lit(0)
         )
-        .crossJoin(
-            F.broadcast(
-                tail.agg(F.count(F.lit(1)).alias("__n_tail"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                tail_hits.agg(F.count(F.lit(1)).alias("__n_hit"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                false_pos.agg(
-                    F.count(F.lit(1))
-                    .cast("bigint")
-                    .alias("n_false_positives")
-                )
-            )
-        )
-        .select(
-            "n_exact_pairs",
-            "sum_exact_ids",
-            F.col("__n_tail").cast("bigint").alias("n_tail_pairs"),
-            "n_false_positives",
-            (
-                F.col("__n_hit") >= F.col("__n_tail") * F.lit(0.85)
-            ).alias("recall_ok"),
-        )
+        .cast("bigint")
+        .alias("sum_exact_ids"),
+        n_tail.cast("bigint").alias("n_tail_pairs"),
+        F.coalesce(F.sum(F.when(a & ~e, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        (n_hit >= n_tail * F.lit(0.85)).alias("recall_ok"),
     )
 
 
@@ -3662,13 +3643,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def scale_path_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Pure approximate scale paths for the two self-verifying recall
-    certificates (round 11).  The REGISTERED ``docs_minhash_pairs`` /
-    ``emb_lsh_topk`` entries deliberately embed their quadratic exact
-    twins so the oracle can value-hash the recall relationship; bench.py
-    and tools/scale_probe.py overlay THESE callables under the same keys
-    so throughput numbers keep measuring the sub-quadratic LSH path
-    itself (comparable across rounds), not the correctness-scale twin."""
+    """Pure approximate scale paths for the self-verifying recall
+    certificates (round 11; one entry per certificate that embeds a
+    quadratic exact twin).  The REGISTERED entries under these keys
+    deliberately join against their exact twins so the oracle can
+    value-hash the recall relationship; bench.py, tools/scale_probe.py,
+    and the exchange-ceiling plan test overlay THESE callables under
+    the same keys so throughput/plan guards keep measuring the
+    sub-quadratic LSH path itself (comparable across rounds), not the
+    correctness-scale twin."""
     return {
         "docs_minhash_pairs": q_docs_minhash_pairs_raw,
         "emb_lsh_topk": q_emb_lsh_topk_raw,

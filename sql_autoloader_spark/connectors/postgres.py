@@ -415,7 +415,11 @@ class PostgresConnector(BaseConnector):
         client: PGWireClient | None = None,
         sock_dir: str | None = None,
         host: str | None = None,
-        port: int = 54321,
+        # no meaningful default exists: EmbeddedPostgres allocates an
+        # OS-assigned ephemeral port (round 11), so ALWAYS pass the
+        # server's actual port (e.g. ``port=pg.port``); 5432 is the
+        # conventional default only for external production servers
+        port: int = 5432,
         user: str = "postgres",
         database: str = "postgres",
         password: str | None = None,

@@ -87,15 +87,19 @@ CLASSIFICATION: dict[tuple[str, str], tuple[str, str]] = {
         "guarded",
         "best-effort log4j tuning; whole body try/except-pass",
     ),
-    ("connectors/spark_catalog.py", "claim"): (
+    ("connectors/spark_catalog.py", "LinkClaim.claim"): (
         "classic-only",
         "ACID journal: atomic no-overwrite claim via java.nio hardlink",
     ),
-    ("connectors/spark_catalog.py", "__init__"): (
+    ("connectors/spark_catalog.py", "ConditionalPutClaim.claim"): (
+        "classic-only",
+        "ACID journal: conditional-put claim reads via commons-io",
+    ),
+    ("connectors/spark_catalog.py", "_CommitJournal.__init__"): (
         "classic-only",
         "ACID journal constructor: Hadoop FS handle for commit files",
     ),
-    ("connectors/spark_catalog.py", "_read_token"): (
+    ("connectors/spark_catalog.py", "_CommitJournal._read_token"): (
         "classic-only",
         "ACID journal: read commit-token file through Hadoop FS",
     ),
@@ -103,35 +107,38 @@ CLASSIFICATION: dict[tuple[str, str], tuple[str, str]] = {
         "classic-only",
         "shared Hadoop-FS accessor for journal/maintenance paths",
     ),
-    ("connectors/spark_catalog.py", "_persist_table_meta"): (
+    ("connectors/spark_catalog.py", "SparkConnector._persist_table_meta"): (
         "classic-only",
         "managed-catalog table-metadata JSON sidecar write",
     ),
-    ("connectors/spark_catalog.py", "_adopt_filesystem_tables"): (
+    (
+        "connectors/spark_catalog.py",
+        "SparkConnector._adopt_filesystem_tables",
+    ): (
         "classic-only",
         "cross-process warehouse reopen: scan table dirs via Hadoop FS",
     ),
-    ("connectors/spark_catalog.py", "compact_table"): (
+    ("connectors/spark_catalog.py", "SparkConnector.compact_table"): (
         "classic-only",
         "maintenance rewrite sizes output by physical partition count",
     ),
-    ("connectors/jdbc.py", "_driver_connection"): (
+    ("connectors/jdbc.py", "JDBCConnector._driver_connection"): (
         "classic-only",
         "JDBC DriverManager lives in the driver JVM by definition",
     ),
-    ("connectors/jdbc.py", "_fetch_schema_via_metadata"): (
+    ("connectors/jdbc.py", "JDBCConnector._fetch_schema_via_metadata"): (
         "classic-only",
         "java.sql.DatabaseMetaData introspection via the gateway",
     ),
-    ("connectors/postgres.py", "_read_table_distributed"): (
+    ("connectors/postgres.py", "PostgresConnector._read_table_distributed"): (
         "classic-only",
         "ctid-range task fan-out uses sparkContext.parallelize",
     ),
-    ("connectors/postgres.py", "_stage_frame"): (
+    ("connectors/postgres.py", "PostgresConnector._stage_frame"): (
         "classic-only",
         "COPY writer coalesces by physical partition count",
     ),
-    ("streaming/pipeline.py", "admit_batch"): (
+    ("streaming/pipeline.py", "_fuzzy_admitter.admit_batch"): (
         "classic-only",
         "signature-store admission: atomic Hadoop-FS marker files",
     ),
@@ -154,10 +161,18 @@ def audit() -> list[dict]:
             rel = os.path.relpath(path, PKG).replace(os.sep, "/")
             with open(path, encoding="utf-8") as fh:
                 tree = ast.parse(fh.read())
+            # QUALIFIED scope path (Class.method, outer.<locals>.inner):
+            # a bare function name would let one classification entry
+            # blanket every same-named function in the file (three
+            # __init__s live in spark_catalog.py) and silently absorb
+            # future unguarded touches
             spans = [
                 (n.lineno, n.end_lineno, n.name)
                 for n in ast.walk(tree)
-                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                if isinstance(
+                    n,
+                    (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+                )
             ]
             for node in ast.walk(tree):
                 if not (
@@ -165,12 +180,17 @@ def audit() -> list[dict]:
                     and node.attr in CLASSIC_ATTRS
                 ):
                     continue
-                enclosing = [
-                    (a, b, n) for a, b, n in spans if a <= node.lineno <= b
-                ]
-                # innermost function = narrowest span
+                enclosing = sorted(
+                    (
+                        (a, b, n)
+                        for a, b, n in spans
+                        if a <= node.lineno <= b
+                    ),
+                    key=lambda s: s[1] - s[0],
+                    reverse=True,  # outermost first
+                )
                 func = (
-                    min(enclosing, key=lambda s: s[1] - s[0])[2]
+                    ".".join(n for _a, _b, n in enclosing)
                     if enclosing
                     else "<module>"
                 )
