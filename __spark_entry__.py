@@ -2830,13 +2830,20 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it each time).
     """
     docs = _t(spark, sf_dir, "documents")
-    approx = dedup.minhash_lsh_pairs(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        threshold=0.4,
-        shingle_words=3,
-    ).select("id_a", "id_b", F.lit(1).alias("__a"))
+    # dropDuplicates: structural immunity to a future approx operator
+    # emitting duplicate pairs (which would fan out exact-side rows in
+    # the full-outer join and corrupt the oracle-recomputed checksums)
+    approx = (
+        dedup.minhash_lsh_pairs(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            threshold=0.4,
+            shingle_words=3,
+        )
+        .select("id_a", "id_b", F.lit(1).alias("__a"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     exact = dedup.token_jaccard_pairs(
         docs,
         id_col="doc_id",
@@ -2958,11 +2965,16 @@ def _topk_recall_certificate(
     exact = _sim.brute_force_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", k=5
     ).select("query_id", "neighbor_id")
+    # dropDuplicates makes the join-side stats structurally immune to
+    # a future approx operator emitting duplicate key pairs (which
+    # would fan out exact-side rows and corrupt the exact checksums
+    # the oracle recomputes independently) — a no-op on today's
+    # already-distinct top-k outputs
     flagged = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("__a")
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     joined = exact.join(flagged, ["query_id", "neighbor_id"], "left")
-    n_exact = F.coalesce(F.count(F.lit(1)), F.lit(0))
+    n_exact = F.count(F.lit(1))  # count(*) is 0 on empty, never NULL
     n_hit = F.coalesce(F.sum(F.when(F.col("__a").isNotNull(), 1)), F.lit(0))
     return joined.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries"),
@@ -3040,8 +3052,12 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's 0.3-pairs are the random-noise tail, not planted dups);
     the operator's design range is the high-similarity mass, and THAT
     is what the certificate holds it to."""
-    approx = q_emb_neardup_lsh_raw(spark, sf_dir).select(
-        "id_a", "id_b", F.lit(1).alias("__a")
+    # dropDuplicates: see q_docs_minhash_pairs — join-side stats must
+    # be immune to duplicate approx pairs
+    approx = (
+        q_emb_neardup_lsh_raw(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(1).alias("__a"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     exact = q_emb_neardup_exact(spark, sf_dir).select(
         "id_a", "id_b", "sim", F.lit(1).alias("__e")

@@ -161,7 +161,9 @@ def audit() -> list[dict]:
             rel = os.path.relpath(path, PKG).replace(os.sep, "/")
             with open(path, encoding="utf-8") as fh:
                 tree = ast.parse(fh.read())
-            # QUALIFIED scope path (Class.method, outer.<locals>.inner):
+            # QUALIFIED scope path — plain dot-joined enclosing names
+            # (Class.method, outer.inner — NOT __qualname__'s
+            # "<locals>" form; CLASSIFICATION keys must match this):
             # a bare function name would let one classification entry
             # blanket every same-named function in the file (three
             # __init__s live in spark_catalog.py) and silently absorb
