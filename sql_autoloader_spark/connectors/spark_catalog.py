@@ -1420,12 +1420,47 @@ class SparkConnector(BaseConnector):
                 self._committed[table] = self._committed_view(table)
             return
         for table in tables:
-            frame = self.spark.table(self._qualified(table))
+            qualified = self._qualified(table)
+            frame = self.spark.table(qualified)
             if only_token is not None:
-                keep = F.col(_COMMIT_COL) != F.lit(int(only_token))
+                orphan = F.col(_COMMIT_COL) == F.lit(int(only_token))
             else:
-                keep = F.col(_COMMIT_COL).isin(self._visible_tokens())
-            self._overwrite_table(table, frame.where(keep))
+                orphan = ~F.col(_COMMIT_COL).isin(self._visible_tokens())
+            # Appends land whole files under ONE token, and rewrites
+            # only ever write visible rows — so orphan files are
+            # token-pure: sweep by DELETING exactly those files.  No
+            # table rewrite (at 100 TB an overwrite would rewrite the
+            # entire table to drop a few crashed-append files) and no
+            # managed-table recreation (which fails for adopted
+            # external-location tables in a FRESH process — the
+            # round-12 SIGKILL-recovery test caught exactly that).  A
+            # mixed file would violate the invariant: degrade to the
+            # visible-rows rewrite, never delete it.
+            per_file = (
+                frame.select(
+                    F.col("_metadata.file_path").alias("__f"),
+                    orphan.alias("__o"),
+                )
+                .groupBy("__f")
+                .agg(
+                    F.min("__o").alias("__all_orphan"),
+                    F.max("__o").alias("__any_orphan"),
+                )
+                .collect()
+            )
+            doomed = [r["__f"] for r in per_file if r["__all_orphan"]]
+            mixed = any(
+                r["__any_orphan"] and not r["__all_orphan"] for r in per_file
+            )
+            if mixed:  # pragma: no cover - invariant violation fallback
+                self._overwrite_table(table, frame.where(~orphan))
+            else:
+                fs = path_cls = None
+                for f in doomed:
+                    if fs is None:
+                        fs, path_cls = _hadoop_fs(self.spark, f)
+                    fs.delete(path_cls(f), False)
+                self.spark.catalog.refreshTable(qualified)
             self._committed[table] = self._committed_view(table)
 
     def _overwrite_table(
@@ -1481,8 +1516,20 @@ class SparkConnector(BaseConnector):
             # the sort, but must not land in the final schema; a plain
             # projection preserves the within-partition order
             staged = staged.drop(*drop_after)
+        # Pin the rewrite to the table's EXISTING location and recreate
+        # it as an external-location entry there.  A bare overwrite-
+        # saveAsTable only works for tables this session created as
+        # managed: for a table ADOPTED from another process (external
+        # location, _adopt_filesystem_tables) the drop keeps the files
+        # and the managed re-create refuses the non-empty location.
+        # DROP + clear + external create is uniform for both; _drop_table
+        # already deletes data files explicitly for the same reason.
+        loc = self._table_location(table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(table)}")
+        fs, path_cls = _hadoop_fs(self.spark, loc)
+        fs.delete(path_cls(loc), True)
         writer = self._apply_layout(staged.write.mode("overwrite"), table)
-        writer.saveAsTable(self._qualified(table))
+        writer.option("path", loc).saveAsTable(self._qualified(table))
         # restore the metadata properties IMMEDIATELY after the rewrite
         # (overwrite recreates the table without them): a crash before
         # this line leaves a table a fresh connector would not recognize

@@ -1,0 +1,360 @@
+"""SIGKILL crash-recovery proof for the streaming autoload.
+
+The graceful restart-from-checkpoint path is covered in
+tests/test_streaming.py; these tests prove the stronger claim the
+module docstring makes (streaming/pipeline.py: "checkpoint-replay
+after failure is safe"): a driver process HARD-KILLED mid-micro-batch
+— after staging, before the sink's commit point — converges exactly
+to the batch oracle when a fresh process restarts the stream from the
+same checkpoint.  foreachBatch is at-least-once, so the crashed batch
+is REPLAYED in full; the sinks' idempotent insert (anti-join /
+EXCEPT against existing rows) plus their crash hygiene (the managed
+catalog's open-time orphan sweep, the PG sink's autocommit staging +
+``sweep_staging``) must turn the replay into exactly-once table
+content: no duplicate rows, no lost rows, no leftover garbage.
+
+Each test runs two subprocess drivers (own SparkSession each,
+~20-30 s JVM start — deliberately among the slowest tests, like
+tests/test_cross_process.py):
+
+1. the KILL driver streams batch 0 cleanly, then arms a SIGKILL at
+   the precise injection point (managed catalog: inside
+   ``_CommitJournal.commit`` — appends staged and moved in, journal
+   rename NOT landed; PostgreSQL: after ``_stage_frame`` returns —
+   staging COPY complete, merge INSERT not issued) and dies inside
+   batch 1;
+2. the RECOVER driver reopens the same warehouse + checkpoint,
+   observes the crash leftovers (invisible token rows / an orphan
+   staging table), restarts the stream (replays batch 1, then
+   processes a new batch 2) and reports final content.
+
+Children run in their own process group (``start_new_session``) so a
+self-SIGKILLed Python driver's orphaned JVM can be reaped with one
+``killpg`` — otherwise leaked executors from killed runs pile up on
+the host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from sql_autoloader_spark.connectors.pgwire import EmbeddedPostgres
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+_PRELUDE = """
+import json, os, signal, sys
+from pyspark.sql import SparkSession
+
+mode = sys.argv[1]
+root = sys.argv[2]
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.warehouse.dir", f"{root}/wh_{mode}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+src = f"{root}/src"
+ckpt = f"{root}/ckpt"
+
+
+def add_source(tag, rows):
+    spark.createDataFrame(rows, "brand string, model string").coalesce(
+        1
+    ).write.parquet(f"{src}/{tag}")
+
+
+def run_stream(db):
+    from sql_autoloader_spark.streaming import autoload_stream
+
+    stream = (
+        spark.readStream.schema("brand string, model string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = autoload_stream(db, stream, checkpoint_dir=ckpt)
+    assert q.awaitTermination(240)
+"""
+
+_CATALOG_CHILD = _PRELUDE + """
+from sql_autoloader_spark.connectors import spark_catalog as sc_mod
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+spark.sql(f"CREATE DATABASE IF NOT EXISTS crashdb LOCATION '{root}/crashdb'")
+db = SparkConnector(spark, database="crashdb")
+
+if mode == "kill":
+    db.execute_ddl(
+        '''
+        CREATE TABLE cr_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE cr_car (
+            id INTEGER PRIMARY KEY,
+            model TEXT UNIQUE,
+            brand_id INTEGER REFERENCES cr_brand (id));
+        '''
+    )
+    add_source("f1", [("Toyota", "Corolla"), ("Ford", "Focus")])
+    run_stream(db)  # batch 0 commits cleanly
+    print("PHASE1 " + json.dumps({
+        "cars": db._read_table("cr_car").count(),
+        "commits": len(db.commit_history()),
+    }), flush=True)
+
+    # die at THE commit point: batch 1's rows are fully appended
+    # (token-tagged, invisible) but the atomic journal rename never
+    # lands — the worst-possible crash instant for the manifest
+    # protocol
+    def die(self, token, **kwargs):
+        os.kill(os.getpid(), signal.SIGKILL)
+
+    sc_mod._CommitJournal.commit = die
+    add_source("f2", [("Toyota", "Yaris"), ("Honda", "Civic")])
+    run_stream(db)  # SIGKILLs itself inside batch 1
+    print("SURVIVED", flush=True)  # must never print
+else:
+    # open-time recovery sweeps the crashed token's physical rows;
+    # batch 1 was never visible
+    pre_cars = db._read_table("cr_car").count()
+    add_source("f3", [("Honda", "Jazz")])
+    run_stream(db)  # replays batch 1, then processes batch 2
+    brand = db._read_table("cr_brand")
+    car = db._read_table("cr_car")
+    flat = sorted(
+        (r["brand"], r["model"])
+        for r in car.join(brand, car["brand_id"] == brand["id"])
+        .select("brand", "model")
+        .collect()
+    )
+    print("RESULT " + json.dumps({
+        "pre_cars": pre_cars,
+        "brands": brand.count(),
+        "cars": car.count(),
+        # physical parquet rows, hidden commit column included: proves
+        # the crashed token's files were actually swept (no invisible
+        # garbage survives the recovery)
+        "raw_brand_rows": spark.read.parquet(db._table_location("cr_brand")).count(),
+        "raw_car_rows": spark.read.parquet(db._table_location("cr_car")).count(),
+        "flat": flat,
+        "commits": len(db.commit_history()),
+    }), flush=True)
+    spark.stop()
+"""
+
+_POSTGRES_CHILD = _PRELUDE + """
+import sql_autoloader_spark.connectors.postgres as pg_mod
+from sql_autoloader_spark.connectors.postgres import PostgresConnector
+
+host, port = sys.argv[3], int(sys.argv[4])
+db = PostgresConnector(
+    spark, host=host, port=port, database="crashpg",
+    copy_threshold=0,  # every write takes staging-COPY + server merge
+)
+
+def staging_tables():
+    return sorted(
+        r["table_name"]
+        for r in db._rows(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = '_al_staging'"
+        )
+    )
+
+if mode == "kill":
+    db.execute_ddl(
+        '''
+        CREATE TABLE pc_brand (
+            id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+            brand text UNIQUE);
+        CREATE TABLE pc_car (
+            id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+            model text UNIQUE,
+            brand_id bigint REFERENCES pc_brand (id));
+        '''
+    )
+    add_source("f1", [("Toyota", "Corolla"), ("Ford", "Focus")])
+    run_stream(db)  # batch 0 commits cleanly
+    (cars,) = db.client.query("SELECT count(*) FROM pc_car").rows[0]
+    print("PHASE1 " + json.dumps({"cars": cars}), flush=True)
+
+    # die between the staging COPY and the merge INSERT: the unlogged
+    # staging table is fully populated (autocommit executor
+    # connections) but nothing merged; the driver transaction dies
+    # with the connection and the server rolls it back
+    orig = pg_mod.PostgresConnector._stage_frame
+
+    def staged_then_die(self, *args, **kwargs):
+        out = orig(self, *args, **kwargs)
+        os.kill(os.getpid(), signal.SIGKILL)
+        return out
+
+    pg_mod.PostgresConnector._stage_frame = staged_then_die
+    add_source("f2", [("Toyota", "Yaris"), ("Honda", "Civic")])
+    run_stream(db)  # SIGKILLs itself inside batch 1
+    print("SURVIVED", flush=True)  # must never print
+else:
+    orphans_before = staging_tables()  # the crashed COPY's leftover
+    add_source("f3", [("Honda", "Jazz")])
+    run_stream(db)  # must not be blocked by the orphan; replays batch 1
+    (brands,) = db.client.query("SELECT count(*) FROM pc_brand").rows[0]
+    (cars,) = db.client.query("SELECT count(*) FROM pc_car").rows[0]
+    flat = sorted(
+        tuple(r)
+        for r in db.client.query(
+            "SELECT b.brand, c.model FROM pc_car c"
+            " JOIN pc_brand b ON c.brand_id = b.id"
+        ).rows
+    )
+    swept = db.sweep_staging()
+    orphans_after = staging_tables()
+    print("RESULT " + json.dumps({
+        "orphans_before": orphans_before,
+        "brands": brands,
+        "cars": cars,
+        "flat": flat,
+        "swept": swept,
+        "orphans_after": orphans_after,
+    }), flush=True)
+    db.close()
+    spark.stop()
+"""
+
+EXPECTED_FLAT = sorted(
+    [
+        ["Toyota", "Corolla"],
+        ["Ford", "Focus"],
+        ["Toyota", "Yaris"],
+        ["Honda", "Civic"],
+        ["Honda", "Jazz"],
+    ]
+)
+
+
+def _run_child(
+    script_path: Path, args: list[str], *, timeout: int = 600
+) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    child = subprocess.Popen(  # noqa: S603 - our own script
+        [sys.executable, str(script_path), *args],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+        start_new_session=True,  # own process group: killpg reaps the JVM
+    )
+    try:
+        stdout, stderr = child.communicate(timeout=timeout)
+    finally:
+        try:
+            os.killpg(child.pid, signal.SIGKILL)  # reap the orphaned JVM
+        except ProcessLookupError:
+            pass
+    return subprocess.CompletedProcess(
+        child.args, child.returncode, stdout, stderr
+    )
+
+
+def _result(proc: subprocess.CompletedProcess) -> dict:
+    lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")
+    ]
+    assert lines, f"no RESULT:\n{proc.stdout}\n{proc.stderr[-4000:]}"
+    return json.loads(lines[0][len("RESULT ") :])
+
+
+def _assert_killed_mid_batch(proc: subprocess.CompletedProcess) -> None:
+    assert proc.returncode == -signal.SIGKILL, (
+        f"kill child exited {proc.returncode}:\n"
+        f"{proc.stdout}\n{proc.stderr[-4000:]}"
+    )
+    assert "PHASE1" in proc.stdout, proc.stdout  # batch 0 landed first
+    assert "SURVIVED" not in proc.stdout  # died inside batch 1
+
+
+@pytest.mark.slow
+def test_sigkill_mid_commit_managed_catalog_converges(tmp_path) -> None:  # noqa: ANN001
+    """Managed catalog: SIGKILL at the journal-flip point, restart from
+    the same checkpoint → exactly the batch-oracle content, physically
+    (the crashed token's invisible rows are swept, the replay lands
+    once)."""
+    script = tmp_path / "cat_child.py"
+    script.write_text(_CATALOG_CHILD)
+    root = str(tmp_path / "shared")
+    os.makedirs(root)
+
+    killed = _run_child(script, ["kill", root])
+    _assert_killed_mid_batch(killed)
+    # the journal must show ONLY batch 0's commit (the flip never landed)
+    phase1 = json.loads(
+        next(
+            ln for ln in killed.stdout.splitlines() if ln.startswith("PHASE1")
+        )[len("PHASE1 ") :]
+    )
+    assert phase1 == {"cars": 2, "commits": 1}
+
+    recovered = _run_child(script, ["recover", root])
+    assert recovered.returncode == 0, (
+        f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
+    )
+    res = _result(recovered)
+    assert res["pre_cars"] == 2  # crashed batch was never visible
+    assert res["brands"] == 3
+    assert res["cars"] == 5
+    # no invisible orphan rows survive recovery + replay
+    assert res["raw_brand_rows"] == 3
+    assert res["raw_car_rows"] == 5
+    assert sorted(map(tuple, res["flat"])) == sorted(map(tuple, EXPECTED_FLAT))
+    # batch 0 + replayed batch 1 + batch 2 = 3 journal commits, no more
+    assert res["commits"] == 3
+
+
+@pytest.mark.slow
+def test_sigkill_between_copy_and_merge_postgres_converges(tmp_path) -> None:  # noqa: ANN001
+    """Live-PG sink: SIGKILL after the staging COPY, before the merge.
+    The orphan staging table must not block the restarted stream
+    (random staging names, autocommit schema creation), the replay must
+    converge to the batch oracle, and ``sweep_staging`` must reclaim
+    the orphan — the multi-writer staging contract (OPERATIONS.md)."""
+    if not EmbeddedPostgres.available():
+        pytest.skip("PostgreSQL server binaries not available")
+    script = tmp_path / "pg_child.py"
+    script.write_text(_POSTGRES_CHILD)
+    root = str(tmp_path / "shared")
+    os.makedirs(root)
+
+    # the server lives in THIS process, outside the children's process
+    # groups — it survives the SIGKILL like a real warehouse would
+    with EmbeddedPostgres(tcp=True) as server:
+        server.createdb("crashpg")
+        args = [root, server.host, str(server.port)]
+
+        killed = _run_child(script, ["kill", *args])
+        _assert_killed_mid_batch(killed)
+
+        recovered = _run_child(script, ["recover", *args])
+        assert recovered.returncode == 0, (
+            f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
+        )
+        res = _result(recovered)
+        # the crash left its staging orphan; the restarted stream ran
+        # anyway (not blocked), then the sweep reclaimed exactly it
+        assert len(res["orphans_before"]) >= 1
+        assert res["swept"] == len(res["orphans_before"])
+        assert res["orphans_after"] == []
+        assert res["brands"] == 3
+        assert res["cars"] == 5
+        assert sorted(map(tuple, res["flat"])) == sorted(
+            map(tuple, EXPECTED_FLAT)
+        )
