@@ -2773,12 +2773,82 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate media via real PNG decode → luma-histogram
-    feature vector → LSH bucketing (rows-only: LSH hyperplane hashing
-    has no portable SQL twin)."""
+def q_media_neardup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw near-dup pair list (exact-content stars + rep-level LSH
+    links) — what bench.py and tools/scale_probe.py time; the
+    registered certificate below adds connected components and the
+    oracle-recomputed group census on top."""
     media = _media_frame(spark, sf_dir)
     return multimodal.media_neardup_pairs(media, threshold=0.995)
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying media near-dup certificate (round 12: the former
+    rows-only entry upgraded to a value-hash oracle).
+
+    LSH hyperplane hashing has no portable SQL twin, but the generator
+    does: assets with equal content key ``k = doc_id % 384`` are
+    byte-identical PNGs, so the ground-truth duplicate GROUPS are pure
+    id arithmetic the oracle recomputes.  The certificate runs the real
+    path (PNG decode → feature → exact-content stars + rep-level LSH →
+    connected components) and emits ONE row:
+
+    - ``n_assets`` / ``n_dup_groups`` / ``n_dup_assets`` /
+      ``sum_dup_keys``: the generator-derived census — pure SQL, the
+      oracle recomputes every value from ``doc_id % 384``;
+    - ``n_split_groups``: byte-identical groups whose members do NOT
+      all land in one near-dup component (an unlinked member counts as
+      its own singleton component).  The oracle pins the literal 0.
+      This is the certificate that caught the round-12 bug it now
+      guards: the pre-split ``media_neardup_pairs`` lost exactly these
+      links once the LSH bucket cap bound (136/384 groups split at
+      sf0.1);
+    - ``complete_ok``: pinned TRUE.
+
+    False positives are deliberately NOT pinned: distinct generator
+    keys can legitimately produce near-identical luma histograms, and
+    cosine ≥ 0.995 between different images is a correct answer, not
+    an error.
+    """
+    media = _media_frame(spark, sf_dir)
+    pairs = multimodal.media_neardup_pairs(media, threshold=0.995)
+    comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    assets = media.select(
+        "media_id", (F.col("media_id") % 384).alias("k")
+    )
+    labeled = assets.join(
+        comp, assets["media_id"] == comp["id"], "left"
+    ).select(
+        "media_id",
+        "k",
+        # a pair-less asset is its own component
+        F.coalesce(F.col("component"), F.col("media_id")).alias("c"),
+    )
+    per_group = labeled.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c").alias("n_comp"),
+    )
+    dup = F.col("n") > 1
+    return per_group.agg(
+        F.sum("n").cast("bigint").alias("n_assets"),
+        F.coalesce(F.sum(F.when(dup, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(dup, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_assets"),
+        F.coalesce(F.sum(F.when(dup, F.col("k"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_dup_keys"),
+        F.coalesce(
+            F.sum(F.when(dup & (F.col("n_comp") > 1), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_split_groups"),
+        F.coalesce(
+            F.sum(F.when(dup & (F.col("n_comp") > 1), 1)), F.lit(0)
+        ).eqNullSafe(F.lit(0)).alias("complete_ok"),
+    )
 
 
 # -- rows-only (Spark-specific hashing; no portable SQL oracle) ------------
@@ -2872,12 +2942,13 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_simhash_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=6 -> 7 pigeonhole chunks of ~9 bits: each bucket key
     # has ~512 values, so the candidate join actually prunes.  (At 12
     # the mandatory 13 chunks are ~5 bits wide — 32 buckets per chunk —
     # and bucketing degenerates toward all-pairs on any corpus with a
-    # shared vocabulary.)  The cap bounds residual bucket skew.
+    # shared vocabulary.)  The cap bounds residual bucket skew — this
+    # is the production scale path bench.py times.
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"),
         id_col="doc_id",
@@ -2887,11 +2958,155 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying SimHash pigeonhole certificate (round 12: the
+    former rows-only entry upgraded to a value-hash oracle).
+
+    SimHash fingerprints are xxhash64-specific, so the pair set cannot
+    be value-hashed against DuckDB — but the pigeonhole guarantee can:
+    any pair within Hamming ≤ 6 agrees on one of the 7 fingerprint
+    chunks, so the bucketed join is EXHAUSTIVE.  The certificate
+    brute-forces Hamming over the IDENTICAL signature frame
+    (:func:`dedup.simhash_fingerprints` — the same expression
+    ``simhash_pairs`` buckets) and emits the symmetric difference:
+
+    - ``n_missing``: exact pairs the pigeonhole path lost — the oracle
+      pins the literal 0;
+    - ``n_extra``: emitted pairs absent from the brute-force set
+      (a Hamming-filter or dedup corruption) — pinned 0;
+    - ``complete_ok``: pinned TRUE;
+    - ``n_docs``: oracle-recomputed corpus count, anchoring that the
+      certificate ran over the full table.
+
+    The certified path runs UNCAPPED (``max_bucket_size=None``): the
+    cap deliberately trades recall inside oversized buckets (372 pairs
+    at sf0.1 — measured, documented in simhash_pairs), so pinning 0
+    under the cap would certify a claim the operator does not make.
+    The capped production config stays the benched scale path
+    (``q_docs_simhash_pairs_raw``).  The brute-force twin is quadratic
+    — correctness-scale only, like every certificate's exact twin
+    (MIGRATION.md).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(
+        docs, id_col="doc_id", text_col="text"
+    ).persist()
+    exact = (
+        fps.alias("l")
+        .join(fps.alias("r"), F.col("l.doc") < F.col("r.doc"))
+        .where(
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))) <= 6
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.lit(1).alias("__e"),
+        )
+    )
+    approx = (
+        dedup.simhash_pairs(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            max_hamming=6,
+            max_bucket_size=None,
+        )
+        .select("id_a", "id_b", F.lit(1).alias("__a"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    joined = exact.join(approx, ["id_a", "id_b"], "full_outer")
+    e = F.col("__e").isNotNull()
+    a = F.col("__a").isNotNull()
+    n_missing = F.coalesce(F.sum(F.when(e & ~a, 1)), F.lit(0))
+    n_extra = F.coalesce(F.sum(F.when(a & ~e, 1)), F.lit(0))
+    cert = joined.agg(
+        n_missing.cast("bigint").alias("n_missing"),
+        n_extra.cast("bigint").alias("n_extra"),
+        ((n_missing + n_extra) == 0).alias("complete_ok"),
+    )
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).crossJoin(cert)
+
+
+def q_docs_rolling_fp_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw per-document fingerprint frame — what bench.py and
+    tools/scale_probe.py time (the registered certificate below
+    computes the fingerprints three times over by design)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", text.rolling_fingerprint(F.col("text")).alias("roll_fp")
     )
+
+
+def q_docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying rolling-fingerprint certificate (round 12: the
+    former rows-only entry upgraded to a value-hash oracle).
+
+    xxhash64 makes the fingerprint VALUES engine-specific; the
+    fingerprint's defining PROPERTIES are checkable:
+
+    - ``n_copy_mismatch``: a verbatim duplicate of every document is
+      planted in-query (id-shifted union — a genuinely separate plan
+      subtree, so this also proves the expression is deterministic
+      across independent evaluations) and must fingerprint identically
+      to its original.  The oracle pins the literal 0;
+    - ``n_norm_mismatch``: a case-mangled, punctuation-injected variant
+      (``upper(text) || '  !!,,'``) normalizes to the same canonical
+      form, so it must fingerprint identically too — certifying the
+      fingerprint is a pure function of the normalized text.  Pinned 0;
+    - ``identity_ok``: pinned TRUE;
+    - ``n_docs`` / ``n_distinct_norm``: oracle-recomputed anchors —
+      DuckDB independently recomputes the canonical normalization
+      (lower, alnum runs, single-space joins) and its distinct count
+      must equal Spark's, pinning the normalization semantics the
+      fingerprint hashes.
+
+    Injectivity is deliberately NOT claimed: the fingerprint is the
+    min window hash (a winnowing selector built for near-dup
+    robustness), and documents sharing their minimal window legally
+    collide — at sf0.1 the fixture's 4 992 distinct normalized texts
+    map to ~238 fingerprints.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    offset = F.lit(1_000_000_000)
+    planted = docs.select(
+        (F.col("doc_id") + offset).alias("doc_id"), F.col("text")
+    )
+    fp = lambda c: text.rolling_fingerprint(c)  # noqa: E731
+    both = docs.unionByName(planted).select(
+        "doc_id", fp(F.col("text")).alias("roll_fp")
+    )
+    orig = both.where(F.col("doc_id") < offset)
+    copy = both.where(F.col("doc_id") >= offset).select(
+        (F.col("doc_id") - offset).alias("doc_id"),
+        F.col("roll_fp").alias("copy_fp"),
+    )
+    mangled = docs.select(
+        "doc_id",
+        fp(F.concat(F.upper(F.col("text")), F.lit("  !!,,"))).alias(
+            "norm_fp"
+        ),
+    )
+    joined = orig.join(copy, "doc_id").join(mangled, "doc_id")
+    n_copy = F.coalesce(
+        F.sum(F.when(F.col("roll_fp") != F.col("copy_fp"), 1)), F.lit(0)
+    )
+    n_norm = F.coalesce(
+        F.sum(F.when(F.col("roll_fp") != F.col("norm_fp"), 1)), F.lit(0)
+    )
+    cert = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n_copy.cast("bigint").alias("n_copy_mismatch"),
+        n_norm.cast("bigint").alias("n_norm_mismatch"),
+        ((n_copy + n_norm) == 0).alias("identity_ok"),
+    )
+    anchor = docs.agg(
+        F.countDistinct(text.normalized(F.col("text")))
+        .cast("bigint")
+        .alias("n_distinct_norm")
+    )
+    return cert.crossJoin(anchor)
 
 
 def q_emb_lsh_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3672,6 +3887,10 @@ def scale_path_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": q_docs_minhash_pairs_raw,
         "emb_lsh_topk": q_emb_lsh_topk_raw,
         "emb_neardup_lsh": q_emb_neardup_lsh_raw,
+        # round 12 certificate upgrades
+        "docs_simhash_pairs": q_docs_simhash_pairs_raw,
+        "docs_rolling_fp": q_docs_rolling_fp_raw,
+        "media_neardup": q_media_neardup_raw,
     }
 
 
@@ -4516,6 +4735,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_false_positives,
                    TRUE AS recall_ok
             FROM p
+        """,
+        # Round-12 certificates: engine-specific hashing (SimHash /
+        # rolling xxhash64 / media LSH) cannot be value-hashed directly,
+        # so each emits oracle-recomputable anchors plus pinned-0
+        # defect counters (see the query docstrings).
+        "docs_simhash_pairs": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_missing,
+                   CAST(0 AS BIGINT) AS n_extra,
+                   TRUE AS complete_ok
+            FROM documents
+        """,
+        "docs_rolling_fp": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_copy_mismatch,
+                   CAST(0 AS BIGINT) AS n_norm_mismatch,
+                   TRUE AS identity_ok,
+                   CAST(count(DISTINCT array_to_string(
+                       list_filter(
+                           regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> ''),
+                       ' ')) AS BIGINT) AS n_distinct_norm
+            FROM documents
+        """,
+        "media_neardup": """
+            WITH g AS (SELECT doc_id % 384 AS k, count(*) AS n
+                       FROM documents GROUP BY 1)
+            SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_assets,
+                   CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0)
+                        AS BIGINT) AS n_dup_groups,
+                   CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0)
+                        AS BIGINT) AS n_dup_assets,
+                   CAST(coalesce(sum(CASE WHEN n > 1 THEN k END), 0)
+                        AS BIGINT) AS sum_dup_keys,
+                   CAST(0 AS BIGINT) AS n_split_groups,
+                   TRUE AS complete_ok
+            FROM g
         """,
         # IVF certificates share the lsh_topk shape: exact-side values
         # recomputed, recall_ok pinned TRUE (floor 0.70, measured

@@ -874,6 +874,27 @@ def simhash_vectorized(hashes: Column, *, bits: int = 64) -> Column:
     return fold(hashes)
 
 
+def simhash_fingerprints(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """``(doc, fp)`` — the exact signature frame
+    :func:`simhash_pairs` buckets.  Public so the correctness
+    certificate (``docs_simhash_pairs``) can brute-force Hamming over
+    the IDENTICAL signature space the pigeonhole path sees — any
+    drift between the two would be a bug in the certificate itself.
+
+    No barrier: nothing filters on computed columns before the
+    caller's pin (simhash_pairs persists the result before its
+    self-join).
+    """
+    return spread_for_compute(df, barrier=False).select(
+        F.col(id_col).alias("doc"),
+        simhash_vectorized(
+            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+        ).alias("fp"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     *,
@@ -918,13 +939,8 @@ def simhash_pairs(
     base, extra = divmod(64, chunks)
     widths = [base + (1 if i < extra else 0) for i in range(chunks)]
     offsets = [sum(widths[:i]) for i in range(chunks)]
-    # no barrier: nothing filters on computed columns before the eager
-    # checkpoint below, which is the real pin
-    fingerprinted = spread_for_compute(df, barrier=False).select(
-        F.col(id_col).alias("doc"),
-        simhash_vectorized(
-            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-        ).alias("fp"),
+    fingerprinted = simhash_fingerprints(
+        df, id_col=id_col, text_col=text_col
     )
     # pin before the chunk self-join (see minhash_lsh_pairs): the simhash
     # aggregate tree is large and would otherwise run once per join side.

@@ -632,25 +632,67 @@ def media_neardup_pairs(
     threshold: float = 0.95,
     max_bucket_size: int | None = 256,
 ) -> DataFrame:
-    """Near-duplicate media pairs: extract features, then reuse the
-    embedding LSH machinery (decode once, bucket, verify).
+    """Near-duplicate media pairs: extract features, compress exact
+    duplicates, then reuse the embedding LSH machinery on the distinct
+    vectors (decode once, group exactly, bucket, verify).
 
-    ``max_bucket_size`` defaults ON here (unlike the raw embedding
-    variant): low-entropy feature spaces — byte histograms, thumbnails,
-    the stub codec — concentrate giant near-identical clusters into
-    single LSH buckets, and an uncapped bucket self-join is quadratic
-    in cluster size.  Oversized buckets pair members with the bucket
-    representative only (linear)."""
+    Two-level structure (round 12 — the old single-level LSH pass
+    provably SPLIT byte-identical duplicate groups once the bucket cap
+    bound, because the star representative of a capped bucket need not
+    resemble every exact-dup group inside it):
+
+    1. **Exact-content compression**: identical feature vectors — the
+       dominant duplicate mass in a media corpus (re-uploads, mirrored
+       assets) — are grouped by VALUE equality, and every member pairs
+       with its group's minimum id at ``sim = 1.0``.  One keyed
+       aggregate; linear; guarantees byte-identical assets always land
+       in one connected near-dup group regardless of bucket skew.
+    2. **LSH over one representative per distinct vector**: the
+       quadratic-risk candidate join runs on ``|distinct vectors|``
+       rows, not ``|assets|`` (the media fixture: 5 000 assets → 383
+       distinct vectors; a 100 TB corpus compresses similarly).
+       ``max_bucket_size`` still bounds residual skew among *distinct*
+       vectors, where the star-cap assumption (oversized buckets are
+       near-identical) is actually sound.
+
+    The pair list is connectivity-preserving, not the full quadratic
+    all-pairs expansion: cross-group near-dup links are emitted at
+    representative level (exact-dup stars connect the rest) — the
+    contract consumers need for dedup-group formation
+    (:func:`~sql_autoloader_spark.functions.dedup.connected_components`
+    → keep-one policy), and the only contract that stays sub-quadratic
+    when a group has millions of identical members.
+    """
     from sql_autoloader_spark.functions.similarity import (
         embedding_neardup_pairs,
     )
 
-    feats = extract_features(df)
-    return embedding_neardup_pairs(
-        feats,
+    from pyspark.sql import Window
+
+    feats = extract_features(df).where(F.col("feature").isNotNull())
+    # one window over the feature value assigns every member its group
+    # representative — ONE exchange feeding both the star expansion and
+    # the rep extraction (a groupBy + re-join spelling costs three).
+    # persist: pins the mapInPandas decode AND the grouping shuffle so
+    # the real codec runs once per asset, not once per consumer.
+    tagged = feats.withColumn(
+        "__rep",
+        F.min("media_id").over(Window.partitionBy("feature")),
+    ).persist()
+    exact_star = tagged.where(F.col("media_id") > F.col("__rep")).select(
+        F.col("__rep").alias("id_a"),
+        F.col("media_id").alias("id_b"),
+        F.lit(1.0).alias("sim"),
+    )
+    reps = tagged.where(F.col("media_id") == F.col("__rep")).select(
+        "media_id", "feature"
+    )
+    near = embedding_neardup_pairs(
+        reps,
         id_col="media_id",
         vec_col="feature",
         dim=FEATURE_DIM,
         threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
+    return exact_star.unionByName(near)

@@ -501,6 +501,33 @@ def test_media_neardup(spark: SparkSession, media) -> None:
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
 
 
+def test_media_neardup_exact_groups_survive_bucket_cap(
+    spark: SparkSession,
+) -> None:
+    """Byte-identical assets must land in one near-dup group even when
+    the LSH bucket cap binds (round 12: the old single-level pass split
+    136/384 identical groups at sf0.1 because a capped bucket's star
+    representative need not resemble every exact-dup group inside it).
+    The exact-content compression emits the in-group stars at sim 1.0
+    regardless of bucketing."""
+    from sql_autoloader_spark.functions.multimodal import synthetic_png_media
+
+    # two identical groups of 6 + 5 (keys 0 and 1 mod 2) — every asset
+    # shares LSH buckets, and max_bucket_size=2 caps them all
+    docs = spark.createDataFrame(
+        [(i,) for i in range(11)], "doc_id long"
+    )
+    media = synthetic_png_media(docs, id_col="doc_id", modulus=2)
+    pairs = multimodal.media_neardup_pairs(
+        media, threshold=0.999, max_bucket_size=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs.collect()}
+    evens = {(0, i) for i in range(2, 11, 2)}
+    odds = {(1, i) for i in range(3, 11, 2)}
+    assert evens | odds <= set(got)
+    assert all(abs(got[p] - 1.0) < 1e-9 for p in evens | odds)
+
+
 def test_resize_images(spark: SparkSession, media) -> None:
     out = multimodal.resize_images(media, width=16, height=16).collect()
     assert len(out) == 3

@@ -546,7 +546,12 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
     ceilings = {
         "docs_training_pipeline": 6,
         "docs_pack_sequences": 4,
-        "media_neardup": 11,
+        # 12 since round 12: +1 keyed window exchange for the
+        # exact-content compression (groups byte-identical assets
+        # before LSH — the fix for capped buckets splitting identical
+        # groups; it also SHRINKS the quadratic-risk LSH input to the
+        # distinct-vector set)
+        "media_neardup": 12,
         "emb_neardup_lsh": 7,
         "q8_market_share": 7,
         "q21_sole_returned_supplier": 7,
