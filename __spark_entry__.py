@@ -2103,7 +2103,12 @@ def q_docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (eager — the lazy form's toRdd is an AQE trap) so the shard
         # directory can be removed NOW instead of leaking one
         # /tmp/spark_graft_csv_* per correctness/bench invocation
-        # while the caller still holds an uncollected lazy frame
+        # while the caller still holds an uncollected lazy frame.
+        # CLUSTER-MODE CAVEAT: localCheckpoint blocks are executor-local
+        # and NON-RECOMPUTABLE — on a real cluster, losing an executor
+        # after the rmtree below fails any later action on the returned
+        # frame instead of recomputing; durable pipelines should
+        # collect-and-recreate these few rows (or delay the cleanup)
         return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -2394,7 +2399,11 @@ def q_load_events_postgres_readback(
         # materialize before the server goes away: an eager
         # localCheckpoint pins the tiny per-type aggregate to executor
         # storage without the collect-and-recreate round trip through
-        # the driver (the pattern the codebase otherwise avoids)
+        # the driver (the pattern the codebase otherwise avoids).
+        # CLUSTER-MODE CAVEAT: the pinned blocks are executor-local and
+        # non-recomputable — losing an executor after db.close() fails
+        # later actions on the frame instead of recomputing; fine in
+        # local mode, collect-and-recreate if durability matters
         result = agg.localCheckpoint(eager=True)
         db.close()
     return result

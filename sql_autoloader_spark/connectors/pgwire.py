@@ -877,10 +877,12 @@ class EmbeddedPostgres:
         on the same host and fails the handshake rather than the code
         under test (round-10 advice; two suites had even pinned the
         same number).  A tiny claim race remains between release and
-        the server's own bind — far smaller than the leaked-server
-        hazard.  For unix-socket-only servers the number merely names
-        the socket file inside a per-instance temp dir, so any value
-        is collision-free."""
+        the server's own bind; ``start()`` recovers by detecting the
+        bind failure and retrying with a fresh port (auto-assigned
+        ports only — a caller-pinned port still fails loudly).  For
+        unix-socket-only servers the number merely names the socket
+        file inside a per-instance temp dir, so any value is
+        collision-free."""
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             return s.getsockname()[1]
@@ -908,6 +910,11 @@ class EmbeddedPostgres:
         self.data_dir = os.path.join(self.base_dir, "data")
         self.sock_dir = os.path.join(self.base_dir, "sock")
         self.log_path = os.path.join(self.base_dir, "server.log")
+        #: auto-assigned ports may be re-claimed between release and the
+        #: postmaster's own bind (the documented TOCTOU); start()
+        #: detects the bind failure and retries with a fresh port —
+        #: only for auto-assigned ports, never one the caller pinned
+        self._auto_port = port is None
         self.port = port if port is not None else self.free_port()
         #: loopback TCP listener (initdb -A trust covers 127.0.0.1/32 in
         #: pg_hba.conf) — exercises the host/port path cluster executors use
@@ -997,32 +1004,46 @@ class EmbeddedPostgres:
             if proc.returncode != 0:
                 msg = f"initdb failed:\n{proc.stdout}\n{proc.stderr}"
                 raise RuntimeError(msg)
-        options = (
-            f"-c listen_addresses='{self.host or ''}' "
-            f"-c unix_socket_directories={self.sock_dir} "
-            f"-c port={self.port} "
-            "-c fsync=off -c synchronous_commit=off -c full_page_writes=off"
-        )
-        if self.ssl:
-            options += self._ssl_options()
-        proc = self._run(
-            [
-                "pg_ctl",
-                "-D",
-                self.data_dir,
-                "-l",
-                self.log_path,
-                "-o",
-                options,
-                "-w",
-                "start",
-            ]
-        )
-        if proc.returncode != 0:
+        # up to 3 fresh ports when the bind loses the free_port() TOCTOU
+        # race (another process claimed the number between release and
+        # the postmaster's own bind) — retry only on bind failures of
+        # AUTO-assigned ports, never a port the caller pinned
+        for attempt in range(3):
+            options = (
+                f"-c listen_addresses='{self.host or ''}' "
+                f"-c unix_socket_directories={self.sock_dir} "
+                f"-c port={self.port} "
+                "-c fsync=off -c synchronous_commit=off "
+                "-c full_page_writes=off"
+            )
+            if self.ssl:
+                options += self._ssl_options()
+            proc = self._run(
+                [
+                    "pg_ctl",
+                    "-D",
+                    self.data_dir,
+                    "-l",
+                    self.log_path,
+                    "-o",
+                    options,
+                    "-w",
+                    "start",
+                ]
+            )
+            if proc.returncode == 0:
+                break
             log_tail = ""
             if os.path.exists(self.log_path):
                 with open(self.log_path) as fh:
                     log_tail = "".join(fh.readlines()[-20:])
+            bind_lost = (
+                "could not bind" in log_tail
+                or "Address already in use" in log_tail
+            )
+            if self._auto_port and bind_lost and attempt < 2:
+                self.port = self.free_port()
+                continue
             msg = f"pg_ctl start failed:\n{proc.stderr}\n{log_tail}"
             raise RuntimeError(msg)
         deadline = time.monotonic() + 30

@@ -430,6 +430,7 @@ class PostgresConnector(BaseConnector):
         copy_connections: int = 16,
         read_copy_bytes: int = 8 << 20,
         snapshot_exports: int = _MAX_SNAPSHOT_HOLDERS,
+        except_prefilter: str = "auto",
     ) -> None:
         self.spark = spark
         if client is None:
@@ -482,6 +483,22 @@ class PostgresConnector(BaseConnector):
             if sock_dir is not None or host is not None
             else None
         )
+        #: EXCEPT pre-filter policy — identity-gap mitigation (round 12).
+        #: ``"auto"``: keep the EXCEPT layer whenever the target has a
+        #: NARROW (int2/int4) identity/serial column even when a
+        #: covering constraint would allow skipping it — ON CONFLICT
+        #: consumes sequence values for skipped rows, and a narrow
+        #: sequence can exhaust in weeks under hourly re-loads of a
+        #: large static payload (OPERATIONS.md).  ``"always"``: never
+        #: skip — zero gap growth on any re-load, at the cost of the
+        #: O(target) EXCEPT scan the skip exists to save.
+        if except_prefilter not in ("auto", "always"):
+            msg = (
+                f"except_prefilter={except_prefilter!r}: expected "
+                "'auto' or 'always'"
+            )
+            raise ValueError(msg)
+        self.except_prefilter = except_prefilter
         self._staging: set[str] = set()
         self._in_transaction = False
         #: open snapshot-export connections backing distributed reads
@@ -965,18 +982,46 @@ class PostgresConnector(BaseConnector):
         promise uniqueness, not density) and PostgreSQL sequences hold
         2^63 values, but a pipeline that re-loads a large static
         payload hourly into an ``integer`` identity column could
-        exhaust 2^31 in ~weeks — use ``bigint`` identities (this
-        repo's DDL does) or, if gap growth matters operationally,
-        re-introduce the pre-filter by dropping the covering
-        constraint's NOT NULL/uniqueness assumption.  See
-        OPERATIONS.md § Operating the PostgreSQL sink.
+        exhaust 2^31 in ~weeks.  Mitigation (round 12): the skip is
+        policy-gated by ``except_prefilter`` — ``"auto"`` (default)
+        AUTO-RETAINS the EXCEPT layer when the target carries a narrow
+        (int2/int4) identity or serial column, so the exhaustion
+        scenario never skips; ``"always"`` retains it unconditionally
+        for operators who care about gap growth on wide identities
+        too.  See OPERATIONS.md § Operating the PostgreSQL sink.
         """
-        if self._unique_covers(table, columns):
+        if (
+            self.except_prefilter != "always"
+            and self._unique_covers(table, columns)
+            and not self._narrow_identity(table)
+        ):
             return f"SELECT DISTINCT {quoted} FROM {staging}"
         return (
             f"SELECT {quoted} FROM {staging} "
             f'EXCEPT SELECT {quoted} FROM "{table}"'
         )
+
+    def _narrow_identity(self, table: str) -> bool:
+        """True when *table* has an int2/int4 identity or serial
+        column — the sequence-exhaustion hazard the ``"auto"`` policy
+        guards (a 2^31 sequence consumed by skipped re-insert rows).
+        Probed fresh per write like :meth:`_unique_covers` (a type
+        change by another session must flip the next load's plan);
+        one indexed catalog lookup per write.
+        """
+        rows = self._rows(
+            "SELECT count(*) AS n"
+            "  FROM pg_attribute a"
+            "  LEFT JOIN pg_attrdef d"
+            "    ON d.adrelid = a.attrelid AND d.adnum = a.attnum"
+            f" WHERE a.attrelid = {self._regclass(table)}"
+            "   AND a.attnum > 0 AND NOT a.attisdropped"
+            "   AND a.atttypid IN ('int2'::regtype, 'int4'::regtype)"
+            "   AND (a.attidentity IN ('a', 'd')"
+            "        OR pg_get_expr(d.adbin, d.adrelid)"
+            "           LIKE 'nextval(%')"
+        )
+        return bool(rows and rows[0]["n"])
 
     def _copy_write(
         self, table: str, new_rows: DataFrame, columns: list[str]

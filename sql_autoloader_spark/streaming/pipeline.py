@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
@@ -38,6 +39,11 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"
 )
+
+#: rocksdb_state mutates SESSION-GLOBAL conf: serialize entries so two
+#: threads scoping different providers on one SparkSession cannot
+#: interleave set/restore (round-12 advice)
+_STATE_CONF_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -63,17 +69,30 @@ def rocksdb_state(spark: "SparkSession"):  # noqa: ANN201
     session conf around query construction+start, restoring the prior
     value after (safe because our availableNow queries terminate inside
     the block; a long-lived query keeps the provider it started with).
+
+    The conf is SESSION-GLOBAL, so the scope is serialized behind a
+    module lock: without it, an unrelated streaming query started
+    concurrently by another thread on the same SparkSession could
+    silently inherit (or lose) the RocksDB provider, and two nested
+    scopes could restore out of order.  Queries STARTED inside the
+    block keep their provider after the lock releases — only conf
+    reads during query construction need the exclusion.  Threads that
+    start streams on the same session WITHOUT this manager can still
+    observe the temporary provider; start all state-store-sensitive
+    queries through this scope (or on separate sessions) if that
+    matters.
     """
     key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def autoload_stream(

@@ -1628,3 +1628,140 @@ def test_unique_covers_pre15_version_gate(
         assert n == 1
     finally:
         db.close()
+
+
+def test_except_prefilter_auto_blocks_narrow_identity_gap(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """Round 12 (closes the r11 identity-gap advice): an all-duplicate
+    re-load into a table with a NARROW (int4) identity column must
+    consume ZERO sequence values — the ``"auto"`` policy retains the
+    EXCEPT pre-filter even though the covering UNIQUE constraint would
+    otherwise allow skipping it (ON CONFLICT evaluates identity
+    defaults before arbitration, so a skipped re-insert burns one
+    sequence value per row; hourly re-loads would exhaust 2^31 in
+    weeks).  Checked on BOTH physical write paths (driver VALUES and
+    distributed COPY)."""
+    db = _connector(spark, pg_database)
+    try:
+        db.execute_ddl(
+            """
+            CREATE TABLE gap_narrow (
+                id integer GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                nname text UNIQUE NOT NULL);
+            """
+        )
+        assert db._narrow_identity("gap_narrow")
+        flat = spark.createDataFrame(
+            [(f"n{i}",) for i in range(40)], "nname string"
+        )
+        with db:
+            db.load(flat)
+        seq = "gap_narrow_id_seq"
+        last = lambda: db.client.query(  # noqa: E731
+            f"SELECT pg_sequence_last_value('{seq}'::regclass)"
+        ).rows[0][0]
+        before = last()
+        assert before == 40
+        with db:  # driver VALUES path (payload under copy_threshold)
+            db.load(flat)
+        assert last() == before
+        server, name = pg_database
+        copy_db = PostgresConnector(
+            spark,
+            sock_dir=server.sock_dir,
+            port=server.port,
+            database=name,
+            copy_threshold=0,  # force the distributed COPY path
+        )
+        try:
+            with copy_db:
+                copy_db.load(flat)
+            assert last() == before
+        finally:
+            copy_db.close()
+    finally:
+        db.close()
+
+
+def test_except_prefilter_always_blocks_wide_identity_gap(
+    spark: SparkSession, pg_database: tuple[EmbeddedPostgres, str]
+) -> None:
+    """On a bigint identity the ``"auto"`` policy keeps the documented
+    skip (gaps are harmless at 2^63) — the gap is observable — while
+    ``except_prefilter="always"`` opts back into the EXCEPT layer for
+    zero sequence consumption."""
+    db = _connector(spark, pg_database)
+    try:
+        db.execute_ddl(
+            """
+            CREATE TABLE gap_wide (
+                id bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+                wname text UNIQUE NOT NULL);
+            """
+        )
+        assert not db._narrow_identity("gap_wide")
+        flat = spark.createDataFrame(
+            [(f"w{i}",) for i in range(30)], "wname string"
+        )
+        with db:
+            db.load(flat)
+        seq = "gap_wide_id_seq"
+        last = lambda: db.client.query(  # noqa: E731
+            f"SELECT pg_sequence_last_value('{seq}'::regclass)"
+        ).rows[0][0]
+        base = last()
+        with db:  # auto policy skips the EXCEPT: the gap grows
+            db.load(flat)
+        grown = last()
+        assert grown == base + 30
+        server, name = pg_database
+        strict = PostgresConnector(
+            spark,
+            sock_dir=server.sock_dir,
+            port=server.port,
+            database=name,
+            except_prefilter="always",
+        )
+        try:
+            with strict:
+                strict.load(flat)
+            assert last() == grown  # zero further consumption
+        finally:
+            strict.close()
+        with pytest.raises(ValueError, match="except_prefilter"):
+            PostgresConnector(
+                spark,
+                sock_dir=server.sock_dir,
+                port=server.port,
+                database=name,
+                except_prefilter="never",
+            )
+    finally:
+        db.close()
+
+
+def test_start_retries_when_auto_port_bind_race_lost() -> None:
+    """free_port() TOCTOU (round-12 advice): when another process
+    claims the auto-assigned port between release and the postmaster's
+    bind, start() must retry with a fresh port instead of failing the
+    handshake.  Simulated by occupying the chosen port before start."""
+    import socket
+
+    blocker = socket.socket()
+    blocker.bind(("127.0.0.1", 0))
+    blocker.listen(1)
+    taken = blocker.getsockname()[1]
+    server = EmbeddedPostgres(tcp=True)
+    server.port = taken  # lose the race deterministically
+    try:
+        server.start()
+        assert server.port != taken  # a fresh port was claimed
+        client = server.client()
+        try:
+            assert client.query("SELECT 41 + 1").rows[0][0] == 42
+        finally:
+            client.close()
+    finally:
+        server.destroy()
+        blocker.close()

@@ -56,7 +56,7 @@ def _run_to_memory(df: DataFrame, name: str, tmp_path: Path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120)
     return query
 
 
@@ -105,7 +105,7 @@ def test_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.table("deduped").collect())
     assert ids == [1, 2, 3, 4, 5]
 
@@ -192,7 +192,7 @@ def test_autoload_stream(
     query = autoload_stream(
         db, stream, checkpoint_dir=str(tmp_path / "ckpt_load")
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(120)
 
     assert db._read_table("s_brand").count() == 2
     assert db._read_table("s_car").count() == 3
@@ -510,7 +510,7 @@ def _run_to_parquet(df: DataFrame, out: str, ckpt: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
 
 def test_windowed_counts_drop_late_rows_across_restart(
@@ -655,7 +655,7 @@ def test_autoload_stream_into_managed_catalog(
         q = autoload_stream(
             db, stream, checkpoint_dir=str(tmp_path / "ckpt_cat")
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     run()
     assert db._read_table("sm_brand").count() == 2
@@ -723,7 +723,7 @@ def _run_pg_autoload(spark, db, src, tmp_path):  # noqa: ANN001, ANN202
         stream = spark.readStream.schema(
             "brand string, model string"
         ).parquet(src)
-        autoload_stream(
+        assert autoload_stream(
             db, stream, checkpoint_dir=str(tmp_path / "pg_ckpt1")
         ).awaitTermination(120)
         counts = lambda: (  # noqa: E731
@@ -735,7 +735,7 @@ def _run_pg_autoload(spark, db, src, tmp_path):  # noqa: ANN001, ANN202
         stream2 = spark.readStream.schema(
             "brand string, model string"
         ).parquet(src)
-        autoload_stream(
+        assert autoload_stream(
             db, stream2, checkpoint_dir=str(tmp_path / "pg_ckpt2")
         ).awaitTermination(120)
         assert counts() == (2, 3)
@@ -773,7 +773,7 @@ def test_rocksdb_state_store_matches_batch_oracle(
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(120)
+        assert query.awaitTermination(120)
         progresses = [p for p in query.recentProgress if p]
     # conf restored after the block
     assert (
