@@ -3642,36 +3642,93 @@ def q_docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer training: learn the first 16 BPE merges from the
-    corpus.  Word counting is the distributed pass (one shuffle); the
-    merge loop runs driver-side on the capped vocabulary — the IVF
-    split: fit on aggregates, never on rows.  Rows-only (iterative;
-    no single-SQL oracle), differential-tested in tests/test_functions.py."""
+    """Self-verifying BPE-training certificate (round 12: the former
+    rows-only entry upgraded to a value-hash oracle).
+
+    Tokenizer training: learn the first 16 BPE merges from the corpus
+    (word counting is the distributed pass — one shuffle; the merge
+    loop runs driver-side on the capped vocabulary — the IVF split:
+    fit on aggregates, never on rows).  The full merge SEQUENCE is
+    iterative and not SQL-expressible, but its FIRST step is: merge
+    rank 1 is the most-frequent adjacent symbol pair over the
+    char-split vocabulary (ties to the lexicographically smallest
+    pair), which DuckDB recomputes exactly — so the certificate emits
+    ``rank1_left`` / ``rank1_right`` / ``rank1_count`` as
+    oracle-recomputed VALUES (a cross-engine anchor on the learning
+    objective itself), plus structural invariants on the rest of the
+    table: ``n_merges`` (oracle pins 16), ``ranks_ok`` (ranks are
+    exactly 1..16 — pinned TRUE) and ``n_malformed``
+    (``merged != left || right`` — pinned 0).  Deeper ranks stay
+    covered by the pytest differential (hand-verified merge order,
+    rank-replay equivalence)."""
     docs = _t(spark, sf_dir, "documents")
-    return text.learn_bpe_merges(docs, n_merges=16)
+    merges = text.learn_bpe_merges(docs, n_merges=16)
+    return merges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merges"),
+        F.min_by("left", "rank").alias("rank1_left"),
+        F.min_by("right", "rank").alias("rank1_right"),
+        F.min_by("pair_count", "rank")
+        .cast("bigint")
+        .alias("rank1_count"),
+        (
+            (F.count(F.lit(1)) == 16)
+            & (F.count_distinct(F.col("rank")) == 16)
+            & (F.min("rank") == 1)
+            & (F.max("rank") == 16)
+        ).alias("ranks_ok"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("merged") != F.concat("left", "right"), 1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_malformed"),
+    )
 
 
 def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer APPLICATION at corpus scale: learn 16 merges, then
+    """Self-verifying BPE-encode certificate (round 12: the former
+    rows-only entry upgraded to a value-hash oracle).
+
+    Tokenizer APPLICATION at corpus scale: learn 16 merges, then
     encode every document with them — per-distinct-word Arrow encode
-    (Zipf: vocabulary ≪ token count), corpus-sized reassembly JVM-side.
-    Rows-only (BPE is not SQL-expressible); the encoder is
-    differential-tested against a rank-order merge replay in
-    tests/test_functions.py.  Returns per-doc subword counts plus a
-    losslessness witness (subword concatenation length == de-spaced
-    text length)."""
+    (Zipf: vocabulary ≪ token count), corpus-sized reassembly
+    JVM-side.  The token sequences are merge-table-specific, but BPE's
+    defining invariant is LOSSLESSNESS: concatenating a document's
+    subwords (end-of-word markers dropped) must reproduce its
+    lowercased, whitespace-stripped text exactly.  The certificate
+    emits ``sum_concat_len`` — the corpus-total concatenated subword
+    length, which DuckDB independently recomputes from raw text — and
+    pins ``n_lossless_violations`` (documents whose reassembled length
+    differs) to the literal 0, with ``n_docs`` anchoring coverage.
+    The encoder's merge-order semantics stay differential-tested in
+    tests/test_functions.py (rank-replay equivalence)."""
     docs = _t(spark, sf_dir, "documents")
     merges = text.learn_bpe_merges(docs, n_merges=16)
     encoded = text.apply_bpe(docs, merges)
-    return encoded.select(
-        "doc_id",
-        "n_tokens",
-        F.aggregate(
-            "tokens",
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc
-            + F.length(F.replace(t, F.lit("</w>"), F.lit(""))),
-        ).alias("concat_len"),
+    concat_len = F.aggregate(
+        "tokens",
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.length(F.replace(t, F.lit("</w>"), F.lit(""))),
+    )
+    expected = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    ).cast("bigint")
+    per_doc = encoded.join(docs.select("doc_id", "text"), "doc_id").select(
+        concat_len.alias("clen"), expected.alias("elen")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("clen").cast("bigint").alias("sum_concat_len"),
+        F.coalesce(
+            F.sum(F.when(F.col("clen") != F.col("elen"), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_lossless_violations"),
     )
 
 
@@ -4768,6 +4825,56 @@ def oracle_sql() -> dict[str, str]:
                            x -> x <> ''),
                        ' ')) AS BIGINT) AS n_distinct_norm
             FROM documents
+        """,
+        # BPE certificates: the merge SEQUENCE is iterative (no SQL
+        # twin), but merge rank 1 IS the most-frequent adjacent symbol
+        # pair over the char-split vocabulary — recomputed here exactly
+        # (ties to the lexicographically smallest pair, mirroring the
+        # trainer) — and encode losslessness reduces to a pure
+        # text-length identity.
+        "docs_bpe_learn": """
+            WITH wc AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(
+                         trim(lower(text)), '\\s+')) AS word
+                FROM documents)
+              WHERE word <> '' GROUP BY word
+              ORDER BY freq DESC, word LIMIT 50000
+            ),
+            syms AS (
+              SELECT freq,
+                     list_append(
+                       [word[i] FOR i IN
+                        generate_series(1, length(word))],
+                       '</w>') AS s
+              FROM wc
+            ),
+            expl AS (
+              SELECT freq,
+                     unnest([struct_pack(l := s[i], r := s[i + 1])
+                             FOR i IN generate_series(1, len(s) - 1)])
+                       AS p
+              FROM syms
+            ),
+            pc AS (
+              SELECT p.l AS l, p.r AS r, SUM(freq) AS c
+              FROM expl GROUP BY 1, 2
+            )
+            SELECT CAST(16 AS BIGINT) AS n_merges,
+                   l AS rank1_left,
+                   r AS rank1_right,
+                   CAST(c AS BIGINT) AS rank1_count,
+                   TRUE AS ranks_ok,
+                   CAST(0 AS BIGINT) AS n_malformed
+            FROM pc ORDER BY c DESC, l, r LIMIT 1
+        """,
+        "docs_bpe_encode": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(regexp_replace(
+                       trim(lower(text)), '\\s+', '', 'g')))
+                       AS BIGINT) AS sum_concat_len,
+                   CAST(0 AS BIGINT) AS n_lossless_violations
+            FROM documents WHERE trim(lower(text)) <> ''
         """,
         "media_neardup": """
             WITH g AS (SELECT doc_id % 384 AS k, count(*) AS n

@@ -372,18 +372,75 @@ class SQLiteConnector(BaseConnector):
         # bind-canonicalize AFTER filtering, and build the full list
         # BEFORE executemany: a typed rejection (NaN) must fire with
         # nothing partially written
+        rows = [
+            tuple(r[c] for c in columns)
+            for r in new_rows.select(*columns).collect()
+        ]
+        normed = self._norm_payload_rows(table, columns, rows)
         payload = [
             tuple(_bind_cell(v) for v in row)
-            for row in (
-                tuple(r[c] for c in columns)
-                for r in new_rows.select(*columns).collect()
-            )
-            if tuple(_norm_cell(v) for v in row) not in existing
+            for row, norm in zip(rows, normed, strict=True)
+            if norm not in existing
         ]
         self.connection.executemany(
             f'INSERT OR IGNORE INTO "{table}" ({quoted}) VALUES ({binds})',
             payload,
         )
+
+    def _norm_payload_rows(
+        self, table: str, columns: list[str], rows: list[tuple]
+    ) -> list[tuple]:
+        """Idempotency-filter norm of PAYLOAD rows, affinity-aware.
+
+        Round 12 (found by the type-lattice fuzz): a Decimal with more
+        than 15 significant digits bound as text into a NUMERIC-affinity
+        column is converted to REAL by SQLite — the docs' rule is
+        "lossless and reversible if the first 15 significant decimal
+        digits are preserved", so the conversion is *deliberately*
+        lossy beyond digit 15 — while the same text in a TEXT column
+        stays full-precision text.  A value-only norm can match at most
+        one of those, and mismatching means every re-load grows the
+        table.  Instead of replicating the engine's conversion rule
+        (version-dependent, subtle), ask the engine: probe what SQLite
+        physically stores for each distinct (declared type, decimal)
+        pair and norm the payload cell to THAT stored form.  One probe
+        per distinct pair per write — payloads on this sink are
+        driver-sized by design.
+        """
+        declared = self._declared_types(table)
+        cache: dict[tuple[str, str], object] = {}
+        out = []
+        for row in rows:
+            normed = []
+            for column, value in zip(columns, row, strict=True):
+                if isinstance(value, decimal.Decimal) and not value.is_nan():
+                    key = (
+                        declared.get(column) or "",
+                        canonical_number(value),
+                    )
+                    if key not in cache:
+                        cache[key] = _norm_cell(self._stored_form(*key))
+                    normed.append(cache[key])
+                else:
+                    normed.append(_norm_cell(value))
+            out.append(tuple(normed))
+        return out
+
+    def _stored_form(self, declared: str, text: str) -> object:
+        """What SQLite physically stores when *text* lands in a column
+        declared as *declared* — asked of the engine itself via a
+        throwaway temp-table round trip, so the norm tracks the exact
+        affinity-conversion semantics of the linked SQLite version."""
+        con = self.connection
+        con.execute('DROP TABLE IF EXISTS temp."__al_probe"')
+        decl = f" {declared}" if declared else ""
+        con.execute(f'CREATE TEMP TABLE "__al_probe" (v{decl})')
+        try:
+            con.execute('INSERT INTO "__al_probe" (v) VALUES (?)', (text,))
+            (stored,) = con.execute('SELECT v FROM "__al_probe"').fetchone()
+        finally:
+            con.execute('DROP TABLE IF EXISTS temp."__al_probe"')
+        return stored
 
     def _execute_compare_query(self, query: str) -> DataFrame:
         cur = self.connection.execute(query)

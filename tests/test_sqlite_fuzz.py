@@ -127,6 +127,25 @@ def fuzz_db(spark: SparkSession):  # noqa: ANN201
         (None, None, decimal.Decimal("1.5"), None, None, None, None, None),
     ]
 )
+# round 12 (found by this fuzz): >15-significant-digit Decimal in a
+# NUMERIC column — SQLite's affinity rule converts the bound text to
+# REAL (lossy past digit 15), so a value-only norm never re-matched
+# the stored row and every reload grew the table
+@example(
+    payload=[
+        (
+            None,
+            None,
+            decimal.Decimal("301447796541.849291"),
+            None,
+            None,
+            None,
+            None,
+            None,
+        ),
+    ]
+    * 2
+)
 @given(payload=_payload)
 def test_double_write_matches_sqlite_distinct(
     fuzz_db, payload  # noqa: ANN001
@@ -165,7 +184,10 @@ def test_double_write_matches_sqlite_distinct(
             'SELECT i, d, n, s, b, ts, dt, "by" FROM filtered'
         )
     }
-    sent = {tuple(_norm_cell(v) for v in row) for row in spark_rows}
+    # payload side norms through the connector's affinity-aware norm
+    # (a >15-digit Decimal in a NUMERIC column is STORED as the lossy
+    # REAL — the norm must land on the stored form, round 12)
+    sent = set(db._norm_payload_rows("filtered", COLS, spark_rows))
     assert stored == sent, payload
 
 
