@@ -33,7 +33,9 @@ PROBES = [
     "q18_large_orders",        # join + having + semi shape
     "docs_fingerprint_dedup",  # keyed dedup shuffle
     "docs_minhash_pairs",      # LSH banding (the sub-quadratic claim)
+    "docs_simhash_pairs",      # pigeonhole bucketing (capped scale path)
     "docs_dupspan_coverage",   # span-level dedup (the never-f² claim)
+    "media_neardup",           # two-level media dedup (r12: exact-compress → LSH)
     "events_sessionize",       # window functions
     "emb_lsh_topk",            # hyperplane LSH top-k
     "docs_hash_split",         # map-side split + tiny aggregate
