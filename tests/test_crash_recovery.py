@@ -358,3 +358,152 @@ def test_sigkill_between_copy_and_merge_postgres_converges(tmp_path) -> None:  #
         assert sorted(map(tuple, res["flat"])) == sorted(
             map(tuple, EXPECTED_FLAT)
         )
+
+
+_FUZZY_CHILD = """
+import json, os, signal, sys
+from pyspark.sql import SparkSession
+
+mode = sys.argv[1]
+root = sys.argv[2]
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.warehouse.dir", f"{root}/wh_{mode}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from sql_autoloader_spark.streaming import fuzzy_dedup_stream
+
+src = f"{root}/docs"
+store = f"{root}/store"
+out = f"{root}/corpus"
+ckpt = f"{root}/fckpt"
+commits = f"{store}__commits"
+
+BASE = "the quick brown fox jumps over the lazy dog again and again "
+
+
+def add_source(tag, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{src}/{tag}")
+
+
+def run_stream():
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = fuzzy_dedup_stream(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        store_path=store,
+        out_path=out,
+        checkpoint_dir=ckpt,
+    )
+    assert q.awaitTermination(240)
+
+
+def admitted():
+    ids = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    return sorted(ids)
+
+
+if mode == "kill":
+    add_source("f1", [
+        (1, BASE * 3),
+        (2, "completely different words describing spark catalyst " * 4),
+        (3, "a third body of text with its own vocabulary entirely " * 4),
+    ])
+    run_stream()  # batch 0 admits 1, 2, 3 and commits
+    print("PHASE1 " + json.dumps({"admitted": admitted()}), flush=True)
+
+    # die at the WORST instant of the per-batch commit protocol: the
+    # corpus partition is written and the store keys are appended
+    # (token uncommitted), but the marker append never lands
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig_parquet = DataFrameWriter.parquet
+
+    def marker_kill(self, path, *args, **kwargs):
+        if path == commits:
+            os.kill(os.getpid(), signal.SIGKILL)
+        return orig_parquet(self, path, *args, **kwargs)
+
+    DataFrameWriter.parquet = marker_kill
+    add_source("f2", [
+        (11, BASE * 3),  # near-dup of doc 1 -> must drop
+        (12, "fresh unrelated content entirely about streaming state " * 4),
+    ])
+    run_stream()  # SIGKILLs itself inside batch 1, pre-marker
+    print("SURVIVED", flush=True)  # must never print
+else:
+    add_source("f3", [
+        # near-dup of doc 12 (admitted by the REPLAYED batch 1): must
+        # DROP, proving the replay's store append is visible to batch 2
+        (21, "fresh unrelated content entirely about streaming state " * 4),
+        (22, "a brand new final document closing out the corpus test " * 4),
+    ])
+    run_stream()  # replays batch 1 (recomputed from committed state), then batch 2
+    counts = {}
+    for r in spark.read.parquet(out).collect():
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    print("RESULT " + json.dumps({
+        "admitted": admitted(),
+        "max_multiplicity": max(counts.values()),
+        "n_commits": spark.read.parquet(commits).count(),
+    }), flush=True)
+    spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_sigkill_before_commit_marker_fuzzy_dedup_converges(tmp_path) -> None:  # noqa: ANN001
+    """Streaming near-dup admission: SIGKILL after BOTH sink writes
+    (corpus partition + store keys) but before the commit marker — the
+    worst instant of the per-batch commit protocol.  The replayed batch
+    must overwrite its own half-written corpus partition (no duplicate
+    rows), decide admission from committed store keys only (the crashed
+    attempt's uncommitted token is invisible), and leave the corpus at
+    exactly the deterministic admission set.  Complements the in-process
+    fake-crash test (tests/test_streaming.py) with a REAL process
+    kill driven through the public fuzzy_dedup_stream surface."""
+    script = tmp_path / "fuzzy_child.py"
+    script.write_text(_FUZZY_CHILD)
+    root = str(tmp_path / "shared")
+    os.makedirs(root)
+
+    killed = _run_child(script, ["kill", root])
+    _assert_killed_mid_batch(killed)
+    phase1 = json.loads(
+        next(
+            ln for ln in killed.stdout.splitlines() if ln.startswith("PHASE1")
+        )[len("PHASE1 ") :]
+    )
+    assert phase1 == {"admitted": [1, 2, 3]}
+    # the crash left the uncommitted batch-1 corpus partition in place
+    crashed_rows = [
+        p
+        for p in os.listdir(f"{root}/corpus")
+        if p.startswith("__batch=") and p.endswith("_1")
+    ]
+    assert crashed_rows, os.listdir(f"{root}/corpus")
+
+    recovered = _run_child(script, ["recover", root])
+    assert recovered.returncode == 0, (
+        f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
+    )
+    res = _result(recovered)
+    # batch 0 {1,2,3} + replayed batch 1 {12} (11 near-dups doc 1) +
+    # batch 2 {22} — doc 21 DROPS as a near-dup of the REPLAYED doc 12,
+    # proving the replay's store append became visible to later batches
+    assert res["admitted"] == [1, 2, 3, 12, 22]
+    assert res["max_multiplicity"] == 1  # the replay overwrote, not appended
+    assert res["n_commits"] == 3  # one marker per batch, crashed attempt none
