@@ -507,3 +507,109 @@ def test_sigkill_before_commit_marker_fuzzy_dedup_converges(tmp_path) -> None:  
     assert res["admitted"] == [1, 2, 3, 12, 22]
     assert res["max_multiplicity"] == 1  # the replay overwrote, not appended
     assert res["n_commits"] == 3  # one marker per batch, crashed attempt none
+
+
+_REWRITE_CHILD = """
+import json, os, signal, sys
+from pyspark.sql import SparkSession
+
+mode = sys.argv[1]
+root = sys.argv[2]
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.warehouse.dir", f"{root}/wh_{mode}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from sql_autoloader_spark.connectors import spark_catalog as sc_mod
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+spark.sql(f"CREATE DATABASE IF NOT EXISTS rwdb LOCATION '{root}/rwdb'")
+db = SparkConnector(spark, database="rwdb")
+
+if mode == "kill":
+    db.execute_ddl(
+        "CREATE TABLE cmp_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+    with db:
+        db.insert(
+            spark.createDataFrame(
+                [(f"n{i:03d}",) for i in range(100)], "name string"
+            ),
+            table="cmp_t",
+        )
+    print("PHASE1 " + json.dumps(
+        {"rows": db._read_table("cmp_t").count()}
+    ), flush=True)
+
+    # die inside _overwrite_table at the worst instant: the staging
+    # copy is complete but the target has been dropped and its
+    # location cleared (_apply_layout is the first call after the
+    # clear, before the final write)
+    orig = sc_mod.SparkConnector._apply_layout
+
+    def die(self, writer, table):
+        if table == "cmp_t":
+            os.kill(os.getpid(), signal.SIGKILL)
+        return orig(self, writer, table)
+
+    sc_mod.SparkConnector._apply_layout = die
+    db.compact_table("cmp_t")  # SIGKILLs itself mid-rewrite
+    print("SURVIVED", flush=True)  # must never print
+else:
+    try:
+        before = db._read_table("cmp_t").count()
+    except Exception:  # the destroyed target may not even scan
+        before = -1
+    restored = db.recover_staging("cmp_t")
+    rows = db._read_table("cmp_t").collect()
+    names = sorted(r["name"] for r in rows)
+    print("RESULT " + json.dumps({
+        "before": before,
+        "restored": restored,
+        "n": len(names),
+        "first": names[0],
+        "last": names[-1],
+        "distinct_ids": len({r["id"] for r in rows}),
+    }), flush=True)
+    spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_sigkill_mid_rewrite_recovers_from_staging_cross_process(
+    tmp_path,  # noqa: ANN001
+) -> None:
+    """A compaction rewrite SIGKILLed at its worst instant — staging
+    copy complete, target dropped and its location cleared — must be
+    recoverable by a FRESH driver process via ``recover_staging``
+    (in-session recovery is covered in tests/test_catalog_persistence;
+    this is the cross-process form, which additionally exercises the
+    round-12 ``_overwrite_table`` fix: the restore itself rewrites an
+    ADOPTED external-location table)."""
+    script = tmp_path / "rewrite_child.py"
+    script.write_text(_REWRITE_CHILD)
+    root = str(tmp_path / "shared")
+    os.makedirs(root)
+
+    killed = _run_child(script, ["kill", root])
+    _assert_killed_mid_batch(killed)
+    # the staging copy is the only surviving content
+    assert os.path.isdir(f"{root}/rwdb/cmp_t__recovery_staging")
+
+    recovered = _run_child(script, ["recover", root])
+    assert recovered.returncode == 0, (
+        f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
+    )
+    res = _result(recovered)
+    assert res["before"] in (-1, 0)  # the target really was destroyed
+    assert res["restored"] == 100
+    assert (res["n"], res["distinct_ids"]) == (100, 100)
+    assert (res["first"], res["last"]) == ("n000", "n099")
+    # the staging copy is consumed by the restore
+    assert not os.path.exists(f"{root}/rwdb/cmp_t__recovery_staging")

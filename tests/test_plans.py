@@ -555,6 +555,11 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
         "emb_neardup_lsh": 7,
         "q8_market_share": 7,
         "q21_sole_returned_supplier": 7,
+        # r12: the capped pigeonhole scale path (the certificate's
+        # uncapped brute-force twin is deliberately not ceilinged)
+        "docs_simhash_pairs": 6,
+        # r12: the fingerprint map is a pure zero-shuffle projection
+        "docs_rolling_fp": 0,
     }
     # the overlay points the LSH names at their pure scale paths — the
     # registered certificates embed quadratic exact twins by design,
