@@ -1507,37 +1507,90 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming near-dup ADMISSION: the documents parquet replayed as a
-    file stream through MinHash-LSH band-bucket admission against a
-    persistent signature store (``streaming.fuzzy_dedup_stream``) — the
-    continuous-ingest form of corpus dedup, where the state is the
-    admitted corpus itself (band keys in parquet, never watermark-
-    evicted) and a replayed shard admits nothing new.  Rows-only:
-    admission is deterministic but xxhash64-based (engine-specific)."""
+    """Self-verifying streaming near-dup ADMISSION certificate
+    (round 12: the former rows-only entry upgraded to a value-hash
+    oracle).
+
+    The documents parquet replays as a file stream through MinHash-LSH
+    band-bucket admission against a persistent signature store
+    (``streaming.fuzzy_dedup_stream``) — the continuous-ingest form of
+    corpus dedup, where the state is the admitted corpus itself.  The
+    admitted SET is xxhash64-specific (no SQL twin), but the admission
+    CONTRACT is checkable, and every emitted value is oracle-pinned:
+
+    - ``n_docs``: oracle-recomputed corpus count (coverage anchor);
+    - ``n_dup_rows`` / ``n_unknown_ids``: corpus-integrity defects
+      (a doc admitted twice; an admitted id absent from the source) —
+      pinned literal 0;
+    - ``n_replay_admitted``: a SECOND stream with a FRESH checkpoint
+      replays the identical source against the SAME store — the
+      docstring's core claim, "a replayed shard admits nothing new" —
+      pinned literal 0 (this is the production re-crawl scenario);
+    - ``admission_ok``: pinned TRUE.
+
+    (Sub-shingle documents — fewer than 3 tokens — are admitted
+    unconditionally by design and would legitimately re-admit on
+    replay; the fixtures carry none at any gate SF, verified.)
+    """
     import tempfile
     import uuid
 
     from sql_autoloader_spark.streaming import pipeline as streaming
 
     docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(docs_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
     base = tempfile.mkdtemp(prefix=f"fuzzy_{uuid.uuid4().hex[:8]}_")
-    query = streaming.fuzzy_dedup_stream(
-        stream,
-        id_col="doc_id",
-        text_col="text",
-        store_path=f"{base}/store",
-        out_path=f"{base}/admitted",
-        checkpoint_dir=f"{base}/ckpt",
+
+    def run(tag: str) -> None:
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        query = streaming.fuzzy_dedup_stream(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            store_path=f"{base}/store",
+            out_path=f"{base}/admitted",
+            checkpoint_dir=f"{base}/ckpt_{tag}",
+        )
+        query.awaitTermination()
+
+    run("first")
+    admitted = spark.read.parquet(f"{base}/admitted").select("doc_id")
+    n_first = admitted.count()
+    run("replay")  # fresh checkpoint, same store: a re-crawled shard
+    corpus = spark.read.parquet(f"{base}/admitted").select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    per_id = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__m"))
+    labeled = per_id.join(
+        docs.select("doc_id", F.lit(1).alias("__src")), "doc_id", "left"
     )
-    query.awaitTermination()
-    return spark.read.parquet(f"{base}/admitted").select(
-        "doc_id", "lang", "source", "n_chars"
+    cert = labeled.agg(
+        F.coalesce(F.sum(F.when(F.col("__m") > 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_rows"),
+        F.coalesce(F.sum(F.when(F.col("__src").isNull(), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_unknown_ids"),
+        (F.coalesce(F.sum("__m"), F.lit(0)) - F.lit(n_first))
+        .cast("bigint")
+        .alias("n_replay_admitted"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("__m") > 1) | F.col("__src").isNull(), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("admission_ok"),
     )
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).crossJoin(cert)
 
 
 def q_docs_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1876,9 +1929,11 @@ def q_load_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     two transactional loads into a managed database, then each durable
     epoch read back AS-OF via ``read_table_as_of`` — per-epoch row
     counts prove snapshots are consistent across the dim AND fact of
-    each transaction (the epoch flip was atomic).  Rows-only: epochs
-    are engine state, not SQL-reconstructable; the mechanism is
-    unit-tested in tests/test_catalog_persistence.py."""
+    each transaction (the epoch flip was atomic).  Oracle-pinned since
+    round 12: the scratch database is fresh, so the journal's commit
+    ids are deterministic (1, 2 — one per ``with db:`` block), and each
+    epoch's counts are pure SQL over the loaded slices (even doc_ids,
+    then all) — DuckDB recomputes the whole history table."""
     import uuid
 
     from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
@@ -2121,9 +2176,13 @@ def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is footer-pinned in tests), then ``vacuum_commits(retain_last=1)``
     folding old history into the base.  The returned row proves content
     survives both rewrites, history trims to the retained commit, and
-    the vacuumed-base snapshot absorbs the folded loads.  Rows-only:
-    commit ids are engine state, not SQL-reconstructable; mechanisms
-    unit-tested in tests/test_catalog_persistence.py."""
+    the vacuumed-base snapshot absorbs the folded loads.  Oracle-pinned
+    since round 12: on a fresh scratch database every returned number
+    is SQL-derivable — content counts from the documents table,
+    ``n_history`` = the retained 1, and the vacuumed base = the folded
+    first two loads (``doc_id % 3 < 2``) — so a regression in either
+    rewrite (compaction dropping rows, vacuum folding the wrong
+    horizon) hash-mismatches instead of passing rows-only."""
     import uuid
 
     from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
@@ -4824,6 +4883,42 @@ def oracle_sql() -> dict[str, str]:
                                                  '[^a-z0-9]+'),
                            x -> x <> ''),
                        ' ')) AS BIGINT) AS n_distinct_norm
+            FROM documents
+        """,
+        # Streaming near-dup admission certificate (round 12): the
+        # admitted set is engine-hashed, but corpus integrity and the
+        # replayed-shard-admits-nothing contract are pinned.
+        "docs_stream_fuzzy_dedup": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_dup_rows,
+                   CAST(0 AS BIGINT) AS n_unknown_ids,
+                   CAST(0 AS BIGINT) AS n_replay_admitted,
+                   TRUE AS admission_ok
+            FROM documents
+        """,
+        # Catalog-lifecycle oracles (round 12): a FRESH scratch
+        # database makes the journal's commit ids deterministic, and
+        # every count is pure SQL over the loaded slices — the whole
+        # time-travel history / maintenance outcome is DuckDB-pinned.
+        "load_snapshot_history": """
+            SELECT CAST(1 AS BIGINT) AS commit_id,
+                   CAST((SELECT count(DISTINCT source) FROM documents
+                         WHERE doc_id % 2 = 0) AS BIGINT) AS n_sources,
+                   CAST((SELECT count(*) FROM documents
+                         WHERE doc_id % 2 = 0) AS BIGINT) AS n_docs
+            UNION ALL
+            SELECT CAST(2 AS BIGINT),
+                   CAST((SELECT count(DISTINCT source) FROM documents)
+                        AS BIGINT),
+                   CAST((SELECT count(*) FROM documents) AS BIGINT)
+        """,
+        "load_vacuum_maintenance": """
+            SELECT CAST(count(*) AS BIGINT) AS n_before,
+                   CAST(count(*) AS BIGINT) AS n_after,
+                   CAST(1 AS BIGINT) AS n_history,
+                   CAST(sum(CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_base_snapshot,
+                   CAST(count(*) AS BIGINT) AS n_head_snapshot
             FROM documents
         """,
         # BPE certificates: the merge SEQUENCE is iterative (no SQL
