@@ -1506,6 +1506,39 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_stream_fuzzy_dedup_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The single-pass ingest run — what tools/scale_probe.py times
+    (the registered certificate below deliberately streams the source
+    TWICE to prove the replay contract, which would double the probe's
+    wall and break cross-round comparability)."""
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.streaming import pipeline as streaming
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix=f"fuzzy_{uuid.uuid4().hex[:8]}_")
+    query = streaming.fuzzy_dedup_stream(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        store_path=f"{base}/store",
+        out_path=f"{base}/admitted",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    query.awaitTermination()
+    return spark.read.parquet(f"{base}/admitted").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_docs_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying streaming near-dup ADMISSION certificate
     (round 12: the former rows-only entry upgraded to a value-hash
@@ -4016,6 +4049,7 @@ def scale_path_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": q_docs_simhash_pairs_raw,
         "docs_rolling_fp": q_docs_rolling_fp_raw,
         "media_neardup": q_media_neardup_raw,
+        "docs_stream_fuzzy_dedup": q_docs_stream_fuzzy_dedup_raw,
     }
 
 
