@@ -1534,9 +1534,18 @@ def q_docs_stream_fuzzy_dedup_raw(
         checkpoint_dir=f"{base}/ckpt",
     )
     query.awaitTermination()
-    return spark.read.parquet(f"{base}/admitted").select(
-        "doc_id", "lang", "source", "n_chars"
+    # pin, then reclaim the scratch tree NOW instead of leaking one
+    # corpus copy per probe run (cluster-mode caveat as in the CSV
+    # query: localCheckpoint blocks are executor-local)
+    import shutil
+
+    result = (
+        spark.read.parquet(f"{base}/admitted")
+        .select("doc_id", "lang", "source", "n_chars")
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 def q_docs_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,9 +1630,18 @@ def q_docs_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("admission_ok"),
     )
-    return docs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    ).crossJoin(cert)
+    # pin the one-row certificate, then reclaim the scratch tree NOW
+    # instead of leaking corpus+store+checkpoints per gate run
+    # (cluster-mode caveat as in the CSV query)
+    import shutil
+
+    result = (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(cert)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 def q_docs_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3810,9 +3828,16 @@ def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = F.length(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
     ).cast("bigint")
-    per_doc = encoded.join(docs.select("doc_id", "text"), "doc_id").select(
-        concat_len.alias("clen"), expected.alias("elen")
-    )
+    # filter EXACTLY like the oracle's WHERE trim(lower(text)) <> '':
+    # apply_bpe deliberately preserves empty/whitespace-only documents,
+    # so without this the Spark side would count documents the oracle
+    # excludes and the certificate would red on a fixture that gains one
+    per_doc = encoded.join(
+        docs.select("doc_id", "text").where(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        ),
+        "doc_id",
+    ).select(concat_len.alias("clen"), expected.alias("elen"))
     return per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("clen").cast("bigint").alias("sum_concat_len"),

@@ -1009,6 +1009,15 @@ class EmbeddedPostgres:
         # the postmaster's own bind) — retry only on bind failures of
         # AUTO-assigned ports, never a port the caller pinned
         for attempt in range(3):
+            # the server log accumulates across attempts (and prior
+            # start/stop cycles): classify each failure by THIS
+            # attempt's output only, or a stale 'could not bind' line
+            # would misread a later unrelated failure as a lost race
+            log_offset = (
+                os.path.getsize(self.log_path)
+                if os.path.exists(self.log_path)
+                else 0
+            )
             options = (
                 f"-c listen_addresses='{self.host or ''}' "
                 f"-c unix_socket_directories={self.sock_dir} "
@@ -1036,6 +1045,7 @@ class EmbeddedPostgres:
             log_tail = ""
             if os.path.exists(self.log_path):
                 with open(self.log_path) as fh:
+                    fh.seek(log_offset)
                     log_tail = "".join(fh.readlines()[-20:])
             bind_lost = (
                 "could not bind" in log_tail

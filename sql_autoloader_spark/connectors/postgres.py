@@ -433,6 +433,15 @@ class PostgresConnector(BaseConnector):
         except_prefilter: str = "auto",
     ) -> None:
         self.spark = spark
+        # pure-parameter validation BEFORE any I/O: raising after the
+        # wire connect would leak a live server connection per bad
+        # construction attempt (round-12 review)
+        if except_prefilter not in ("auto", "always"):
+            msg = (
+                f"except_prefilter={except_prefilter!r}: expected "
+                "'auto' or 'always'"
+            )
+            raise ValueError(msg)
         if client is None:
             if sock_dir is None and host is None:
                 msg = "pass either an open client= or sock_dir=/host="
@@ -483,7 +492,8 @@ class PostgresConnector(BaseConnector):
             if sock_dir is not None or host is not None
             else None
         )
-        #: EXCEPT pre-filter policy — identity-gap mitigation (round 12).
+        #: EXCEPT pre-filter policy — identity-gap mitigation (round 12;
+        #: validated pre-I/O at the top of __init__).
         #: ``"auto"``: keep the EXCEPT layer whenever the target has a
         #: NARROW (int2/int4) identity/serial column even when a
         #: covering constraint would allow skipping it — ON CONFLICT
@@ -492,12 +502,6 @@ class PostgresConnector(BaseConnector):
         #: large static payload (OPERATIONS.md).  ``"always"``: never
         #: skip — zero gap growth on any re-load, at the cost of the
         #: O(target) EXCEPT scan the skip exists to save.
-        if except_prefilter not in ("auto", "always"):
-            msg = (
-                f"except_prefilter={except_prefilter!r}: expected "
-                "'auto' or 'always'"
-            )
-            raise ValueError(msg)
         self.except_prefilter = except_prefilter
         self._staging: set[str] = set()
         self._in_transaction = False

@@ -42,8 +42,11 @@ ROCKSDB_PROVIDER = (
 
 #: rocksdb_state mutates SESSION-GLOBAL conf: serialize entries so two
 #: threads scoping different providers on one SparkSession cannot
-#: interleave set/restore (round-12 advice)
-_STATE_CONF_LOCK = threading.Lock()
+#: interleave set/restore (round-12 advice).  REENTRANT: a helper that
+#: scopes rocksdb_state may be called from inside another scope in the
+#: same thread — nesting is benign (the inner scope restores the
+#: outer's provider), and a plain Lock would self-deadlock there.
+_STATE_CONF_LOCK = threading.RLock()
 
 
 @contextlib.contextmanager
