@@ -110,8 +110,7 @@ def main() -> None:
     # be stated as calibration-normalized ratios (BASELINE.md) instead
     # of re-running benches side by side to separate load from
     # regression.
-    calibration = None
-    for _ in range(3):
+    def calibration_job() -> float:
         t0 = time.time()
         (
             spark.range(0, 20_000_000, 1, 32)
@@ -120,11 +119,10 @@ def main() -> None:
             .agg(F.sum("v").alias("s"))
             .count()
         )
-        elapsed = time.time() - t0
-        calibration = elapsed if calibration is None else min(
-            calibration, elapsed
-        )
-    calibration = round(calibration, 3)
+        return time.time() - t0
+
+    calibration_job()  # untimed: the first rep measures JIT, not the host
+    calibration = round(min(calibration_job() for _ in range(5)), 3)
 
     # overlay: time the pure LSH scale paths, not the registered
     # recall certificates (which embed quadratic exact twins)
