@@ -14,11 +14,15 @@ and checks them against an in-database oracle:
 
 so any divergence between the filter's equality and SQL value equality
 — in either direction — fails loudly.
+
+``SPARK_GRAFT_FUZZ_EXAMPLES`` scales the budget (default 25 for CI;
+a 120-example-per-path hunt ran clean in round 12).
 """
 
 from __future__ import annotations
 
 import datetime
+import os
 import math
 from decimal import Decimal
 
@@ -120,7 +124,10 @@ def fuzz_db(
     db.close()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25")),
+    deadline=None,
+)
 @given(payload=_payload)
 def test_double_write_matches_sql_distinct(
     fuzz_db, payload  # noqa: ANN001

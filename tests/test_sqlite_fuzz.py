@@ -28,6 +28,12 @@ Found by this fuzz while writing it (fixed in the same round):
 ``ProgrammingError`` (sqlite3 has no Decimal adapter) — now bound as
 ``canonical_number`` text; and NaN previously mapped to a ``"__nan__"``
 sentinel that could never match the NULL SQLite actually stores.
+Round 12 (also found here): >15-significant-digit Decimals in NUMERIC
+columns are stored as lossy REALs by SQLite's affinity rule — the norm
+now probes the engine's stored form (sqlite.py _norm_payload_rows).
+
+``SPARK_GRAFT_FUZZ_EXAMPLES`` scales the budget (default 25 for CI;
+a 250-example hunt ran clean after the round-12 fixes).
 """
 
 from __future__ import annotations
@@ -112,7 +118,10 @@ def fuzz_db(spark: SparkSession):  # noqa: ANN201
     db.close()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25")),
+    deadline=None,
+)
 # the round-10 bool class and the -0.0/0.0 collapse, pinned
 @example(
     payload=[
