@@ -57,8 +57,13 @@ def barrier_wait():
     # DEADLINE, not an infinite spin: if the parent dies before writing
     # 'go' (pytest timeout/kill), an orphaned child must exit rather
     # than idle its Spark JVM forever (observed: orphans from killed
-    # runs surviving for hours and loading the host)
-    deadline = time.time() + 600
+    # runs surviving for hours and loading the host).  MUST exceed the
+    # parent's 900 s _release window: a child that reached the barrier
+    # must outlast the parent's patience, or on a starved host the
+    # child suicides at its own deadline while the parent's window is
+    # still open and the run fails as 'child failed' instead of
+    # passing late (the r12 loaded-gate flake)
+    deadline = time.time() + 1200
     while not os.path.exists(f"{barrier}/go"):
         if time.time() > deadline:
             sys.exit(3)
