@@ -95,6 +95,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return cache[key]
 
 
+def _pin_small(df: DataFrame) -> DataFrame:
+    """Materialize a TINY (certificate-sized) frame cluster-safely.
+
+    Collects the rows to the driver and rebuilds a local-relation
+    DataFrame with the identical schema.  Unlike
+    ``localCheckpoint(eager=True)`` — whose blocks are executor-local
+    and non-recomputable, so an executor loss after the source scratch
+    data is rmtree'd fails every later action — the returned frame's
+    data lives in the plan itself (a LocalRelation) and survives any
+    executor churn.  Only for frames that are a handful of rows by
+    construction (per-source aggregates, one-row certificates); never
+    call this on data-sized frames.
+    """
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal(12,{scale})")
@@ -1534,18 +1550,18 @@ def q_docs_stream_fuzzy_dedup_raw(
         checkpoint_dir=f"{base}/ckpt",
     )
     query.awaitTermination()
-    # pin, then reclaim the scratch tree NOW instead of leaking one
-    # corpus copy per probe run (cluster-mode caveat as in the CSV
-    # query: localCheckpoint blocks are executor-local)
+    # The returned frame stays a plain parquet scan — fully
+    # recomputable after executor loss (no executor-local pin) — so the
+    # scratch tree must outlive the frame: reclaim it at process exit
+    # instead of now.  Bounded: one skinny admitted projection per
+    # probe/bench rep, swept when the driver exits.
+    import atexit
     import shutil
 
-    result = (
-        spark.read.parquet(f"{base}/admitted")
-        .select("doc_id", "lang", "source", "n_chars")
-        .localCheckpoint(eager=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return spark.read.parquet(f"{base}/admitted").select(
+        "doc_id", "lang", "source", "n_chars"
     )
-    shutil.rmtree(base, ignore_errors=True)
-    return result
 
 
 def q_docs_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1630,15 +1646,15 @@ def q_docs_stream_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("admission_ok"),
     )
-    # pin the one-row certificate, then reclaim the scratch tree NOW
-    # instead of leaking corpus+store+checkpoints per gate run
-    # (cluster-mode caveat as in the CSV query)
+    # pin the one-row certificate cluster-safely (driver collect →
+    # LocalRelation), then reclaim the scratch tree NOW instead of
+    # leaking corpus+store+checkpoints per gate run
     import shutil
 
-    result = (
-        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .crossJoin(cert)
-        .localCheckpoint(eager=True)
+    result = _pin_small(
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).crossJoin(
+            cert
+        )
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
@@ -2205,17 +2221,13 @@ def q_docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("n_quarantined", F.lit(n_bad).cast("bigint"))
         )
-        # pin the tiny per-source aggregate to executor-local storage
-        # (eager — the lazy form's toRdd is an AQE trap) so the shard
-        # directory can be removed NOW instead of leaking one
-        # /tmp/spark_graft_csv_* per correctness/bench invocation
-        # while the caller still holds an uncollected lazy frame.
-        # CLUSTER-MODE CAVEAT: localCheckpoint blocks are executor-local
-        # and NON-RECOMPUTABLE — on a real cluster, losing an executor
-        # after the rmtree below fails any later action on the returned
-        # frame instead of recomputing; durable pipelines should
-        # collect-and-recreate these few rows (or delay the cleanup)
-        return agg.localCheckpoint(eager=True)
+        # pin the tiny per-source aggregate cluster-safely (driver
+        # collect → LocalRelation) so the shard directory can be
+        # removed NOW instead of leaking one /tmp/spark_graft_csv_*
+        # per correctness/bench invocation while the caller still
+        # holds an uncollected lazy frame; the returned frame carries
+        # its few rows in the plan itself and survives executor loss
+        return _pin_small(agg)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -2506,15 +2518,11 @@ def q_load_events_postgres_readback(
                 .alias("sum_value"),
             )
         )
-        # materialize before the server goes away: an eager
-        # localCheckpoint pins the tiny per-type aggregate to executor
-        # storage without the collect-and-recreate round trip through
-        # the driver (the pattern the codebase otherwise avoids).
-        # CLUSTER-MODE CAVEAT: the pinned blocks are executor-local and
-        # non-recomputable — losing an executor after db.close() fails
-        # later actions on the frame instead of recomputing; fine in
-        # local mode, collect-and-recreate if durability matters
-        result = agg.localCheckpoint(eager=True)
+        # materialize before the server goes away: the per-type
+        # aggregate is a handful of rows, so the cluster-safe pin
+        # (driver collect → LocalRelation) costs nothing and the
+        # returned frame survives executor loss after db.close()
+        result = _pin_small(agg)
         db.close()
     return result
 
