@@ -825,6 +825,181 @@ def test_embedding_neardup_bucket_cap(spark: SparkSession) -> None:
     assert not any(a != 0 for a, _ in got)
 
 
+def test_minhash_bucket_cap_adversarial_skew(spark: SparkSession) -> None:
+    """Cap-pressure WORST case: a fifth of the corpus shares one band
+    bucket without being near-duplicates (heavy shared boilerplate,
+    distinct payloads — pairwise Jaccard ~0.78, threshold 0.9), so the
+    star assumption 'oversized buckets are near-identical' is FALSE.
+    Pins, under ``max_bucket_size``:
+
+    - the emitted-candidate bound stays LINEAR in the hot-cluster size
+      (bands*(f-1) star pairs + bands*f*(cap-1)/2 small-bucket slack),
+      at least 10x below the uncapped all-pairs blowup;
+    - recall floor 1.0 on true near-dup pairs OUTSIDE the hot bucket;
+    - zero false positives: exact verification drops every star pair
+      whose member is not actually similar to the representative;
+    - the known degradation mode, pinned on this deterministic fixture:
+      a true near-dup pair INSIDE the hot bucket survives here only
+      because its identical unique tail forms a private size-2 band
+      bucket — when no such band exists the capped path may lose
+      in-bucket pairs (the documented recall trade, SCALE.md).
+    """
+    boiler = " ".join(f"boiler{i}" for i in range(160))
+    n_adv, cap, bands = 200, 8, 8
+    rows = [
+        (i, boiler + " " + " ".join(f"uniq{i}w{j}" for j in range(20)))
+        for i in range(n_adv)
+    ]
+    # true near-dup pair INSIDE the hot cluster (same boilerplate, same
+    # unique tail up to one trailing char): jaccard ~0.99
+    shared = " ".join(f"inpairw{j}" for j in range(20))
+    rows.append((200, boiler + " " + shared))
+    rows.append((201, boiler + " " + shared[:-1] + "X"))
+    # true near-dup pairs OUTSIDE the hot cluster (no boilerplate):
+    # 60 words, last word changed -> jaccard ~0.97
+    for p in range(5):
+        words = [f"pair{p}word{j}" for j in range(60)]
+        rows.append((300 + 2 * p, " ".join(words)))
+        rows.append(
+            (301 + 2 * p, " ".join(words[:-1] + [f"pair{p}CHANGED"]))
+        )
+    rows += [
+        (500 + i, " ".join(f"bg{i}word{j}" for j in range(30)))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.9,
+        num_hashes=32,
+        bands=bands,
+        shingle_words=3,
+    )
+
+    def adv(pairs):
+        return {p for p in pairs if p[0] < n_adv and p[1] < n_adv}
+
+    cand_un = adv(
+        {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(df, verify=False, **kw).collect()
+        }
+    )
+    cand_cap = adv(
+        {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                df, verify=False, max_bucket_size=cap, **kw
+            ).collect()
+        }
+    )
+    # the adversarial bucket really formed: near-quadratic uncapped
+    assert len(cand_un) >= 15000  # C(200,2) = 19900; measured 19570
+    # capped emission is linear in f (star + small-bucket slack) ...
+    linear_bound = bands * (n_adv - 1) + bands * n_adv * (cap - 1) // 2
+    assert len(cand_cap) <= linear_bound  # measured 388 << 7192
+    # ... and at least 10x below the quadratic blowup
+    assert len(cand_cap) * 10 <= len(cand_un)
+
+    ver_cap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            df, verify=True, max_bucket_size=cap, **kw
+        ).collect()
+    }
+    ver_un = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, verify=True, **kw).collect()
+    }
+    planted = {(300 + 2 * p, 301 + 2 * p) for p in range(5)}
+    # recall floor 1.0 on out-of-bucket true dups
+    assert planted <= set(ver_cap)
+    # zero false positives from the non-near-dup hot cluster
+    assert not adv(set(ver_cap))
+    assert all(j >= 0.9 for j in ver_cap.values())
+    # the in-bucket pair: found uncapped, and on THIS fixture found
+    # capped too (its identical tail forms a private size-2 band bucket)
+    assert (200, 201) in ver_un
+    assert (200, 201) in ver_cap
+
+
+def test_embedding_bucket_cap_adversarial_skew(spark: SparkSession) -> None:
+    """Hyperplane-LSH analogue of the adversarial skew pin: 60 vectors
+    in a tight cone around one direction (pairwise cosine ~0.94-0.98,
+    below the 0.99 threshold) collide in EVERY table's hot bucket —
+    uncapped candidates are the full quadratic 1770; the cap must cut
+    them to the linear star while keeping recall 1.0 on planted
+    near-dup pairs elsewhere and emitting zero cone pairs."""
+    np = pytest.importorskip("numpy")
+    dim, n_adv, cap, tables = 32, 60, 6, 6
+    rng = np.random.RandomState(7)
+    u = np.zeros(dim)
+    u[0] = 1.0
+    arr = []
+    for _ in range(n_adv):
+        g = rng.randn(dim)
+        g[0] = 0.0
+        g /= np.linalg.norm(g)
+        v = u + 0.2 * g
+        arr.append(v / np.linalg.norm(v))
+    arr = np.stack(arr)
+    cosmat = arr @ arr.T
+    np.fill_diagonal(cosmat, 0.0)
+    # fixture self-check: the cone is NOT a near-dup cluster at 0.99
+    assert cosmat.max() < 0.99  # measured 0.9833
+    rows = [(i, [float(x) for x in arr[i]]) for i in range(n_adv)]
+    for p in range(5):  # planted true near-dups away from the cone
+        base = np.zeros(dim)
+        base[2 + p] = 1.0
+        pert = base.copy()
+        pert[20 + p] = 0.05
+        pert /= np.linalg.norm(pert)
+        rows.append((100 + 2 * p, [float(x) for x in base]))
+        rows.append((101 + 2 * p, [float(x) for x in pert]))
+    rng2 = np.random.RandomState(11)
+    for i in range(n_adv):  # background: random unit vectors
+        w = rng2.randn(dim)
+        rows.append((300 + i, [float(x) for x in w / np.linalg.norm(w)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=dim)
+
+    def adv(pairs):
+        return {p for p in pairs if p[0] < n_adv and p[1] < n_adv}
+
+    # threshold=-1 accepts every candidate: measures raw bucket pressure
+    raw_un = adv(
+        {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_neardup_pairs(
+                df, threshold=-1.0, **kw
+            ).collect()
+        }
+    )
+    raw_cap = adv(
+        {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_neardup_pairs(
+                df, threshold=-1.0, max_bucket_size=cap, **kw
+            ).collect()
+        }
+    )
+    assert len(raw_un) >= 1500  # measured: full quadratic 1770
+    linear_bound = tables * (n_adv - 1) + tables * n_adv * (cap - 1) // 2
+    assert len(raw_cap) <= linear_bound  # measured 59 (= f-1) << 1254
+    assert len(raw_cap) * 10 <= len(raw_un)
+
+    ver_cap = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            df, threshold=0.99, max_bucket_size=cap, **kw
+        ).collect()
+    }
+    planted = {(100 + 2 * p, 101 + 2 * p) for p in range(5)}
+    assert planted <= ver_cap  # recall floor 1.0 outside the cone
+    assert not adv(ver_cap)  # exact verify drops every cone star pair
+
+
 def test_tfidf_term_scores(spark: SparkSession) -> None:
     """A term appearing in fewer docs carries higher idf; docs without
     any query term are excluded."""
