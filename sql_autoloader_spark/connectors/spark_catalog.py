@@ -348,6 +348,29 @@ class _CommitJournal:
             c: t for c, t in self._tokens.items() if c > horizon
         }
 
+    def sweep_temps(self) -> int:
+        """Delete stale ``tmp-<token>`` claim files, returning the count.
+
+        A completed claim deletes its own temp (or the rename consumes
+        it); a temp file that still exists belongs to a writer that is
+        either mid-claim RIGHT NOW (a window of milliseconds) or dead —
+        killed between writing the temp and finishing ``commit()``,
+        including the instant AFTER its link(2) landed (the claim is
+        published; only the bookkeeping delete was lost).  Sweeping at
+        connector open carries the same caveat as the open-time row
+        sweep (:meth:`SparkConnector._recover_orphans`): open
+        connectors before starting writers.  A live writer whose temp
+        is swept mid-claim fails loudly ("commit temp file vanished
+        mid-claim"), never silently.
+        """
+        swept = 0
+        for status in self._fs.listStatus(self._root):
+            name = status.getPath().getName()
+            if name.startswith("tmp-"):
+                self._fs.delete(status.getPath(), False)
+                swept += 1
+        return swept
+
     def _claim(self, tmp_name: str, dest_name: str) -> bool:
         """Atomically claim *dest_name* with *tmp_name*'s content.
 
@@ -1345,6 +1368,12 @@ class SparkConnector(BaseConnector):
                 "completing a crashed vacuum through commit %d", intent
             )
             self._fold_through(intent)
+        # stale tmp-<token> claim files: a writer killed inside
+        # _CommitJournal.commit — before the claim, or after a landed
+        # link(2) but before the bookkeeping delete — leaves its temp
+        # behind forever (vacuum deletes only *.commit/*.floor/
+        # *.vacuuming).  Same open-time caveat as the row sweep below.
+        self._journal.sweep_temps()
         # crashed staged appends: token-unique stage tables / _staging
         # dirs that never finished moving (driver-side metadata cleanup)
         for row in self.spark.sql(f"SHOW TABLES IN {self.database}").collect():

@@ -613,3 +613,188 @@ def test_sigkill_mid_rewrite_recovers_from_staging_cross_process(
     assert (res["first"], res["last"]) == ("n000", "n099")
     # the staging copy is consumed by the restore
     assert not os.path.exists(f"{root}/rwdb/cmp_t__recovery_staging")
+
+
+_RACER_CHILD = """
+import json, os, signal, sys, time
+from pyspark.sql import SparkSession
+
+from sql_autoloader_spark.connectors import spark_catalog as sc_mod
+from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+role = sys.argv[1]          # "victim" | "survivor"
+db_location = sys.argv[2]
+barrier = sys.argv[3]
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.warehouse.dir", f"{barrier}/wh_{role}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sql(f"CREATE DATABASE IF NOT EXISTS rwdb LOCATION '{db_location}'")
+
+# BOTH writers open before the race starts (the documented open-time
+# contract: _recover_orphans must not run while commits are in flight)
+conn = SparkConnector(spark, database="rwdb")
+
+open(f"{barrier}/ready_{role}", "w").close()
+deadline = time.time() + 1200
+while not os.path.exists(f"{barrier}/go"):
+    if time.time() > deadline:
+        sys.exit(3)
+    time.sleep(0.05)
+
+
+def put(name):
+    with conn:
+        conn.insert(
+            spark.createDataFrame([(name,)], ["name"]), table="rw_t"
+        )
+
+
+if role == "victim":
+    put("victim-0")  # a clean commit first: the protocol works at all
+    print("PHASE1", flush=True)
+
+    # die the instant the link(2) claim LANDS: the commit file is
+    # published (readers will adopt it) but the writer's bookkeeping —
+    # tmp-file delete, in-memory registration, view refresh — is lost
+    orig = sc_mod._CommitJournal._claim
+
+    def claim_then_die(self, tmp_name, dest_name):
+        ok = orig(self, tmp_name, dest_name)
+        if ok:
+            os.kill(os.getpid(), signal.SIGKILL)
+        return ok
+
+    sc_mod._CommitJournal._claim = claim_then_die
+    put("victim-1")  # SIGKILLs itself inside _CommitJournal.commit
+    print("SURVIVED", flush=True)  # must never print
+else:
+    ids = []
+    for i in range(8):
+        put(f"surv-{i}")
+        ids.append(conn.commit_history()[-1])
+    print("RESULT " + json.dumps({"claimed": ids}), flush=True)
+    spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_sigkill_one_of_two_racing_writers_mid_claim(
+    spark,  # noqa: ANN001
+    tmp_path,  # noqa: ANN001
+) -> None:
+    """Two driver processes commit concurrently to ONE warehouse; one is
+    SIGKILLed the instant its link(2) claim lands — commit file
+    published, bookkeeping (tmp delete, registration) lost.  Pins the
+    three multi-writer-under-crash claims:
+
+    - the SURVIVOR keeps committing through and past the kill, every
+      claim under a distinct id;
+    - RECOVERY (a fresh connector) ADOPTS the dead writer's landed
+      commit — its rows are visible, its cid is in the history — and
+      sweeps the stale tmp claim file the kill left behind;
+    - ``vacuum_commits`` folds the dead claim's token like any other:
+      no row of the killed-but-published commit is ever collected.
+    """
+    import time as _time
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    db_location = str(tmp_path / "rwdb.db")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+
+    # migrations are single-writer: DDL + persisted metadata exist first
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS rwrace LOCATION '{db_location}'")
+    ddl_conn = SparkConnector(spark, database="rwrace")
+    ddl_conn.execute_ddl(
+        "CREATE TABLE rw_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+
+    script = tmp_path / "racer_child.py"
+    script.write_text(_RACER_CHILD)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    def spawn(role: str) -> subprocess.Popen:
+        return subprocess.Popen(  # noqa: S603 - our own script
+            [sys.executable, str(script), role, db_location, str(barrier)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            start_new_session=True,
+        )
+
+    victim = spawn("victim")
+    survivor = spawn("survivor")
+    try:
+        deadline = _time.time() + 900
+        while _time.time() < deadline:
+            if all(
+                (barrier / f"ready_{r}").exists()
+                for r in ("victim", "survivor")
+            ):
+                break
+            _time.sleep(0.1)
+        else:
+            msg = "children never became ready"
+            raise AssertionError(msg)
+        (barrier / "go").touch()
+
+        v_out, v_err = victim.communicate(timeout=1200)
+        s_out, s_err = survivor.communicate(timeout=1200)
+    finally:
+        for child in (victim, survivor):
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+
+    # the victim really died BY SIGKILL inside its second commit
+    assert victim.returncode == -signal.SIGKILL, f"{v_out}\n{v_err[-3000:]}"
+    assert "PHASE1" in v_out and "SURVIVED" not in v_out, v_out
+    # the survivor was never disturbed: 8 commits, distinct ids, rc 0
+    assert survivor.returncode == 0, f"{s_out}\n{s_err[-3000:]}"
+    line = [ln for ln in s_out.splitlines() if ln.startswith("RESULT ")]
+    assert line, f"no RESULT:\n{s_out}\n{s_err[-2000:]}"
+    claimed = json.loads(line[-1][len("RESULT ") :])["claimed"]
+    assert len(claimed) == len(set(claimed)) == 8
+
+    # the kill instant left physical evidence: the published commit file
+    # AND the stale tmp claim file for the SAME token
+    jdir = Path(db_location) / "_sql_autoloader_commits"
+    tmps = list(jdir.glob("tmp-*"))
+    assert len(tmps) == 1, sorted(p.name for p in jdir.iterdir())
+    dead_token = int(tmps[0].name[len("tmp-") :])
+    published = {
+        int(f.name[: -len(".commit")]): int(f.read_text().strip())
+        for f in jdir.glob("*.commit")
+    }
+    assert dead_token in published.values()  # the claim DID land
+    assert len(published) == 10  # 1 clean + 1 killed + 8 survivor
+
+    # RECOVERY: a fresh connector adopts the dead writer's landed commit
+    fresh = SparkConnector(spark, database="rwrace")
+    rows = sorted(r["name"] for r in fresh._read_table("rw_t").collect())
+    expected = sorted(
+        ["victim-0", "victim-1", *[f"surv-{i}" for i in range(8)]]
+    )
+    assert rows == expected  # adopted, nothing swept, nothing doubled
+    history = fresh.commit_history()
+    assert len(history) == len(set(history)) == 10
+    assert not list(jdir.glob("tmp-*"))  # stale claim file swept at open
+
+    # vacuum folds the killed-but-published token like any other commit
+    fresh.vacuum_commits(retain_last=1)
+    rows_after = sorted(
+        r["name"] for r in fresh._read_table("rw_t").collect()
+    )
+    assert rows_after == expected  # never collects the in-flight token
+    assert len(fresh.commit_history()) == 1
