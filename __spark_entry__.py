@@ -3432,6 +3432,166 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_semantic_clusters_lsh_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The semantic-dedup SCALE path end-to-end: hyperplane-LSH
+    near-dup pairs (bucketed candidates + exact-cosine verify, never
+    all-pairs) → connected components → keep-best-per-cluster.  The
+    100 TB form of ``docs_semantic_clusters``'s "the pair source swaps
+    to the LSH-bucketed variant" claim — same CC step, same keep
+    policy, sub-quadratic candidate generation.  Returns the surviving
+    corpus ``(doc_id, component, lang, n_chars)`` (singletons keep
+    themselves, component = own id)."""
+    pairs = similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        threshold=0.45,
+        planes=4,
+        tables=32,
+        max_bucket_size=512,
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "lang",
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "component", "lang", "n_chars")
+    )
+
+
+def q_docs_semantic_clusters_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-verifying certificate for the semantic-dedup scale path
+    (round 13 — the COVERAGE.md "swaps to LSH at scale" claim, now a
+    registered value-hash entry instead of documentation).
+
+    Runs the full LSH pipeline (pairs → components → keep policy) and
+    certifies it against the exact quadratic twin on the
+    high-similarity tail (exact cosine ≥ 0.45 — the hyperplane-LSH
+    design range, as in ``q_emb_neardup_lsh``):
+
+    - ``n_docs`` / ``n_exact_tail_pairs`` / ``sum_exact_ids``:
+      oracle-recomputed anchors (corpus count; quadratic pair count +
+      id checksum at the tail threshold);
+    - ``pair_recall_ok``: the LSH pair source recovers ≥ 0.85 of the
+      exact tail pairs (pinned TRUE; measured 1.0 at gate SFs with
+      planes=4/tables=32);
+    - ``cluster_recall_ok``: ≥ 0.85 of exact tail pairs end up in the
+      SAME component under the LSH clustering (pinned TRUE) — the
+      cluster-level claim: transitivity may recover pairs the bucket
+      join missed, never fewer than pair recall;
+    - ``keep_policy_ok``: NO exact tail pair that landed same-component
+      has BOTH members surviving the keep policy (pinned TRUE) — the
+      end-to-end dedup contract the pipeline exists for.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = (
+        similarity.embedding_neardup_pairs(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=64,
+            threshold=0.45,
+            planes=4,
+            tables=32,
+            max_bucket_size=512,
+        )
+        .select("id_a", "id_b", F.lit(1).alias("__a"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # pin the (small) approx pair list: the recall flag, the CC edge
+    # list, and the keep policy all derive from it
+    approx = approx.persist()
+    comp = dedup.connected_components(approx.select("id_a", "id_b"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kept = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.lit(1).alias("__k"))
+    )
+    exact_tail = q_emb_neardup_exact(spark, sf_dir).where(
+        F.col("sim") >= 0.45
+    )
+    # one left join per certified relation onto the exact tail: the
+    # quadratic twin's subtree appears exactly once in the plan
+    flagged = (
+        exact_tail.join(approx, ["id_a", "id_b"], "left")
+        .join(
+            comp.select(
+                F.col("id").alias("id_a"), F.col("component").alias("__ca")
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            comp.select(
+                F.col("id").alias("id_b"), F.col("component").alias("__cb")
+            ),
+            "id_b",
+            "left",
+        )
+        .join(
+            kept.select(F.col("doc_id").alias("id_a"), F.col("__k").alias("__ka")),
+            "id_a",
+            "left",
+        )
+        .join(
+            kept.select(F.col("doc_id").alias("id_b"), F.col("__k").alias("__kb")),
+            "id_b",
+            "left",
+        )
+    )
+    same = F.col("__ca").isNotNull() & (F.col("__ca") == F.col("__cb"))
+    n_exact = F.count(F.lit(1))
+    n_pair_hit = F.coalesce(
+        F.sum(F.when(F.col("__a").isNotNull(), 1)), F.lit(0)
+    )
+    n_same = F.coalesce(F.sum(F.when(same, 1)), F.lit(0))
+    n_both_kept = F.coalesce(
+        F.sum(
+            F.when(
+                same & F.col("__ka").isNotNull() & F.col("__kb").isNotNull(),
+                1,
+            )
+        ),
+        F.lit(0),
+    )
+    cert = flagged.agg(
+        n_exact.cast("bigint").alias("n_exact_tail_pairs"),
+        F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_exact_ids"),
+        (n_pair_hit >= n_exact * F.lit(0.85)).alias("pair_recall_ok"),
+        (n_same >= n_exact * F.lit(0.85)).alias("cluster_recall_ok"),
+        (n_both_kept == 0).alias("keep_policy_ok"),
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(cert)
+    )
+
+
 # --------------------------------------------------------------------------
 # Analytics round 3: gap-filled time rollup, pivot, window gaps, range
 # join, deterministic hash split, bigram mining, stable correlation,
@@ -4083,6 +4243,8 @@ def scale_path_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rolling_fp": q_docs_rolling_fp_raw,
         "media_neardup": q_media_neardup_raw,
         "docs_stream_fuzzy_dedup": q_docs_stream_fuzzy_dedup_raw,
+        # round 13: the semantic-dedup scale path
+        "docs_semantic_clusters_lsh": q_docs_semantic_clusters_lsh_raw,
     }
 
 
@@ -4216,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_quantized_topk": q_emb_ivf_quantized_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "docs_semantic_clusters_lsh": q_docs_semantic_clusters_lsh,
         "load_snapshot_history": q_load_snapshot_history,
         "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
@@ -5085,6 +5248,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_false_positives,
                    TRUE AS recall_ok
             FROM p
+        """,
+        # semantic-dedup scale path: exact tail-pair anchors recomputed
+        # quadratically; the recall + keep-policy booleans pinned TRUE
+        # (pair recall measured 1.0 at gate SFs; cluster recall >= pair
+        # recall by transitivity; both-kept violations counted in-plan)
+        "docs_semantic_clusters_lsh": f"""
+            WITH p AS ({_EMB_NEARDUP_EXACT_SQL})
+            SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+                       AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_exact_tail_pairs,
+                   CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT)
+                       AS sum_exact_ids,
+                   TRUE AS pair_recall_ok,
+                   TRUE AS cluster_recall_ok,
+                   TRUE AS keep_policy_ok
+            FROM p WHERE sim >= 0.45
         """,
         # sketch certificates: exact counts recomputed, the error-bound
         # boolean pinned TRUE (10% = 5-sigma at rsd 0.02; 5% at lgK 14)
