@@ -4577,13 +4577,20 @@ def oracle_sql() -> dict[str, str]:
             " JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey"
         ),
+        # decimal sums cast to double THROUGH VARCHAR: DuckDB's direct
+        # decimal->double cast divides the int128 payload by 10^scale in
+        # double arithmetic and can be 1 ulp off the correctly-rounded
+        # value (observed at sf1: sum_charge ...941590 -> ...941593);
+        # Spark (BigDecimal.doubleValue) and DuckDB's string->double
+        # parser are both correctly rounded, so the string hop makes the
+        # oracle engine-neutral at every SF
         "q1_pricing_summary": f"""
             SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM({disc_price}) AS DOUBLE) AS sum_disc_price,
-                   CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
-                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(CAST(SUM(CAST(l_quantity AS {_DEC})) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(SUM({disc_price}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(SUM({charge}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+                   CAST(CAST(SUM(CAST(l_quantity AS {_DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
