@@ -1438,3 +1438,34 @@ def test_crashed_vacuum_completes_on_reopen(
     assert db2._read_table("vc_t").count() == 3
     assert db2.read_table_as_of("vc_t", 0).count() == 2  # a, b folded
     assert db2.read_table_as_of("vc_t", c3).count() == 3
+
+
+def test_journal_sweep_temps_reclaims_stale_claim_files(
+    spark: SparkSession, tmp_path
+) -> None:
+    """A writer killed inside ``commit()`` leaves its ``tmp-<token>``
+    file behind whether or not its claim landed; ``sweep_temps``
+    reclaims exactly those, never commit/floor/vacuuming files, and a
+    fresh connector open runs it automatically."""
+    from sql_autoloader_spark.connectors.spark_catalog import _CommitJournal
+
+    spark.sql(
+        f"CREATE DATABASE sweeptest LOCATION '{tmp_path / 'sweeptest.db'}'"
+    )
+    jr = _CommitJournal(spark, "sweeptest")
+    cid = jr.commit(1_000_001, after=0)
+    assert cid == 1
+    # simulate two crash leftovers: one whose claim landed (published
+    # token, bookkeeping delete lost) and one that died pre-claim
+    jdir = tmp_path / "sweeptest.db" / "_sql_autoloader_commits"
+    (jdir / "tmp-1000002").write_text("1000002")
+    (jdir / "tmp-1000003").write_text("1000003")
+    assert jr.sweep_temps() == 2
+    assert jr.sweep_temps() == 0  # idempotent
+    # the landed commit file is untouched and still readable
+    assert jr.visible() == {1: 1_000_001}
+    # connector open sweeps automatically (via _recover_orphans)
+    (jdir / "tmp-1000004").write_text("1000004")
+    SparkConnector(spark, database="sweeptest")
+    assert not list(jdir.glob("tmp-*"))
+    assert jr.visible() == {1: 1_000_001}
