@@ -2232,6 +2232,62 @@ def q_docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus interchange through the ORC front door: write the
+    documents table as zstd ORC shards with a bloom filter on
+    ``doc_id`` (``connectors/files.py:write_orc``), read it back with
+    an explicit pinned schema (``read_orc``), and aggregate per source
+    — plus a sparse ``doc_id % 97`` probe column that anchors value
+    fidelity on individual rows, not just totals.  The oracle computes
+    the same aggregates from parquet directly, so the hash match proves
+    the ORC round trip is lossless (text, unicode, the full doc_id
+    range).  Predicate pushdown into the ORC scan (stripe skipping +
+    the bloom filter this writer embeds) is plan-pinned separately in
+    tests/test_plans.py — filter-correctness under pushdown is a plan
+    property, not something a post-scan aggregate can witness."""
+    import shutil
+    import uuid
+
+    from sql_autoloader_spark.connectors.files import read_orc, write_orc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    # run-unique path: concurrent runs against the same sf_dir must not
+    # overwrite a directory another run's scan is reading
+    out = f"/tmp/spark_graft_orc_{uuid.uuid4().hex[:12]}"
+    try:
+        write_orc(
+            docs,
+            out,
+            mode="overwrite",
+            bloom_filter_cols=["doc_id"],
+            partitions=4,
+        )
+        back = read_orc(
+            spark,
+            out,
+            "doc_id bigint, source string, n_chars bigint, text string",
+        )
+        probed = F.sum(
+            F.when(F.col("doc_id") % 97 == 0, F.length("text"))
+        )
+        agg = back.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.coalesce(probed, F.lit(0)).cast("bigint").alias("probe_len"),
+        )
+        # tiny per-source aggregate: pin cluster-safely (LocalRelation)
+        # so the shard directory can be removed NOW instead of leaking
+        # one /tmp/spark_graft_orc_* per invocation
+        return _pin_small(agg)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_load_vacuum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse maintenance end-to-end: three transactional loads, a
     Z-ORDER compaction (``compact_table(zorder_by=[doc_id, n_chars])``
@@ -4279,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
+        "docs_orc_roundtrip": q_docs_orc_roundtrip,
         "docs_training_pipeline": q_docs_training_pipeline,
         "lineitem_constraints": q_lineitem_constraints,
         "lineitem_profile": q_lineitem_profile,
@@ -4950,6 +5007,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc,
                    CAST(3 AS BIGINT) AS n_quarantined
+            FROM documents
+            GROUP BY source
+        """,
+        "docs_orc_roundtrip": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+                   CAST(COALESCE(SUM(CASE WHEN doc_id % 97 = 0
+                                          THEN LENGTH(text) END), 0)
+                        AS BIGINT) AS probe_len
             FROM documents
             GROUP BY source
         """,

@@ -94,6 +94,47 @@ def test_csv_quarantines_malformed_lines(
     assert len(raws) == 1 and "NOT_A_NUMBER" in raws[0]
 
 
+def test_orc_roundtrip_exact(spark: SparkSession, tmp_path: Path) -> None:
+    """ORC round trip is lossless for text (unicode, newlines, quotes)
+    and nulls; the pinned read schema is honored."""
+    from sql_autoloader_spark.connectors.files import read_orc, write_orc
+
+    rows = [
+        (1, "plain", 10),
+        (2, 'quotes " and \\ backslash', 20),
+        (3, "unicode é中文 and\nnewline", 30),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = str(tmp_path / "orc")
+    write_orc(df, out, bloom_filter_cols=["doc_id"], partitions=2)
+    back = read_orc(spark, out, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # self-describing read (no schema) agrees
+    assert read_orc(spark, out).count() == 4
+
+
+def test_orc_predicate_pushdown_reaches_scan(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """A selective doc_id predicate lands in the ORC scan's
+    PushedFilters — stripe skipping / bloom probing territory at
+    scale — and filters exactly."""
+    from sql_autoloader_spark.connectors.files import read_orc, write_orc
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text", "id AS n"
+    )
+    out = str(tmp_path / "orcp")
+    write_orc(df, out, bloom_filter_cols=["doc_id"])
+    probe = read_orc(spark, out, SCHEMA).where(F.col("doc_id") == 421)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    assert [r["doc_id"] for r in probe.collect()] == [421]
+
+
 def test_csv_roundtrip_preserves_surrounding_whitespace(
     spark: SparkSession, tmp_path: Path
 ) -> None:
