@@ -2036,6 +2036,68 @@ def q_load_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_load_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changes-feed (CDC) read through the manifest journal,
+    registered end-to-end: two transactional loads into a fresh
+    managed database (docs with ``doc_id % 3 == 0``, then all), then
+    ``table_changes`` — the incremental-consumer primitive (Delta CDF
+    analog) — read two ways: the full feed ``(0, head]`` grouped by
+    the committing epoch, and the incremental tail ``(1, head]`` a
+    consumer that already processed commit 1 would ask for.  Each row
+    carries ``_commit_id``/``_change_type``, so the aggregate pins the
+    token→commit mapping AND the insert-only contract.  The diff is a
+    commit-range FILTER on the scan (O(new data), pushable) — never an
+    EXCEPT between snapshots, which would read and shuffle both full
+    snapshots at 100 TB.  Oracle: on a fresh database the commit ids
+    are deterministic (1, 2), so every group is pure SQL over the
+    parquet slices (``%3==0`` vs the rest)."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    db = SparkConnector(spark, database=f"cdc_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        """
+        CREATE TABLE sd_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE sd_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES sd_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+    with db:
+        db.load(docs.where(F.col("doc_id") % 3 == 0))
+    with db:
+        db.load(docs, exact=False)
+
+    def _agg(feed: str, changes: DataFrame) -> DataFrame:
+        return changes.groupBy("_commit_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                (F.col("_change_type") == "insert").cast("bigint")
+            ).cast("bigint").alias("n_inserts"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        ).select(
+            F.lit(feed).alias("feed"),
+            F.col("_commit_id").cast("bigint").alias("commit_id"),
+            "n_rows",
+            "n_inserts",
+            "sum_chars",
+            "min_doc",
+            "max_doc",
+        )
+
+    full = _agg("since_0", db.table_changes("sd_doc", 0))
+    tail = _agg("since_1", db.table_changes("sd_doc", 1))
+    result = _pin_small(full.unionByName(tail))
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return result
+
+
 def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ingestion through the JSONL front door: write the
     documents table as JSON Lines, read it back with the quarantining
@@ -4437,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "docs_semantic_clusters_lsh": q_docs_semantic_clusters_lsh,
         "load_snapshot_history": q_load_snapshot_history,
+        "load_snapshot_diff": q_load_snapshot_diff,
         "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
     }
@@ -5218,6 +5281,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(DISTINCT source) FROM documents)
                         AS BIGINT),
                    CAST((SELECT count(*) FROM documents) AS BIGINT)
+        """,
+        "load_snapshot_diff": """
+            WITH c1 AS (
+                SELECT * FROM documents WHERE doc_id % 3 = 0
+            ),
+            c2 AS (
+                SELECT * FROM documents WHERE doc_id % 3 <> 0
+            ),
+            g AS (
+                SELECT CAST(1 AS BIGINT) AS commit_id,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) AS BIGINT) AS n_inserts,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                       CAST(min(doc_id) AS BIGINT) AS min_doc,
+                       CAST(max(doc_id) AS BIGINT) AS max_doc
+                FROM c1
+                UNION ALL
+                SELECT CAST(2 AS BIGINT),
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(n_chars) AS BIGINT),
+                       CAST(min(doc_id) AS BIGINT),
+                       CAST(max(doc_id) AS BIGINT)
+                FROM c2
+            )
+            SELECT 'since_0' AS feed, * FROM g
+            UNION ALL
+            SELECT 'since_1', * FROM g WHERE commit_id = 2
         """,
         "load_vacuum_maintenance": """
             SELECT CAST(count(*) AS BIGINT) AS n_before,

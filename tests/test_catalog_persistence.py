@@ -1469,3 +1469,60 @@ def test_journal_sweep_temps_reclaims_stale_claim_files(
     SparkConnector(spark, database="sweeptest")
     assert not list(jdir.glob("tmp-*"))
     assert jr.visible() == {1: 1_000_001}
+
+
+def test_table_changes_feed_and_guards(spark: SparkSession) -> None:
+    """table_changes returns exactly the rows each commit added (with
+    _commit_id / _change_type), honors both range bounds, and refuses
+    non-durable, inverted, and vacuumed ranges."""
+    import pytest
+
+    db = SparkConnector(spark, database="cdctest")
+    db.execute_ddl(
+        "CREATE TABLE c_dim (id INTEGER PRIMARY KEY, word TEXT UNIQUE);"
+    )
+
+    def add(words: list[str]) -> None:
+        with db:
+            db.load(
+                spark.createDataFrame([(w,) for w in words], "word string"),
+                compare=False,
+            )
+
+    add(["a", "b"])
+    add(["c"])
+    add(["d", "e"])
+    c1, c2, c3 = db.commit_history()
+
+    full = db.table_changes("c_dim", 0).collect()
+    by_cid = {}
+    for r in full:
+        assert r["_change_type"] == "insert"
+        by_cid.setdefault(r["_commit_id"], set()).add(r["word"])
+    assert by_cid == {c1: {"a", "b"}, c2: {"c"}, c3: {"d", "e"}}
+
+    tail = db.table_changes("c_dim", c1, c2).collect()
+    assert {(r["_commit_id"], r["word"]) for r in tail} == {(c2, "c")}
+
+    # the CDC columns never leak the physical token column
+    cols = db.table_changes("c_dim", 0).columns
+    assert "_commit_id" in cols and "_change_type" in cols
+    assert not any(c.startswith("__") for c in cols)
+
+    with pytest.raises(ValueError, match="not durable"):
+        db.table_changes("c_dim", 0, c3 + 10)
+    with pytest.raises(ValueError, match="empty or inverted"):
+        db.table_changes("c_dim", c2, c2)
+    with pytest.raises(KeyError):
+        db.table_changes("nope", 0)
+
+    # vacuum folds c1/c2: feeds reaching below the horizon refuse,
+    # feeds at/above it keep working with the same content
+    db.vacuum_commits(retain_last=1)
+    with pytest.raises(ValueError, match="vacuumed into the base"):
+        db.table_changes("c_dim", 0)
+    kept = db.table_changes("c_dim", c2).collect()
+    assert {(r["_commit_id"], r["word"]) for r in kept} == {
+        (c3, "d"),
+        (c3, "e"),
+    }
