@@ -4037,6 +4037,46 @@ def q_docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-MIXTURE sampling (``scale.mixture_sample``): resample the
+    corpus so the retained token mass hits exact relative weights
+    across sources — the domain-mixing step of a training run (the
+    web:books:code ratio), where ``docs_token_budget_sample`` only
+    downsamples each source against itself.  Weights derive
+    deterministically from the source name (suffix mod 4, in 1..4) so
+    any engine at any SF recomputes them; the feasible total is
+    water-filled (``T = min_s mass_s/w_s`` — the largest total every
+    source can serve), each source keeps docs in md5-draw order (bytes
+    7-8: independent of the split/stratify/budget draws) while its
+    running token sum stays within ``w_s*T``.  One exchange on
+    ``source`` feeds the window; budgets are a 20-row broadcast."""
+    from sql_autoloader_spark.functions import scale
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.substring(F.md5("text"), 7, 2).alias("draw"),
+        (
+            F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 4 + 1
+        ).alias("w"),
+    )
+    kept = scale.mixture_sample(
+        base,
+        group_col="source",
+        weight_col="w",
+        token_col="n_tokens",
+        order_cols=["draw", "doc_id"],
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
 def q_docs_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying BPE-training certificate (round 12: the former
     rows-only entry upgraded to a value-hash oracle).
@@ -4448,6 +4488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "docs_hash_split": q_docs_hash_split,
         "docs_token_budget_sample": q_docs_token_budget_sample,
+        "docs_mixture_weights": q_docs_mixture_weights,
         "orders_price_bands": q_orders_price_bands,
         "docs_top_bigrams": q_docs_top_bigrams,
         "docs_repetition": q_docs_repetition,
@@ -4807,6 +4848,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, cum_tokens
             FROM windowed
             WHERE CAST(cum_tokens AS DOUBLE) <= CAST(budget AS DOUBLE)
+        """,
+        "docs_mixture_weights": f"""
+            WITH base AS (
+                SELECT doc_id, source, {n_tokens} AS n_tokens,
+                       substr(md5(text), 7, 2) AS draw,
+                       CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                           % 4 + 1 AS w
+                FROM documents
+            ),
+            mass AS (
+                SELECT source, any_value(w) AS w,
+                       CAST(SUM(n_tokens) AS BIGINT) AS m
+                FROM base GROUP BY source
+            ),
+            feasible AS (
+                SELECT MIN(CAST(m AS DOUBLE) / w) AS t FROM mass
+            ),
+            budgets AS (
+                SELECT source, w * t AS budget FROM mass, feasible
+            ),
+            windowed AS (
+                SELECT doc_id, source, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY draw, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS cum_tokens
+                FROM base
+            )
+            SELECT doc_id, w.source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM windowed w JOIN budgets b ON w.source = b.source
+            WHERE CAST(cum_tokens AS DOUBLE) <= b.budget
         """,
         "load_incremental": """
             WITH b1 AS (

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "mixture_sample",
     "prefix_sum",
     "range_bucket",
     "shuffle_partitions",
@@ -431,3 +432,56 @@ def zorder_value(
                 )
             )
     return z
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    weight_col: str,
+    token_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Sample *df* down to an exact target MIXTURE of groups by token
+    mass — the domain-reweighting primitive of a training-data
+    pipeline (web:books:code at 5:3:2, say), as opposed to
+    ``q_docs_token_budget_sample``'s per-group fraction.
+
+    Given relative *weight_col* (constant within each *group_col*
+    value), the feasible total is water-filled: ``T = min_g(mass_g /
+    w_g)`` — the largest total for which every group can supply its
+    share — and each group keeps documents in *order_cols* order while
+    its running ``token_col`` sum stays within ``w_g * T``.  Pass a
+    deterministic draw (an md5 slice) as the first order column for a
+    reproducible, RNG-free sample on any engine.
+
+    Plan shape (the 100 TB contract): ONE exchange on *group_col*
+    feeds the running-sum window; the per-group masses are a tiny
+    (#groups-row) aggregate whose water-filled budgets broadcast back
+    — the corpus is never shuffled a second time and nothing
+    data-sized ever sits on one node.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    cum = F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    masses = df.groupBy(group_col, weight_col).agg(
+        F.sum(token_col).alias("__mass")
+    )
+    feasible = masses.agg(
+        F.min(
+            F.col("__mass").cast("double") / F.col(weight_col)
+        ).alias("__t")
+    )
+    budgets = (
+        masses.crossJoin(F.broadcast(feasible))
+        .select(
+            group_col,
+            (F.col(weight_col) * F.col("__t")).alias("__budget"),
+        )
+    )
+    return (
+        df.withColumn("__cum", cum)
+        .join(F.broadcast(budgets), group_col)
+        .where(F.col("__cum").cast("double") <= F.col("__budget"))
+        .withColumnRenamed("__cum", "cum_tokens")
+        .drop("__budget")
+    )

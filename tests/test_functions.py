@@ -1844,3 +1844,34 @@ def test_apply_bpe_null_id_keeps_tokens(spark: SparkSession) -> None:
     assert set(rows) == {None, 1}
     assert rows[None]["n_tokens"] > 0
     assert rows[1]["n_tokens"] > 0
+
+
+def test_mixture_sample_water_fills_to_target_weights(
+    spark: SparkSession,
+) -> None:
+    """mixture_sample keeps each group's token mass at w_g * T where
+    T = min_g(mass_g / w_g): the binding group is kept whole, every
+    other group is cut at its water-filled budget, in draw order."""
+    from sql_autoloader_spark.functions import scale
+
+    rows = [
+        # group A, weight 1, mass 10  ->  binding: T = 10
+        ("a1", "A", 1, 5),
+        ("a2", "A", 1, 5),
+        # group B, weight 2, mass 24  ->  budget 20: keeps b1, b2 (16)
+        ("b1", "B", 2, 8),
+        ("b2", "B", 2, 8),
+        ("b3", "B", 2, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, src string, w int, n_tokens int"
+    )
+    kept = scale.mixture_sample(
+        df,
+        group_col="src",
+        weight_col="w",
+        token_col="n_tokens",
+        order_cols=["doc_id"],
+    )
+    got = {r["doc_id"]: r["cum_tokens"] for r in kept.collect()}
+    assert got == {"a1": 5, "a2": 10, "b1": 8, "b2": 16}
