@@ -578,3 +578,66 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
         assert got <= ceiling, (
             f"{name}: {got} unique exchanges > pinned ceiling {ceiling}"
         )
+
+
+def test_runtime_bloom_filter_injected_on_selective_nonbroadcast_join(
+    spark: SparkSession, tmp_path
+) -> None:
+    """Spark's runtime bloom filter must stay ON for the engine's
+    fact-dim shapes: when the dim side is too big to broadcast but
+    carries a selective filter, the optimizer injects a
+    bloom_filter_agg on the dim keys and a might_contain guard on the
+    FACT scan side — at 100 TB that prunes most of the fact side's
+    shuffle input before the exchange, the cheapest rows being the
+    ones never shuffled.  Pinned here (with the size thresholds scaled
+    down to the fixture, same technique as the AQE skew-split pin) so
+    a session-conf regression or Spark upgrade cannot silently lose
+    the rewrite; results are pinned against the un-filtered run."""
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 200_000).selectExpr(
+        "id % 10000 AS k", "id AS payload"
+    ).write.parquet(fact_p)
+    spark.range(0, 10_000).selectExpr(
+        "id AS k", "id % 100 AS grp"
+    ).write.parquet(dim_p)
+    lowered = {
+        # fixture-scaled: let the tiny dim side qualify as a creation
+        # side and the tiny fact side as an application side
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force a non-broadcast join: broadcast would subsume the bloom
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {
+        k: spark.conf.get(k, None) for k in (*lowered, _BLOOM_ENABLED)
+    }
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        spark.conf.set(_BLOOM_ENABLED, "true")
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where("grp = 3")
+        j = fact.join(dim, "k").agg(
+            F.sum("payload").alias("s"), F.count("*").alias("n")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        got = j.collect()[0]
+        spark.conf.set(_BLOOM_ENABLED, "false")
+        want = (
+            spark.read.parquet(fact_p)
+            .join(spark.read.parquet(dim_p).where("grp = 3"), "k")
+            .agg(F.sum("payload").alias("s"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        assert (got["s"], got["n"]) == (want["s"], want["n"])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+_BLOOM_ENABLED = "spark.sql.optimizer.runtime.bloomFilter.enabled"
