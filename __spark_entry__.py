@@ -2098,6 +2098,67 @@ def q_load_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_load_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the CDC feed: a per-source
+    rollup (n_docs, sum_chars) is built after the first load, PINNED
+    (the stored summary a downstream job would persist), and after the
+    second load refreshed by merging ONLY the delta —
+    ``scale.merge_rollup(summary, agg(table_changes(tbl, c1)))`` —
+    never by re-aggregating the table.  O(groups + new rows) per
+    refresh: at 100 TB the summary touches the day's commits, not the
+    warehouse.  The oracle recomputes the rollup from the raw parquet,
+    so the hash match certifies the incremental path converges to the
+    full recompute (the IVM invariant), including the source_id →
+    source dim resolution."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.functions import scale
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    db = SparkConnector(spark, database=f"ivm_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        """
+        CREATE TABLE ir_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE ir_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES ir_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+
+    def rollup(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("source_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+
+    with db:
+        db.load(docs.where(F.col("doc_id") % 3 == 0))
+    c1 = db.commit_history()[-1]
+    # the stored summary: tiny (one row per source), pinned like a
+    # downstream job would persist it
+    summary = _pin_small(rollup(db.read_table_as_of("ir_doc", c1)))
+
+    with db:
+        db.load(docs, exact=False)
+    head = db.commit_history()[-1]
+    delta = rollup(db.table_changes("ir_doc", c1, head))
+    refreshed = scale.merge_rollup(summary, delta, keys=["source_id"])
+
+    dim = db.read_table_as_of("ir_source", head).select("id", "source")
+    out = _pin_small(
+        refreshed.join(dim, refreshed["source_id"] == dim["id"]).select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return out
+
+
 def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ingestion through the JSONL front door: write the
     documents table as JSON Lines, read it back with the quarantining
@@ -4541,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_semantic_clusters_lsh": q_docs_semantic_clusters_lsh,
         "load_snapshot_history": q_load_snapshot_history,
         "load_snapshot_diff": q_load_snapshot_diff,
+        "load_incremental_rollup": q_load_incremental_rollup,
         "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
     }
@@ -5383,6 +5445,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'since_0' AS feed, * FROM g
             UNION ALL
             SELECT 'since_1', * FROM g WHERE commit_id = 2
+        """,
+        "load_incremental_rollup": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY source
         """,
         "load_vacuum_maintenance": """
             SELECT CAST(count(*) AS BIGINT) AS n_before,

@@ -1875,3 +1875,96 @@ def test_mixture_sample_water_fills_to_target_weights(
     )
     got = {r["doc_id"]: r["cum_tokens"] for r in kept.collect()}
     assert got == {"a1": 5, "a2": 10, "b1": 8, "b2": 16}
+
+
+def test_mixture_sample_properties(spark: SparkSession) -> None:
+    """Property sweep (Hypothesis) against a python water-fill model:
+    per-group retained mass never exceeds w_g * min_h(mass_h/w_h), at
+    least one group is kept WHOLE (the binding group), the kept set is
+    a prefix in draw order, and it is maximal (the next doc would
+    overflow the budget)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sql_autoloader_spark.functions import scale
+
+    groups = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # weight
+            st.lists(
+                st.integers(min_value=1, max_value=50),  # doc tokens
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(gs=groups)
+    def check(gs) -> None:
+        rows = []
+        for gi, (w, toks) in enumerate(gs):
+            for di, t in enumerate(toks):
+                rows.append((f"g{gi}d{di:02d}", f"g{gi}", w, t))
+        df = spark.createDataFrame(
+            rows, "doc_id string, src string, w int, n_tokens int"
+        )
+        kept = scale.mixture_sample(
+            df,
+            group_col="src",
+            weight_col="w",
+            token_col="n_tokens",
+            order_cols=["doc_id"],
+        ).collect()
+        t_feasible = min(
+            sum(toks) / w for w, toks in gs
+        )
+        kept_by_group: dict[str, list[str]] = {}
+        for r in kept:
+            kept_by_group.setdefault(r["src"], []).append(r["doc_id"])
+        whole = 0
+        for gi, (w, toks) in enumerate(gs):
+            budget = w * t_feasible
+            ids = sorted(kept_by_group.get(f"g{gi}", []))
+            # prefix in order: doc k kept => docs < k kept
+            n = len(ids)
+            assert ids == [f"g{gi}d{di:02d}" for di in range(n)]
+            mass = sum(toks[:n])
+            assert mass <= budget + 1e-9
+            if n == len(toks):
+                whole += 1
+            else:
+                # maximal: the next doc would overflow
+                assert sum(toks[: n + 1]) > budget - 1e-9
+        assert whole >= 1  # the binding group is fully consumed
+
+    check()
+
+
+def test_merge_rollup_sums_partials_and_rejects_mismatch(
+    spark: SparkSession,
+) -> None:
+    from sql_autoloader_spark.functions import scale
+
+    old = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 5)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 1, 7), ("c", 4, 1)], "k string, n long, s long"
+    )
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in scale.merge_rollup(old, delta, keys=["k"]).collect()
+    }
+    assert got == {"a": (3, 17), "b": (1, 5), "c": (4, 1)}
+
+    bad = spark.createDataFrame([("a", 1)], "k string, other long")
+    with pytest.raises(ValueError, match="columns"):
+        scale.merge_rollup(old, bad, keys=["k"])

@@ -32,6 +32,9 @@ SKIP = {
     "load_star3_roundtrip",
     "load_events_star",
     "load_vacuum_maintenance",  # full maintenance lifecycle on build
+    "load_snapshot_diff",  # two loads + pinned aggregate on build
+    "load_incremental_rollup",  # two loads + pinned summaries on build
+    "docs_orc_roundtrip",  # writes/reads ORC on build; returns a pin
     "docs_dup_clusters",  # iterative: label rounds execute on build
     "docs_dedup_keep_best",
 }

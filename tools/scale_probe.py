@@ -51,6 +51,9 @@ PROBES = [
     "docs_semantic_clusters_lsh",  # LSH pairs -> CC -> keep policy (r13)
     "docs_pack_sequences",     # distributed prefix sum (range_bucket)
     "docs_training_pipeline",  # composed flagship: gate→dedup→scrub→pack
+    "docs_mixture_weights",    # water-filled mixture sampling (r13)
+    "docs_orc_roundtrip",      # ORC write+read interchange (r13)
+    "load_snapshot_diff",      # CDC changes feed over two commits (r13)
 ]
 
 #: global-ordering probes additionally assert DETERMINISM at the blown-
