@@ -1526,3 +1526,37 @@ def test_table_changes_feed_and_guards(spark: SparkSession) -> None:
         (c3, "d"),
         (c3, "e"),
     }
+
+
+def test_table_changes_excludes_inflight_and_maps_claimed_tokens(
+    spark: SparkSession,
+) -> None:
+    """The changes feed must never expose a torn read: rows carrying an
+    unpublished token (a concurrent writer's staged-but-uncommitted
+    batch) are invisible to table_changes, and once the token publishes
+    the feed reports the row under its USER-FACING commit id (token !=
+    cid — the crash-adoption mapping), not the physical token."""
+    ddl = "CREATE TABLE cf_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    conn = SparkConnector(spark, database="cdcinflight")
+    conn.execute_ddl(ddl)
+    for nm in ("a", "b"):
+        with conn:
+            conn.insert(
+                spark.createDataFrame([(nm,)], ["name"]), table="cf_t"
+            )
+    token = (1 << 62) + 123456789
+    spark.createDataFrame(
+        [(99, "inflight", token)], "id int, name string, __commit_id long"
+    ).write.mode("append").parquet(conn._table_location("cf_t"))
+    spark.catalog.refreshTable(conn._qualified("cf_t"))
+
+    feed = conn.table_changes("cf_t", 0).collect()
+    assert sorted(r["name"] for r in feed) == ["a", "b"]
+
+    cid = conn._journal.commit(token, after=max(conn.commit_history()))
+    assert cid != token  # the mapping is non-trivial by construction
+    fresh = SparkConnector(spark, database="cdcinflight")
+    feed = fresh.table_changes("cf_t", 0).collect()
+    got = {r["name"]: r["_commit_id"] for r in feed}
+    assert got["inflight"] == cid
+    assert sorted(got) == ["a", "b", "inflight"]
