@@ -1,6 +1,7 @@
 """Connectors: sinks/sources the autoloader can load into."""
 
 from sql_autoloader_spark.connectors.base import BaseConnector
+from sql_autoloader_spark.connectors.consumer import RollupConsumer
 from sql_autoloader_spark.connectors.jdbc import (
     JDBCConnector,
     PostgresDialect,
@@ -16,6 +17,7 @@ from sql_autoloader_spark.connectors.sqlite import SQLiteConnector
 
 __all__ = [
     "BaseConnector",
+    "RollupConsumer",
     "EmbeddedPostgres",
     "JDBCConnector",
     "PGWireClient",

@@ -1,0 +1,183 @@
+"""Crash-safe incremental CDC consumers over the managed catalog.
+
+:func:`SparkConnector.table_changes` gives a downstream job the rows
+each commit added; this module supplies the missing operational half —
+the BOOKMARK: where the consumer durably records how far it has
+processed, such that a crash anywhere never double-counts and never
+loses a commit.
+
+:class:`RollupConsumer` maintains a persistent partial aggregate (a
+"materialized rollup") refreshed from the changes feed:
+
+- state lives under one directory: versioned summary parquet dirs
+  (``v00000001/``, ...) plus a tiny ``HEAD`` JSON naming the current
+  version AND the commit bookmark — ONE file, so the summary and the
+  bookmark flip together;
+- a refresh writes the new summary to a fresh version directory first,
+  then atomically replaces ``HEAD`` (``os.replace`` — POSIX-atomic).
+  The flip is the commit point: a crash before it leaves ``HEAD`` on
+  the old (summary, bookmark) pair and the replay recomputes the SAME
+  delta from the same bookmark — at-least-once execution, exactly-once
+  content, the same protocol shape as the streaming fuzzy-dedup
+  commit marker (streaming/pipeline.py);
+- stale version directories (crashed attempts, superseded summaries)
+  are swept on the next successful refresh — never adopted, since a
+  crashed attempt's delta may have been computed against a different
+  feed head.
+
+Cost per refresh is ``O(groups + rows in (bookmark, head])`` — the
+summary is groups-sized and the delta is commit-range-filtered at the
+scan (``table_changes``), so a 100 TB warehouse pays for the day's
+commits, not the table.
+
+No reference counterpart: the reference's sinks are plain RDBMS tables
+with no commit log (connector.py:376-452); incremental consumers are
+part of this repo's large-scale-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_autoloader_spark.functions.scale import merge_rollup
+
+__all__ = ["RollupConsumer"]
+
+_HEAD = "HEAD"
+
+
+class RollupConsumer:
+    """A persistent, bookmarked rollup maintained from a changes feed.
+
+    *keys* are the group-by columns; the *agg* callable passed to
+    :meth:`refresh` must map a changes frame to a partial aggregate of
+    shape ``keys + sum-mergeable measures`` (counts/sums — keep
+    averages as (sum, count) pairs; see
+    :func:`~sql_autoloader_spark.functions.scale.merge_rollup`).
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, *, keys: list[str]
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        os.makedirs(path, exist_ok=True)
+
+    # -- state ---------------------------------------------------------
+
+    def head(self) -> dict:
+        """The durable (version, bookmark) pair; zeros before the first
+        refresh."""
+        try:
+            with open(os.path.join(self.path, _HEAD)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"version": 0, "bookmark": 0}
+
+    def summary(self) -> DataFrame | None:
+        """The current materialized rollup (None before the first
+        refresh).  Reads the version ``HEAD`` names — never a staging
+        or orphaned directory."""
+        h = self.head()
+        if h["version"] == 0:
+            return None
+        return self.spark.read.parquet(self._version_dir(h["version"]))
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:08d}")
+
+    def _flip_head(self, state: dict) -> None:
+        """Atomically publish *state* — the refresh's commit point."""
+        tmp = os.path.join(self.path, f"{_HEAD}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, _HEAD))
+
+    def _sweep(self, keep_version: int) -> None:
+        """Remove superseded/orphaned version dirs and HEAD temps.
+
+        Only after a successful flip: anything that is not the current
+        version is either an old summary or a crashed attempt whose
+        delta may have been computed against a different feed head —
+        swept, never adopted."""
+        # the previous version survives one extra cycle so a reader
+        # holding the prior summary() frame is not yanked mid-scan
+        keep = {f"v{keep_version:08d}", f"v{keep_version - 1:08d}"}
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name == _HEAD or name in keep:
+                continue
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith(f"{_HEAD}.tmp-"):
+                os.unlink(full)
+
+    # -- refresh -------------------------------------------------------
+
+    def refresh(
+        self,
+        db,  # noqa: ANN001 — SparkConnector (managed-catalog mode)
+        table: str,
+        agg: Callable[[DataFrame], DataFrame],
+    ) -> dict:
+        """Fold every commit in ``(bookmark, head]`` into the rollup.
+
+        No-op (no new version) when the warehouse has nothing new.
+        Raises the underlying ``ValueError`` when the bookmark has
+        fallen below the warehouse's vacuum horizon — call
+        :meth:`rebaseline` then (size ``vacuum_commits(retain_last=N)``
+        to your slowest consumer's lag to avoid it; OPERATIONS.md).
+        """
+        h = self.head()
+        history = db.commit_history()
+        head_commit = history[-1] if history else 0
+        if head_commit <= h["bookmark"]:
+            return h
+        delta = agg(db.table_changes(table, h["bookmark"], head_commit))
+        old = self.summary()
+        new = delta if old is None else merge_rollup(
+            old, delta, keys=self.keys
+        )
+        return self._publish(new, h["version"] + 1, head_commit)
+
+    def rebaseline(
+        self,
+        db,  # noqa: ANN001 — SparkConnector (managed-catalog mode)
+        table: str,
+        agg: Callable[[DataFrame], DataFrame],
+    ) -> dict:
+        """Rebuild the rollup from the current table snapshot (one full
+        aggregate) and move the bookmark to the head — the recovery
+        path for a consumer that lagged past the vacuum horizon."""
+        history = db.commit_history()
+        head_commit = history[-1] if history else 0
+        snapshot = db.read_table_as_of(table, head_commit)
+        return self._publish(
+            agg(snapshot), self.head()["version"] + 1, head_commit
+        )
+
+    def _publish(
+        self, summary: DataFrame, version: int, bookmark: int
+    ) -> dict:
+        target = self._version_dir(version)
+        if os.path.exists(target):
+            # a crashed attempt renamed its staging dir but died before
+            # the flip; its content may reflect a different feed head —
+            # rebuild, never adopt
+            shutil.rmtree(target)
+        staging = f"{target}.staging-{uuid.uuid4().hex[:8]}"
+        summary.write.mode("overwrite").parquet(staging)
+        os.rename(staging, target)
+        state = {"version": version, "bookmark": bookmark}
+        self._flip_head(state)  # <- commit point
+        self._sweep(version)
+        return state

@@ -1560,3 +1560,88 @@ def test_table_changes_excludes_inflight_and_maps_claimed_tokens(
     got = {r["name"]: r["_commit_id"] for r in feed}
     assert got["inflight"] == cid
     assert sorted(got) == ["a", "b", "inflight"]
+
+
+def _rollup_agg(frame):  # noqa: ANN001, ANN202
+    from pyspark.sql import functions as F
+
+    return frame.groupBy("name_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def test_rollup_consumer_refresh_crash_and_rebaseline(
+    spark: SparkSession, tmp_path, monkeypatch
+) -> None:
+    """RollupConsumer end-to-end: (1) refreshes fold exactly the new
+    commits; (2) a crash BEFORE the HEAD flip leaves the old
+    (summary, bookmark) pair and the replay converges without double
+    counting — even when the crashed attempt already renamed its
+    version directory; (3) nothing new -> no new version; (4) a
+    bookmark below the vacuum horizon errors and rebaseline recovers."""
+    import pytest
+
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+
+    db = SparkConnector(spark, database="rollupcons")
+    db.execute_ddl(
+        "CREATE TABLE rc_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " name_len INTEGER);"
+    )
+
+    def add(names: list[str]) -> None:
+        with db:
+            db.insert(
+                spark.createDataFrame(
+                    [(n, len(n)) for n in names], "name string, name_len int"
+                ),
+                table="rc_t",
+            )
+
+    consumer = RollupConsumer(spark, str(tmp_path / "rollup"), keys=["name_len"])
+    assert consumer.summary() is None
+
+    add(["a", "bb", "cc"])
+    state = consumer.refresh(db, "rc_t", _rollup_agg)
+    assert state["bookmark"] == db.commit_history()[-1]
+    got = {r["name_len"]: r["n"] for r in consumer.summary().collect()}
+    assert got == {1: 1, 2: 2}
+
+    # crash injection: the summary dir lands but HEAD never flips
+    add(["ddd", "ee"])
+    real_flip = RollupConsumer._flip_head
+
+    def die(self, state):  # noqa: ANN001, ANN202
+        msg = "simulated crash before the HEAD flip"
+        raise RuntimeError(msg)
+
+    monkeypatch.setattr(RollupConsumer, "_flip_head", die)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        consumer.refresh(db, "rc_t", _rollup_agg)
+    monkeypatch.setattr(RollupConsumer, "_flip_head", real_flip)
+    # old pair intact; replay converges, no double counting
+    assert consumer.head() == state
+    got = {r["name_len"]: r["n"] for r in consumer.summary().collect()}
+    assert got == {1: 1, 2: 2}
+    state2 = consumer.refresh(db, "rc_t", _rollup_agg)
+    got = {r["name_len"]: r["n"] for r in consumer.summary().collect()}
+    assert got == {1: 1, 2: 3, 3: 1}
+
+    # nothing new: no-op, same state back
+    assert consumer.refresh(db, "rc_t", _rollup_agg) == state2
+
+    # vacuum folds everything below the head; a THIRD commit then lands
+    add(["ffff"])
+    db.vacuum_commits(retain_last=1)
+    lagging = RollupConsumer(
+        spark, str(tmp_path / "lagging"), keys=["name_len"]
+    )
+    lagging._flip_head({"version": 0, "bookmark": state["bookmark"]})
+    # bookmark == state.bookmark < horizon -> the feed refuses
+    with pytest.raises(ValueError, match="vacuumed into the base"):
+        lagging.refresh(db, "rc_t", _rollup_agg)
+    rb = lagging.rebaseline(db, "rc_t", _rollup_agg)
+    assert rb["bookmark"] == db.commit_history()[-1]
+    # the existing consumer's bookmark is AT the horizon: still fine
+    got = {r["name_len"]: r["n"] for r in lagging.summary().collect()}
+    assert got == {1: 1, 2: 3, 3: 1, 4: 1}
