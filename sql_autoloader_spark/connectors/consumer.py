@@ -60,6 +60,13 @@ class RollupConsumer:
     shape ``keys + sum-mergeable measures`` (counts/sums — keep
     averages as (sum, count) pairs; see
     :func:`~sql_autoloader_spark.functions.scale.merge_rollup`).
+
+    A polling consumer that REOPENS connectors while writers run must
+    open them read-side — ``SparkConnector(..., recover=False)`` — or
+    reuse one long-lived connector: the default open runs the orphan
+    sweep, which cannot distinguish a crashed commit's leftovers from
+    a commit in flight right now (proven cross-process in
+    tests/test_cross_process.py::test_cross_process_cdc_consumer_converges).
     """
 
     def __init__(
@@ -142,6 +149,11 @@ class RollupConsumer:
         head_commit = history[-1] if history else 0
         if head_commit <= h["bookmark"]:
             return h
+        # a polling consumer reads a table OTHER processes append to:
+        # this session's cached file index would otherwise serve stale
+        # scans (the journal said "commit N is durable" but the cached
+        # listing predates N's files)
+        self.spark.catalog.refreshTable(db._qualified(table))
         delta = agg(db.table_changes(table, h["bookmark"], head_commit))
         old = self.summary()
         new = delta if old is None else merge_rollup(
@@ -160,6 +172,7 @@ class RollupConsumer:
         path for a consumer that lagged past the vacuum horizon."""
         history = db.commit_history()
         head_commit = history[-1] if history else 0
+        self.spark.catalog.refreshTable(db._qualified(table))
         snapshot = db.read_table_as_of(table, head_commit)
         return self._publish(
             agg(snapshot), self.head()["version"] + 1, head_commit

@@ -562,6 +562,7 @@ class SparkConnector(BaseConnector):
         bucket_by: dict[str, tuple[int, list[str]]] | None = None,
         broadcast_dims: bool | None = None,
         tune_session_confs: bool = True,
+        recover: bool = True,
     ) -> None:
         self.spark = spark
         self.database = database
@@ -647,7 +648,14 @@ class SparkConnector(BaseConnector):
             self._init_commit_log()
             self._adopt_filesystem_tables()
             self._load_catalog_state()
-            self._recover_orphans()
+            # recover=False is the READ-SIDE open: the orphan sweep
+            # cannot distinguish a crashed commit's leftovers from a
+            # commit in flight RIGHT NOW (see _recover_orphans), so a
+            # polling consumer or ad-hoc reader that reopens while
+            # writers run must skip it — recovery is the job of writer
+            # opens and the maintenance runbook (OPERATIONS.md)
+            if recover:
+                self._recover_orphans()
 
         self.schema = self.get_schema()
         self._register_views()

@@ -312,3 +312,96 @@ print("RESULT " + json.dumps({
         r["brand"] for r in fresh._read_table("ad_brand").collect()
     ) == ["Ford", "Toyota", "Volvo"]
     assert set(res["history"]) <= set(fresh.commit_history())
+
+
+_CDC_WRITER_CHILD = _CHILD_PRELUDE + """
+n = int(sys.argv[4])
+conn = SparkConnector(spark, database="xdb")
+barrier_wait()
+for i in range(n):
+    with conn:
+        conn.insert(
+            spark.createDataFrame(
+                [(f"{tag}-{i:03d}", (i % 4) + 1)], "name string, cat int"
+            ),
+            table="xc_t",
+        )
+    time.sleep(0.05)
+print("RESULT " + json.dumps({"history": conn.commit_history()}))
+"""
+
+_CDC_CONSUMER_CHILD = _CHILD_PRELUDE + """
+expected = int(sys.argv[4])
+from pyspark.sql import functions as F
+from sql_autoloader_spark.connectors.consumer import RollupConsumer
+
+rc = RollupConsumer(spark, f"{barrier}/rollup", keys=["cat"])
+
+def agg(f):
+    return f.groupBy("cat").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+barrier_wait()
+deadline = time.time() + 600
+folds = 0
+total = 0
+by_cat = {}
+while time.time() < deadline:
+    # fresh READ-SIDE connector per poll (recover=False: a reopening
+    # reader must not run the open-time orphan sweep while the writer
+    # is mid-commit — it would sweep the live staging dirs)
+    conn = SparkConnector(spark, database="xdb", recover=False)
+    rc.refresh(conn, "xc_t", agg)
+    s = rc.summary()
+    rows = s.collect() if s is not None else []
+    t = sum(r["n"] for r in rows)
+    if t > total:
+        folds += 1
+        total = t
+        by_cat = {str(r["cat"]): r["n"] for r in rows}
+    if total >= expected:
+        break
+    time.sleep(0.2)
+print("RESULT " + json.dumps(
+    {"total": total, "folds": folds, "by_cat": by_cat, "head": rc.head()}
+))
+"""
+
+
+def test_cross_process_cdc_consumer_converges(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """A consumer PROCESS maintaining a RollupConsumer from the changes
+    feed while a separate writer PROCESS commits to the same warehouse:
+    the rollup must converge to exactly the writer's rows (no torn
+    reads of half-committed batches, no double counts across refreshes,
+    no stale cached file listings), with the bookmark at the writer's
+    final commit."""
+    db_location = str(tmp_path / "xcdc.db")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS xcdc LOCATION '{db_location}'")
+    bootstrap = SparkConnector(spark, database="xcdc")
+    bootstrap.execute_ddl(
+        "CREATE TABLE xc_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " cat INTEGER);"
+    )
+
+    n = 12
+    writer = _spawn(
+        _CDC_WRITER_CHILD, tmp_path, "cdc_writer", "w", db_location,
+        str(barrier), str(n),
+    )
+    consumer = _spawn(
+        _CDC_CONSUMER_CHILD, tmp_path, "cdc_consumer", "c", db_location,
+        str(barrier), str(n),
+    )
+    _release(barrier, 2, ["w", "c"])
+    wrote = _result(writer)
+    read = _result(consumer)
+
+    assert len(wrote["history"]) == n
+    assert read["total"] == n, read
+    # per-category counts match the writer's i%4 pattern exactly
+    assert read["by_cat"] == {str(c): n // 4 for c in (1, 2, 3, 4)}
+    assert read["head"]["bookmark"] == wrote["history"][-1]
+    assert read["folds"] >= 1
