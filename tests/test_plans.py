@@ -560,6 +560,9 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
         "docs_simhash_pairs": 6,
         # r12: the fingerprint map is a pure zero-shuffle projection
         "docs_rolling_fp": 0,
+        # r13: one data-sized exchange (the source window) + the tiny
+        # mass/feasible aggregates and two broadcasts of budget rows
+        "docs_mixture_weights": 6,
     }
     # the overlay points the LSH names at their pure scale paths — the
     # registered certificates embed quadratic exact twins by design,
