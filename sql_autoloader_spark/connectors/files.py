@@ -175,6 +175,7 @@ def write_orc(
     compression: str = "zstd",
     bloom_filter_cols: list[str] | None = None,
     partitions: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write a corpus as ORC (zstd by default — the ratio/speed
     sweet spot for text at scale).
@@ -185,7 +186,13 @@ def write_orc(
     Spend them on high-cardinality probe keys (``doc_id``, content
     hashes) — a bloom filter on a 5-value ``lang`` column is pure
     footer bloat.  *partitions* controls shard count = downstream read
-    parallelism, same contract as :func:`write_jsonl`."""
+    parallelism, same contract as :func:`write_jsonl`.
+    *partition_by* lands a Hive directory layout (``lang=en/...``):
+    reads filtered on those columns prune whole directories before any
+    IO (``PartitionFilters`` in the plan) — the right layout for
+    low-cardinality slice keys (language, source, date), never for
+    high-cardinality ones (a directory per doc_id is a metastore DoS).
+    """
     if partitions is not None:
         df = df.repartition(int(partitions))
     writer = df.write.mode(mode).option("compression", compression)
@@ -193,6 +200,8 @@ def write_orc(
         writer = writer.option(
             "orc.bloom.filter.columns", ",".join(bloom_filter_cols)
         )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.orc(path)
 
 
@@ -203,13 +212,25 @@ def write_jsonl(
     mode: str = "error",
     compression: str | None = None,
     partitions: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write a corpus as JSON Lines (one object per line, one file per
     partition — shard count = downstream read parallelism for
-    unsplittable compression)."""
+    unsplittable compression).  *partition_by* lands a Hive directory
+    layout whose columns prune at read time (see :func:`write_orc`);
+    the partition columns move into the directory names and out of the
+    JSON objects — readers get them back from the paths.  Caveat for
+    quarantining reads of such a layout: a bare ``count()`` whose
+    filter touches only partition columns references just the corrupt
+    record file-side, which Spark refuses
+    (``QUERY_ONLY_CORRUPT_RECORD_COLUMN``) — select a data column (or
+    cache) first, the same caveat as the quarantine side of
+    :func:`split_quarantine`."""
     if partitions is not None:
         df = df.repartition(int(partitions))
     writer = df.write.mode(mode)
     if compression is not None:
         writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.json(path)

@@ -158,3 +158,44 @@ def test_csv_roundtrip_preserves_surrounding_whitespace(
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == {1: "ends with space ", 2: " leading"}
     assert bad.count() == 0
+
+
+def test_partitioned_corpus_write_prunes_at_read(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """partition_by lands a Hive layout whose columns prune whole
+    directories at read time (PartitionFilters in the scan), for both
+    ORC and JSONL writers; values round-trip from the paths."""
+    from sql_autoloader_spark.connectors.files import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "fr", "de"][i % 3]) for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "part_orc")
+    write_orc(df, out, partition_by=["lang"])
+    back = read_orc(spark, out).where(F.col("lang") == "fr")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert back.count() == 10
+    assert {r["lang"] for r in back.collect()} == {"fr"}
+
+    from sql_autoloader_spark.connectors.files import (
+        read_jsonl,
+        split_quarantine,
+        write_jsonl,
+    )
+
+    out2 = str(tmp_path / "part_jsonl")
+    write_jsonl(df, out2, partition_by=["lang"])
+    got = read_jsonl(spark, out2, "doc_id long, text string, lang string")
+    clean, bad = split_quarantine(got)
+    assert bad.count() == 0
+    # read real columns: a bare count() of a partition-only filter
+    # references just the corrupt column file-side, which Spark
+    # refuses outright (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the same
+    # caveat split_quarantine documents for the quarantine side)
+    de = {r["doc_id"] for r in clean.where("lang = 'de'").collect()}
+    assert de == {i for i in range(30) if i % 3 == 2}
