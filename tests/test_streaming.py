@@ -804,3 +804,71 @@ def test_rocksdb_state_store_matches_batch_oracle(
         for key in (op.get("customMetrics") or {})
     ]
     assert any("rocksdb" in k.lower() for k in metrics), metrics
+
+
+def test_streaming_commits_feed_cdc_consumers(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """Composition of the two ingest planes: every micro-batch commit
+    of a streaming autoload is consumable through the CDC surface —
+    table_changes reports one insert group per batch commit, and a
+    RollupConsumer folded from the feed equals the direct aggregate of
+    the warehouse table."""
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+
+    flat = spark.createDataFrame(
+        [("Toyota", "Corolla"), ("Ford", "Focus"), ("Toyota", "Yaris")],
+        "brand string, model string",
+    )
+    src = tmp_path / "flat_cdc"
+    src.mkdir()
+    flat.where(F.col("model") != "Yaris").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    flat.where(F.col("model") == "Yaris").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    db = SparkConnector(spark, database="streamcdc")
+    db.execute_ddl(
+        """
+        CREATE TABLE sc_brand (id INTEGER PRIMARY KEY, brand TEXT UNIQUE);
+        CREATE TABLE sc_car (
+            id INTEGER PRIMARY KEY,
+            model TEXT UNIQUE,
+            brand_id INTEGER REFERENCES sc_brand (id)
+        );
+        """
+    )
+    stream = (
+        spark.readStream.schema("brand string, model string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = autoload_stream(db, stream, checkpoint_dir=str(tmp_path / "ckpt_cdc"))
+    assert q.awaitTermination(120)
+
+    history = db.commit_history()
+    feed = db.table_changes("sc_car", 0)
+    per_commit = {
+        r["_commit_id"]: r["n"]
+        for r in feed.groupBy("_commit_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert set(per_commit) == set(history)
+    assert sum(per_commit.values()) == 3
+
+    def agg(f: DataFrame) -> DataFrame:
+        return f.groupBy("brand_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    rc = RollupConsumer(spark, str(tmp_path / "roll_cdc"), keys=["brand_id"])
+    state = rc.refresh(db, "sc_car", agg)
+    assert state["bookmark"] == history[-1]
+    got = {r["brand_id"]: r["n"] for r in rc.summary().collect()}
+    want = {
+        r["brand_id"]: r["n"]
+        for r in agg(db._read_table("sc_car")).collect()
+    }
+    assert got == want and sum(got.values()) == 3
