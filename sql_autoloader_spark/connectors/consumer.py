@@ -155,6 +155,14 @@ class RollupConsumer:
         # listing predates N's files)
         self.spark.catalog.refreshTable(db._qualified(table))
         delta = agg(db.table_changes(table, h["bookmark"], head_commit))
+        if delta.isEmpty():
+            # new commits, none touching THIS table: advance the
+            # bookmark without writing a summary version — an empty
+            # parquet write would leave an unreadable (schema-less)
+            # version dir, and rewriting the old summary buys nothing
+            state = {"version": h["version"], "bookmark": head_commit}
+            self._flip_head(state)
+            return state
         old = self.summary()
         new = delta if old is None else merge_rollup(
             old, delta, keys=self.keys

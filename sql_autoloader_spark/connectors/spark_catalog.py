@@ -1058,6 +1058,9 @@ class SparkConnector(BaseConnector):
         if table not in self._meta:
             msg = f"table '{table}' does not exist in the Spark catalog sink."
             raise KeyError(msg)
+        if from_commit < 0:
+            msg = f"from_commit must be >= 0, got {from_commit}."
+            raise ValueError(msg)
         _, floor, bound = self._journal.state()
         if from_commit < bound:
             if bound > floor:

@@ -464,8 +464,14 @@ def mixture_sample(
     """
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     cum = F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    masses = df.groupBy(group_col, weight_col).agg(
-        F.sum(token_col).alias("__mass")
+    # group by group_col ALONE (weight is documented constant within a
+    # group): grouping by (group, weight) would emit one budget row per
+    # distinct weight of a malformed group and silently DUPLICATE its
+    # docs through the budgets join — max() keeps the mass exact and
+    # the join keyed uniquely whatever the input does
+    masses = df.groupBy(group_col).agg(
+        F.max(weight_col).alias(weight_col),
+        F.sum(token_col).alias("__mass"),
     )
     feasible = masses.agg(
         F.min(

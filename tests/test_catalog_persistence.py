@@ -1645,3 +1645,41 @@ def test_rollup_consumer_refresh_crash_and_rebaseline(
     # the existing consumer's bookmark is AT the horizon: still fine
     got = {r["name_len"]: r["n"] for r in lagging.summary().collect()}
     assert got == {1: 1, 2: 3, 3: 1, 4: 1}
+
+
+def test_rollup_consumer_bookmark_advances_past_unrelated_commits(
+    spark: SparkSession, tmp_path
+) -> None:
+    """Commits that touch OTHER tables advance the consumer's bookmark
+    without writing a summary version: an empty delta must not leave
+    an unreadable (schema-less) parquet version dir, and the next
+    real delta folds normally."""
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+
+    db = SparkConnector(spark, database="rollupskip")
+    db.execute_ddl(
+        "CREATE TABLE rs_a (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+        "CREATE TABLE rs_b (id INTEGER PRIMARY KEY, word TEXT UNIQUE);"
+    )
+
+    def agg(f):  # noqa: ANN001, ANN202
+        return f.groupBy(F.length("name").alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    rc = RollupConsumer(spark, str(tmp_path / "r"), keys=["k"])
+    # commit touches ONLY rs_b: bookmark advances, version stays 0
+    with db:
+        db.insert(spark.createDataFrame([("x",)], ["word"]), table="rs_b")
+    st = rc.refresh(db, "rs_a", agg)
+    assert st["version"] == 0
+    assert st["bookmark"] == db.commit_history()[-1]
+    assert rc.summary() is None
+    # a real rs_a commit then folds normally from the advanced bookmark
+    with db:
+        db.insert(spark.createDataFrame([("aa",)], ["name"]), table="rs_a")
+    st = rc.refresh(db, "rs_a", agg)
+    assert st["version"] == 1
+    assert {(r["k"], r["n"]) for r in rc.summary().collect()} == {(2, 1)}
