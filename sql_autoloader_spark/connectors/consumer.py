@@ -70,11 +70,19 @@ class RollupConsumer:
     """
 
     def __init__(
-        self, spark: SparkSession, path: str, *, keys: list[str]
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        keys: list[str],
+        combine: dict[str, str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
+        #: per-measure combinators for the merge ("sum" default;
+        #: "min"/"max" supported — see merge_rollup)
+        self.combine = dict(combine) if combine else None
         os.makedirs(path, exist_ok=True)
 
     # -- state ---------------------------------------------------------
@@ -165,7 +173,7 @@ class RollupConsumer:
             return state
         old = self.summary()
         new = delta if old is None else merge_rollup(
-            old, delta, keys=self.keys
+            old, delta, keys=self.keys, combine=self.combine
         )
         return self._publish(new, h["version"] + 1, head_commit)
 

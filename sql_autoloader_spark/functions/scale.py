@@ -494,21 +494,30 @@ def mixture_sample(
     )
 
 
+_MERGE_COMBINATORS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def merge_rollup(
-    old: DataFrame, delta: DataFrame, *, keys: list[str]
+    old: DataFrame,
+    delta: DataFrame,
+    *,
+    keys: list[str],
+    combine: dict[str, str] | None = None,
 ) -> DataFrame:
     """Merge two PARTIAL aggregates of the same shape — the incremental
     view-maintenance step: ``refresh(summary, agg(table_changes(...)))``
     instead of re-aggregating the full table.
 
-    Both frames must carry *keys* plus sum-mergeable measure columns
-    (counts and sums; min/max are also sum-free mergeable but need
-    their own combinator — keep averages as (sum, count) pairs and
-    divide at read time, the standard partial-aggregate discipline).
-    The merge is ``unionByName`` + one keyed aggregate over
-    ``|summary| + |delta|`` rows — O(groups + new data), never
-    O(table).  At 100 TB this is the difference between touching the
-    day's 100 GB of commits and re-scanning the warehouse.
+    Both frames must carry *keys* plus MERGEABLE measure columns.
+    *combine* names each measure's combinator (``"sum"`` — counts and
+    sums, the default for unlisted columns — plus ``"min"``/``"max"``);
+    keep averages as (sum, count) pairs and divide at read time, and
+    exact distincts as their own keyed rollup — the standard
+    partial-aggregate discipline.  The merge is ``unionByName`` + one
+    keyed aggregate over ``|summary| + |delta|`` rows — O(groups +
+    new data), never O(table).  At 100 TB this is the difference
+    between touching the day's 100 GB of commits and re-scanning the
+    warehouse.
     """
     measures = [c for c in old.columns if c not in keys]
     if set(old.columns) != set(delta.columns):
@@ -517,8 +526,19 @@ def merge_rollup(
             f"{sorted(delta.columns)}"
         )
         raise ValueError(msg)
-    return (
-        old.unionByName(delta)
-        .groupBy(*keys)
-        .agg(*[F.sum(c).alias(c) for c in measures])
-    )
+    combine = combine or {}
+    unknown = set(combine) - set(measures)
+    if unknown:
+        msg = f"combine names non-measure columns: {sorted(unknown)}"
+        raise ValueError(msg)
+    aggs = []
+    for c in measures:
+        how = combine.get(c, "sum")
+        if how not in _MERGE_COMBINATORS:
+            msg = (
+                f"unsupported combinator {how!r} for {c!r}; "
+                f"supported: {sorted(_MERGE_COMBINATORS)}"
+            )
+            raise ValueError(msg)
+        aggs.append(_MERGE_COMBINATORS[how](c).alias(c))
+    return old.unionByName(delta).groupBy(*keys).agg(*aggs)

@@ -1968,3 +1968,26 @@ def test_merge_rollup_sums_partials_and_rejects_mismatch(
     bad = spark.createDataFrame([("a", 1)], "k string, other long")
     with pytest.raises(ValueError, match="columns"):
         scale.merge_rollup(old, bad, keys=["k"])
+
+
+def test_merge_rollup_min_max_combinators(spark: SparkSession) -> None:
+    from sql_autoloader_spark.functions import scale
+
+    old = spark.createDataFrame(
+        [("a", 2, 5, 9)], "k string, n long, lo long, hi long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 3, 3, 7), ("b", 1, 8, 8)], "k string, n long, lo long, hi long"
+    )
+    got = {
+        r["k"]: (r["n"], r["lo"], r["hi"])
+        for r in scale.merge_rollup(
+            old, delta, keys=["k"], combine={"lo": "min", "hi": "max"}
+        ).collect()
+    }
+    assert got == {"a": (5, 3, 9), "b": (1, 8, 8)}
+
+    with pytest.raises(ValueError, match="unsupported combinator"):
+        scale.merge_rollup(old, delta, keys=["k"], combine={"n": "avg"})
+    with pytest.raises(ValueError, match="non-measure"):
+        scale.merge_rollup(old, delta, keys=["k"], combine={"k": "sum"})
