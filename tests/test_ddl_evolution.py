@@ -104,3 +104,35 @@ def test_drop_table(spark: SparkSession) -> None:
     with pytest.raises(InvalidTableError, match="unknown table"):
         db.execute_ddl("DROP TABLE dr_b")
     assert "dr_a" in db._meta
+
+
+def test_table_changes_across_schema_evolution(spark: SparkSession) -> None:
+    """The changes feed across an ALTER ADD boundary serves the CURRENT
+    (widened) schema: pre-evolution commits read NULL for the new
+    column, post-evolution commits carry their values, and both sides
+    keep their correct _commit_id — a consumer replaying the whole feed
+    sees one stable schema, never a per-range one."""
+    db = SparkConnector(spark, database="evolvecdc")
+    db.execute_ddl("CREATE TABLE ec_doc (doc_id BIGINT, body TEXT);")
+    with db:
+        db.load(
+            spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, body string")
+        )
+    db.execute_ddl("ALTER TABLE ec_doc ADD lang TEXT")
+    with db:
+        db.load(
+            spark.createDataFrame(
+                [(3, "z", "en")], "doc_id long, body string, lang string"
+            ),
+            exact=False,
+        )
+    c1, c2 = db.commit_history()
+    feed = db.table_changes("ec_doc", 0).collect()
+    assert {f.name for f in db.table_changes("ec_doc", 0).schema} == {
+        "doc_id", "body", "lang", "_commit_id", "_change_type",
+    }
+    got = {r["doc_id"]: (r["_commit_id"], r["lang"]) for r in feed}
+    assert got == {1: (c1, None), 2: (c1, None), 3: (c2, "en")}
+    # the incremental tail sees only the widened commit
+    tail = db.table_changes("ec_doc", c1).collect()
+    assert [(r["doc_id"], r["lang"]) for r in tail] == [(3, "en")]
