@@ -1683,3 +1683,32 @@ def test_rollup_consumer_bookmark_advances_past_unrelated_commits(
     st = rc.refresh(db, "rs_a", agg)
     assert st["version"] == 1
     assert {(r["k"], r["n"]) for r in rc.summary().collect()} == {(2, 1)}
+
+
+def test_table_changes_broadcast_join_path_matches_inline(
+    spark: SparkSession, monkeypatch
+) -> None:
+    """Above _TOKEN_INLINE_LIMIT commits in range, the changes feed
+    switches from an In-filter + token→cid CASE to a broadcast inner
+    join against a (token, commit_id) frame — constant plan size for
+    long histories.  Content and commit-id mapping must be identical
+    to the inline path."""
+    from sql_autoloader_spark.connectors import spark_catalog as sc_mod
+
+    db = SparkConnector(spark, database="cdcjoin")
+    db.execute_ddl(
+        "CREATE TABLE cj_t (id INTEGER PRIMARY KEY, w TEXT UNIQUE);"
+    )
+    for w in ("a", "b", "c"):
+        with db:
+            db.load(spark.createDataFrame([(w,)], ["w"]), compare=False)
+    inline = {
+        (r["w"], r["_commit_id"])
+        for r in db.table_changes("cj_t", 0).collect()
+    }
+    monkeypatch.setattr(sc_mod, "_TOKEN_INLINE_LIMIT", 1)
+    feed = db.table_changes("cj_t", 0)
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join Inner" in plan or "join" in plan.lower()
+    joined = {(r["w"], r["_commit_id"]) for r in feed.collect()}
+    assert joined == inline and len(joined) == 3
