@@ -43,6 +43,7 @@ import shutil
 import uuid
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 from sql_autoloader_spark.functions.scale import merge_rollup
@@ -67,6 +68,23 @@ class RollupConsumer:
     sweep, which cannot distinguish a crashed commit's leftovers from
     a commit in flight right now (proven cross-process in
     tests/test_cross_process.py::test_cross_process_cdc_consumer_converges).
+
+    Operational contracts (OPERATIONS.md, "Incremental consumers"):
+
+    - **One consumer per state dir.** The HEAD flip is last-wins; two
+      RollupConsumers sharing one *path* would silently clobber each
+      other's (version, bookmark) pairs.  Run one consumer process per
+      rollup; scale by sharding rollups, not by racing consumers.
+    - **The state dir must be a driver-local POSIX path.** The crash
+      protocol leans on ``os.replace``/``os.rename`` atomicity and on
+      the driver and Spark's parquet writer sharing one namespace —
+      true for a local (or POSIX-shared, e.g. NFS-mounted) filesystem,
+      NOT for object stores.  ``__init__`` rejects URI schemes other
+      than ``file:`` outright rather than corrupting silently.
+    - **Vacuum must not cross a live bookmark.** ``refresh`` re-checks
+      the journal floor after materializing its delta and errors if a
+      concurrent vacuum folded commits inside the range; size
+      ``vacuum_commits(retain_last=N)`` to the slowest consumer's lag.
     """
 
     def __init__(
@@ -77,8 +95,16 @@ class RollupConsumer:
         keys: list[str],
         combine: dict[str, str] | None = None,
     ) -> None:
+        scheme = path.split("://", 1)[0] if "://" in path else "file"
+        if scheme != "file":
+            msg = (
+                f"RollupConsumer state dir must be a driver-local POSIX "
+                f"path (got scheme '{scheme}'): the atomic HEAD flip "
+                "uses os.replace, which object-store paths cannot honor."
+            )
+            raise ValueError(msg)
         self.spark = spark
-        self.path = path
+        self.path = path.removeprefix("file://")
         self.keys = list(keys)
         #: per-measure combinators for the merge ("sum" default;
         #: "min"/"max" supported — see merge_rollup)
@@ -162,20 +188,48 @@ class RollupConsumer:
         # scans (the journal said "commit N is durable" but the cached
         # listing predates N's files)
         self.spark.catalog.refreshTable(db._qualified(table))
-        delta = agg(db.table_changes(table, h["bookmark"], head_commit))
-        if delta.isEmpty():
-            # new commits, none touching THIS table: advance the
-            # bookmark without writing a summary version — an empty
-            # parquet write would leave an unreadable (schema-less)
-            # version dir, and rewriting the old summary buys nothing
-            state = {"version": h["version"], "bookmark": head_commit}
-            self._flip_head(state)
-            return state
-        old = self.summary()
-        new = delta if old is None else merge_rollup(
-            old, delta, keys=self.keys, combine=self.combine
-        )
-        return self._publish(new, h["version"] + 1, head_commit)
+        # persist + count ONCE: the count fully materializes the
+        # groups-sized delta into the cache, so the merge/write below
+        # reads the cache — exactly one job runs the commit-range scan
+        # per refresh (pre-r14 ran it twice: isEmpty, then the write)
+        delta = agg(
+            db.table_changes(table, h["bookmark"], head_commit)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_groups = delta.count()
+            # vacuum-horizon RE-check, after the delta materialized: a
+            # concurrent vacuum that folded commits inside our range
+            # mid-scan retagged those rows to token 0, so the delta we
+            # just computed may silently under-report.  table_changes
+            # checked the floor at plan-build; advancing the bookmark
+            # on a stale delta would lose those rows forever — error
+            # instead (the caller re-runs refresh, or rebaselines).
+            _, floor, _ = db._journal.state()
+            if floor > h["bookmark"]:
+                msg = (
+                    f"a concurrent vacuum moved the horizon to {floor} "
+                    f"past this consumer's bookmark {h['bookmark']} "
+                    "while the refresh was in flight; the computed "
+                    "delta may be partial — rerun refresh (it will "
+                    "error on the horizon) or rebaseline()."
+                )
+                raise ValueError(msg)
+            if n_groups == 0:
+                # new commits, none touching THIS table: advance the
+                # bookmark without writing a summary version — an
+                # empty parquet write would leave an unreadable
+                # (schema-less) version dir, and rewriting the old
+                # summary buys nothing
+                state = {"version": h["version"], "bookmark": head_commit}
+                self._flip_head(state)
+                return state
+            old = self.summary()
+            new = delta if old is None else merge_rollup(
+                old, delta, keys=self.keys, combine=self.combine
+            )
+            return self._publish(new, h["version"] + 1, head_commit)
+        finally:
+            delta.unpersist()
 
     def rebaseline(
         self,

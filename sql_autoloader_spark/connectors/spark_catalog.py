@@ -50,6 +50,7 @@ and are re-expressed here:
 from __future__ import annotations
 
 import json
+import uuid
 from typing import TYPE_CHECKING, Literal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1487,6 +1488,27 @@ class SparkConnector(BaseConnector):
         # behind forever (vacuum deletes only *.commit/*.floor/
         # *.vacuuming).  Same open-time caveat as the row sweep below.
         self._journal.sweep_temps()
+        # stale metadata-persist tmps: a process killed inside
+        # _persist_table_meta leaves its uuid-suffixed
+        # <table>.json.tmp-<uuid> behind (plus the pre-uuid shared
+        # "<table>.json.tmp" from older writers).  AGE-GUARDED, unlike
+        # the claim-tmp sweep: another connector may be opening right
+        # now and its in-flight tmp must not be yanked mid-move — a
+        # live persist lasts milliseconds, so only hour-old tmps (and
+        # their CRC sidecars) are certainly crash debris.
+        import time
+
+        fs, path_cls = _hadoop_fs(self.spark, self._meta_dir())
+        meta_root = path_cls(self._meta_dir())
+        if fs.exists(meta_root):
+            cutoff_ms = (time.time() - 3600) * 1000
+            for status in fs.listStatus(meta_root):
+                tmp_name = status.getPath().getName()
+                if (
+                    ".json.tmp" in tmp_name
+                    and status.getModificationTime() < cutoff_ms
+                ):
+                    fs.delete(status.getPath(), False)
         # crashed staged appends: token-unique stage tables / _staging
         # dirs that never finished moving (driver-side metadata cleanup)
         for row in self.spark.sql(f"SHOW TABLES IN {self.database}").collect():
@@ -1914,7 +1936,18 @@ class SparkConnector(BaseConnector):
                 ),
             }
         )
-        tmp = path_cls(f"{meta_dir}/{parsed.name}.json.tmp")
+        # the tmp name MUST be process-unique: two connectors opening
+        # the same warehouse simultaneously both adopt the same tables
+        # (_adopt_filesystem_tables → _apply_table_props → here), and a
+        # shared "<table>.json.tmp" would make one writer's move yank
+        # the file out from under the other's (NoSuchFileException
+        # inside __init__ — the concurrent-OPEN race).  With a
+        # uuid-suffixed tmp each writer moves only its own file; both
+        # moves succeed (REPLACE_EXISTING, identical content, last one
+        # wins) and no collision is possible.  Same discipline as the
+        # commit journal's per-token claim tmps.
+        tmp_name = f"{parsed.name}.json.tmp-{uuid.uuid4().hex}"
+        tmp = path_cls(f"{meta_dir}/{tmp_name}")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(payload.encode()))
@@ -1941,26 +1974,42 @@ class SparkConnector(BaseConnector):
             opts = sc._gateway.new_array(jvm.java.nio.file.CopyOption, 2)
             opts[0] = opt.REPLACE_EXISTING
             opts[1] = opt.ATOMIC_MOVE
-            jvm.java.nio.file.Files.move(
-                jvm.java.io.File(f"{local}/{parsed.name}.json.tmp").toPath(),
-                jvm.java.io.File(f"{local}/{parsed.name}.json").toPath(),
-                opts,
-            )
+            try:
+                jvm.java.nio.file.Files.move(
+                    jvm.java.io.File(f"{local}/{tmp_name}").toPath(),
+                    jvm.java.io.File(
+                        f"{local}/{parsed.name}.json"
+                    ).toPath(),
+                    opts,
+                )
+            except Exception:
+                # belt-and-braces lost-race tolerance: if our tmp is
+                # gone but the destination exists, another process
+                # persisted the SAME content (both derive it from the
+                # same on-disk table) and something swept our tmp —
+                # the durable outcome is identical, so accept it
+                if not fs.exists(dest):
+                    raise
             # the nio move bypasses Hadoop's ChecksumFileSystem: drop
             # any CRC sidecars (the tmp's fresh one, and a stale dest
             # one left by a pre-nio writer — a stale CRC would fail
             # every future fs.open of the JSON with ChecksumException)
             for sidecar in (
                 f".{parsed.name}.json.crc",
-                f".{parsed.name}.json.tmp.crc",
+                f".{tmp_name}.crc",
             ):
                 fs.delete(path_cls(f"{meta_dir}/{sidecar}"), False)
         else:
             # remote FS: rename refuses an existing destination —
-            # delete-then-rename with its (tiny) absent window; DDL is
-            # single-writer, so only a crash inside this call hits it
+            # delete-then-rename with its (tiny) absent window; a
+            # concurrent adopter may win the rename between our delete
+            # and our rename, in which case our rename returns False
+            # with the destination present: the content both writers
+            # persist is identical, so tolerate the lost race and just
+            # drop our own tmp
             fs.delete(dest, False)
-            fs.rename(tmp, dest)
+            if not fs.rename(tmp, dest) and fs.exists(dest):
+                fs.delete(tmp, False)
 
     def _adopt_filesystem_tables(self) -> None:
         """Register every file-persisted table absent from THIS
