@@ -2159,6 +2159,150 @@ def q_load_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_load_incremental_distinct_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental DISTINCT-count maintenance (r14): a distinct count
+    cannot ride a sum-merged rollup — folding per-refresh counts
+    double-counts keys seen in more than one delta.  The mergeable
+    form is a Datasketches HLL sketch column:
+    ``hll_sketch_agg(doc_id)`` per refresh, merged with
+    ``merge_rollup(..., combine={"sk": "hll_union"})``, estimated at
+    read time.  Three loads with OVERLAPPING doc sets (each reload
+    re-presents the prior docs; the idempotent insert keeps one copy,
+    so each delta carries only new doc_ids — but the sketch union
+    would stay correct even with overlap) drive two incremental
+    refreshes; the certificate joins the estimate against the exact
+    per-source distinct count (oracle-recomputed) and pins
+    ``within_bound`` = |estimate − exact| ≤ 5% · exact (lgK=14 → rsd
+    ≈ 0.81%; at gate-scale cardinalities the sparse-mode sketch is
+    exact).  O(groups + day's commits) per refresh at 100 TB, same as
+    the sum rollup — the sketch column is ~16 KB per group, mergeable
+    forever."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.functions import scale
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    db = SparkConnector(spark, database=f"ivmd_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        """
+        CREATE TABLE ird_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE ird_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES ird_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+
+    def sketch(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("source_id").agg(
+            F.hll_sketch_agg("doc_id", 14).alias("sk")
+        )
+
+    with db:
+        db.load(docs.where(F.col("doc_id") % 3 == 0))
+    c1 = db.commit_history()[-1]
+    summary = _pin_small(sketch(db.read_table_as_of("ird_doc", c1)))
+
+    with db:
+        db.load(docs.where(F.col("doc_id") % 3 <= 1), exact=False)
+    c2 = db.commit_history()[-1]
+    summary = _pin_small(
+        scale.merge_rollup(
+            summary,
+            sketch(db.table_changes("ird_doc", c1, c2)),
+            keys=["source_id"],
+            combine={"sk": "hll_union"},
+        )
+    )
+
+    with db:
+        db.load(docs, exact=False)
+    c3 = db.commit_history()[-1]
+    refreshed = scale.merge_rollup(
+        summary,
+        sketch(db.table_changes("ird_doc", c2, c3)),
+        keys=["source_id"],
+        combine={"sk": "hll_union"},
+    )
+
+    approx = refreshed.select(
+        "source_id", F.hll_sketch_estimate("sk").alias("__approx")
+    )
+    exact = (
+        db.read_table_as_of("ird_doc", c3)
+        .groupBy("source_id")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("exact_docs"))
+    )
+    dim = db.read_table_as_of("ird_source", c3).select("id", "source")
+    out = _pin_small(
+        exact.join(approx, "source_id")
+        .join(dim, exact["source_id"] == dim["id"])
+        .select(
+            "source",
+            "exact_docs",
+            (
+                F.abs(F.col("__approx") - F.col("exact_docs"))
+                <= F.col("exact_docs") * F.lit(0.05)
+            ).alias("within_bound"),
+        )
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return out
+
+
+def q_docs_mixture_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-specified mixture totals (r14): ``docs_mixture_weights``
+    water-fills to the feasible MAX; real pipelines ask for an exact
+    budget ("2 B tokens at 5:3:2").  Same deterministic weights and
+    draw order, but the total is pinned to HALF the water-fill
+    maximum via ``mixture_sample(..., target_total=...)`` — every
+    group is cut at ``w_g * T/2`` (no group is binding, all are cut),
+    which the oracle recomputes exactly.  The infeasible-target and
+    malformed-weight paths raise named errors (unit-tested); this
+    certificate pins the happy path's exact doc set cross-engine."""
+    from sql_autoloader_spark.functions import scale
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.substring(F.md5("text"), 7, 2).alias("draw"),
+        (
+            F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 4 + 1
+        ).alias("w"),
+    )
+    # the target is DERIVED (half the water-fill max) so the query is
+    # feasible at every SF; the aggregate is #sources-row tiny and the
+    # float is computed with the same IEEE ops the oracle uses
+    t_max = (
+        base.groupBy("source")
+        .agg(F.max("w").alias("w"), F.sum("n_tokens").alias("m"))
+        .agg(
+            F.min(F.col("m").cast("double") / F.col("w")).alias("t")
+        )
+        .first()["t"]
+    )
+    kept = scale.mixture_sample(
+        base,
+        group_col="source",
+        weight_col="w",
+        token_col="n_tokens",
+        order_cols=["draw", "doc_id"],
+        target_total=0.5 * t_max,
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
 def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ingestion through the JSONL front door: write the
     documents table as JSON Lines, read it back with the quarantining
@@ -4550,6 +4694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": q_docs_hash_split,
         "docs_token_budget_sample": q_docs_token_budget_sample,
         "docs_mixture_weights": q_docs_mixture_weights,
+        "docs_mixture_target": q_docs_mixture_target,
         "orders_price_bands": q_orders_price_bands,
         "docs_top_bigrams": q_docs_top_bigrams,
         "docs_repetition": q_docs_repetition,
@@ -4603,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_snapshot_history": q_load_snapshot_history,
         "load_snapshot_diff": q_load_snapshot_diff,
         "load_incremental_rollup": q_load_incremental_rollup,
+        "load_incremental_distinct_rollup": q_load_incremental_distinct_rollup,
         "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
     }
@@ -4943,6 +5089,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM windowed w JOIN budgets b ON w.source = b.source
             WHERE CAST(cum_tokens AS DOUBLE) <= b.budget
+        """,
+        "docs_mixture_target": f"""
+            WITH base AS (
+                SELECT doc_id, source, {n_tokens} AS n_tokens,
+                       substr(md5(text), 7, 2) AS draw,
+                       CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                           % 4 + 1 AS w
+                FROM documents
+            ),
+            mass AS (
+                SELECT source, any_value(w) AS w,
+                       CAST(SUM(n_tokens) AS BIGINT) AS m
+                FROM base GROUP BY source
+            ),
+            feasible AS (
+                SELECT 0.5 * MIN(CAST(m AS DOUBLE) / w) AS t FROM mass
+            ),
+            budgets AS (
+                SELECT source, w * t AS budget FROM mass, feasible
+            ),
+            windowed AS (
+                SELECT doc_id, source, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY draw, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS cum_tokens
+                FROM base
+            )
+            SELECT doc_id, w.source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM windowed w JOIN budgets b ON w.source = b.source
+            WHERE CAST(cum_tokens AS DOUBLE) <= b.budget
+        """,
+        "load_incremental_distinct_rollup": """
+            SELECT source,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_docs,
+                   TRUE AS within_bound
+            FROM documents
+            GROUP BY source
         """,
         "load_incremental": """
             WITH b1 AS (

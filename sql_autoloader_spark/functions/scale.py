@@ -442,6 +442,7 @@ def mixture_sample(
     weight_col: str,
     token_col: str,
     order_cols: list[str],
+    target_total: float | None = None,
 ) -> DataFrame:
     """Sample *df* down to an exact target MIXTURE of groups by token
     mass — the domain-reweighting primitive of a training-data
@@ -449,18 +450,30 @@ def mixture_sample(
     ``q_docs_token_budget_sample``'s per-group fraction.
 
     Given relative *weight_col* (constant within each *group_col*
-    value), the feasible total is water-filled: ``T = min_g(mass_g /
-    w_g)`` — the largest total for which every group can supply its
-    share — and each group keeps documents in *order_cols* order while
-    its running ``token_col`` sum stays within ``w_g * T``.  Pass a
+    value), the total is water-filled: ``T = min_g(mass_g / w_g)`` —
+    the largest total for which every group can supply its share —
+    and each group keeps documents in *order_cols* order while its
+    running ``token_col`` sum stays within ``w_g * T``.  Pass a
     deterministic draw (an md5 slice) as the first order column for a
     reproducible, RNG-free sample on any engine.
+
+    *target_total* asks for a SPECIFIC total instead ("2 B tokens at
+    5:3:2"): the budgets become ``w_g * target_total``, and a target
+    above the water-fill maximum errors at execution, naming the
+    binding group (the one that cannot supply its share) — never a
+    silent under-delivery.
+
+    Malformed weights fail LOUDLY on every engine: a NULL or
+    non-positive weight raises at execution (pre-r14 a NULL budget
+    silently dropped the whole group).
 
     Plan shape (the 100 TB contract): ONE exchange on *group_col*
     feeds the running-sum window; the per-group masses are a tiny
     (#groups-row) aggregate whose water-filled budgets broadcast back
     — the corpus is never shuffled a second time and nothing
-    data-sized ever sits on one node.
+    data-sized ever sits on one node.  The validity checks ride the
+    budget expressions (``raise_error`` branches), costing zero extra
+    scans.
     """
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     cum = F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -473,16 +486,57 @@ def mixture_sample(
         F.max(weight_col).alias(weight_col),
         F.sum(token_col).alias("__mass"),
     )
-    feasible = masses.agg(
-        F.min(
-            F.col("__mass").cast("double") / F.col(weight_col)
-        ).alias("__t")
+    # try_divide: a zero weight must reach the NAMED bad-weight error
+    # below, not die earlier as ANSI DIVIDE_BY_ZERO inside the cap
+    cap = F.try_divide(F.col("__mass").cast("double"), F.col(weight_col))
+    # one row: the water-fill max AND which group binds it (for the
+    # infeasibility message); NULL caps (malformed weights) sort first
+    # but the bad-weight branch below fires before __t is ever used
+    feasible = (
+        masses.select(
+            F.col(group_col).alias("__binding"), cap.alias("__t")
+        )
+        .orderBy("__t")
+        .limit(1)
     )
+    bad_weight = F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+    budget = F.when(
+        bad_weight,
+        F.raise_error(
+            F.concat(
+                F.lit("mixture_sample: NULL or non-positive weight for "
+                      "group '"),
+                F.col(group_col).cast("string"),
+                F.lit("'"),
+            )
+        ).cast("double"),
+    )
+    if target_total is not None:
+        budget = budget.when(
+            F.lit(float(target_total)) > F.col("__t"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"mixture_sample: target_total {target_total} "
+                        "exceeds the water-fill maximum "
+                    ),
+                    F.col("__t").cast("string"),
+                    F.lit(" — binding group '"),
+                    F.col("__binding").cast("string"),
+                    F.lit("' cannot supply its share"),
+                )
+            ).cast("double"),
+        )
+        total = F.lit(float(target_total))
+    else:
+        total = F.col("__t")
     budgets = (
         masses.crossJoin(F.broadcast(feasible))
         .select(
             group_col,
-            (F.col(weight_col) * F.col("__t")).alias("__budget"),
+            budget.otherwise(
+                F.col(weight_col) * total
+            ).alias("__budget"),
         )
     )
     return (
@@ -494,7 +548,18 @@ def mixture_sample(
     )
 
 
-_MERGE_COMBINATORS = {"sum": F.sum, "min": F.min, "max": F.max}
+_MERGE_COMBINATORS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    # Datasketches HLL union over BINARY sketch columns
+    # (F.hll_sketch_agg output): the mergeable-sketch form of
+    # COUNT(DISTINCT ...) — the only way a distinct-count measure can
+    # ride an incremental rollup, since raw distinct counts are not
+    # partial-aggregatable.  Estimate at read time with
+    # F.hll_sketch_estimate.
+    "hll_union": F.hll_union_agg,
+}
 
 
 def merge_rollup(
@@ -510,9 +575,11 @@ def merge_rollup(
 
     Both frames must carry *keys* plus MERGEABLE measure columns.
     *combine* names each measure's combinator (``"sum"`` — counts and
-    sums, the default for unlisted columns — plus ``"min"``/``"max"``);
+    sums, the default for unlisted columns — plus ``"min"``/``"max"``,
+    and ``"hll_union"`` for Datasketches HLL sketch columns built with
+    ``F.hll_sketch_agg``, the mergeable form of a distinct count);
     keep averages as (sum, count) pairs and divide at read time, and
-    exact distincts as their own keyed rollup — the standard
+    EXACT distincts as their own keyed rollup — the standard
     partial-aggregate discipline.  The merge is ``unionByName`` + one
     keyed aggregate over ``|summary| + |delta|`` rows — O(groups +
     new data), never O(table).  At 100 TB this is the difference

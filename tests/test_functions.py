@@ -1991,3 +1991,106 @@ def test_merge_rollup_min_max_combinators(spark: SparkSession) -> None:
         scale.merge_rollup(old, delta, keys=["k"], combine={"n": "avg"})
     with pytest.raises(ValueError, match="non-measure"):
         scale.merge_rollup(old, delta, keys=["k"], combine={"k": "sum"})
+
+
+def test_mixture_sample_target_total_and_validation(
+    spark: SparkSession,
+) -> None:
+    """r14 mixture extensions: (1) a user target_total <= the
+    water-fill max scales every budget to w_g * target; (2) a target
+    ABOVE it raises at execution NAMING the binding group — never a
+    silent under-delivery; (3) NULL and non-positive weights raise a
+    named error instead of silently dropping the group (pre-r14 a NULL
+    budget dropped every doc of the malformed group; DuckDB would have
+    errored — engines now agree)."""
+    import pytest
+
+    from sql_autoloader_spark.functions import scale
+
+    rows = [
+        ("a1", "A", 1, 5),
+        ("a2", "A", 1, 5),
+        ("b1", "B", 2, 8),
+        ("b2", "B", 2, 8),
+        ("b3", "B", 2, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, src string, w int, n_tokens int"
+    )
+    kw = dict(
+        group_col="src",
+        weight_col="w",
+        token_col="n_tokens",
+        order_cols=["doc_id"],
+    )
+
+    # feasible target: budgets A=5, B=10 -> a1 (cum 5), b1 (cum 8)
+    kept = scale.mixture_sample(df, target_total=5.0, **kw).collect()
+    assert sorted((r["doc_id"], r["cum_tokens"]) for r in kept) == [
+        ("a1", 5),
+        ("b1", 8),
+    ]
+    # at exactly the water-fill max the target path equals water-fill
+    at_max = scale.mixture_sample(df, target_total=10.0, **kw).collect()
+    assert sorted(r["doc_id"] for r in at_max) == ["a1", "a2", "b1", "b2"]
+
+    # infeasible: T_max = min(10/1, 24/2) = 10, group A binds
+    with pytest.raises(Exception, match="binding group 'A'"):
+        scale.mixture_sample(df, target_total=10.5, **kw).collect()
+
+    for w_bad in (None, 0, -2):
+        bad = spark.createDataFrame(
+            [("x1", "X", w_bad, 5), ("a1", "A", 1, 5)],
+            "doc_id string, src string, w int, n_tokens int",
+        )
+        with pytest.raises(
+            Exception, match="non-positive weight for group 'X'"
+        ):
+            scale.mixture_sample(bad, **kw).collect()
+
+
+def test_merge_rollup_hll_union_combinator(spark: SparkSession) -> None:
+    """Distinct-count measures ride the incremental rollup as HLL
+    sketches: merging per-refresh sketch partials with the r14
+    "hll_union" combinator estimates the SAME distinct count as one
+    sketch over all the data (sketch algebra is associative), and at
+    these cardinalities (< 2^lgK) the estimate is exact vs
+    countDistinct.  Three refreshes, overlapping keys across deltas —
+    the overlap is exactly what a summed count would double-count."""
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions import scale
+
+    chunks = [
+        [("a", i) for i in range(100)] + [("b", i) for i in range(50)],
+        [("a", i) for i in range(50, 150)],  # 50 overlap with chunk 0
+        [("b", i) for i in range(50)] + [("b", i) for i in range(50, 80)],
+    ]
+
+    def sketch(rows):  # noqa: ANN001, ANN202
+        return (
+            spark.createDataFrame(rows, "k string, v long")
+            .groupBy("k")
+            .agg(F.hll_sketch_agg("v", 12).alias("sk"))
+        )
+
+    summary = sketch(chunks[0])
+    for chunk in chunks[1:]:
+        summary = scale.merge_rollup(
+            summary, sketch(chunk), keys=["k"], combine={"sk": "hll_union"}
+        )
+    got = {
+        r["k"]: r["n"]
+        for r in summary.select(
+            "k", F.hll_sketch_estimate("sk").cast("bigint").alias("n")
+        ).collect()
+    }
+    exact = (
+        spark.createDataFrame(
+            [t for c in chunks for t in c], "k string, v long"
+        )
+        .groupBy("k")
+        .agg(F.countDistinct("v").alias("n"))
+    )
+    want = {r["k"]: r["n"] for r in exact.collect()}
+    assert got == want == {"a": 150, "b": 80}
