@@ -2303,6 +2303,80 @@ def q_docs_mixture_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC (r14): the commit-journal changes feed as a real
+    ``readStream`` source (``streaming.read_changes_stream`` — a
+    Python Data Source whose offsets are commit ids from the manifest
+    journal, partitions are parquet files footer-pruned on the token
+    column, Delta-CDF-streaming analogue).  Three commits land with a
+    deterministic split (``event_id % 3``); one availableNow run
+    drains the feed into a parquet sink.  The certificate pins BOTH
+    directions: ``n_mismatch`` = |streamed EXCEPT batch-feed| +
+    |batch-feed EXCEPT streamed| (oracle pins 0 — the stream serves
+    exactly ``table_changes``), and per-(commit, event_type) exact
+    aggregates the oracle recomputes from the split rule.  Incremental
+    restart + crash replay + the vacuum-horizon guard are pinned in
+    tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    db = SparkConnector(spark, database=f"scdc_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        "CREATE TABLE ce (event_id BIGINT, event_type TEXT, value DOUBLE);"
+    )
+    for i in range(3):
+        with db:
+            db.insert(ev.where(F.col("event_id") % 3 == i), table="ce")
+    head = db.commit_history()[-1]
+
+    # run-unique sink dir (outlives the call — the returned DataFrame
+    # still reads it when the caller collects), same as jsonl_roundtrip
+    sink = f"/tmp/spark_graft_cdcstream_{uuid.uuid4().hex[:12]}"
+    stream = read_changes_stream(db, "ce")
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    cols = ["event_id", "event_type", "value", "_commit_id", "_change_type"]
+    streamed = spark.read.parquet(sink).select(*cols)
+    batch_feed = db.table_changes("ce", 0, head).select(*cols)
+    n_mismatch = (
+        streamed.exceptAll(batch_feed)
+        .unionAll(batch_feed.exceptAll(streamed))
+        .count()
+    )
+    out = _pin_small(
+        streamed.groupBy("_commit_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+        .select(
+            F.col("_commit_id").cast("bigint").alias("commit_id"),
+            "event_type",
+            "n_events",
+            "sum_event_id",
+            "min_event_id",
+            "max_event_id",
+            F.lit(n_mismatch).cast("bigint").alias("n_mismatch"),
+        )
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return out
+
+
 def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ingestion through the JSONL front door: write the
     documents table as JSON Lines, read it back with the quarantining
@@ -4724,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_incremental": q_load_incremental,
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
+        "events_stream_cdc": q_events_stream_cdc,
         "docs_stream_clean": q_docs_stream_clean,
         "docs_stream_fuzzy_dedup": q_docs_stream_fuzzy_dedup,
         "events_salted_enrich": q_events_salted_enrich,
@@ -5122,6 +5197,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM windowed w JOIN budgets b ON w.source = b.source
             WHERE CAST(cum_tokens AS DOUBLE) <= b.budget
+        """,
+        "events_stream_cdc": """
+            SELECT CAST(event_id % 3 + 1 AS BIGINT) AS commit_id,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM events
+            GROUP BY 1, 2
         """,
         "load_incremental_distinct_rollup": """
             SELECT source,

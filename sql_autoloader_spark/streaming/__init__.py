@@ -1,6 +1,10 @@
-"""Structured Streaming surface: streaming auto-load and event-stream
-operators (SURVEY §2G event/stream ops)."""
+"""Structured Streaming surface: streaming auto-load, event-stream
+operators (SURVEY §2G event/stream ops), and the streaming CDC feed."""
 
+from sql_autoloader_spark.streaming.cdc_source import (
+    TableChangesDataSource,
+    read_changes_stream,
+)
 from sql_autoloader_spark.streaming.pipeline import (
     autoload_stream,
     compact_signature_store,
@@ -13,10 +17,12 @@ from sql_autoloader_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "TableChangesDataSource",
     "autoload_stream",
     "compact_signature_store",
     "dedup_stream",
     "fuzzy_dedup_stream",
+    "read_changes_stream",
     "rocksdb_state",
     "sessionized_counts",
     "user_activity_state",

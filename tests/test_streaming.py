@@ -872,3 +872,164 @@ def test_streaming_commits_feed_cdc_consumers(
         for r in agg(db._read_table("sc_car")).collect()
     }
     assert got == want and sum(got.values()) == 3
+
+
+def test_streaming_cdc_feed_serves_exactly_the_batch_feed(
+    spark: SparkSession, tmp_path
+) -> None:
+    """The r14 streaming CDC source end-to-end: (1) an availableNow
+    drain serves exactly ``table_changes(t, 0, head]``; (2) a restart
+    from the SAME checkpoint after a new commit serves ONLY the new
+    commit (offsets are commit ids, resumed from the checkpoint); (3)
+    an empty-for-this-table commit advances offsets without rows."""
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    db = SparkConnector(spark, database="cdcstream1")
+    db.execute_ddl(
+        "CREATE TABLE cs_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+        "CREATE TABLE cs_other (id INTEGER PRIMARY KEY, word TEXT UNIQUE);"
+    )
+
+    def add(names, table="cs_t"):  # noqa: ANN001, ANN202
+        col = "name" if table == "cs_t" else "word"
+        with db:
+            db.insert(
+                spark.createDataFrame([(n,) for n in names], [col]),
+                table=table,
+            )
+
+    add(["a", "b"])
+    add(["c"])
+    head = db.commit_history()[-1]
+
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> None:
+        got.clear()
+        q = (
+            read_changes_stream(db, "cs_t")
+            .writeStream.foreachBatch(
+                lambda df, _bid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    want = {
+        (r["name"], r["_commit_id"])
+        for r in db.table_changes("cs_t", 0, head).collect()
+    }
+    assert {(r["name"], r["_commit_id"]) for r in got} == want
+    assert len(got) == 3 and all(r["_change_type"] == "insert" for r in got)
+
+    # a commit touching ONLY the other table: offsets advance, no rows
+    add(["x"], table="cs_other")
+    drain()
+    assert got == []
+
+    # a real new commit: ONLY its rows arrive on the same checkpoint
+    add(["d", "e"])
+    new_head = db.commit_history()[-1]
+    drain()
+    assert {(r["name"], r["_commit_id"]) for r in got} == {
+        ("d", new_head),
+        ("e", new_head),
+    }
+
+
+def test_streaming_cdc_feed_crash_replay_is_exactly_once(
+    spark: SparkSession, tmp_path
+) -> None:
+    """Crash replay through the RollupConsumer bookmark protocol: the
+    sink records (batch_id, rows) and CRASHES after its side effects
+    on the first attempt of batch 0 — the restart re-serves the SAME
+    commit range (commit files are immutable), and the batch-id
+    bookmark (skip if batch_id <= last committed, the
+    connectors/consumer.py HEAD discipline) turns the at-least-once
+    replay into exactly-once content."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    db = SparkConnector(spark, database="cdcstream2")
+    db.execute_ddl(
+        "CREATE TABLE cr_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+    with db:
+        db.insert(
+            spark.createDataFrame([("a",), ("b",)], ["name"]), table="cr_t"
+        )
+    head = db.commit_history()[-1]
+
+    attempts: list = []  # every delivery, crashed or not
+    committed: dict = {"bookmark": -1, "rows": []}
+    crash_once = {"armed": True}
+
+    def sink(df, batch_id) -> None:  # noqa: ANN001
+        rows = sorted((r["name"], r["_commit_id"]) for r in df.collect())
+        attempts.append((batch_id, rows))
+        if crash_once["armed"]:
+            crash_once["armed"] = False
+            msg = "simulated crash AFTER side effects, before bookmark"
+            raise RuntimeError(msg)
+        if batch_id <= committed["bookmark"]:
+            return  # replayed batch already folded — the bookmark skip
+        committed["rows"].extend(rows)
+        committed["bookmark"] = batch_id
+
+    def run() -> None:
+        q = (
+            read_changes_stream(db, "cr_t")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="simulated crash"):
+        run()
+    run()  # restart: replays batch 0, then finishes
+
+    # the replay re-served the IDENTICAL commit range
+    assert len(attempts) >= 2
+    assert attempts[0] == attempts[1]
+    # exactly-once content despite the double delivery
+    assert committed["rows"] == [("a", head), ("b", head)]
+
+
+def test_streaming_cdc_feed_errors_below_vacuum_horizon(
+    spark: SparkSession, tmp_path
+) -> None:
+    """A feed whose next offset fell below the vacuum horizon fails
+    LOUDLY (the folded commits are gone from the journal — serving
+    the range would silently under-report), the same contract as the
+    batch ``table_changes``."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    db = SparkConnector(spark, database="cdcstream3")
+    db.execute_ddl(
+        "CREATE TABLE vh_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+    for n in ("a", "b", "c"):
+        with db:
+            db.insert(spark.createDataFrame([(n,)], ["name"]), table="vh_t")
+    db.vacuum_commits(retain_last=1)
+
+    q = (
+        read_changes_stream(db, "vh_t", from_commit=0)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(
+        StreamingQueryException, match="vacuum horizon"
+    ):
+        q.awaitTermination()
