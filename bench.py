@@ -48,6 +48,21 @@ HEADLINE = [
     "media_byte_stats",
 ]
 
+#: the ×10 scale-tracking subset: one query per operator family whose
+#: scaling SCALE.md argues about, small enough to keep bench wall time
+#: bounded (best-of-2 at the blown-up corpus)
+X10_SUBSET = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_large_orders",
+    "load_events_star",
+    "docs_fingerprint_dedup",
+    "docs_minhash_pairs",
+    "docs_token_stats",
+    "emb_cosine_topk",
+    "events_sessionize",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,6 +156,37 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # ×10 scale tracking (round 14): the sf1-equivalent CORRECTNESS
+    # gate ran once (r13); this keeps scale PERFORMANCE tracked
+    # per-round so regressions surface mechanically, like calibration
+    # did for host load.  A representative headline subset runs on the
+    # 10×-replicated corpus (tools/scale_probe.build_blowup — disjoint
+    # key offsets, cached under /tmp across runs); best-of-2 keeps the
+    # added wall time bounded.  Disable with SPARK_GRAFT_X10=0.
+    x10_timings: dict[str, float] = {}
+    x10_total = None
+    if os.environ.get("SPARK_GRAFT_X10", "1") != "0":
+        try:
+            from tools import scale_probe
+
+            os.makedirs(scale_probe.OUT, exist_ok=True)
+            scale_probe.build_blowup(spark)
+            for name in X10_SUBSET:
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    queries[name](spark, scale_probe.OUT).count()
+                    elapsed = time.time() - t0
+                    best = elapsed if best is None else min(best, elapsed)
+                x10_timings[name] = round(best, 3)
+                print(
+                    f"# x10 {name}: {x10_timings[name]}s", file=sys.stderr
+                )
+            x10_total = round(sum(x10_timings.values()), 3)
+        except Exception as exc:  # noqa: BLE001 — bench must still report
+            print(f"# x10 probe failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -151,6 +197,8 @@ def main() -> None:
                 "calibration": calibration,
                 "queries": timings,
                 "sf": sf,
+                "headline_total_x10": x10_total,
+                "queries_x10": x10_timings,
             }
         )
     )

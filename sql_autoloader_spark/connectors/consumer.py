@@ -249,8 +249,12 @@ class RollupConsumer:
         )
 
     def _publish(
-        self, summary: DataFrame, version: int, bookmark: int
+        self, summary: DataFrame, version: int, bookmark: int, **extra
     ) -> dict:
+        """*extra* rides the HEAD json in the SAME atomic flip (e.g.
+        the streaming fold's ``stream_batch`` id — a second flip would
+        open a crash window where the summary advanced but the replay
+        guard didn't, double-counting the replayed batch)."""
         target = self._version_dir(version)
         if os.path.exists(target):
             # a crashed attempt renamed its staging dir but died before
@@ -260,7 +264,7 @@ class RollupConsumer:
         staging = f"{target}.staging-{uuid.uuid4().hex[:8]}"
         summary.write.mode("overwrite").parquet(staging)
         os.rename(staging, target)
-        state = {"version": version, "bookmark": bookmark}
+        state = {"version": version, "bookmark": bookmark, **extra}
         self._flip_head(state)  # <- commit point
         self._sweep(version)
         return state

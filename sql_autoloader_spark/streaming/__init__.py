@@ -4,6 +4,7 @@ operators (SURVEY §2G event/stream ops), and the streaming CDC feed."""
 from sql_autoloader_spark.streaming.cdc_source import (
     TableChangesDataSource,
     read_changes_stream,
+    stream_rollup,
 )
 from sql_autoloader_spark.streaming.pipeline import (
     autoload_stream,
@@ -25,6 +26,7 @@ __all__ = [
     "read_changes_stream",
     "rocksdb_state",
     "sessionized_counts",
+    "stream_rollup",
     "user_activity_state",
     "windowed_event_counts",
 ]

@@ -51,7 +51,11 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-__all__ = ["TableChangesDataSource", "read_changes_stream"]
+__all__ = [
+    "TableChangesDataSource",
+    "read_changes_stream",
+    "stream_rollup",
+]
 
 # the physical per-row token column (spark_catalog._COMMIT_COL)
 _COMMIT_COL = "__commit_id"
@@ -263,3 +267,75 @@ def read_changes_stream(db, table: str, *, from_commit: int = 0):  # noqa: ANN00
     # user-facing half of any registered dtype adapters, same as the
     # batch feed (spark_catalog._decode_adapters)
     return db._decode_adapters(stream)
+
+
+def stream_rollup(  # noqa: ANN201
+    db,  # noqa: ANN001 — SparkConnector (managed-catalog mode)
+    table: str,
+    consumer,  # noqa: ANN001 — connectors.consumer.RollupConsumer
+    agg,  # noqa: ANN001 — Callable[[DataFrame], DataFrame]
+    *,
+    checkpoint_dir: str,
+    from_commit: int = 0,
+):
+    """PUSH-based incremental view maintenance: maintain *consumer*'s
+    rollup from the STREAMING changes feed instead of polling
+    ``consumer.refresh``.  Each micro-batch folds its delta into the
+    versioned summary under the same atomic HEAD-flip protocol; the
+    HEAD additionally records the folded ``stream_batch`` id, so a
+    replayed micro-batch (foreachBatch is at-least-once) is skipped —
+    exactly-once summary content, the streaming twin of the polling
+    refresh's bookmark discipline.  ``bookmark`` stays the max folded
+    commit id, so a consumer can switch between polling and streaming.
+
+    Returns the started ``StreamingQuery`` (availableNow trigger —
+    drain everything committed, then stop; re-call to drain again, or
+    run under a processing-time trigger by adapting the caller).
+
+    *checkpoint_dir* and the consumer's state dir are LIFETIME-PAIRED:
+    batch ids are per-checkpoint, so pointing a fresh checkpoint at a
+    populated consumer would replay ids the bookmark already covers
+    and silently skip real batches — recover a lost checkpoint with
+    ``consumer.rebaseline`` + a fresh (checkpoint, state dir) pair.
+    """
+    from pyspark import StorageLevel
+
+    from sql_autoloader_spark.functions.scale import merge_rollup
+
+    stream = read_changes_stream(db, table, from_commit=from_commit)
+
+    def fold(batch, batch_id) -> None:  # noqa: ANN001
+        head = consumer.head()
+        if batch_id <= head.get("stream_batch", -1):
+            return  # replayed batch, already folded — the bookmark skip
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            delta = agg(batch).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                if delta.count() == 0:
+                    return  # empty replay/no-op batch: nothing to fold
+                max_cid = batch.agg({"_commit_id": "max"}).first()[0]
+                old = consumer.summary()
+                new = delta if old is None else merge_rollup(
+                    old, delta, keys=consumer.keys, combine=consumer.combine
+                )
+                # ONE flip carries (version, bookmark, stream_batch)
+                # together — a separate stream_batch flip would open a
+                # crash window that double-counts the replayed batch
+                consumer._publish(
+                    new,
+                    head["version"] + 1,
+                    max(max_cid, head["bookmark"]),
+                    stream_batch=batch_id,
+                )
+            finally:
+                delta.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1033,3 +1033,99 @@ def test_streaming_cdc_feed_errors_below_vacuum_horizon(
         StreamingQueryException, match="vacuum horizon"
     ):
         q.awaitTermination()
+
+
+def test_stream_rollup_push_based_ivm_exactly_once(
+    spark: SparkSession, tmp_path
+) -> None:
+    """r14 push-based IVM: ``stream_rollup`` maintains a
+    RollupConsumer from the streaming changes feed.  Pins: (1) two
+    drains across three commits converge to the direct aggregate; (2)
+    a crash AFTER the summary flip but BEFORE the stream checkpoint
+    commits (simulated: the sink raises after folding) replays the
+    batch, and the stream_batch guard in the SAME atomic HEAD flip
+    skips the replay — no double counting; (3) the bookmark tracks
+    the max folded commit id, so the polling ``refresh`` can take
+    over from where the stream left off."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+    from sql_autoloader_spark.streaming import cdc_source, stream_rollup
+
+    db = SparkConnector(spark, database="srollup")
+    db.execute_ddl(
+        "CREATE TABLE sr_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " name_len INTEGER);"
+    )
+
+    def add(names) -> None:  # noqa: ANN001
+        with db:
+            db.insert(
+                spark.createDataFrame(
+                    [(n, len(n)) for n in names], "name string, name_len int"
+                ),
+                table="sr_t",
+            )
+
+    def agg(frame):  # noqa: ANN001, ANN202
+        return frame.groupBy("name_len").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    rc = RollupConsumer(spark, str(tmp_path / "state"), keys=["name_len"])
+    ckpt = str(tmp_path / "ckpt")
+
+    # drain 1: two commits
+    add(["a", "bb"])
+    add(["cc"])
+    stream_rollup(db, "sr_t", rc, agg, checkpoint_dir=ckpt).awaitTermination()
+    got = {r["name_len"]: r["n"] for r in rc.summary().collect()}
+    assert got == {1: 1, 2: 2}
+    assert rc.head()["bookmark"] == db.commit_history()[-1]
+
+    # drain 2: only the new commit folds (offsets resumed)
+    add(["ddd", "ee"])
+    stream_rollup(db, "sr_t", rc, agg, checkpoint_dir=ckpt).awaitTermination()
+    got = {r["name_len"]: r["n"] for r in rc.summary().collect()}
+    assert got == {1: 1, 2: 3, 3: 1}
+    head_after_two = rc.head()
+
+    # crash AFTER the fold's HEAD flip, BEFORE the stream commits the
+    # batch: the replay must be skipped by the stream_batch guard
+    add(["ffff"])
+    real_publish = RollupConsumer._publish
+    armed = {"on": True}
+
+    def publish_then_die(self, *args, **kw):  # noqa: ANN001, ANN202
+        state = real_publish(self, *args, **kw)
+        if armed["on"]:
+            armed["on"] = False
+            msg = "simulated crash after the flip"
+            raise RuntimeError(msg)
+        return state
+
+    RollupConsumer._publish = publish_then_die
+    try:
+        with pytest.raises(StreamingQueryException, match="simulated crash"):
+            stream_rollup(
+                db, "sr_t", rc, agg, checkpoint_dir=ckpt
+            ).awaitTermination()
+        # the fold itself landed before the crash
+        assert rc.head()["version"] == head_after_two["version"] + 1
+        # restart: the stream replays the uncommitted batch; the guard
+        # must skip it (already folded) — content stays exactly-once
+        stream_rollup(
+            db, "sr_t", rc, agg, checkpoint_dir=ckpt
+        ).awaitTermination()
+    finally:
+        RollupConsumer._publish = real_publish
+    got = {r["name_len"]: r["n"] for r in rc.summary().collect()}
+    assert got == {1: 1, 2: 3, 3: 1, 4: 1}  # ffff counted ONCE
+
+    # the polling refresh takes over seamlessly from the stream's
+    # bookmark (commit ids are the shared currency)
+    add(["ggggg"])
+    rc.refresh(db, "sr_t", agg)
+    got = {r["name_len"]: r["n"] for r in rc.summary().collect()}
+    assert got == {1: 1, 2: 3, 3: 1, 4: 1, 5: 1}
+    assert cdc_source is not None
