@@ -2377,6 +2377,62 @@ def q_events_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUSH-based incremental view maintenance (r14): a
+    ``RollupConsumer`` maintained by ``streaming.stream_rollup`` from
+    the streaming changes feed — each micro-batch folds its delta into
+    the versioned summary under the batch-id bookmark riding the same
+    atomic HEAD flip (exactly-once on at-least-once replay; crash
+    paths pinned in tests/test_streaming.py).  Three commits land by
+    the ``event_id % 3`` split, two separate drains maintain the
+    rollup (the second drain folds only the commit it hasn't seen),
+    and the certificate is the final summary itself — the oracle
+    recomputes the same per-type aggregate from the raw events, so the
+    hash match certifies streamed-incremental ≡ full recompute."""
+    import tempfile
+    import uuid
+
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.streaming import stream_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    db = SparkConnector(spark, database=f"srol_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        "CREATE TABLE sre (event_id BIGINT, event_type TEXT);"
+    )
+
+    def agg(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+
+    rc = RollupConsumer(
+        spark, tempfile.mkdtemp(), keys=["event_type"]
+    )
+    ckpt = tempfile.mkdtemp()
+    # drain 1 covers the first two commits, drain 2 only the third —
+    # the summary is maintained incrementally across stream runs
+    for split in ([0, 1], [2]):
+        for i in split:
+            with db:
+                db.insert(
+                    ev.where(F.col("event_id") % 3 == i), table="sre"
+                )
+        stream_rollup(
+            db, "sre", rc, agg, checkpoint_dir=ckpt
+        ).awaitTermination()
+
+    out = _pin_small(
+        rc.summary().select(
+            "event_type", "n_events", "sum_event_id"
+        )
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return out
+
+
 def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ingestion through the JSONL front door: write the
     documents table as JSON Lines, read it back with the quarantining
@@ -4799,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_star_jdbc": q_load_star_jdbc,
         "events_stream_attribution": q_events_stream_attribution,
         "events_stream_cdc": q_events_stream_cdc,
+        "events_stream_rollup": q_events_stream_rollup,
         "docs_stream_clean": q_docs_stream_clean,
         "docs_stream_fuzzy_dedup": q_docs_stream_fuzzy_dedup,
         "events_salted_enrich": q_events_salted_enrich,
@@ -5208,6 +5265,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_mismatch
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_stream_rollup": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+            FROM events
+            GROUP BY event_type
         """,
         "load_incremental_distinct_rollup": """
             SELECT source,

@@ -89,6 +89,33 @@ def _journal_state(journal_dir: str) -> tuple[dict[int, int], int]:
     return visible, floor
 
 
+def _checkpoint_anchor(checkpoint_dir: str) -> int | None:
+    """The stream's own last planned offset, read from its checkpoint's
+    ``offsets/`` log (the standard Structured Streaming offset-seq
+    format: "v1" header, metadata line, one offset JSON per source).
+    Used to anchor the rate limit EXACTLY in every mode — Spark calls
+    ``latestOffset`` before ``initialOffset`` (traced on 4.1), so
+    without this the prepare-time snapshot has no start to cap
+    against.  Returns None on a fresh/absent checkpoint."""
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    try:
+        batches = [n for n in os.listdir(offsets_dir) if n.isdigit()]
+    except FileNotFoundError:
+        return None
+    if not batches:
+        return None
+    latest = max(batches, key=int)
+    try:
+        with open(os.path.join(offsets_dir, latest)) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        val = json.loads(lines[-1])
+        if isinstance(val, str):  # offset serialized as a JSON string
+            val = json.loads(val)
+        return int(val["commit"])
+    except (OSError, ValueError, KeyError, IndexError, TypeError):
+        return None
+
+
 def _list_parquet(location: str) -> list[str]:
     out = []
     for root, dirs, files in os.walk(location):
@@ -113,16 +140,45 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._location = options["location"]
         self._journal = options["journal"]
         self._from = int(options.get("fromcommit", 0))
+        #: micro-batch rate limit: at most N commits per planned batch
+        #: (0 = unlimited).  Bounds replay batches when a consumer
+        #: returns from a long absence — a week's backlog drains as
+        #: many bounded batches instead of one giant one (the Delta
+        #: maxFilesPerTrigger analogue, in commit units).  The Python
+        #: source API passes no start offset to latestOffset (and
+        #: Spark calls it BEFORE initialOffset, traced on 4.1), so the
+        #: exact anchor comes from the stream's own checkpoint when
+        #: the ``checkpoint`` option names it (read_changes_stream
+        #: wires this automatically); without it the cap anchors on
+        #: the reader's in-run progress watermark — first planned
+        #: batch uncapped, every later one bounded.
+        self._cap = int(options.get("maxcommitspertrigger", 0))
+        self._checkpoint = options.get("checkpoint") or None
+        self._watermark: int | None = None
         self._cols = [f.name for f in schema.fields]
 
     # -- offsets ---------------------------------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802
+        self._watermark = self._from
         return {"commit": self._from}
 
     def latestOffset(self) -> dict:  # noqa: N802
         visible, floor = _journal_state(self._journal)
-        head = max(visible, default=floor)
+        head = max(max(visible, default=floor), self._from)
+        if self._cap:
+            anchor = self._watermark
+            if self._checkpoint is not None:
+                ck = _checkpoint_anchor(self._checkpoint)
+                anchor = (
+                    max(ck, anchor or 0)
+                    if ck is not None
+                    # empty checkpoint ⇒ genuinely fresh ⇒ _from is
+                    # the true start, cap the very first batch too
+                    else (anchor if anchor is not None else self._from)
+                )
+            if anchor is not None:
+                head = min(head, anchor + self._cap)
         return {"commit": max(head, self._from)}
 
     # -- planning --------------------------------------------------------
@@ -131,6 +187,9 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         lo, hi = start["commit"], end["commit"]
+        # progress watermark for the rate limit (also re-anchors it
+        # after a restart, where initialOffset is never called)
+        self._watermark = max(self._watermark or 0, hi)
         visible, floor = _journal_state(self._journal)
         if lo < floor:
             msg = (
@@ -235,11 +294,23 @@ class TableChangesDataSource(DataSource):
         return _ChangesStreamReader(schema, self.options)
 
 
-def read_changes_stream(db, table: str, *, from_commit: int = 0):  # noqa: ANN001, ANN201
+def read_changes_stream(  # noqa: ANN201
+    db,  # noqa: ANN001
+    table: str,
+    *,
+    from_commit: int = 0,
+    max_commits_per_trigger: int = 0,
+    checkpoint_dir: str | None = None,
+):
     """A streaming DataFrame of *table*'s changes feed from the managed
     catalog *db*, starting after *from_commit* — the readStream twin of
     ``db.table_changes(table, from_commit)``; same output schema, same
-    vacuum-horizon contract, offsets checkpointed by the stream."""
+    vacuum-horizon contract, offsets checkpointed by the stream.
+    *max_commits_per_trigger* bounds each micro-batch's commit range
+    (0 = unlimited) so a backlog drains as many bounded batches; pass
+    the SAME *checkpoint_dir* you give ``writeStream`` so the cap can
+    anchor on the stream's true position in every mode (without it the
+    first planned batch of each run is uncapped)."""
     spark = db.spark
     if getattr(read_changes_stream, "_registered", None) is not spark:
         spark.dataSource.register(TableChangesDataSource)
@@ -262,6 +333,8 @@ def read_changes_stream(db, table: str, *, from_commit: int = 0):  # noqa: ANN00
         .option("location", location)
         .option("journal", journal)
         .option("fromCommit", str(from_commit))
+        .option("maxCommitsPerTrigger", str(max_commits_per_trigger))
+        .option("checkpoint", checkpoint_dir or "")
         .load()
     )
     # user-facing half of any registered dtype adapters, same as the

@@ -1129,3 +1129,107 @@ def test_stream_rollup_push_based_ivm_exactly_once(
     got = {r["name_len"]: r["n"] for r in rc.summary().collect()}
     assert got == {1: 1, 2: 3, 3: 1, 4: 1, 5: 1}
     assert cdc_source is not None
+
+
+def test_streaming_cdc_feed_rate_limit_bounds_batches(
+    spark: SparkSession, tmp_path
+) -> None:
+    """``maxCommitsPerTrigger`` bounds each planned micro-batch to N
+    commits, so a consumer returning from a long absence drains its
+    backlog as many bounded batches (the Delta maxFilesPerTrigger
+    analogue in commit units) instead of one giant replay batch."""
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    db = SparkConnector(spark, database="cdcrate")
+    db.execute_ddl(
+        "CREATE TABLE rl_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+    for i in range(5):
+        with db:
+            db.insert(
+                spark.createDataFrame([(f"n{i}",)], ["name"]), table="rl_t"
+            )
+
+    batches: list[set] = []
+
+    def sink(df, _bid) -> None:  # noqa: ANN001
+        batches.append({r["_commit_id"] for r in df.collect()})
+
+    ckpt = str(tmp_path / "ckpt")
+    # drain until converged: each availableNow run snapshots a capped
+    # head (the cap anchors on the checkpoint's true position — Spark
+    # snapshots latestOffset before initialOffset, so the anchor must
+    # come from the offsets log, not the reader's lifecycle), so the
+    # 5-commit backlog takes several runs
+    for _ in range(6):
+        q = (
+            read_changes_stream(
+                db, "rl_t", max_commits_per_trigger=2, checkpoint_dir=ckpt
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if batches and set().union(*batches) == set(range(1, 6)):
+            break
+
+    non_empty = [b for b in batches if b]
+    assert set().union(*non_empty) == set(range(1, 6))  # nothing lost
+    assert all(len(b) <= 2 for b in non_empty), non_empty  # every batch bounded
+    assert len(non_empty) >= 3  # the backlog really was split up
+
+
+def test_streaming_cdc_feed_survives_compaction(
+    spark: SparkSession, tmp_path
+) -> None:
+    """Compaction rewrites data files but PRESERVES per-row commit
+    tokens, so a stream that already served commits (1, 2] must not
+    re-serve them from the rewritten files: the next drain's token-set
+    filter excludes old tokens wherever they now live.  Pins the
+    feed/compaction interplay end to end (footer pruning re-prunes the
+    NEW files' row groups)."""
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    db = SparkConnector(spark, database="cdccompact")
+    db.execute_ddl(
+        "CREATE TABLE cp_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+
+    def add(names) -> None:  # noqa: ANN001
+        with db:
+            db.insert(
+                spark.createDataFrame([(n,) for n in names], ["name"]),
+                table="cp_t",
+            )
+
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> None:
+        got.clear()
+        q = (
+            read_changes_stream(db, "cp_t")
+            .writeStream.foreachBatch(
+                lambda df, _bid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add(["a", "b"])
+    add(["c"])
+    drain()
+    assert {r["name"] for r in got} == {"a", "b", "c"}
+
+    db.compact_table("cp_t", target_partitions=1)
+    add(["d"])
+    drain()
+    # ONLY the new commit arrives — nothing re-served from the
+    # compacted rewrite of already-bookmarked commits
+    assert [(r["name"], r["_commit_id"]) for r in got] == [
+        ("d", db.commit_history()[-1])
+    ]
