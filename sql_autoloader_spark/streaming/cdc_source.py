@@ -140,6 +140,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._location = options["location"]
         self._journal = options["journal"]
         self._from = int(options.get("fromcommit", 0))
+        self._schema = schema
         #: micro-batch rate limit: at most N commits per planned batch
         #: (0 = unlimited).  Bounds replay batches when a consumer
         #: returns from a long absence — a week's backlog drains as
@@ -251,6 +252,21 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
         if not partition.path:  # planned empty batch
             return
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        arrow_types = {
+            f.name: to_arrow_type(f.dataType) for f in self._schema.fields
+        }
+        # Hive-layout partition columns live in the PATH, not the file
+        # (…/source=web/part-….parquet): parse them so partitioned
+        # managed tables stream like flat ones
+        hive_cols = {}
+        from urllib.parse import unquote
+
+        for seg in partition.path.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                hive_cols[k] = unquote(v)
         tok2cid = {int(k): v for k, v in json.loads(partition.tok2cid).items()}
         tokens = pa.array(list(tok2cid), pa.int64())
         cids = pa.array([tok2cid[t] for t in tok2cid], pa.int64())
@@ -265,13 +281,36 @@ class _ChangesStreamReader(DataSourceStreamReader):
             # token -> user-facing commit id, vectorized: index into the
             # (tiny) batch token list, then gather the matching cids
             idx = pc.index_in(tbl.column(_COMMIT_COL), value_set=tokens)
-            tbl = tbl.drop_columns([_COMMIT_COL])
-            tbl = tbl.append_column("_commit_id", pc.take(cids, idx))
-            tbl = tbl.append_column(
-                "_change_type",
-                pa.array(["insert"] * tbl.num_rows, pa.string()),
-            )
-            yield from tbl.select(self._cols).to_batches()
+            n = tbl.num_rows
+            out = []
+            for col in self._cols:
+                if col == "_commit_id":
+                    out.append(pc.take(cids, idx))
+                elif col == "_change_type":
+                    out.append(pa.array(["insert"] * n, pa.string()))
+                elif col in tbl.column_names:
+                    out.append(
+                        pc.cast(tbl.column(col), arrow_types[col])
+                    )
+                elif col in hive_cols:
+                    v = hive_cols[col]
+                    out.append(
+                        pa.nulls(n, arrow_types[col])
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else pc.cast(
+                            pa.array([v] * n, pa.string()),
+                            arrow_types[col],
+                        )
+                    )
+                else:
+                    # schema evolution: a file written before ALTER
+                    # TABLE ADD COLUMN lacks the column — null-fill,
+                    # the same semantics Spark's own parquet reader
+                    # gives evolved batch scans
+                    out.append(pa.nulls(n, arrow_types[col]))
+            yield from pa.Table.from_arrays(
+                out, names=self._cols
+            ).to_batches()
 
     def commit(self, end: dict) -> None:
         pass

@@ -1233,3 +1233,76 @@ def test_streaming_cdc_feed_survives_compaction(
     assert [(r["name"], r["_commit_id"]) for r in got] == [
         ("d", db.commit_history()[-1])
     ]
+
+
+def test_streaming_cdc_feed_partitioned_table_and_schema_evolution(
+    spark: SparkSession, tmp_path
+) -> None:
+    """Two physical-layout hazards of reading parquet OUTSIDE Spark's
+    scan (the stream's pyarrow partitions): (1) Hive ``partition_by``
+    layouts keep the partition column in the DIRECTORY NAME, not the
+    file — the reader must parse it back from the path; (2) files
+    written before ``ALTER TABLE ADD COLUMN`` lack the new column —
+    the reader must null-fill, matching Spark's own evolved-scan
+    semantics (the streaming twin of the r13 batch CDC-across-ALTER
+    pin)."""
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    # -- (1) Hive-partitioned managed table
+    db = SparkConnector(
+        spark,
+        database="cdcpart",
+        partition_by={"pt_t": ["cat"]},
+    )
+    db.execute_ddl(
+        "CREATE TABLE pt_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " cat TEXT);"
+    )
+    with db:
+        db.insert(
+            spark.createDataFrame(
+                [("a", "x"), ("b", "y")], "name string, cat string"
+            ),
+            table="pt_t",
+        )
+    head = db.commit_history()[-1]
+    got: list = []
+    q = (
+        read_changes_stream(db, "pt_t")
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {(r["name"], r["cat"], r["_commit_id"]) for r in got} == {
+        ("a", "x", head),
+        ("b", "y", head),
+    }
+
+    # -- (2) schema evolution: pre-ALTER files null-fill the new column
+    db2 = SparkConnector(spark, database="cdcevolve")
+    db2.execute_ddl(
+        "CREATE TABLE ev_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+    with db2:
+        db2.insert(spark.createDataFrame([("old",)], ["name"]), table="ev_t")
+    db2.execute_ddl("ALTER TABLE ev_t ADD COLUMN note TEXT;")
+    with db2:
+        db2.insert(
+            spark.createDataFrame(
+                [("new", "hello")], "name string, note string"
+            ),
+            table="ev_t",
+        )
+    got2: list = []
+    q2 = (
+        read_changes_stream(db2, "ev_t")
+        .writeStream.foreachBatch(lambda df, _b: got2.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = {r["name"]: r["note"] for r in got2}
+    assert rows == {"old": None, "new": "hello"}
