@@ -361,10 +361,23 @@ def read_changes_stream(  # noqa: ANN201
         if f.name != _COMMIT_COL
     )
     location = db._table_location(table)
+    journal = db._journal._dir
+    for path in (location, journal):
+        scheme = path.split("://", 1)[0] if "://" in path else "file"
+        if scheme not in ("file", "file:"):
+            # the reader's journal listing and footer pruning run on
+            # python os/pyarrow local IO — a remote-FS warehouse would
+            # silently stream an EMPTY feed; refuse loudly instead
+            # (the batch table_changes path covers remote warehouses)
+            msg = (
+                f"read_changes_stream requires a locally-mounted "
+                f"warehouse path (got scheme '{scheme}' in {path!r}); "
+                "use the batch table_changes feed for remote "
+                "filesystems."
+            )
+            raise ValueError(msg)
     for prefix in ("file://", "file:"):
         location = location.removeprefix(prefix)
-    journal = db._journal._dir
-    for prefix in ("file://", "file:"):
         journal = journal.removeprefix(prefix)
     stream = (
         spark.readStream.format("table_changes_feed")
@@ -426,6 +439,20 @@ def stream_rollup(  # noqa: ANN201
             try:
                 if delta.count() == 0:
                     return  # empty replay/no-op batch: nothing to fold
+                # vacuum-horizon RE-check after materialization, same
+                # contract as the polling refresh: a vacuum that folded
+                # commits under this batch mid-flight means the delta
+                # may be partial — error, never advance the bookmark
+                _, floor, _ = db._journal.state()
+                if floor > head["bookmark"]:
+                    msg = (
+                        f"a concurrent vacuum moved the horizon to "
+                        f"{floor} past this consumer's bookmark "
+                        f"{head['bookmark']} while the streamed fold "
+                        "was in flight — rerun the stream (it will "
+                        "error on the horizon) or rebaseline()."
+                    )
+                    raise ValueError(msg)
                 max_cid = batch.agg({"_commit_id": "max"}).first()[0]
                 old = consumer.summary()
                 new = delta if old is None else merge_rollup(
