@@ -61,19 +61,25 @@ __all__ = [
 _COMMIT_COL = "__commit_id"
 
 
-def _journal_state(journal_dir: str) -> tuple[dict[int, int], int]:
-    """``({cid: token}, floor)`` from one directory listing — the
-    pure-Python twin of ``_CommitJournal.state`` (spark_catalog.py),
-    usable inside data-source workers where no SparkSession exists."""
+def _journal_state(journal_dir: str) -> tuple[dict[int, int], int, int]:
+    """``({cid: token}, floor, intent)`` from one directory listing —
+    the pure-Python twin of ``_CommitJournal.state`` (spark_catalog.py),
+    usable inside data-source workers where no SparkSession exists.
+    ``intent`` is the highest in-progress-or-done vacuum horizon (>
+    floor while a vacuum is mid-flight): ranges at or below it must be
+    refused rather than served half-folded."""
     visible: dict[int, int] = {}
     floor = 0
+    intent = 0
     try:
         names = os.listdir(journal_dir)
     except FileNotFoundError:
-        return {}, 0
+        return {}, 0, 0
     for name in names:
         if name.endswith(".floor"):
             floor = max(floor, int(name[: -len(".floor")]))
+        elif name.endswith(".vacuuming"):
+            intent = max(intent, int(name[: -len(".vacuuming")]))
     for name in names:
         if not name.endswith(".commit"):
             continue
@@ -86,7 +92,7 @@ def _journal_state(journal_dir: str) -> tuple[dict[int, int], int]:
         except (OSError, ValueError):
             # mid-publish or tampered: skip now, next listing retries
             continue
-    return visible, floor
+    return visible, floor, max(intent, floor)
 
 
 def _checkpoint_anchor(checkpoint_dir: str) -> int | None:
@@ -165,7 +171,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         return {"commit": self._from}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        visible, floor = _journal_state(self._journal)
+        visible, floor, _intent = _journal_state(self._journal)
         head = max(max(visible, default=floor), self._from)
         if self._cap:
             anchor = self._watermark
@@ -191,15 +197,23 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # progress watermark for the rate limit (also re-anchors it
         # after a restart, where initialOffset is never called)
         self._watermark = max(self._watermark or 0, hi)
-        visible, floor = _journal_state(self._journal)
-        if lo < floor:
-            msg = (
-                f"streaming changes feed fell below the vacuum horizon: "
-                f"next offset {lo} < floor {floor}; commits at or below "
-                "the floor were folded into the base — rebaseline the "
-                "consumer (read_table_as_of + a fresh fromCommit), the "
-                "same recovery as the batch feed."
-            )
+        visible, floor, intent = _journal_state(self._journal)
+        if lo < intent:
+            if intent > floor:
+                msg = (
+                    f"a vacuum through commit {intent} is in progress; "
+                    f"the streamed range starting at {lo} is unreadable "
+                    "until it completes (reopen a connector to complete "
+                    "a crashed one) — same contract as the batch feed."
+                )
+            else:
+                msg = (
+                    "streaming changes feed fell below the vacuum "
+                    f"horizon: next offset {lo} < floor {floor}; commits "
+                    "at or below the floor were folded into the base — "
+                    "rebaseline the consumer (read_table_as_of + a fresh "
+                    "fromCommit), the same recovery as the batch feed."
+                )
             raise ValueError(msg)
         tok2cid = {
             tok: cid for cid, tok in visible.items() if lo < cid <= hi
@@ -402,6 +416,7 @@ def stream_rollup(  # noqa: ANN201
     *,
     checkpoint_dir: str,
     from_commit: int = 0,
+    max_commits_per_trigger: int = 0,
 ):
     """PUSH-based incremental view maintenance: maintain *consumer*'s
     rollup from the STREAMING changes feed instead of polling
@@ -427,7 +442,13 @@ def stream_rollup(  # noqa: ANN201
 
     from sql_autoloader_spark.functions.scale import merge_rollup
 
-    stream = read_changes_stream(db, table, from_commit=from_commit)
+    stream = read_changes_stream(
+        db,
+        table,
+        from_commit=from_commit,
+        max_commits_per_trigger=max_commits_per_trigger,
+        checkpoint_dir=checkpoint_dir,
+    )
 
     def fold(batch, batch_id) -> None:  # noqa: ANN001
         head = consumer.head()

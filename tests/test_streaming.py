@@ -1034,6 +1034,29 @@ def test_streaming_cdc_feed_errors_below_vacuum_horizon(
     ):
         q.awaitTermination()
 
+    # an IN-FLIGHT vacuum (intent marker above the floor — a crashed
+    # or concurrent fold) makes the range unreadable until it
+    # completes, same as the batch feed's intent guard
+    with db:
+        db.insert(spark.createDataFrame([("d",)], ["name"]), table="vh_t")
+    head = db.commit_history()[-1]
+    intent = Path(db._journal._dir.removeprefix("file:")) / f"{head}.vacuuming"
+    intent.touch()
+    try:
+        q2 = (
+            read_changes_stream(db, "vh_t", from_commit=head - 1)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(
+            StreamingQueryException, match="vacuum through commit"
+        ):
+            q2.awaitTermination()
+    finally:
+        intent.unlink()
+
 
 def test_stream_rollup_push_based_ivm_exactly_once(
     spark: SparkSession, tmp_path
