@@ -2377,6 +2377,89 @@ def q_events_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_load_incremental_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental QUANTILE maintenance (r14): percentiles cannot ride
+    a sum-merged rollup, but a fixed-bin histogram can — each summary
+    keeps one ``array<bigint>`` of bin counts per source, refreshes
+    merge element-wise (``merge_rollup(..., combine={"hist":
+    "vector_sum"})``), and any quantile reads off the merged counts
+    with no extra scan.  Bins are ``least(15, n_chars div 64)`` — a
+    fixed, engine-recomputable boundary, so unlike t-digest sketches
+    the WHOLE certificate is exact: after two incremental refreshes
+    across three loads the exploded (source, bin, n_docs) rows must
+    hash-match the oracle's direct recount from raw parquet."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.functions import scale
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    db = SparkConnector(spark, database=f"ivmh_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        """
+        CREATE TABLE irh_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE irh_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES irh_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+
+    n_bins, width = 16, 64
+
+    def hist(frame: DataFrame) -> DataFrame:
+        bin_col = F.least(
+            F.lit(n_bins - 1), (F.col("n_chars") / width).cast("int")
+        )
+        return frame.groupBy("source_id").agg(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(bin_col == i, 1).otherwise(0)
+                    ).cast("bigint")
+                    for i in range(n_bins)
+                ]
+            ).alias("hist")
+        )
+
+    summary = None
+    bookmark = 0
+    for chunk in (
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 3 <= 1,
+        F.lit(True),
+    ):
+        with db:
+            db.load(docs.where(chunk), exact=False)
+        head = db.commit_history()[-1]
+        delta = hist(db.table_changes("irh_doc", bookmark, head))
+        summary = _pin_small(
+            delta
+            if summary is None
+            else scale.merge_rollup(
+                summary, delta, keys=["source_id"], combine={"hist": "vector_sum"}
+            )
+        )
+        bookmark = head
+
+    dim = db.read_table_as_of("irh_source", bookmark).select("id", "source")
+    out = _pin_small(
+        summary.join(dim, summary["source_id"] == dim["id"])
+        .select("source", F.posexplode("hist").alias("bin", "n_docs"))
+        .where(F.col("n_docs") > 0)
+        .select(
+            "source",
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return out
+
+
 def q_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUSH-based incremental view maintenance (r14): a
     ``RollupConsumer`` maintained by ``streaming.stream_rollup`` from
@@ -4881,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_snapshot_diff": q_load_snapshot_diff,
         "load_incremental_rollup": q_load_incremental_rollup,
         "load_incremental_distinct_rollup": q_load_incremental_distinct_rollup,
+        "load_incremental_histogram": q_load_incremental_histogram,
         "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
     }
@@ -5279,6 +5363,18 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM documents
             GROUP BY source
+        """,
+        "load_incremental_histogram": """
+            WITH base AS (
+                SELECT source,
+                       LEAST(15, CAST(n_chars // 64 AS INT)) AS bin
+                FROM (SELECT DISTINCT doc_id, source, n_chars
+                      FROM documents)
+            )
+            SELECT source, CAST(bin AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM base
+            GROUP BY source, bin
         """,
         "load_incremental": """
             WITH b1 AS (

@@ -548,6 +548,20 @@ def mixture_sample(
     )
 
 
+def _vector_sum(c: str) -> F.Column:
+    """Element-wise sum over ``array<bigint>`` measure columns — the
+    mergeable form of a fixed-bin HISTOGRAM (and any other count
+    vector): each partial carries one array per key, the merge is
+    ``zip_with(+)`` folded over the collected partials.  Quantiles
+    then read off the merged histogram at no extra scan — the
+    fixed-boundary answer to "percentiles can't ride a rollup"."""
+    return F.expr(
+        f"aggregate(collect_list(`{c}`), cast(array() as array<bigint>),"
+        " (acc, x) -> CASE WHEN size(acc) = 0 THEN x"
+        " ELSE zip_with(acc, x, (a, b) -> a + b) END)"
+    )
+
+
 _MERGE_COMBINATORS = {
     "sum": F.sum,
     "min": F.min,
@@ -559,6 +573,9 @@ _MERGE_COMBINATORS = {
     # partial-aggregatable.  Estimate at read time with
     # F.hll_sketch_estimate.
     "hll_union": F.hll_union_agg,
+    # element-wise array<bigint> sum: fixed-bin histograms (mergeable
+    # quantiles), per-key count vectors
+    "vector_sum": _vector_sum,
 }
 
 
@@ -576,8 +593,10 @@ def merge_rollup(
     Both frames must carry *keys* plus MERGEABLE measure columns.
     *combine* names each measure's combinator (``"sum"`` — counts and
     sums, the default for unlisted columns — plus ``"min"``/``"max"``,
-    and ``"hll_union"`` for Datasketches HLL sketch columns built with
-    ``F.hll_sketch_agg``, the mergeable form of a distinct count);
+    ``"hll_union"`` for Datasketches HLL sketch columns built with
+    ``F.hll_sketch_agg`` — the mergeable form of a distinct count —
+    and ``"vector_sum"`` for ``array<bigint>`` count vectors — the
+    mergeable form of a fixed-bin histogram, hence of quantiles);
     keep averages as (sum, count) pairs and divide at read time, and
     EXACT distincts as their own keyed rollup — the standard
     partial-aggregate discipline.  The merge is ``unionByName`` + one

@@ -2094,3 +2094,50 @@ def test_merge_rollup_hll_union_combinator(spark: SparkSession) -> None:
     )
     want = {r["k"]: r["n"] for r in exact.collect()}
     assert got == want == {"a": 150, "b": 80}
+
+
+def test_merge_rollup_vector_sum_combinator(spark: SparkSession) -> None:
+    """Fixed-bin histograms ride the incremental rollup as
+    array<bigint> count vectors: merging per-refresh partials with the
+    r14 "vector_sum" combinator (element-wise zip_with sum) equals one
+    histogram over all the data, and quantiles read off the merged
+    counts — the fixed-boundary form of mergeable percentiles."""
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions import scale
+
+    def hist(rows):  # noqa: ANN001, ANN202
+        df = spark.createDataFrame(rows, "k string, v int")
+        b = F.least(F.lit(3), (F.col("v") / 10).cast("int"))
+        return df.groupBy("k").agg(
+            F.array(
+                *[
+                    F.sum(F.when(b == i, 1).otherwise(0)).cast("bigint")
+                    for i in range(4)
+                ]
+            ).alias("h")
+        )
+
+    chunks = [
+        [("a", 1), ("a", 11), ("b", 35)],
+        [("a", 12), ("a", 25), ("b", 5)],
+        [("a", 39)],
+    ]
+    merged = hist(chunks[0])
+    for c in chunks[1:]:
+        merged = scale.merge_rollup(
+            merged, hist(c), keys=["k"], combine={"h": "vector_sum"}
+        )
+    got = {r["k"]: r["h"] for r in merged.collect()}
+    direct = {
+        r["k"]: r["h"] for r in hist([t for c in chunks for t in c]).collect()
+    }
+    assert got == direct == {"a": [1, 2, 1, 1], "b": [1, 0, 0, 1]}
+    # quantile off the merged histogram: p50 of 'a' (5 values, median
+    # rank 3) lands in bin 1 by cumulative walk
+    cum, p50_bin = 0, None
+    for i, n in enumerate(got["a"]):
+        cum += n
+        if cum >= 3 and p50_bin is None:
+            p50_bin = i
+    assert p50_bin == 1
