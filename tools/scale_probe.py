@@ -54,6 +54,8 @@ PROBES = [
     "docs_mixture_weights",    # water-filled mixture sampling (r13)
     "docs_orc_roundtrip",      # ORC write+read interchange (r13)
     "load_snapshot_diff",      # CDC changes feed over two commits (r13)
+    "events_stream_cdc",       # streaming CDC source drain (r14)
+    "load_incremental_histogram",  # vector_sum IVM refreshes (r14)
 ]
 
 #: global-ordering probes additionally assert DETERMINISM at the blown-
