@@ -1983,12 +1983,17 @@ class SparkConnector(BaseConnector):
                     opts,
                 )
             except Exception:
-                # belt-and-braces lost-race tolerance: if our tmp is
-                # gone but the destination exists, another process
-                # persisted the SAME content (both derive it from the
-                # same on-disk table) and something swept our tmp —
-                # the durable outcome is identical, so accept it
-                if not fs.exists(dest):
+                # belt-and-braces lost-race tolerance — but ONLY for
+                # the race signature: our tmp GONE with the destination
+                # present.  The uuid makes the tmp ours alone, so
+                # tmp-gone means the atomic move actually landed (an
+                # exception after the syscall is transport noise) or a
+                # same-content concurrent persist superseded it.  If
+                # our tmp still exists the move genuinely failed —
+                # re-raise, NEVER leave a stale destination standing
+                # (e.g. a failed persist right after ALTER TABLE would
+                # otherwise silently feed old metadata to adopters).
+                if fs.exists(tmp) or not fs.exists(dest):
                     raise
             # the nio move bypasses Hadoop's ChecksumFileSystem: drop
             # any CRC sidecars (the tmp's fresh one, and a stale dest
