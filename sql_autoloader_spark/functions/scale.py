@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "histogram_quantile",
     "merge_rollup",
     "mixture_sample",
     "prefix_sum",
@@ -546,6 +547,42 @@ def mixture_sample(
         .withColumnRenamed("__cum", "cum_tokens")
         .drop("__budget")
     )
+
+
+def histogram_quantile(hist: str | F.Column, q: float) -> F.Column:
+    """The BIN INDEX holding quantile *q* of a fixed-bin histogram
+    column (``array<bigint>`` of counts, the ``"vector_sum"`` rollup
+    measure) — the read-side half of incremental quantiles: quantiles
+    come off the maintained counts with no scan of the underlying
+    data.  Rank semantics: the smallest bin whose cumulative count
+    reaches ``ceil(q * total)`` (inclusive-rank, matching a sorted
+    walk); NULL for an empty/all-zero histogram.  Pure expression —
+    whole-stage-codegen'd per row, no UDF, no shuffle."""
+    if not 0.0 < q <= 1.0:
+        msg = f"quantile must be in (0, 1], got {q}"
+        raise ValueError(msg)
+    col = hist if isinstance(hist, F.Column) else F.col(hist)
+    h, qs = col.cast("array<bigint>"), float(q)
+    total = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = F.ceil(F.lit(qs) * total.cast("double")).cast("bigint")
+    # first index whose cumulative count reaches the target rank:
+    # bins are few by construction (fixed boundaries), so the O(bins²)
+    # slice-and-sum stays trivial and entirely expression-side
+    walk = F.filter(
+        F.transform(
+            h,
+            lambda _x, i: F.struct(
+                i.alias("i"),
+                F.aggregate(
+                    F.slice(h, F.lit(1), i + 1),
+                    F.lit(0).cast("bigint"),
+                    lambda a, x: a + x,
+                ).alias("c"),
+            ),
+        ),
+        lambda s: s["c"] >= target,
+    )
+    return F.when(target > 0, walk[0]["i"].cast("int"))
 
 
 def _vector_sum(c: str) -> F.Column:

@@ -2141,3 +2141,63 @@ def test_merge_rollup_vector_sum_combinator(spark: SparkSession) -> None:
         if cum >= 3 and p50_bin is None:
             p50_bin = i
     assert p50_bin == 1
+
+
+def test_histogram_quantile_reads_off_merged_counts(
+    spark: SparkSession,
+) -> None:
+    """histogram_quantile: the read-side half of incremental quantiles
+    — bin-at-rank by cumulative walk, pure expression.  Checked
+    against a python model across quantiles and against numpy-style
+    hand cases including empty and single-bin histograms."""
+    import math
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions import scale
+
+    rows = [
+        ("a", [1, 2, 1, 1]),   # values at ranks: b0:1, b1:2-3, b2:4, b3:5
+        ("b", [0, 0, 5, 0]),   # everything in bin 2
+        ("c", [0, 0, 0, 0]),   # empty -> NULL
+        ("d", [7]),            # single bin
+    ]
+    df = spark.createDataFrame(rows, "k string, h array<bigint>")
+
+    for q in (0.01, 0.25, 0.5, 0.9, 1.0):
+        got = {
+            r["k"]: r["bin"]
+            for r in df.select(
+                "k", scale.histogram_quantile("h", q).alias("bin")
+            ).collect()
+        }
+        want = {}
+        for k, h in rows:
+            total = sum(h)
+            if total == 0:
+                want[k] = None
+                continue
+            target = math.ceil(q * total)
+            cum = 0
+            for i, n in enumerate(h):
+                cum += n
+                if cum >= target:
+                    want[k] = i
+                    break
+        assert got == want, (q, got, want)
+
+    # p50 of 'a' (5 values, rank 3) is bin 1; p100 is the last
+    # non-empty bin
+    p50 = df.where("k = 'a'").select(
+        scale.histogram_quantile(F.col("h"), 0.5).alias("b")
+    ).first()["b"]
+    assert p50 == 1
+    p100 = df.where("k = 'a'").select(
+        scale.histogram_quantile("h", 1.0).alias("b")
+    ).first()["b"]
+    assert p100 == 3
+
+    with pytest.raises(ValueError, match="quantile must be"):
+        scale.histogram_quantile("h", 0.0)
