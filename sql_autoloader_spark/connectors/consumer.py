@@ -204,30 +204,53 @@ class RollupConsumer:
             # checked the floor at plan-build; advancing the bookmark
             # on a stale delta would lose those rows forever — error
             # instead (the caller re-runs refresh, or rebaselines).
-            _, floor, _ = db._journal.state()
-            if floor > h["bookmark"]:
+            # Guard on the vacuum INTENT, not the floor: ordering is
+            # intent marker -> table rewrite -> floor file, so in the
+            # window after the rewrite retagged rows to token 0 but
+            # before the floor lands, a floor-only check would pass
+            # while the delta already lost those rows.  intent
+            # collapses to floor once the vacuum completes, so this
+            # strictly widens the guard to cover the in-flight window.
+            _, _floor, intent = db._journal.state()
+            if intent > h["bookmark"]:
                 msg = (
-                    f"a concurrent vacuum moved the horizon to {floor} "
-                    f"past this consumer's bookmark {h['bookmark']} "
+                    f"a concurrent vacuum through commit {intent} "
+                    f"overlaps this consumer's bookmark {h['bookmark']} "
                     "while the refresh was in flight; the computed "
                     "delta may be partial — rerun refresh (it will "
                     "error on the horizon) or rebaseline()."
                 )
                 raise ValueError(msg)
+            # a polling refresh must PRESERVE the streaming fold's
+            # stream_batch id: stream_rollup's replay guard is
+            # "batch_id <= head[stream_batch]", and a consumer may
+            # legally alternate between polling and streaming — if a
+            # stream crashed after its HEAD flip but before the
+            # checkpoint commit, dropping the key here would make the
+            # replayed micro-batch unrecognized and double-counted
+            carry = (
+                {"stream_batch": h["stream_batch"]}
+                if "stream_batch" in h
+                else {}
+            )
             if n_groups == 0:
                 # new commits, none touching THIS table: advance the
                 # bookmark without writing a summary version — an
                 # empty parquet write would leave an unreadable
                 # (schema-less) version dir, and rewriting the old
                 # summary buys nothing
-                state = {"version": h["version"], "bookmark": head_commit}
+                state = {
+                    "version": h["version"],
+                    "bookmark": head_commit,
+                    **carry,
+                }
                 self._flip_head(state)
                 return state
             old = self.summary()
             new = delta if old is None else merge_rollup(
                 old, delta, keys=self.keys, combine=self.combine
             )
-            return self._publish(new, h["version"] + 1, head_commit)
+            return self._publish(new, h["version"] + 1, head_commit, **carry)
         finally:
             delta.unpersist()
 

@@ -2011,10 +2011,24 @@ class SparkConnector(BaseConnector):
             # and our rename, in which case our rename returns False
             # with the destination present: the content both writers
             # persist is identical, so tolerate the lost race and just
-            # drop our own tmp
+            # drop our own tmp.  A failed rename with the destination
+            # ABSENT is NOT that race — the preceding delete already
+            # removed the old metadata JSON, so swallowing it would
+            # silently drop the table from every future process's
+            # adoption; raise, same discipline as the local branch.
             fs.delete(dest, False)
-            if not fs.rename(tmp, dest) and fs.exists(dest):
-                fs.delete(tmp, False)
+            if not fs.rename(tmp, dest):
+                if fs.exists(dest):
+                    fs.delete(tmp, False)
+                else:
+                    msg = (
+                        f"persisting table metadata failed: rename "
+                        f"{tmp} -> {dest} refused and no concurrent "
+                        "writer landed the destination (permissions/"
+                        "quota?); the table's metadata file is gone — "
+                        "re-run the DDL/open to restore it."
+                    )
+                    raise RuntimeError(msg)
 
     def _adopt_filesystem_tables(self) -> None:
         """Register every file-persisted table absent from THIS

@@ -591,11 +591,28 @@ def _vector_sum(c: str) -> F.Column:
     vector): each partial carries one array per key, the merge is
     ``zip_with(+)`` folded over the collected partials.  Quantiles
     then read off the merged histogram at no extra scan — the
-    fixed-boundary answer to "percentiles can't ride a rollup"."""
+    fixed-boundary answer to "percentiles can't ride a rollup".
+
+    Contract: every partial is a NON-NULL array of ONE fixed length
+    per measure — and the merge fails LOUDLY on violations instead of
+    corrupting.  Without the guards, ``zip_with`` pads a shorter array
+    with nulls and ``x + null`` nulls those elements, and a NULL
+    partial is silently DROPPED by ``collect_list`` (undercount) —
+    both would poison the rollup without a trace."""
+    err = (
+        f"vector_sum measure `{c}`: partials must be non-null "
+        "arrays of one fixed length; "
+    )
     return F.expr(
-        f"aggregate(collect_list(`{c}`), cast(array() as array<bigint>),"
+        f"CASE WHEN count(*) != count(`{c}`) THEN"
+        f" cast(raise_error('{err}got a NULL partial') as array<bigint>)"
+        f" ELSE aggregate(collect_list(`{c}`),"
+        " cast(array() as array<bigint>),"
         " (acc, x) -> CASE WHEN size(acc) = 0 THEN x"
-        " ELSE zip_with(acc, x, (a, b) -> a + b) END)"
+        " WHEN size(acc) != size(x) THEN"
+        f" cast(raise_error(concat('{err}got lengths ', size(acc),"
+        " ' and ', size(x))) as array<bigint>)"
+        " ELSE zip_with(acc, x, (a, b) -> a + b) END) END"
     )
 
 

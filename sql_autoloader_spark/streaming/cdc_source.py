@@ -451,24 +451,39 @@ def stream_rollup(  # noqa: ANN201
     )
 
     def fold(batch, batch_id) -> None:  # noqa: ANN001
+        from pyspark.sql import functions as F
+
         head = consumer.head()
         if batch_id <= head.get("stream_batch", -1):
             return  # replayed batch, already folded — the bookmark skip
-        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        # clip to commits the bookmark has NOT folded yet: a consumer
+        # that alternated polling refreshes with streaming (the
+        # documented switch) may have advanced the bookmark past the
+        # stream's checkpoint position, so a restarted stream re-serves
+        # already-folded commits under a FRESH batch id — the batch_id
+        # guard alone cannot see that, the commit-id clip can
+        batch = batch.where(
+            F.col("_commit_id") > F.lit(head["bookmark"])
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             delta = agg(batch).persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 if delta.count() == 0:
                     return  # empty replay/no-op batch: nothing to fold
-                # vacuum-horizon RE-check after materialization, same
-                # contract as the polling refresh: a vacuum that folded
-                # commits under this batch mid-flight means the delta
-                # may be partial — error, never advance the bookmark
-                _, floor, _ = db._journal.state()
-                if floor > head["bookmark"]:
+                # vacuum RE-check after materialization, same contract
+                # as the polling refresh: a vacuum that folded commits
+                # under this batch mid-flight means the delta may be
+                # partial — error, never advance the bookmark.  Guard
+                # on the INTENT (ordering: intent marker -> table
+                # rewrite -> floor file): floor-only would pass in the
+                # post-rewrite pre-floor window where the retagged rows
+                # are already lost from the delta.  intent collapses to
+                # floor once the vacuum completes — strictly wider.
+                _, _floor, intent = db._journal.state()
+                if intent > head["bookmark"]:
                     msg = (
-                        f"a concurrent vacuum moved the horizon to "
-                        f"{floor} past this consumer's bookmark "
+                        f"a concurrent vacuum through commit {intent} "
+                        f"overlaps this consumer's bookmark "
                         f"{head['bookmark']} while the streamed fold "
                         "was in flight — rerun the stream (it will "
                         "error on the horizon) or rebaseline()."

@@ -1845,11 +1845,20 @@ def test_rollup_refresh_detects_concurrent_vacuum_mid_flight(
         # table_changes already ran its plan-time check against the
         # REAL floor; from here every state() read reports the floor
         # above the consumer's bookmark, as a vacuum racing the scan
-        # would — without rewriting files, so count() succeeds
+        # would — without rewriting files, so count() succeeds.  A
+        # real state() always reports intent >= floor (it returns
+        # max(intent, floor)) — simulate the same, since the r15
+        # re-check guards on intent (the wider signal that also
+        # covers the post-rewrite pre-floor window).
+        fake = rb["bookmark"] + 1
         monkeypatch.setattr(
             journal,
             "state",
-            lambda: (real_state()[0], rb["bookmark"] + 1, real_state()[2]),
+            lambda: (
+                real_state()[0],
+                fake,
+                max(real_state()[2], fake),
+            ),
         )
         return _rollup_agg(frame)
 
@@ -1861,3 +1870,134 @@ def test_rollup_refresh_detects_concurrent_vacuum_mid_flight(
     assert st["bookmark"] == db.commit_history()[-1]
     got = {r["name_len"]: r["n"] for r in consumer.summary().collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_rollup_refresh_errors_in_vacuum_intent_window(
+    spark: SparkSession, tmp_path, monkeypatch
+) -> None:
+    """The r15 ADVICE fix: vacuum ordering is intent marker -> table
+    rewrite -> floor file, so there is a window where the rewrite has
+    already retagged folded rows to token 0 (the materialized delta
+    silently lost them) but the floor file has NOT landed yet.  A
+    floor-only re-check passes in that window; the refresh must guard
+    on the INTENT — simulate exactly that signature: intent above the
+    bookmark, floor still below it."""
+    import pytest
+
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+
+    db = SparkConnector(spark, database="rollintwin")
+    db.execute_ddl(
+        "CREATE TABLE ri_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " name_len INTEGER);"
+    )
+    with db:
+        db.insert(
+            spark.createDataFrame(
+                [("a", 1), ("bb", 2)], "name string, name_len int"
+            ),
+            table="ri_t",
+        )
+    consumer = RollupConsumer(spark, str(tmp_path / "iw"), keys=["name_len"])
+    consumer.refresh(db, "ri_t", _rollup_agg)
+    with db:
+        db.insert(
+            spark.createDataFrame([("ccc", 3)], "name string, name_len int"),
+            table="ri_t",
+        )
+
+    journal = db._journal
+    real_state = journal.state
+    before = consumer.head()
+
+    def agg_in_intent_window(frame):  # noqa: ANN001, ANN202
+        # in-flight vacuum: intent marker landed (and the rewrite may
+        # have retagged our rows), floor not yet written
+        visible, floor, _ = real_state()
+        monkeypatch.setattr(
+            journal,
+            "state",
+            lambda: (visible, floor, before["bookmark"] + 1),
+        )
+        return _rollup_agg(frame)
+
+    with pytest.raises(ValueError, match="concurrent vacuum"):
+        consumer.refresh(db, "ri_t", agg_in_intent_window)
+    monkeypatch.setattr(journal, "state", real_state)
+    assert consumer.head() == before  # bookmark held past the lost rows
+    st = consumer.refresh(db, "ri_t", _rollup_agg)
+    assert st["bookmark"] == db.commit_history()[-1]
+    got = {r["name_len"]: r["n"] for r in consumer.summary().collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_persist_table_meta_remote_rename_failure_raises(
+    spark: SparkSession, monkeypatch
+) -> None:
+    """The r15 ADVICE fix for the remote-FS metadata-persist branch: a
+    rename that returns False with the destination ABSENT (permission
+    failure after the delete removed the old JSON) must RAISE — the
+    table would otherwise silently vanish from every future process's
+    adoption.  The lost-race signature (rename False, destination
+    present — a concurrent same-content persist won) stays tolerated."""
+    import pytest
+
+    from sql_autoloader_spark.connectors import spark_catalog as sc_mod
+
+    db = SparkConnector(spark, database="remotemeta")
+    db.execute_ddl("CREATE TABLE rm_t (id INTEGER PRIMARY KEY, v TEXT);")
+    parsed = db._meta["rm_t"]
+
+    class _RemoteFsProxy:
+        """Delegates to the real Hadoop FS but claims a remote scheme
+        and refuses renames — the failure signature under test."""
+
+        def __init__(self, real, rename_result=False, on_rename=None):
+            self._real = real
+            self._rename_result = rename_result
+            self._on_rename = on_rename
+
+        def getScheme(self):  # noqa: N802
+            return "mockfs"
+
+        def rename(self, src, dst):
+            if self._on_rename is not None:
+                self._on_rename(src, dst)
+            return self._rename_result
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    real_hadoop_fs = sc_mod._hadoop_fs
+
+    def failing_fs(spark_, path_str):  # noqa: ANN001, ANN202
+        fs, path_cls = real_hadoop_fs(spark_, path_str)
+        return _RemoteFsProxy(fs), path_cls
+
+    monkeypatch.setattr(sc_mod, "_hadoop_fs", failing_fs)
+    with pytest.raises(RuntimeError, match="metadata"):
+        db._persist_table_meta(parsed)
+    monkeypatch.undo()
+
+    # restore the destination the failed persist deleted
+    db._persist_table_meta(parsed)
+
+    # lost-race flavor: rename returns False but a concurrent writer
+    # landed the destination — tolerated, no raise, destination intact
+    def concurrent_winner_fs(spark_, path_str):  # noqa: ANN001, ANN202
+        fs, path_cls = real_hadoop_fs(spark_, path_str)
+
+        def land_dest(src, dst):
+            # the "other writer": copy our tmp's content to the dest
+            fs.rename(src, dst)
+
+        return _RemoteFsProxy(fs, on_rename=land_dest), path_cls
+
+    monkeypatch.setattr(sc_mod, "_hadoop_fs", concurrent_winner_fs)
+    db._persist_table_meta(parsed)  # no raise
+    monkeypatch.undo()
+
+    # the metadata file is present and a fresh adoption still works
+    meta_dir = db._meta_dir()
+    fs, path_cls = real_hadoop_fs(spark, meta_dir)
+    assert fs.exists(path_cls(f"{meta_dir}/rm_t.json"))

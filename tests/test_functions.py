@@ -2143,6 +2143,55 @@ def test_merge_rollup_vector_sum_combinator(spark: SparkSession) -> None:
     assert p50_bin == 1
 
 
+def test_vector_sum_fails_loudly_on_malformed_partials(
+    spark: SparkSession,
+) -> None:
+    """r15 ADVICE fix: the vector_sum merge must never corrupt
+    silently.  Pre-fix, arrays of different lengths zip_with-padded
+    with nulls (nulled elements) and a NULL partial was silently
+    DROPPED by collect_list (undercount).  Both now raise a named
+    error carrying the measure name."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions import scale
+
+    def partials(rows):  # noqa: ANN001, ANN202
+        return spark.createDataFrame(rows, "k string, h array<bigint>")
+
+    ok = scale.merge_rollup(
+        partials([("a", [1, 2])]),
+        partials([("a", [3, 4]), ("b", [5, 6])]),
+        keys=["k"],
+        combine={"h": "vector_sum"},
+    )
+    assert {r["k"]: r["h"] for r in ok.collect()} == {
+        "a": [4, 6],
+        "b": [5, 6],
+    }
+
+    mismatched = scale.merge_rollup(
+        partials([("a", [1, 2])]),
+        partials([("a", [3, 4, 5])]),
+        keys=["k"],
+        combine={"h": "vector_sum"},
+    )
+    with pytest.raises(Exception, match="vector_sum measure `h`") as exc:
+        mismatched.collect()
+    assert isinstance(exc.value, (Py4JJavaError, Exception))
+
+    nulled = scale.merge_rollup(
+        partials([("a", [1, 2])]),
+        partials([("a", None)]),
+        keys=["k"],
+        combine={"h": "vector_sum"},
+    )
+    with pytest.raises(Exception, match="NULL partial"):
+        nulled.collect()
+    assert F is not None
+
+
 def test_histogram_quantile_reads_off_merged_counts(
     spark: SparkSession,
 ) -> None:

@@ -1329,3 +1329,129 @@ def test_streaming_cdc_feed_partitioned_table_and_schema_evolution(
     q2.awaitTermination()
     rows = {r["name"]: r["note"] for r in got2}
     assert rows == {"old": None, "new": "hello"}
+
+
+def test_stream_rollup_resumes_after_polling_interleave(
+    spark: SparkSession, tmp_path
+) -> None:
+    """r15: the documented poll<->stream switch, in the direction that
+    used to double count.  A polling refresh advances the bookmark past
+    the stream's checkpoint position; the restarted stream re-serves
+    those commits under a FRESH batch id, so the stream_batch replay
+    guard alone cannot skip them — the fold's _commit_id > bookmark
+    clip must.  Also pins the ADVICE fix that polling refreshes CARRY
+    the stream_batch key through the HEAD flip (both the publish and
+    the empty-delta branch) instead of dropping it."""
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+    from sql_autoloader_spark.streaming import stream_rollup
+
+    db = SparkConnector(spark, database="pollstream")
+    db.execute_ddl(
+        "CREATE TABLE ps_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " name_len INTEGER);"
+    )
+    db.execute_ddl(
+        "CREATE TABLE ps_other (id INTEGER PRIMARY KEY, v TEXT UNIQUE);"
+    )
+
+    def add(names) -> None:  # noqa: ANN001
+        with db:
+            db.insert(
+                spark.createDataFrame(
+                    [(n, len(n)) for n in names], "name string, name_len int"
+                ),
+                table="ps_t",
+            )
+
+    def agg(frame):  # noqa: ANN001, ANN202
+        return frame.groupBy("name_len").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    rc = RollupConsumer(spark, str(tmp_path / "state"), keys=["name_len"])
+    ckpt = str(tmp_path / "ckpt")
+
+    # stream drain: commits 1-2 — HEAD now records a stream_batch id
+    add(["a", "bb"])
+    add(["cc"])
+    stream_rollup(db, "ps_t", rc, agg, checkpoint_dir=ckpt).awaitTermination()
+    sb = rc.head().get("stream_batch")
+    assert sb is not None
+
+    # polling refresh folds commit 3 — bookmark moves PAST the stream's
+    # checkpoint position, and stream_batch must survive the flip
+    add(["ddd"])
+    st = rc.refresh(db, "ps_t", agg)
+    assert st.get("stream_batch") == sb
+    assert {r["name_len"]: r["n"] for r in rc.summary().collect()} == {
+        1: 1, 2: 2, 3: 1
+    }
+
+    # a commit touching only the OTHER table exercises the empty-delta
+    # branch — it too must carry stream_batch while advancing
+    with db:
+        db.insert(spark.createDataFrame([("x",)], ["v"]), table="ps_other")
+    st2 = rc.refresh(db, "ps_t", agg)
+    assert st2["bookmark"] > st["bookmark"]
+    assert st2.get("stream_batch") == sb
+
+    # restart the stream on the SAME checkpoint with one genuinely new
+    # commit: the planned batch re-serves the polled commits too, and
+    # only the new one may fold — exactly-once content
+    add(["eeee"])
+    stream_rollup(db, "ps_t", rc, agg, checkpoint_dir=ckpt).awaitTermination()
+    got = {r["name_len"]: r["n"] for r in rc.summary().collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1}  # ddd counted ONCE
+    assert rc.head()["bookmark"] == db.commit_history()[-1]
+
+
+def test_stream_fold_errors_in_vacuum_intent_window(
+    spark: SparkSession, tmp_path, monkeypatch
+) -> None:
+    """r15 ADVICE fix, streaming twin: the fold's post-materialization
+    vacuum re-check must trip on the INTENT signature (intent above the
+    bookmark, floor still below — the post-rewrite pre-floor window
+    where a floor-only check passes while the delta already lost the
+    retagged rows)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+    from sql_autoloader_spark.streaming import stream_rollup
+
+    db = SparkConnector(spark, database="streamintwin")
+    db.execute_ddl(
+        "CREATE TABLE si_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " name_len INTEGER);"
+    )
+    with db:
+        db.insert(
+            spark.createDataFrame(
+                [("a", 1), ("bb", 2)], "name string, name_len int"
+            ),
+            table="si_t",
+        )
+
+    rc = RollupConsumer(spark, str(tmp_path / "state"), keys=["name_len"])
+    journal = db._journal
+    real_state = journal.state
+
+    def agg_in_intent_window(frame):  # noqa: ANN001, ANN202
+        visible, floor, _ = real_state()
+        monkeypatch.setattr(
+            journal, "state", lambda: (visible, floor, floor + 1)
+        )
+        return frame.groupBy("name_len").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    with pytest.raises(StreamingQueryException, match="concurrent vacuum"):
+        stream_rollup(
+            db,
+            "si_t",
+            rc,
+            agg_in_intent_window,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).awaitTermination()
+    monkeypatch.setattr(journal, "state", real_state)
+    # the bookmark never advanced past the (possibly lost) rows
+    assert rc.head() == {"version": 0, "bookmark": 0}
