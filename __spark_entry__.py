@@ -2460,6 +2460,85 @@ def q_load_incremental_histogram(
     return out
 
 
+def q_load_incremental_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The READ half of incremental quantiles (r15): maintain the same
+    fixed-bin histogram rollup as ``load_incremental_histogram`` across
+    three incremental loads, then read p50/p95 straight off the merged
+    counts with :func:`histogram_quantile` — a pure expression over the
+    groups-sized summary, NO scan of the underlying documents.  The
+    oracle recomputes the identical inclusive-rank quantile (smallest
+    bin whose cumulative count reaches ``ceil(q*total)``) from the raw
+    parquet, so the hash match certifies the full loop:
+    incremental maintenance -> mergeable histogram -> quantile read."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.functions import scale
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    db = SparkConnector(spark, database=f"ivmq_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl(
+        """
+        CREATE TABLE irq_source (id INTEGER PRIMARY KEY, source TEXT UNIQUE);
+        CREATE TABLE irq_doc (
+            doc_id BIGINT,
+            source_id INTEGER REFERENCES irq_source (id),
+            n_chars BIGINT
+        );
+        """
+    )
+
+    n_bins, width = 16, 64
+
+    def hist(frame: DataFrame) -> DataFrame:
+        bin_col = F.least(
+            F.lit(n_bins - 1), (F.col("n_chars") / width).cast("int")
+        )
+        return frame.groupBy("source_id").agg(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(bin_col == i, 1).otherwise(0)
+                    ).cast("bigint")
+                    for i in range(n_bins)
+                ]
+            ).alias("hist")
+        )
+
+    summary = None
+    bookmark = 0
+    for chunk in (
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 3 <= 1,
+        F.lit(True),
+    ):
+        with db:
+            db.load(docs.where(chunk), exact=False)
+        head = db.commit_history()[-1]
+        delta = hist(db.table_changes("irq_doc", bookmark, head))
+        summary = _pin_small(
+            delta
+            if summary is None
+            else scale.merge_rollup(
+                summary, delta, keys=["source_id"], combine={"hist": "vector_sum"}
+            )
+        )
+        bookmark = head
+
+    dim = db.read_table_as_of("irq_source", bookmark).select("id", "source")
+    out = _pin_small(
+        summary.join(dim, summary["source_id"] == dim["id"]).select(
+            "source",
+            scale.histogram_quantile("hist", 0.50).alias("p50_bin"),
+            scale.histogram_quantile("hist", 0.95).alias("p95_bin"),
+        )
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return out
+
+
 def q_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUSH-based incremental view maintenance (r14): a
     ``RollupConsumer`` maintained by ``streaming.stream_rollup`` from
@@ -4965,6 +5044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_incremental_rollup": q_load_incremental_rollup,
         "load_incremental_distinct_rollup": q_load_incremental_distinct_rollup,
         "load_incremental_histogram": q_load_incremental_histogram,
+        "load_incremental_quantile": q_load_incremental_quantile,
         "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
     }
@@ -5375,6 +5455,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM base
             GROUP BY source, bin
+        """,
+        "load_incremental_quantile": """
+            WITH base AS (
+                SELECT source,
+                       LEAST(15, CAST(n_chars // 64 AS INT)) AS bin
+                FROM (SELECT DISTINCT doc_id, source, n_chars
+                      FROM documents)
+            ),
+            ranked AS (
+                SELECT source, bin,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY bin
+                       ) AS rk,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM base
+            )
+            SELECT source,
+                   CAST(MAX(CASE WHEN rk = CEIL(0.50 * n) THEN bin END)
+                        AS INT) AS p50_bin,
+                   CAST(MAX(CASE WHEN rk = CEIL(0.95 * n) THEN bin END)
+                        AS INT) AS p95_bin
+            FROM ranked
+            GROUP BY source
         """,
         "load_incremental": """
             WITH b1 AS (
