@@ -1455,3 +1455,68 @@ def test_stream_fold_errors_in_vacuum_intent_window(
     monkeypatch.setattr(journal, "state", real_state)
     # the bookmark never advanced past the (possibly lost) rows
     assert rc.head() == {"version": 0, "bookmark": 0}
+
+
+def test_checkpoint_anchor_parses_real_and_synthetic_offset_logs(
+    spark: SparkSession, tmp_path
+) -> None:
+    """r15: pin the ``_checkpoint_anchor`` contract against BOTH a
+    synthetic offset file (the unit case) and a REAL checkpoint Spark
+    wrote after a drain.  The anchor parses Spark's internal offset-seq
+    log (``v1`` header, metadata line, one offset JSON per source); a
+    silent upstream format change would uncap maxCommitsPerTrigger —
+    this test fails on that drift instead."""
+    import json
+    import os
+
+    from sql_autoloader_spark.streaming.cdc_source import (
+        _checkpoint_anchor,
+        read_changes_stream,
+    )
+
+    # -- synthetic: the documented v1 offset-seq shape
+    synth = tmp_path / "synth"
+    (synth / "offsets").mkdir(parents=True)
+    (synth / "offsets" / "0").write_text(
+        'v1\n{"batchWatermarkMs":0,"batchTimestampMs":1}\n'
+        '{"commit": 7}\n'
+    )
+    assert _checkpoint_anchor(str(synth)) == 7
+    # offset serialized as a JSON string (the Python data source API
+    # round-trips dict offsets through json.dumps)
+    (synth / "offsets" / "1").write_text(
+        "v1\n{}\n" + json.dumps(json.dumps({"commit": 9})) + "\n"
+    )
+    assert _checkpoint_anchor(str(synth)) == 9  # latest batch wins
+    # fresh/absent checkpoints anchor nowhere
+    assert _checkpoint_anchor(str(tmp_path / "nope")) is None
+
+    # -- real: drain a stream, then the anchor must equal the planned
+    # offset Spark durably recorded (= the head commit it served)
+    db = SparkConnector(spark, database="anchorpin")
+    db.execute_ddl("CREATE TABLE ap_t (id INTEGER PRIMARY KEY, v TEXT);")
+    for batch in (["a", "b"], ["c"]):
+        with db:
+            db.insert(
+                spark.createDataFrame([(x,) for x in batch], ["v"]),
+                table="ap_t",
+            )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        read_changes_stream(db, "ap_t", checkpoint_dir=ckpt)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    head = db.commit_history()[-1]
+    got = _checkpoint_anchor(ckpt)
+    assert got == head, (
+        f"_checkpoint_anchor read {got!r} from a real post-drain "
+        f"checkpoint, expected the drained head commit {head} — "
+        "Spark's offset-log format may have drifted"
+    )
+    # and the real file still matches the shape the parser assumes
+    offsets = sorted(os.listdir(os.path.join(ckpt, "offsets")))
+    assert offsets, "real checkpoint wrote no offsets log"
