@@ -345,12 +345,26 @@ class _CommitJournal:
             )
             if drop:
                 self._fs.delete(status.getPath(), False)
+        # folded commits' file manifests go with their commit files —
+        # their rows were retagged to token 0 and (on the next rewrite)
+        # their files replaced, so the manifests describe nothing.
+        # Token names come from the listing cache, which the fold path
+        # warmed via state(); a manifest this misses is mopped up by
+        # sweep_temps' orphan pass at the next open.
+        for c, t in self._tokens.items():
+            if 0 < c <= horizon:
+                self._fs.delete(
+                    self._path_cls(f"{self._dir}/{t}.manifest"), False
+                )
         self._tokens = {
             c: t for c, t in self._tokens.items() if c > horizon
         }
 
     def sweep_temps(self) -> int:
-        """Delete stale ``tmp-<token>`` claim files, returning the count.
+        """Delete stale ``tmp-<token>`` claim files and ORPHANED
+        ``<token>.manifest`` files (a manifest whose token no published
+        commit carries — its writer died between the manifest write and
+        the claim), returning the count.
 
         A completed claim deletes its own temp (or the rename consumes
         it); a temp file that still exists belongs to a writer that is
@@ -362,15 +376,75 @@ class _CommitJournal:
         sweep (:meth:`SparkConnector._recover_orphans`): open
         connectors before starting writers.  A live writer whose temp
         is swept mid-claim fails loudly ("commit temp file vanished
-        mid-claim"), never silently.
+        mid-claim"), never silently; a live writer whose MANIFEST is
+        swept mid-commit still publishes fine — its commit merely
+        plans through the footer-walk fallback instead of the
+        manifest fast path.
         """
+        live_tokens = set(self.state()[0].values())
         swept = 0
         for status in self._fs.listStatus(self._root):
             name = status.getPath().getName()
-            if name.startswith("tmp-"):
+            orphan_manifest = name.endswith(".manifest") and (
+                not name[: -len(".manifest")].isdigit()
+                or int(name[: -len(".manifest")]) not in live_tokens
+            )
+            if name.startswith("tmp-") or orphan_manifest:
                 self._fs.delete(status.getPath(), False)
                 swept += 1
         return swept
+
+    # -- per-commit file manifests ---------------------------------------
+
+    def put_manifest(self, token: int, payload: str) -> None:
+        """Durably record the file manifest of the commit carrying
+        *token* as ``<token>.manifest`` — written COMPLETE to a temp
+        and renamed in, so readers never parse a partial JSON.  Called
+        BEFORE the claim (the commit id is unknown until the claim
+        lands; readers join token -> cid through the commit file), so
+        every published commit has its manifest.  Best-effort: the
+        manifest is a PLANNING fast path, never a correctness
+        dependency — on failure the commit proceeds and consumers use
+        the footer-walk fallback."""
+        import logging
+
+        tmp = self._path_cls(f"{self._dir}/tmp-{token}.manifest")
+        dest = self._path_cls(f"{self._dir}/{token}.manifest")
+        try:
+            out = self._fs.create(tmp, True)
+            try:
+                out.write(bytearray(payload.encode()))
+            finally:
+                out.close()
+            if not self._fs.rename(tmp, dest):
+                self._fs.delete(tmp, False)
+                msg = "rename refused"
+                raise OSError(msg)
+        except Exception:
+            logging.getLogger("sql_autoloader_spark").warning(
+                "could not write commit manifest for token %d; "
+                "consumers will plan this commit via the footer-walk "
+                "fallback",
+                token,
+            )
+
+    def read_manifest(self, token: int) -> dict | None:
+        """The parsed manifest for *token*, or None (pre-manifest
+        commit, swept orphan, or unreadable content — all of which
+        consumers treat as 'fall back to the footer walk')."""
+        try:
+            stream = self._fs.open(
+                self._path_cls(f"{self._dir}/{token}.manifest")
+            )
+            try:
+                text = self._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            return json.loads(text)
+        except Exception:
+            return None
 
     def _claim(self, tmp_name: str, dest_name: str) -> bool:
         """Atomically claim *dest_name* with *tmp_name*'s content.
@@ -759,12 +833,31 @@ class SparkConnector(BaseConnector):
         # (which could clobber a concurrent writer's in-flight files)
         self._token_files.setdefault(token, [])
         done: list[str] = []
+        manifest_tables: dict[str, dict] = {}
         try:
             for table, appends in pending.items():
                 new_rows = appends[0]
                 for extra in appends[1:]:
                     new_rows = new_rows.unionByName(extra)
+                start = len(self._token_files.get(token, []))
                 self._append_epoch(table, new_rows, token)
+                if manifest_tables is not None:
+                    root = self._table_location(table).rstrip("/")
+                    rels = [
+                        f[len(root) :].lstrip("/") if f.startswith(root) else None
+                        for f in self._token_files[token][start:]
+                    ]
+                    if None in rels:
+                        # a destination outside the table root (path
+                        # normalization surprise): skip the manifest
+                        # outright — the footer-walk fallback is always
+                        # correct, a wrong manifest never is
+                        manifest_tables = None
+                    else:
+                        manifest_tables[table] = {
+                            "location": root,
+                            "files": rels,
+                        }
                 done.append(table)
         except BaseException:
             # best-effort immediate sweep of OWN files (surgical — the
@@ -774,6 +867,25 @@ class SparkConnector(BaseConnector):
             failing = [t for t in pending if t not in done]
             self._sweep_orphans([*done, *failing[:1]], only_token=token)
             raise
+        # record the commit's FILE MANIFEST beside the journal before
+        # the claim (the cid is unknown until the claim lands; readers
+        # join token -> cid through the commit file).  This is what
+        # makes CDC planning O(commits in range): the streaming
+        # partitions() and the batch table_changes scan read exactly
+        # these files instead of walking the table directory and every
+        # parquet footer.  Best-effort by contract — a missing manifest
+        # only costs the fallback walk.
+        if manifest_tables is not None:
+            self._journal.put_manifest(
+                token,
+                json.dumps(
+                    {
+                        "manifest_version": 1,
+                        "token": token,
+                        "tables": manifest_tables,
+                    }
+                ),
+            )
         # THE atomic flip: publish the token under the next free commit
         # id.  Until the rename lands, nothing above is visible to any
         # read (every read filters by published tokens).
@@ -1108,6 +1220,13 @@ class SparkConnector(BaseConnector):
             for cid, tok in self._visible.items()
             if from_commit < cid <= to_commit and cid != 0
         ]
+        # manifest fast path: when every commit in the range recorded
+        # its file manifest (r15+ journals), scan EXACTLY those files —
+        # planning cost O(commits in range), not O(table files); a
+        # range whose commits touched only other tables scans nothing
+        scan = self._manifest_scan(table, [t for t, _ in pairs])
+        if scan is not None:
+            frame = scan
         if len(pairs) <= _TOKEN_INLINE_LIMIT:
             # short range: an In-filter the scan can push, then a
             # literal token→commit CASE (plan-size linear in the RANGE,
@@ -1131,6 +1250,52 @@ class SparkConnector(BaseConnector):
             out.drop(_COMMIT_COL).withColumn(
                 "_change_type", F.lit("insert")
             )
+        )
+
+    def _manifest_scan(
+        self, table: str, tokens: list[int]
+    ) -> DataFrame | None:
+        """A frame over exactly the files the given commits' manifests
+        name for *table* — the O(commits in range) plan for a changes
+        read — or None to fall back to the full catalog-table scan.
+
+        Fallback triggers whenever the fast path cannot be PROVEN
+        equivalent: a token without a (readable) manifest (pre-manifest
+        journal, swept orphan), or a manifested file that no longer
+        exists (compaction/vacuum rewrote the table — the rows still
+        carry their tokens in the rewritten files, which only the full
+        scan sees).  The wrong manifest is never trusted over the
+        always-correct fallback."""
+        loc = self._table_location(table).rstrip("/")
+        paths: list[str] = []
+        fs = path_cls = None
+        for tok in tokens:
+            m = self._journal.read_manifest(tok)
+            if not isinstance(m, dict) or "tables" not in m:
+                return None
+            entry = m["tables"].get(table)
+            if entry is None:
+                continue  # this commit touched only OTHER tables
+            if fs is None:
+                fs, path_cls = _hadoop_fs(self.spark, loc)
+            for rel in entry.get("files", []):
+                p = f"{loc}/{rel}"
+                if not fs.exists(path_cls(p)):
+                    return None
+                paths.append(p)
+        schema = self.spark.table(self._qualified(table)).schema
+        if not paths:
+            # every commit in the range touched only other tables: an
+            # empty frame with the physical schema — no scan at all
+            return self.spark.createDataFrame([], schema)
+        # explicit schema: partition columns resolve from the Hive
+        # directory names under basePath, and files written before an
+        # ALTER TABLE ADD COLUMN null-fill — the same semantics as the
+        # catalog-table scan
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", loc)
+            .parquet(*sorted(set(paths)))
         )
 
     def compact_table(

@@ -12,10 +12,15 @@ commits in ``(lastOffset, head]``,
   directory listing per trigger, no data touched to discover progress
   (the journal contract: ``<cid>.commit`` files, content = row token;
   ``<N>.floor`` = vacuum horizon);
-- PARTITIONS are parquet files pruned by their row-group footer
-  statistics on the ``_commit`` token column — a file none of whose
-  row groups intersect the batch's token set is never opened (the
-  streaming twin of the batch feed's pushed In-filter);
+- PARTITIONS come straight from the commits' FILE MANIFESTS
+  (``<token>.manifest``, written by the committer beside the journal,
+  r15+): a trigger plans exactly the files the batch's commits renamed
+  in — O(commits in range), zero directory walks, zero footer opens.
+  Pre-manifest commits and post-compaction stale manifests fall back
+  to the walk + row-group footer pruning on the ``_commit`` token
+  column (a file none of whose row groups intersect the batch's token
+  set is never opened — the streaming twin of the batch feed's pushed
+  In-filter);
 - each partition READS its file through pyarrow with the token-set
   filter, maps physical tokens back to user-facing commit ids, and
   yields Arrow record batches (vectorized end to end, no per-row
@@ -29,10 +34,11 @@ fallen below it fails LOUDLY (rebaseline, as with the batch feed),
 never serving a silently folded partial range.
 
 At 100 TB the economics match the batch feed: a trigger pays one
-journal listing plus the day's commit files — footer pruning keeps
-cold files unopened — never a snapshot diff.  The journal and data
-paths must be driver+executor-visible (the same shared-filesystem
-contract as the catalog itself).
+journal listing plus one tiny manifest read per commit in the batch —
+the table's file count never enters the planning cost — never a
+snapshot diff.  The journal and data paths must be
+driver+executor-visible (the same shared-filesystem contract as the
+catalog itself).
 
 No reference counterpart: the reference's sinks are plain RDBMS
 tables with no commit log (reference connector.py:376-452); streaming
@@ -120,6 +126,58 @@ def _checkpoint_anchor(checkpoint_dir: str) -> int | None:
         return int(val["commit"])
     except (OSError, ValueError, KeyError, IndexError, TypeError):
         return None
+
+
+def _norm_path(p: str) -> str:
+    for prefix in ("file://", "file:"):
+        if p.startswith(prefix):
+            p = p[len(prefix) :]
+            break
+    return p.rstrip("/")
+
+
+def _manifest_files(
+    journal_dir: str, location: str, tokens: set[int]
+) -> list[str] | None:
+    """The exact data files the given commits' manifests name under
+    *location* — O(commits in range) planning with ZERO footer opens —
+    or None to fall back to the directory walk + footer prune.
+
+    Fallback triggers whenever the fast path cannot be PROVEN
+    equivalent: a token without a readable ``<token>.manifest``
+    (pre-manifest journal, swept orphan), or a manifested file that no
+    longer exists (compaction/vacuum rewrote the table; the rewritten
+    files still carry the tokens, which only the walk finds).  The
+    pure-Python twin of ``SparkConnector._manifest_scan``."""
+    want = _norm_path(location)
+    out: list[str] = []
+    for tok in tokens:
+        try:
+            with open(
+                os.path.join(journal_dir, f"{tok}.manifest")
+            ) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if not isinstance(m, dict) or "tables" not in m:
+            return None
+        entry = next(
+            (
+                e
+                for e in m["tables"].values()
+                if isinstance(e, dict)
+                and _norm_path(e.get("location", "")) == want
+            ),
+            None,
+        )
+        if entry is None:
+            continue  # this commit touched only OTHER tables
+        for rel in entry.get("files", []):
+            path = os.path.join(location, rel)
+            if not os.path.isfile(path):
+                return None
+            out.append(path)
+    return sorted(set(out))
 
 
 def _list_parquet(location: str) -> list[str]:
@@ -222,9 +280,20 @@ class _ChangesStreamReader(DataSourceStreamReader):
         payload = json.dumps(tok2cid)
         parts: list[InputPartition] = []
         if tok2cid:
-            for path in _list_parquet(self._location):
-                if self._file_may_contain(path, tokens):
-                    parts.append(_ChangesPartition(path, payload))
+            # manifest fast path (r15+): every commit records the files
+            # it renamed in, so a trigger plans from O(commits in the
+            # batch) manifest reads — no directory walk, no footer
+            # opens.  Falls back to walk+footer-prune on pre-manifest
+            # commits or post-compaction stale manifests.
+            fast = _manifest_files(self._journal, self._location, tokens)
+            if fast is not None:
+                parts.extend(
+                    _ChangesPartition(path, payload) for path in fast
+                )
+            else:
+                for path in _list_parquet(self._location):
+                    if self._file_may_contain(path, tokens):
+                        parts.append(_ChangesPartition(path, payload))
         if not parts:
             # offsets advanced on commits that touched only OTHER
             # tables (the journal is warehouse-global) — an empty

@@ -2001,3 +2001,94 @@ def test_persist_table_meta_remote_rename_failure_raises(
     meta_dir = db._meta_dir()
     fs, path_cls = real_hadoop_fs(spark, meta_dir)
     assert fs.exists(path_cls(f"{meta_dir}/rm_t.json"))
+
+
+def test_commit_manifests_written_consumed_and_swept(
+    spark: SparkSession, tmp_path
+) -> None:
+    """r15 per-commit file manifests: every managed commit records the
+    files it renamed into each table as ``<token>.manifest`` beside the
+    journal, so changes reads plan O(commits in range) instead of
+    walking the table.  Pins: (1) manifests exist and name real files
+    relative to each table root; (2) the batch feed through manifests
+    equals the fallback (manifests deleted) row-for-row; (3) a range
+    whose commits touched only OTHER tables plans a zero-file scan;
+    (4) post-compaction stale manifests fall back, never misread;
+    (5) an orphaned manifest (token never published) is swept at the
+    next writer open while live ones survive."""
+    import json
+    import os
+
+    db = SparkConnector(spark, database="manifests")
+    db.execute_ddl(
+        "CREATE TABLE mf_t (id INTEGER PRIMARY KEY, v TEXT);"
+        "CREATE TABLE mf_other (id INTEGER PRIMARY KEY, w TEXT);"
+    )
+    with db:
+        db.insert(spark.createDataFrame([("a",), ("b",)], ["v"]), table="mf_t")
+    with db:
+        db.insert(spark.createDataFrame([("x",)], ["w"]), table="mf_other")
+    with db:
+        db.insert(spark.createDataFrame([("c",)], ["v"]), table="mf_t")
+
+    jdir = db._journal._dir
+    for prefix in ("file://", "file:"):
+        jdir = jdir.removeprefix(prefix)
+    manifests = sorted(
+        n for n in os.listdir(jdir) if n.endswith(".manifest")
+    )
+    assert len(manifests) == 3
+    # (1) every manifest names real files under its table root
+    for name in manifests:
+        with open(os.path.join(jdir, name)) as fh:
+            m = json.load(fh)
+        assert m["manifest_version"] == 1
+        assert str(m["token"]) == name[: -len(".manifest")]
+        for entry in m["tables"].values():
+            loc = entry["location"]
+            for p in ("file://", "file:"):
+                loc = loc.removeprefix(p)
+            assert entry["files"], "empty file list for a touched table"
+            for rel in entry["files"]:
+                assert os.path.isfile(os.path.join(loc, rel)), rel
+
+    expect = [("a", 1), ("b", 1), ("c", 3)]
+
+    def feed():  # noqa: ANN202
+        return sorted(
+            (r["v"], r["_commit_id"])
+            for r in db.table_changes("mf_t", 0, 3).collect()
+        )
+
+    # (2) manifest plan == fallback plan, row for row
+    assert feed() == expect
+    # (3) only-other-table range: zero-file scan, still a valid frame
+    mid = db.table_changes("mf_t", 1, 2)
+    assert mid.count() == 0
+    assert "_commit_id" in mid.columns
+
+    saved = {
+        n: open(os.path.join(jdir, n)).read() for n in manifests
+    }
+    for n in manifests:
+        os.unlink(os.path.join(jdir, n))
+    assert feed() == expect  # pre-manifest journal compat (fallback)
+    for n, content in saved.items():
+        with open(os.path.join(jdir, n), "w") as fh:
+            fh.write(content)
+
+    # (4) compaction rewrites every file: stale manifests must fall
+    # back to the full scan, which still sees the tokens
+    db.compact_table("mf_t")
+    assert feed() == expect
+
+    # (5) orphan sweep: a manifest whose token was never published is
+    # crash debris; a writer open removes it, live manifests survive
+    orphan = os.path.join(jdir, "123456789.manifest")
+    with open(orphan, "w") as fh:
+        fh.write('{"manifest_version": 1, "token": 123456789, "tables": {}}')
+    SparkConnector(spark, database="manifests")  # recover=True open
+    assert not os.path.exists(orphan)
+    still = sorted(n for n in os.listdir(jdir) if n.endswith(".manifest"))
+    assert still == manifests
+    assert feed() == expect

@@ -1520,3 +1520,78 @@ def test_checkpoint_anchor_parses_real_and_synthetic_offset_logs(
     # and the real file still matches the shape the parser assumes
     offsets = sorted(os.listdir(os.path.join(ckpt, "offsets")))
     assert offsets, "real checkpoint wrote no offsets log"
+
+
+def test_streaming_cdc_plans_from_manifests_no_footer_opens(
+    spark: SparkSession, tmp_path, monkeypatch
+) -> None:
+    """r15: with per-commit manifests present, a trigger's partitions()
+    must plan WITHOUT walking the table directory and WITHOUT opening a
+    single parquet footer — O(commits in range).  Pinned by making both
+    the walk and the footer prune raise; the drain must still serve the
+    exact feed.  Then manifests are deleted (a pre-manifest journal)
+    and a fresh stream must fall back to walk+prune and serve the same
+    rows."""
+    from sql_autoloader_spark.streaming import cdc_source, read_changes_stream
+
+    db = SparkConnector(spark, database="mstream")
+    db.execute_ddl(
+        "CREATE TABLE ms_t (id INTEGER PRIMARY KEY, v TEXT);"
+        "CREATE TABLE ms_other (id INTEGER PRIMARY KEY, w TEXT);"
+    )
+    with db:
+        db.insert(spark.createDataFrame([("a",), ("b",)], ["v"]), table="ms_t")
+    with db:
+        db.insert(spark.createDataFrame([("x",)], ["w"]), table="ms_other")
+    with db:
+        db.insert(spark.createDataFrame([("c",)], ["v"]), table="ms_t")
+
+    def forbidden_walk(location):  # noqa: ANN001, ANN202
+        msg = f"table directory walked despite manifests: {location}"
+        raise AssertionError(msg)
+
+    def forbidden_prune(path, tokens):  # noqa: ANN001, ANN202
+        msg = f"parquet footer opened despite manifests: {path}"
+        raise AssertionError(msg)
+
+    monkeypatch.setattr(cdc_source, "_list_parquet", forbidden_walk)
+    monkeypatch.setattr(
+        cdc_source._ChangesStreamReader,
+        "_file_may_contain",
+        staticmethod(forbidden_prune),
+    )
+    got: list = []
+    ck = str(tmp_path / "ck_fast")
+    q = (
+        read_changes_stream(db, "ms_t", checkpoint_dir=ck)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expect = [("a", 1), ("b", 1), ("c", 3)]
+    assert sorted((r["v"], r["_commit_id"]) for r in got) == expect
+    monkeypatch.undo()
+
+    # backward compat: strip the manifests (pre-r15 journal shape) —
+    # a fresh stream must serve identically through the fallback
+    import os
+
+    jdir = db._journal._dir
+    for prefix in ("file://", "file:"):
+        jdir = jdir.removeprefix(prefix)
+    for n in os.listdir(jdir):
+        if n.endswith(".manifest"):
+            os.unlink(os.path.join(jdir, n))
+    got2: list = []
+    ck2 = str(tmp_path / "ck_fallback")
+    q2 = (
+        read_changes_stream(db, "ms_t", checkpoint_dir=ck2)
+        .writeStream.foreachBatch(lambda df, _b: got2.extend(df.collect()))
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert sorted((r["v"], r["_commit_id"]) for r in got2) == expect
