@@ -1523,16 +1523,23 @@ def test_checkpoint_anchor_parses_real_and_synthetic_offset_logs(
 
 
 def test_streaming_cdc_plans_from_manifests_no_footer_opens(
-    spark: SparkSession, tmp_path, monkeypatch
+    spark: SparkSession, tmp_path
 ) -> None:
     """r15: with per-commit manifests present, a trigger's partitions()
-    must plan WITHOUT walking the table directory and WITHOUT opening a
-    single parquet footer — O(commits in range).  Pinned by making both
-    the walk and the footer prune raise; the drain must still serve the
-    exact feed.  Then manifests are deleted (a pre-manifest journal)
-    and a fresh stream must fall back to walk+prune and serve the same
-    rows."""
-    from sql_autoloader_spark.streaming import cdc_source, read_changes_stream
+    must plan WITHOUT walking the table directory and WITHOUT opening
+    any file outside the range's manifests — O(commits in range).
+
+    Monkeypatching can't pin this (planning runs in the data source's
+    own Python worker process), so the pin is BEHAVIORAL: a decoy
+    garbage ``.parquet`` file is planted in the table directory.  The
+    fallback walk would pick it up (unreadable footer degrades to
+    'maybe', then the read crashes on it); the manifest plan never
+    touches it — so a green drain proves zero out-of-manifest opens.
+    Then manifests are deleted (a pre-manifest journal) and a fresh
+    stream must fall back to walk+prune and serve the same rows."""
+    import os
+
+    from sql_autoloader_spark.streaming import read_changes_stream
 
     db = SparkConnector(spark, database="mstream")
     db.execute_ddl(
@@ -1546,52 +1553,55 @@ def test_streaming_cdc_plans_from_manifests_no_footer_opens(
     with db:
         db.insert(spark.createDataFrame([("c",)], ["v"]), table="ms_t")
 
-    def forbidden_walk(location):  # noqa: ANN001, ANN202
-        msg = f"table directory walked despite manifests: {location}"
-        raise AssertionError(msg)
-
-    def forbidden_prune(path, tokens):  # noqa: ANN001, ANN202
-        msg = f"parquet footer opened despite manifests: {path}"
-        raise AssertionError(msg)
-
-    monkeypatch.setattr(cdc_source, "_list_parquet", forbidden_walk)
-    monkeypatch.setattr(
-        cdc_source._ChangesStreamReader,
-        "_file_may_contain",
-        staticmethod(forbidden_prune),
-    )
-    got: list = []
-    ck = str(tmp_path / "ck_fast")
-    q = (
-        read_changes_stream(db, "ms_t", checkpoint_dir=ck)
-        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    expect = [("a", 1), ("b", 1), ("c", 3)]
-    assert sorted((r["v"], r["_commit_id"]) for r in got) == expect
-    monkeypatch.undo()
-
-    # backward compat: strip the manifests (pre-r15 journal shape) —
-    # a fresh stream must serve identically through the fallback
-    import os
-
-    jdir = db._journal._dir
+    loc = db._table_location("ms_t")
     for prefix in ("file://", "file:"):
-        jdir = jdir.removeprefix(prefix)
-    for n in os.listdir(jdir):
-        if n.endswith(".manifest"):
-            os.unlink(os.path.join(jdir, n))
-    got2: list = []
-    ck2 = str(tmp_path / "ck_fallback")
-    q2 = (
-        read_changes_stream(db, "ms_t", checkpoint_dir=ck2)
-        .writeStream.foreachBatch(lambda df, _b: got2.extend(df.collect()))
-        .option("checkpointLocation", ck2)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination()
-    assert sorted((r["v"], r["_commit_id"]) for r in got2) == expect
+        loc = loc.removeprefix(prefix)
+    decoy = os.path.join(loc, "part-zzz-decoy.c000.snappy.parquet")
+    with open(decoy, "wb") as fh:
+        fh.write(b"this is not a parquet file")
+
+    expect = [("a", 1), ("b", 1), ("c", 3)]
+
+    def drain(ck: str) -> list:
+        got: list = []
+        q = (
+            read_changes_stream(db, "ms_t", checkpoint_dir=ck)
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r["v"], r["_commit_id"]) for r in got)
+
+    try:
+        # manifest plan: the decoy is never opened — green drain
+        assert drain(str(tmp_path / "ck_fast")) == expect
+
+        # sanity of the pin itself: WITHOUT manifests the fallback walk
+        # must hit the decoy and fail — proving the decoy is a real
+        # tripwire, not dead weight
+        jdir = db._journal._dir
+        for prefix in ("file://", "file:"):
+            jdir = jdir.removeprefix(prefix)
+        saved = {}
+        for n in os.listdir(jdir):
+            if n.endswith(".manifest"):
+                with open(os.path.join(jdir, n), "rb") as fh:
+                    saved[n] = fh.read()
+                os.unlink(os.path.join(jdir, n))
+        with pytest.raises(Exception, match=".*"):
+            drain(str(tmp_path / "ck_trip"))
+    finally:
+        os.unlink(decoy)
+
+    # backward compat: pre-manifest journal, no decoy — the fallback
+    # walk + footer prune serves the identical feed
+    assert drain(str(tmp_path / "ck_fallback")) == expect
+    # restore manifests for any later reader of this warehouse
+    for n, content in saved.items():
+        with open(os.path.join(jdir, n), "wb") as fh:
+            fh.write(content)
+
