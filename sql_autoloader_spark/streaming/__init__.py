@@ -4,6 +4,7 @@ operators (SURVEY §2G event/stream ops), and the streaming CDC feed."""
 from sql_autoloader_spark.streaming.cdc_source import (
     TableChangesDataSource,
     read_changes_stream,
+    read_warehouse_changes_stream,
     stream_rollup,
 )
 from sql_autoloader_spark.streaming.pipeline import (
@@ -24,6 +25,7 @@ __all__ = [
     "dedup_stream",
     "fuzzy_dedup_stream",
     "read_changes_stream",
+    "read_warehouse_changes_stream",
     "rocksdb_state",
     "sessionized_counts",
     "stream_rollup",

@@ -60,11 +60,27 @@ from pyspark.sql.datasource import (
 __all__ = [
     "TableChangesDataSource",
     "read_changes_stream",
+    "read_warehouse_changes_stream",
     "stream_rollup",
 ]
 
 # the physical per-row token column (spark_catalog._COMMIT_COL)
 _COMMIT_COL = "__commit_id"
+
+
+#: per-process journal-state memo: {dir: (dir mtime_ns, state)}.
+#: Planning calls _journal_state at least twice per trigger
+#: (latestOffset, then partitions) and once per trigger per stream
+#: when several streams of one warehouse share a planning process;
+#: a long-lived processingTime subscription re-lists an IDLE journal
+#: every interval.  The memo turns all of those into one stat(2).
+_STATE_MEMO: dict[str, tuple[int, tuple[dict[int, int], int, int]]] = {}
+
+#: quiescence guard for the memo, in ns: a directory whose mtime is
+#: within this window of 'now' is served fresh and NOT memoized — a
+#: commit landing in the same mtime tick as our stat could otherwise
+#: pin a stale state until the next directory change
+_MEMO_SETTLE_NS = 50_000_000
 
 
 def _journal_state(journal_dir: str) -> tuple[dict[int, int], int, int]:
@@ -73,10 +89,24 @@ def _journal_state(journal_dir: str) -> tuple[dict[int, int], int, int]:
     usable inside data-source workers where no SparkSession exists.
     ``intent`` is the highest in-progress-or-done vacuum horizon (>
     floor while a vacuum is mid-flight): ranges at or below it must be
-    refused rather than served half-folded."""
+    refused rather than served half-folded.
+
+    Memoized on the directory's mtime, stat-BEFORE-list so any
+    modification after the stat invalidates the entry; only quiescent
+    directories (mtime older than the settle window) are stored, and
+    only complete reads (no mid-publish skip) — both so a stale entry
+    can never outlive the journal state it mirrors."""
+    try:
+        mtime_ns = os.stat(journal_dir).st_mtime_ns
+    except FileNotFoundError:
+        return {}, 0, 0
+    memo = _STATE_MEMO.get(journal_dir)
+    if memo is not None and memo[0] == mtime_ns:
+        return memo[1]
     visible: dict[int, int] = {}
     floor = 0
     intent = 0
+    complete = True
     try:
         names = os.listdir(journal_dir)
     except FileNotFoundError:
@@ -97,8 +127,14 @@ def _journal_state(journal_dir: str) -> tuple[dict[int, int], int, int]:
                 visible[cid] = int(fh.read().strip())
         except (OSError, ValueError):
             # mid-publish or tampered: skip now, next listing retries
+            complete = False
             continue
-    return visible, floor, max(intent, floor)
+    state = (visible, floor, max(intent, floor))
+    import time
+
+    if complete and time.time_ns() - mtime_ns > _MEMO_SETTLE_NS:
+        _STATE_MEMO[journal_dir] = (mtime_ns, state)
+    return state
 
 
 def _checkpoint_anchor(checkpoint_dir: str) -> int | None:
@@ -477,6 +513,48 @@ def read_changes_stream(  # noqa: ANN201
     return db._decode_adapters(stream)
 
 
+def read_warehouse_changes_stream(  # noqa: ANN201
+    db,  # noqa: ANN001 — SparkConnector (managed-catalog mode)
+    tables: Sequence[str],
+    *,
+    from_commit: int = 0,
+    max_commits_per_trigger: int = 0,
+    checkpoint_root: str | None = None,
+) -> dict:
+    """One streaming changes feed per *table* of a warehouse —
+    ``{table: DataFrame}`` — the multi-table subscription shape for a
+    consumer maintaining several rollups off one commit journal.
+
+    Spark streams are single-schema, so a warehouse subscription IS N
+    per-table streams; what makes that affordable is the shared
+    journal economics: offsets come from the commit journal (one
+    ``stat(2)`` + at most one listing per trigger per planning
+    process — the mtime memo serves repeated and idle triggers
+    without re-listing) and partitions come from the per-commit file
+    manifests (O(commits in the batch) tiny JSON reads; a commit that
+    touched only other tables contributes ZERO files to this table's
+    batch).  Per-trigger planning cost is therefore independent of
+    both the table count's data volume and the warehouse's total file
+    count — pinned by
+    tests/test_streaming.py::test_warehouse_multi_stream_trigger_cost.
+
+    *checkpoint_root*, when given, wires each stream's rate-limit
+    anchor to ``<root>/<table>`` — pass the SAME per-table paths to
+    each ``writeStream.option("checkpointLocation", ...)``."""
+    return {
+        t: read_changes_stream(
+            db,
+            t,
+            from_commit=from_commit,
+            max_commits_per_trigger=max_commits_per_trigger,
+            checkpoint_dir=(
+                os.path.join(checkpoint_root, t) if checkpoint_root else None
+            ),
+        )
+        for t in tables
+    }
+
+
 def stream_rollup(  # noqa: ANN201
     db,  # noqa: ANN001 — SparkConnector (managed-catalog mode)
     table: str,
@@ -486,6 +564,7 @@ def stream_rollup(  # noqa: ANN201
     checkpoint_dir: str,
     from_commit: int = 0,
     max_commits_per_trigger: int = 0,
+    trigger: dict | None = None,
 ):
     """PUSH-based incremental view maintenance: maintain *consumer*'s
     rollup from the STREAMING changes feed instead of polling
@@ -497,9 +576,20 @@ def stream_rollup(  # noqa: ANN201
     refresh's bookmark discipline.  ``bookmark`` stays the max folded
     commit id, so a consumer can switch between polling and streaming.
 
-    Returns the started ``StreamingQuery`` (availableNow trigger —
-    drain everything committed, then stop; re-call to drain again, or
-    run under a processing-time trigger by adapting the caller).
+    Returns the started ``StreamingQuery``.  *trigger* picks the
+    subscription mode (the two production shapes of the push tier):
+
+    - ``None`` / ``{"availableNow": True}`` (default) — drain
+      everything committed, then stop; re-call to drain again (the
+      batch-ish shape: cron-friendly, no resident driver).
+    - ``{"processingTime": "10 seconds"}`` — a LONG-LIVED
+      subscription: the query stays up and folds new commits every
+      interval (an idle interval costs one journal stat + listing,
+      memoized).  Stop it with ``query.stop()`` — Spark finishes or
+      abandons the in-flight micro-batch, and either is safe: a batch
+      that folded but didn't checkpoint replays next start and is
+      skipped by the stream_batch guard, one that never folded
+      replays whole (OPERATIONS.md, "Stopping a live subscription").
 
     *checkpoint_dir* and the consumer's state dir are LIFETIME-PAIRED:
     batch ids are per-checkpoint, so pointing a fresh checkpoint at a
@@ -577,9 +667,18 @@ def stream_rollup(  # noqa: ANN201
         finally:
             batch.unpersist()
 
+    trigger = dict(trigger) if trigger else {"availableNow": True}
+    allowed = {"availableNow", "processingTime"}
+    if set(trigger) - allowed or len(trigger) != 1:
+        msg = (
+            f"trigger must be exactly one of {sorted(allowed)}, got "
+            f"{trigger!r} (continuous= has no foreachBatch support, "
+            "once= is deprecated upstream)"
+        )
+        raise ValueError(msg)
     return (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**trigger)
         .start()
     )

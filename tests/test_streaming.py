@@ -1605,3 +1605,188 @@ def test_streaming_cdc_plans_from_manifests_no_footer_opens(
         with open(os.path.join(jdir, n), "wb") as fh:
             fh.write(content)
 
+
+
+def test_stream_rollup_processing_time_live_subscription(
+    spark: SparkSession, tmp_path
+) -> None:
+    """r15 task #3: ``stream_rollup(trigger={"processingTime": ...})``
+    is a LONG-LIVED subscription — a live writer commits while the
+    query stays up, the rollup converges without re-invocation, and
+    ``query.stop()`` is a clean stop (no exception, bookmark at the
+    head, content exactly-once).  Also pins trigger validation."""
+    import time
+
+    from sql_autoloader_spark.connectors.consumer import RollupConsumer
+    from sql_autoloader_spark.streaming import stream_rollup
+
+    db = SparkConnector(spark, database="livesub")
+    db.execute_ddl(
+        "CREATE TABLE lv_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+        " name_len INTEGER);"
+    )
+
+    def add(names) -> None:  # noqa: ANN001
+        with db:
+            db.insert(
+                spark.createDataFrame(
+                    [(n, len(n)) for n in names], "name string, name_len int"
+                ),
+                table="lv_t",
+            )
+
+    def agg(frame):  # noqa: ANN001, ANN202
+        return frame.groupBy("name_len").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    rc = RollupConsumer(spark, str(tmp_path / "state"), keys=["name_len"])
+
+    with pytest.raises(ValueError, match="trigger"):
+        stream_rollup(
+            db, "lv_t", rc, agg,
+            checkpoint_dir=str(tmp_path / "bad"),
+            trigger={"continuous": "1 second"},
+        )
+
+    add(["a", "bb"])
+    q = stream_rollup(
+        db, "lv_t", rc, agg,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+
+        def converged(expect: dict, deadline_s: float = 90.0) -> dict:
+            end = time.monotonic() + deadline_s
+            while time.monotonic() < end:
+                s = rc.summary()
+                got = (
+                    {r["name_len"]: r["n"] for r in s.collect()}
+                    if s is not None
+                    else {}
+                )
+                if got == expect:
+                    return got
+                if q.exception() is not None:
+                    raise AssertionError(str(q.exception()))
+                time.sleep(1.0)
+            msg = f"no convergence to {expect}, last saw {got}"
+            raise AssertionError(msg)
+
+        converged({1: 1, 2: 1})
+        # the writer keeps committing while the query stays up
+        add(["ccc"])
+        converged({1: 1, 2: 1, 3: 1})
+        add(["dddd", "ee"])
+        converged({1: 1, 2: 2, 3: 1, 4: 1})
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    assert q.exception() is None  # clean stop
+    assert rc.head()["bookmark"] == db.commit_history()[-1]
+    # and the next availableNow drain on the SAME checkpoint is a
+    # no-op (no double fold of anything the live run saw)
+    stream_rollup(
+        db, "lv_t", rc, agg, checkpoint_dir=str(tmp_path / "ckpt")
+    ).awaitTermination()
+    got = {r["name_len"]: r["n"] for r in rc.summary().collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_warehouse_multi_stream_trigger_cost(
+    spark: SparkSession, tmp_path, monkeypatch
+) -> None:
+    """r15 task #5: the multi-table subscription's per-trigger planning
+    cost, measured at the reader level (planning normally runs in the
+    source's own worker process; calling the reader directly makes the
+    count observable).  With manifests + the mtime memo, a trigger
+    wave over N streams of one warehouse costs ONE journal listing
+    total (every later offsets/partitions call is a stat-only memo
+    hit), zero table-directory walks, zero footer opens; a new commit
+    invalidates the memo and is seen immediately."""
+    import os as _os
+    import time
+
+    from sql_autoloader_spark.streaming import (
+        cdc_source,
+        read_warehouse_changes_stream,
+    )
+
+    db = SparkConnector(spark, database="multisub")
+    db.execute_ddl(
+        "CREATE TABLE wa_t (id INTEGER PRIMARY KEY, v TEXT);"
+        "CREATE TABLE wb_t (id INTEGER PRIMARY KEY, w TEXT);"
+    )
+    with db:
+        db.insert(spark.createDataFrame([("a",)], ["v"]), table="wa_t")
+    with db:
+        db.insert(spark.createDataFrame([("x",), ("y",)], ["w"]), table="wb_t")
+
+    # the public helper wires one stream per table off one journal
+    feeds = read_warehouse_changes_stream(db, ["wa_t", "wb_t"])
+    assert set(feeds) == {"wa_t", "wb_t"}
+    assert all(f.isStreaming for f in feeds.values())
+
+    jdir = db._journal._dir
+    for prefix in ("file://", "file:"):
+        jdir = jdir.removeprefix(prefix)
+    time.sleep(0.2)  # past the memo settle window
+
+    listings = []
+    real_listdir = _os.listdir
+
+    def counting_listdir(path):  # noqa: ANN001, ANN202
+        if str(path).rstrip("/") == jdir.rstrip("/"):
+            listings.append(path)
+        return real_listdir(path)
+
+    walks = []
+    real_walk = cdc_source._list_parquet
+
+    def counting_walk(location):  # noqa: ANN001, ANN202
+        walks.append(location)
+        return real_walk(location)
+
+    monkeypatch.setattr(cdc_source.os, "listdir", counting_listdir)
+    monkeypatch.setattr(cdc_source, "_list_parquet", counting_walk)
+    cdc_source._STATE_MEMO.clear()
+
+    def trigger_wave(readers) -> int:  # noqa: ANN001
+        n_files = 0
+        for r in readers:
+            start = r.initialOffset()
+            end = r.latestOffset()
+            parts = r.partitions(start, end)
+            n_files += sum(1 for p in parts if p.path)
+        return n_files
+
+    def reader(table: str):  # noqa: ANN202
+        loc = db._table_location(table)
+        for prefix in ("file://", "file:"):
+            loc = loc.removeprefix(prefix)
+        schema = spark.table(db._qualified(table)).schema
+        return cdc_source._ChangesStreamReader(
+            schema, {"location": loc, "journal": jdir}
+        )
+
+    readers = [reader("wa_t"), reader("wb_t")]
+    n_files = trigger_wave(readers)
+    assert n_files >= 2  # both tables' commits planned
+    assert len(listings) == 1, (
+        f"a 2-stream trigger wave listed the journal {len(listings)} "
+        "times; the memo should make it exactly one"
+    )
+    assert walks == [], "table directory walked despite manifests"
+
+    # an idle follow-up wave is pure stat(2): zero further listings
+    trigger_wave(readers)
+    assert len(listings) == 1
+    # a new commit invalidates the memo: the next wave re-lists once
+    # (fresh, unmemoized — inside the settle window) and sees the head
+    with db:
+        db.insert(spark.createDataFrame([("b",)], ["v"]), table="wa_t")
+    head = db.commit_history()[-1]
+    assert readers[0].latestOffset() == {"commit": head}
+    assert len(listings) == 2
+    assert walks == []
