@@ -103,6 +103,10 @@ CLASSIFICATION: dict[tuple[str, str], tuple[str, str]] = {
         "classic-only",
         "ACID journal: read commit-token file through Hadoop FS",
     ),
+    ("connectors/spark_catalog.py", "_CommitJournal.read_manifest"): (
+        "classic-only",
+        "ACID journal: read per-commit file manifest through Hadoop FS",
+    ),
     ("connectors/spark_catalog.py", "_hadoop_fs"): (
         "classic-only",
         "shared Hadoop-FS accessor for journal/maintenance paths",
