@@ -2539,6 +2539,131 @@ def q_load_incremental_quantile(
     return out
 
 
+def q_load_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HEAVY-HITTERS (r15): a top-k measure rides the
+    rollup as a mergeable Misra-Gries count map (``merge_rollup(...,
+    combine={"hh": "topk8"})``) — each refresh folds the delta's exact
+    count map, the summary stays ≤8 keys per group, no refresh rescans
+    the table.  Like any mergeable sketch the summary CONTENT is
+    merge-order-dependent inside the MG guarantees, so the certificate
+    reads only order-invariant derivatives: a planted skew (half of
+    every group's docs share one hot key, the rest spread over ~96
+    keys) makes the top key provably stable, and the MG bounds
+    (no overcount; undercount ≤ N/(k+1); every key above N/(k+1)
+    retained; ≤ k keys) are emitted as booleans the oracle pins TRUE.
+    ``top_docs`` is the EXACT count of the summary's argmax key — the
+    oracle recomputes it from raw parquet, so a hash match certifies
+    the maintained sketch found the true heavy hitter."""
+    import uuid
+
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+    from sql_autoloader_spark.functions import scale
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    db = SparkConnector(spark, database=f"ivmt_{uuid.uuid4().hex[:8]}")
+    db.execute_ddl("CREATE TABLE itk_doc (doc_id BIGINT, lang TEXT);")
+
+    k = 8
+
+    def hh_key(frame: DataFrame) -> DataFrame:
+        return frame.withColumn(
+            "hh_key",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("hot")).otherwise(
+                F.concat(
+                    F.lit("k"),
+                    (F.col("doc_id") % 97).cast("int").cast("string"),
+                )
+            ),
+        )
+
+    def partial(frame: DataFrame) -> DataFrame:
+        return (
+            hh_key(frame)
+            .groupBy("lang", "hh_key")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .groupBy("lang")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("hh_key", "c"))
+                ).alias("hh")
+            )
+        )
+
+    summary = None
+    bookmark = 0
+    for chunk in (
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 3 <= 1,
+        F.lit(True),
+    ):
+        with db:
+            db.load(docs.where(chunk), exact=False)
+        head = db.commit_history()[-1]
+        delta = partial(db.table_changes("itk_doc", bookmark, head))
+        summary = _pin_small(
+            delta
+            if summary is None
+            else scale.merge_rollup(
+                summary, delta, keys=["lang"], combine={"hh": f"topk{k}"}
+            )
+        )
+        bookmark = head
+
+    snapshot = hh_key(db.read_table_as_of("itk_doc", bookmark))
+    exact = (
+        snapshot.groupBy("lang", "hh_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+        .withColumn(
+            "n", F.sum("exact").over(Window.partitionBy("lang"))
+        )
+    )
+    est = summary.select(
+        "lang", F.size("hh").alias("hh_size"), F.explode("hh").alias(
+            "hh_key", "est"
+        )
+    )
+    bound = F.col("n").cast("double") / (k + 1)
+    ex = exact.join(est.drop("hh_size"), ["lang", "hh_key"], "left")
+    per_lang = ex.groupBy("lang").agg(
+        F.expr(
+            "max_by(struct(hh_key, exact), struct(est, hh_key))"
+            " FILTER (WHERE est IS NOT NULL)"
+        ).alias("top"),
+        F.min(
+            F.when(F.col("est").isNotNull(), F.col("est") <= F.col("exact"))
+            .otherwise(F.lit(True))
+        ).alias("no_overcount"),
+        F.min(
+            F.when(
+                F.col("est").isNotNull(),
+                (F.col("exact") - F.col("est")).cast("double") <= bound,
+            ).otherwise(F.lit(True))
+        ).alias("within_bound"),
+        F.min(
+            F.when(
+                F.col("exact").cast("double") > bound,
+                F.col("est").isNotNull(),
+            ).otherwise(F.lit(True))
+        ).alias("heavy_present"),
+    )
+    sizes = summary.select(
+        "lang", (F.size("hh") <= F.lit(k)).alias("size_ok")
+    )
+    out = _pin_small(
+        per_lang.join(sizes, "lang").select(
+            "lang",
+            F.col("top")["hh_key"].alias("top_key"),
+            F.col("top")["exact"].cast("bigint").alias("top_docs"),
+            "heavy_present",
+            "no_overcount",
+            "within_bound",
+            "size_ok",
+        )
+    )
+    spark.sql(f"DROP DATABASE {db.database} CASCADE")
+    return out
+
+
 def q_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUSH-based incremental view maintenance (r14): a
     ``RollupConsumer`` maintained by ``streaming.stream_rollup`` from
@@ -5045,6 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_incremental_distinct_rollup": q_load_incremental_distinct_rollup,
         "load_incremental_histogram": q_load_incremental_histogram,
         "load_incremental_quantile": q_load_incremental_quantile,
+        "load_incremental_topk": q_load_incremental_topk,
         "load_vacuum_maintenance": q_load_vacuum_maintenance,
         "media_neardup": q_media_neardup,
     }
@@ -5478,6 +5604,33 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS p95_bin
             FROM ranked
             GROUP BY source
+        """,
+        "load_incremental_topk": """
+            WITH base AS (SELECT DISTINCT doc_id, lang FROM documents),
+            keyed AS (
+                SELECT lang,
+                       CASE WHEN doc_id % 2 = 0 THEN 'hot'
+                            ELSE 'k' || CAST(doc_id % 97 AS INTEGER)
+                       END AS hh_key
+                FROM base
+            ),
+            counts AS (
+                SELECT lang, hh_key, COUNT(*) AS n_docs
+                FROM keyed GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT lang, hh_key, n_docs,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_docs DESC, hh_key DESC
+                       ) AS rk
+                FROM counts
+            )
+            SELECT lang, hh_key AS top_key,
+                   CAST(n_docs AS BIGINT) AS top_docs,
+                   TRUE AS heavy_present, TRUE AS no_overcount,
+                   TRUE AS within_bound, TRUE AS size_ok
+            FROM ranked WHERE rk = 1
         """,
         "load_incremental": """
             WITH b1 AS (

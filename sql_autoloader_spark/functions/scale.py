@@ -616,6 +616,55 @@ def _vector_sum(c: str) -> F.Column:
     )
 
 
+def _topk_merge(c: str, k: int) -> F.Column:
+    """Mergeable heavy-hitters over ``map<string,bigint>`` measure
+    columns — the Misra-Gries summary merge (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): sum the two maps key-wise,
+    subtract the (k+1)-th largest count from every key, drop
+    non-positive — the result keeps ≤ *k* keys and the classic MG
+    guarantees survive arbitrary merge trees:
+
+    - estimates never OVERcount (``est(x) <= true(x)``),
+    - undercount is bounded: ``true(x) - est(x) <= N/(k+1)`` for the
+      group's total count N,
+    - any key with ``true(x) > N/(k+1)`` is retained.
+
+    This is how a TOP-K / heavy-hitters measure rides an incremental
+    rollup: each refresh's partial is the delta's exact count map
+    (exact = MG with zero error), the summary stays k-sized per group,
+    and no refresh ever rescans the table.  Same fail-loud discipline
+    as ``vector_sum``: a NULL partial (silently dropped by
+    collect_list — an undercount) raises a named error.  Pure
+    expression — no UDF, no extra shuffle beyond the keyed merge."""
+    zero = "cast(0 as bigint)"
+    merged = (
+        f"map_zip_with(acc, x, (mk, v1, v2) ->"
+        f" coalesce(v1, {zero}) + coalesce(v2, {zero}))"
+    )
+    # the (k+1)-th largest merged count (0 when <= k keys): SQL lambdas
+    # have no let-binding, so the merged map is restated where needed
+    threshold = (
+        f"IF(size({merged}) > {k},"
+        f" sort_array(map_values({merged}), false)[{k}], {zero})"
+    )
+    step = (
+        f"map_filter(transform_values({merged}, (mk, v) -> v - {threshold}),"
+        " (mk, v) -> v > 0)"
+    )
+    err = (
+        f"topk measure `{c}`: partials must be non-null"
+        " map<string,bigint> summaries"
+    )
+    return F.expr(
+        f"CASE WHEN count(*) != count(`{c}`) THEN"
+        f" cast(raise_error('{err}; got a NULL partial')"
+        " as map<string,bigint>)"
+        f" ELSE aggregate(collect_list(`{c}`),"
+        " cast(map() as map<string,bigint>),"
+        f" (acc, x) -> {step}) END"
+    )
+
+
 _MERGE_COMBINATORS = {
     "sum": F.sum,
     "min": F.min,
@@ -649,8 +698,11 @@ def merge_rollup(
     sums, the default for unlisted columns — plus ``"min"``/``"max"``,
     ``"hll_union"`` for Datasketches HLL sketch columns built with
     ``F.hll_sketch_agg`` — the mergeable form of a distinct count —
-    and ``"vector_sum"`` for ``array<bigint>`` count vectors — the
-    mergeable form of a fixed-bin histogram, hence of quantiles);
+    ``"vector_sum"`` for ``array<bigint>`` count vectors — the
+    mergeable form of a fixed-bin histogram, hence of quantiles —
+    and ``"topk<k>"`` for ``map<string,bigint>`` count maps — the
+    Misra-Gries mergeable form of heavy hitters / top-k, see
+    :func:`_topk_merge` for the retained guarantees);
     keep averages as (sum, count) pairs and divide at read time, and
     EXACT distincts as their own keyed rollup — the standard
     partial-aggregate discipline.  The merge is ``unionByName`` + one
@@ -674,10 +726,26 @@ def merge_rollup(
     aggs = []
     for c in measures:
         how = combine.get(c, "sum")
+        if how.startswith("topk"):
+            # parameterized heavy-hitters combinator: "topk<k>", e.g.
+            # "topk8" keeps the 8 heaviest keys per group (Misra-Gries
+            # mergeable summary — see _topk_merge for the guarantees)
+            try:
+                k = int(how[len("topk") :])
+                if k <= 0:
+                    raise ValueError(how)
+            except ValueError:
+                msg = (
+                    f"malformed topk combinator {how!r} for {c!r}; "
+                    "use 'topk<k>' with a positive k, e.g. 'topk8'"
+                )
+                raise ValueError(msg) from None
+            aggs.append(_topk_merge(c, k).alias(c))
+            continue
         if how not in _MERGE_COMBINATORS:
             msg = (
                 f"unsupported combinator {how!r} for {c!r}; "
-                f"supported: {sorted(_MERGE_COMBINATORS)}"
+                f"supported: {sorted(_MERGE_COMBINATORS)} or 'topk<k>'"
             )
             raise ValueError(msg)
         aggs.append(_MERGE_COMBINATORS[how](c).alias(c))

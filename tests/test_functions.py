@@ -2250,3 +2250,81 @@ def test_histogram_quantile_reads_off_merged_counts(
 
     with pytest.raises(ValueError, match="quantile must be"):
         scale.histogram_quantile("h", 0.0)
+
+
+def test_merge_rollup_topk_misra_gries_combinator(
+    spark: SparkSession,
+) -> None:
+    """r15 "topk<k>" combinator: heavy hitters ride the incremental
+    rollup as mergeable Misra-Gries count maps.  The summary CONTENT
+    is merge-order-dependent (like any mergeable sketch), so the pins
+    are the MG guarantees themselves, which hold for every merge
+    order: never overcounts, undercount ≤ N/(k+1), every key above
+    N/(k+1) retained, ≤ k keys kept.  Plus the exact-when-small case,
+    NULL-partial fail-loud, and combinator-name validation."""
+    import random
+    from collections import Counter
+
+    import pytest
+
+    from sql_autoloader_spark.functions import scale
+
+    def m(rows):  # noqa: ANN001, ANN202
+        return spark.createDataFrame(rows, "g string, hh map<string,bigint>")
+
+    # exact passthrough while under k keys
+    out = scale.merge_rollup(
+        m([("a", {"x": 1})]),
+        m([("a", {"x": 2, "y": 7})]),
+        keys=["g"],
+        combine={"hh": "topk4"},
+    ).collect()
+    assert out[0]["hh"] == {"x": 3, "y": 7}
+
+    # chained merges over a skewed stream: all four MG properties
+    rng = random.Random(7)
+    stream = [
+        f"k{rng.randint(0, 30)}" if rng.random() > 0.4 else "hot"
+        for _ in range(2000)
+    ]
+    k = 8
+    summary = None
+    for i in range(4):
+        part = m([("a", dict(Counter(stream[i::4])))])
+        summary = (
+            part
+            if summary is None
+            else scale.merge_rollup(
+                summary, part, keys=["g"], combine={"hh": f"topk{k}"}
+            )
+        )
+    est = summary.collect()[0]["hh"]
+    true = Counter(stream)
+    bound = len(stream) / (k + 1)
+    assert len(est) <= k
+    assert all(est[key] <= true[key] for key in est)  # never overcounts
+    assert all(true[key] - est[key] <= bound for key in est)
+    heavy = [key for key, v in true.items() if v > bound]
+    assert heavy and all(h in est for h in heavy)
+    # under planted skew the argmax estimate IS the true heavy hitter
+    assert max(est, key=lambda key: (est[key], key)) == "hot"
+
+    # NULL partial fails loudly (collect_list would silently drop it)
+    nulled = scale.merge_rollup(
+        m([("a", {"x": 1})]),
+        m([("a", None)]),
+        keys=["g"],
+        combine={"hh": "topk4"},
+    )
+    with pytest.raises(Exception, match="NULL partial"):
+        nulled.collect()
+
+    # malformed combinator names rejected at plan build
+    for bad in ("topk0", "topk-3", "topkX"):
+        with pytest.raises(ValueError, match="topk"):
+            scale.merge_rollup(
+                m([("a", {"x": 1})]),
+                m([("a", {"x": 1})]),
+                keys=["g"],
+                combine={"hh": bad},
+            )
