@@ -107,7 +107,8 @@ class RollupConsumer:
         self.path = path.removeprefix("file://")
         self.keys = list(keys)
         #: per-measure combinators for the merge ("sum" default;
-        #: "min"/"max" supported — see merge_rollup)
+        #: "min"/"max"/"hll_union"/"vector_sum"/"topk<k>" supported —
+        #: see merge_rollup)
         self.combine = dict(combine) if combine else None
         os.makedirs(path, exist_ok=True)
 
