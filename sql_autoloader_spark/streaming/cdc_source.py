@@ -589,7 +589,7 @@ def stream_rollup(  # noqa: ANN201
       abandons the in-flight micro-batch, and either is safe: a batch
       that folded but didn't checkpoint replays next start and is
       skipped by the stream_batch guard, one that never folded
-      replays whole (OPERATIONS.md, "Stopping a live subscription").
+      replays whole (OPERATIONS.md, "Live subscriptions / stopping").
 
     *checkpoint_dir* and the consumer's state dir are LIFETIME-PAIRED:
     batch ids are per-checkpoint, so pointing a fresh checkpoint at a
