@@ -446,14 +446,10 @@ def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed variant; quadratic — correctness-scale only)."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        similarity.norm(F.col("embedding")).alias("na"),
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        similarity.norm(F.col("embedding")).alias("nb"),
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -461,8 +457,8 @@ def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.round(
-                similarity.cosine_presplit(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                similarity.cosine_arrow(
+                    F.col("va"), F.col("vb"), filterable=True
                 ),
                 6,
             ).alias("sim"),
@@ -654,17 +650,13 @@ def q_docs_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-cluster policy are unchanged — only candidate generation
     scales differently."""
     emb = _t(spark, sf_dir, "embeddings")
-    # norms map-side before the quadratic join: per-pair work is one
-    # dot product, not dot + both norms (bit-identical floats)
+    # one fused Arrow node per pair computes dot + norms + division in
+    # vectorized numpy (bit-identical floats to the JVM folds)
     a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        similarity.norm(F.col("embedding")).alias("na"),
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        similarity.norm(F.col("embedding")).alias("nb"),
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -672,8 +664,8 @@ def q_docs_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.round(
-                similarity.cosine_presplit(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                similarity.cosine_arrow(
+                    F.col("va"), F.col("vb"), filterable=True
                 ),
                 6,
             ).alias("sim"),

@@ -13,11 +13,26 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_autoloader_spark.functions.text import bind_once
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition an under-split corpus before a scoring stage.
+
+    The candidate join and the Arrow scoring node inherit the scan's
+    partitioning; a single-row-group parquet fixture (or any input with
+    far fewer splits than cores) would serialize the whole scoring
+    pipeline onto one task (guide §2.5 input skew).  No-op at real
+    scale, where the corpus arrives as thousands of splits.
+    """
+    from sql_autoloader_spark.functions.dedup import spread_for_compute
+
+    return spread_for_compute(df, barrier=False)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -27,6 +42,209 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _flatten_list_array(arr: pa.Array):
+    """(row_null_mask, lengths, flat float64 values, row offsets,
+    per-row element-null counts) of a list<float-ish> array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts, ends = offsets[:-1], offsets[1:]
+    lengths = ends - starts
+    row_null = np.zeros(len(arr), dtype=bool)
+    if arr.null_count:
+        row_null = arr.is_null().to_numpy(zero_copy_only=False)
+    values = arr.values
+    flat = values.to_numpy(zero_copy_only=False).astype(np.float64)
+    if values.null_count:
+        elem_null = values.is_null().to_numpy(zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(elem_null)))
+        row_elem_nulls = cum[ends] - cum[starts]
+    else:
+        row_elem_nulls = np.zeros(len(arr), dtype=np.int64)
+    return row_null, lengths, flat, starts, row_elem_nulls
+
+
+def _seq_dot_arrow_fn():
+    """Build the Arrow-native sequential-dot UDF (cached per process).
+
+    Bit-identical to :func:`dot`: per row the products are accumulated
+    LEFT TO RIGHT in double precision starting from 0.0 — numpy's
+    element-wise ``multiply`` then ``add`` are the same single IEEE-754
+    operations the interpreted ``zip_with``/``aggregate`` fold performs
+    (neither fuses into FMA), and float→double widening is exact, so
+    every intermediate is the same 64-bit value.  NULL semantics mirror
+    the JVM expression exactly (pyarrow keeps the validity bitmaps the
+    pandas path would collapse into NaN): NULL array on either side,
+    mismatched lengths (zip_with pads with NULL), or any NULL element →
+    NULL; two empty arrays → 0.0.
+    """
+    global _SEQ_DOT_ARROW
+    if _SEQ_DOT_ARROW is not None:
+        return _SEQ_DOT_ARROW
+    from pyspark.sql.functions import arrow_udf
+
+    _flatten = _flatten_list_array
+
+    @arrow_udf("double")
+    def seq_dot(a: pa.Array, b: pa.Array) -> pa.Array:
+        n = len(a)
+        if n == 0:
+            return pa.array([], type=pa.float64())
+        a_null, la, fa, sa, ea = _flatten(a)
+        b_null, lb, fb, sb, eb = _flatten(b)
+        # NULL iff: either side NULL, lengths differ, or a NULL element
+        invalid = a_null | b_null | (la != lb) | (ea > 0) | (eb > 0)
+        out = np.zeros(n, dtype=np.float64)
+        valid_idx = np.flatnonzero(~invalid)
+        if valid_idx.size:
+            vl = la[valid_idx]
+            for d in np.unique(vl):
+                if d == 0:
+                    continue  # empty arrays: fold over nothing = 0.0
+                rows = valid_idx[vl == d]
+                cols = np.arange(d, dtype=np.int64)
+                av = fa[sa[rows][:, None] + cols[None, :]]
+                bv = fb[sb[rows][:, None] + cols[None, :]]
+                acc = np.zeros(len(rows), dtype=np.float64)
+                with np.errstate(invalid="ignore", over="ignore"):
+                    for i in range(int(d)):
+                        # one IEEE multiply + one IEEE add per element,
+                        # in index order — the exact fold the JVM runs
+                        acc += av[:, i] * bv[:, i]
+                out[rows] = acc
+        return pa.array(out, type=pa.float64(), mask=invalid)
+
+    _SEQ_DOT_ARROW = seq_dot
+    return seq_dot
+
+
+_SEQ_DOT_ARROW = None
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`dot` — bit-identical results.
+
+    The interpreted ``zip_with``/``aggregate`` fold costs ~1 µs per
+    element (higher-order-function lambdas never codegen), which makes
+    the dot product the dominant cost of every candidate-scoring join.
+    This form moves whole Arrow batches to numpy and accumulates the
+    same left-to-right double-precision sum (see
+    :func:`_seq_dot_arrow_fn` for the bit-parity argument) — the guide
+    §4.2 shape: Spark does distribution and joins, vectorized native
+    code does the math.
+    """
+    return _seq_dot_arrow_fn()(a, b)
+
+
+_SEQ_DOT_ARROW_ND = None
+
+
+def dot_arrow_nd(a: Column, b: Column) -> Column:
+    """:func:`dot_arrow` marked non-deterministic — same values (the
+    function IS deterministic); the marker stops the optimizer pushing a
+    threshold filter below the projection and EVALUATING THE UDF TWICE
+    per surviving row (guide §4.4).  Use only where the score feeds a
+    filter directly; the marker also blocks legitimate pushdown of other
+    filters past it."""
+    global _SEQ_DOT_ARROW_ND
+    if _SEQ_DOT_ARROW_ND is None:
+        _SEQ_DOT_ARROW_ND = _seq_dot_arrow_fn().asNondeterministic()
+    return _SEQ_DOT_ARROW_ND(a, b)
+
+
+def _seq_cosine_arrow_fn():
+    """Fused Arrow cosine UDF: dot + both norms + the division in ONE
+    vectorized pass (cached per process).
+
+    One ``ArrowEvalPython`` node per scoring join instead of three
+    (per-side norms + pair dot), and the norm columns never cross the
+    join or the Python boundary.  Bit-identical to
+    ``cosine(a, b)`` = ``dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))``:
+    all three accumulations run left-to-right per index in double
+    precision exactly like the interpreted JVM folds, ``sqrt``,
+    multiply and divide are single correctly-rounded IEEE ops in both
+    engines, and numpy fuses nothing into FMA.  Returns NULL for an
+    invalid pair (NULL side, mismatched lengths, NULL element — the
+    cases where the JVM dot is NULL) and 0.0 for a zero-norm product;
+    callers coalesce NULL to 0.0, matching :func:`cosine` exactly.
+    """
+    global _SEQ_COSINE_ARROW
+    if _SEQ_COSINE_ARROW is not None:
+        return _SEQ_COSINE_ARROW
+    from pyspark.sql.functions import arrow_udf
+
+    flatten = _flatten_list_array
+
+    @arrow_udf("double")
+    def seq_cosine(a: pa.Array, b: pa.Array) -> pa.Array:
+        n = len(a)
+        if n == 0:
+            return pa.array([], type=pa.float64())
+        a_null, la, fa, sa, ea = flatten(a)
+        b_null, lb, fb, sb, eb = flatten(b)
+        invalid = a_null | b_null | (la != lb) | (ea > 0) | (eb > 0)
+        out = np.zeros(n, dtype=np.float64)
+        valid_idx = np.flatnonzero(~invalid)
+        if valid_idx.size:
+            vl = la[valid_idx]
+            for d in np.unique(vl):
+                rows = valid_idx[vl == d]
+                if d == 0:
+                    continue  # 0/nullif(0·0) is NULL→0.0 (out already 0)
+                cols = np.arange(d, dtype=np.int64)
+                av = fa[sa[rows][:, None] + cols[None, :]]
+                bv = fb[sb[rows][:, None] + cols[None, :]]
+                m = len(rows)
+                acc = np.zeros(m, dtype=np.float64)
+                na = np.zeros(m, dtype=np.float64)
+                nb = np.zeros(m, dtype=np.float64)
+                with np.errstate(invalid="ignore", over="ignore"):
+                    for i in range(int(d)):
+                        # the same three interpreted folds, one IEEE
+                        # multiply + add each, in index order
+                        acc += av[:, i] * bv[:, i]
+                        na += av[:, i] * av[:, i]
+                        nb += bv[:, i] * bv[:, i]
+                    prod = np.sqrt(na) * np.sqrt(nb)
+                    sim = np.where(prod == 0.0, 0.0, acc / prod)
+                out[rows] = sim
+        return pa.array(out, type=pa.float64(), mask=invalid)
+
+    _SEQ_COSINE_ARROW = seq_cosine
+    return seq_cosine
+
+
+_SEQ_COSINE_ARROW = None
+_SEQ_COSINE_ARROW_ND = None
+
+
+def norm_arrow(a: Column) -> Column:
+    """Arrow-vectorized twin of :func:`norm` (same float, see
+    :func:`dot_arrow`; ``sqrt`` is a single correctly-rounded IEEE op in
+    both engines)."""
+    return F.sqrt(dot_arrow(a, a))
+
+
+def cosine_arrow(
+    a: Column, b: Column, *, filterable: bool = False
+) -> Column:
+    """Arrow-vectorized twin of :func:`cosine` — same floats (see
+    :func:`_seq_cosine_arrow_fn`), one fused ``ArrowEvalPython`` node
+    for dot + norms + division.  ``filterable=True`` marks the UDF
+    non-deterministic (same values) so a threshold filter directly
+    above cannot duplicate the evaluation (guide §4.4)."""
+    global _SEQ_COSINE_ARROW_ND
+    if filterable:
+        if _SEQ_COSINE_ARROW_ND is None:
+            _SEQ_COSINE_ARROW_ND = (
+                _seq_cosine_arrow_fn().asNondeterministic()
+            )
+        fn = _SEQ_COSINE_ARROW_ND
+    else:
+        fn = _seq_cosine_arrow_fn()
+    return F.coalesce(fn(a, b), F.lit(0.0))
 
 
 def norm(a: Column) -> Column:
@@ -88,15 +306,17 @@ def brute_force_topk(
     """
     # norms computed once per side BEFORE the quadratic join: the
     # per-pair work is then just the dot product (cosine_presplit)
+    # one fused Arrow node computes dot + both norms + division per
+    # pair; recomputing the norms per pair in vectorized numpy is
+    # cheaper than carrying norm columns through the broadcast and
+    # running three separate Python stages (same floats either way)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -109,9 +329,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_presplit(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-            ).alias("sim_raw"),
+            cosine_arrow(F.col("qv"), F.col("cv")).alias("sim_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -250,6 +468,11 @@ def lsh_topk(
 
     Returns the same shape as :func:`brute_force_topk`.
     """
+    # under-split inputs (single-row-group fixtures) would serialize the
+    # signature UDF and every downstream stage onto one task; no-op when
+    # the corpus arrives properly split (guide §2.5)
+    corpus = _spread(corpus)
+
     def signed(df: DataFrame, idname: str) -> DataFrame:
         out = df.select(
             F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v")
@@ -296,7 +519,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(
+            cosine_arrow(
                 F.col("query_id_v"), F.col("neighbor_id_v")
             ).alias("sim_raw"),
         )
@@ -575,7 +798,7 @@ def ivf_topk(
             F.lit(0.0),
         )
     else:
-        score_col = cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
+        score_col = cosine_arrow(F.col("query_id_v"), F.col("neighbor_id_v"))
     scored = (
         probed_queries.join(assigned_corpus, on="cid")
         .where(
@@ -693,7 +916,14 @@ def embedding_neardup_pairs(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            # filterable: the threshold filter directly above must not
+            # push below this projection and run the UDF twice per pair
+            F.round(
+                cosine_arrow(
+                    F.col("va"), F.col("vb"), filterable=True
+                ),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
