@@ -21,20 +21,6 @@ from pyspark.sql.window import Window
 from sql_autoloader_spark.functions.text import bind_once
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition an under-split corpus before a scoring stage.
-
-    The candidate join and the Arrow scoring node inherit the scan's
-    partitioning; a single-row-group parquet fixture (or any input with
-    far fewer splits than cores) would serialize the whole scoring
-    pipeline onto one task (guide §2.5 input skew).  No-op at real
-    scale, where the corpus arrives as thousands of splits.
-    """
-    from sql_autoloader_spark.functions.dedup import spread_for_compute
-
-    return spread_for_compute(df, barrier=False)
-
-
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two float arrays."""
     return F.aggregate(
@@ -305,18 +291,24 @@ def brute_force_topk(
     ``(sim desc, neighbor_id)`` ordering.
     """
     # norms computed once per side BEFORE the quadratic join: the
-    # per-pair work is then just the dot product (cosine_presplit)
-    # one fused Arrow node computes dot + both norms + division per
-    # pair; recomputing the norms per pair in vectorized numpy is
-    # cheaper than carrying norm columns through the broadcast and
-    # running three separate Python stages (same floats either way)
+    # per-pair work is then just the dot product (cosine_presplit).
+    # JVM fold, not cosine_arrow: the candidate volume here is
+    # |queries| x |corpus| with a SMALL query set (the documented use),
+    # and below ~10M scored pairs the Arrow path's fixed costs (extra
+    # exchange to parallelize the Python stage, per-batch transpose +
+    # transfer) exceed the interpreted fold it replaces — measured 2x
+    # slower at 100k pairs, break-even at ~1M, 3.7x FASTER at 50M
+    # (where the quadratic all-pairs paths use it; both forms are
+    # bit-identical so the choice is pure cost).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    c = _spread(corpus).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -329,7 +321,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_arrow(F.col("qv"), F.col("cv")).alias("sim_raw"),
+            cosine_presplit(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -468,11 +462,6 @@ def lsh_topk(
 
     Returns the same shape as :func:`brute_force_topk`.
     """
-    # under-split inputs (single-row-group fixtures) would serialize the
-    # signature UDF and every downstream stage onto one task; no-op when
-    # the corpus arrives properly split (guide §2.5)
-    corpus = _spread(corpus)
-
     def signed(df: DataFrame, idname: str) -> DataFrame:
         out = df.select(
             F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v")
@@ -513,13 +502,18 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_id_v"),
     )
+    # JVM cosine, not cosine_arrow: LSH candidates are bucket-bounded
+    # (a few per query per table by design), far below the ~1M-pair
+    # crossover where the Arrow path's fixed costs amortize — see
+    # brute_force_topk; measured faster here at sf0.1 AND the x10
+    # corpus.  The quadratic all-pairs scorers keep cosine_arrow.
     scored = (
         id_pairs.join(qv, on="query_id")
         .join(cv, on="neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine_arrow(
+            cosine(
                 F.col("query_id_v"), F.col("neighbor_id_v")
             ).alias("sim_raw"),
         )
