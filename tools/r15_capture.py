@@ -106,20 +106,39 @@ def time_queries(names: list[str]) -> None:
     spark = make_spark()
     warmup(spark)
     queries = {**entry_mod.queries(), **entry_mod.scale_path_queries()}
-    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     for name in names or HEADLINE:
         best, reps = None, []
-        jobs_before = len(tracker.getJobIdsForGroup() or [])
+        last_stats = ""
         for rep in range(5):
-            j0 = tracker.getActiveJobsIds()
-            ids0 = set(tracker.getJobIdsForGroup() or [])
+            group = f"{name}-rep{rep}"
+            sc.setJobGroup(group, name)
             t0 = time.time()
             df = queries[name](spark, SF_DIR)
             n = df.count()
             dt = time.time() - t0
+            sc.setLocalProperty("spark.jobGroup.id", None)
             reps.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
-        print(f"{name:34s} best={best:.3f}s reps={reps} rows={n}")
+            if best is None or dt < best:
+                best = dt
+                jids = sorted(tracker.getJobIdsForGroup(group) or [])
+                stages, tasks = 0, 0
+                for jid in jids:
+                    ji = tracker.getJobInfo(jid)
+                    if ji is None:
+                        continue
+                    for sid in ji.stageIds:
+                        si = tracker.getStageInfo(sid)
+                        if si is not None and si.numTasks > 0:
+                            stages += 1
+                            tasks += si.numTasks
+                last_stats = (
+                    f"jobs={len(jids)} stages={stages} tasks={tasks}"
+                )
+        print(
+            f"{name:34s} best={best:.3f}s reps={reps} rows={n} {last_stats}"
+        )
 
 
 if __name__ == "__main__":
