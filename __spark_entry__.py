@@ -1152,8 +1152,20 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
         .where(F.col("sum_qty_dec") > 300)
     )
+    # broadcast the HAVING-filtered rollup, not the orders table: the
+    # static planner cannot estimate through the aggregate+filter
+    # (guide §3.1) and picks orders as the build side — fine while the
+    # orders FILE is under the broadcast threshold, but at x10 it tips
+    # into a sort-merge join that shuffles every order for the ~0.005%
+    # of keys that survive HAVING > 300 (r15 interleaved A/B: x10
+    # 1.96 s -> 1.46 s; the filtered rollup stays ~5e-5 of orders at
+    # any scale, so the broadcast never becomes the big side).  The
+    # customer join is left to the planner, which already broadcasts
+    # the customer build at both scales.
     return (
-        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        F.broadcast(big).join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("c_name").alias("name"),
