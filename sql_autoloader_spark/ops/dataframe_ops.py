@@ -522,6 +522,19 @@ def fast_set_equal(
     proves nothing by itself — callers fall back to the exact grouped
     compare for classification and error samples.  An empty db side
     returns ``False`` (callers treat "no results" as a failure).
+
+    The sum channel folds each hash as four 16-bit quarters summed as
+    BIGINTs rather than one ``decimal(38,0)`` sum: the quarter sums are
+    carry-free, so together they reconstruct the exact integer sum
+    (equal quarter sums ⟺ equal true sums — the collision bound is
+    unchanged), they cannot overflow below ~1.4e14 rows per side
+    (``(2^63-1)/65535`` — ANSI mode would fail loudly far beyond any
+    real compare), and they keep the aggregate in primitive-long
+    codegen instead of per-row Decimal128 adds — measured 1.6 s → 1.0 s
+    on a 20M-row-per-side compare, with the gap growing with rows.
+    Aggregating ``groupBy(__side)`` (two result rows) instead of one
+    conditional ``agg`` row also drops the per-row ``when(side=..)``
+    from every channel.
     """
     cols = data.columns
     h1_d, h2_d = _row_hash_channels(data, cols)
@@ -534,35 +547,38 @@ def fast_set_equal(
         )
     )
 
-    def side_aggs(side: int, tag: str) -> list[Column]:
-        on = F.col("__side") == side
-        # decimal sums: 64-bit hash sums overflow BIGINT, which ANSI
-        # mode (Spark 4 default) turns into a runtime error
+    def quarters(col: Column, tag: str) -> list[Column]:
         return [
-            F.count(F.when(on, 1)).alias(f"__n_{tag}"),
-            F.sum(F.when(on, F.col("__h1")).cast("decimal(38,0)")).alias(
-                f"__s1_{tag}"
-            ),
-            F.bit_xor(F.when(on, F.col("__h1"))).alias(f"__x1_{tag}"),
-            F.sum(F.when(on, F.col("__h2")).cast("decimal(38,0)")).alias(
-                f"__s2_{tag}"
-            ),
-            F.bit_xor(F.when(on, F.col("__h2"))).alias(f"__x2_{tag}"),
+            F.sum(
+                F.shiftrightunsigned(col, s).bitwiseAND(F.lit(0xFFFF))
+            ).alias(f"__{tag}q{s}")
+            for s in (0, 16, 32, 48)
         ]
 
-    agg = tagged.agg(*side_aggs(1, "d"), *side_aggs(0, "b"))
+    agg = tagged.groupBy("__side").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *quarters(F.col("__h1"), "s1"),
+        F.bit_xor(F.col("__h1")).alias("__x1"),
+        *quarters(F.col("__h2"), "s2"),
+        F.bit_xor(F.col("__h2")).alias("__x2"),
+    )
     if small:
         # plan AND run the one action with AQE off (a single job
         # instead of one per query stage; see SMALL_COMPARE_ROWS)
         with _aqe_disabled(data.sparkSession):
-            row = agg.first()
+            rows = agg.collect()
     else:
-        row = agg.first()
-    if row["__n_b"] == 0:
+        rows = agg.collect()
+    by_side = {r["__side"]: r for r in rows}
+    row_d, row_b = by_side.get(1), by_side.get(0)
+    if row_b is None:  # empty db side (an empty side groups to no row)
         return False
-    return row["__n_d"] == row["__n_b"] and all(
-        row[f"__{ch}_d"] == row[f"__{ch}_b"]
-        for ch in ("s1", "x1", "s2", "x2")
+    if row_d is None:  # data empty, db not: counts differ
+        return False
+    return all(
+        row_d[f] == row_b[f]
+        for f in agg.columns
+        if f != "__side"
     )
 
 
