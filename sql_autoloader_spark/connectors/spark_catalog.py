@@ -65,6 +65,7 @@ from sql_autoloader_spark.connectors.ddl import (
     parse_script_actions,
 )
 from sql_autoloader_spark.exceptions import InvalidTableError
+from sql_autoloader_spark.ops.dataframe_ops import empty_frame
 from sql_autoloader_spark.schema import ReferenceDict, Schema, TableDict
 
 if TYPE_CHECKING:
@@ -1285,9 +1286,10 @@ class SparkConnector(BaseConnector):
                 paths.append(p)
         schema = self.spark.table(self._qualified(table)).schema
         if not paths:
-            # every commit in the range touched only other tables: an
-            # empty frame with the physical schema — no scan at all
-            return self.spark.createDataFrame([], schema)
+            # every commit in the range touched only other tables: a
+            # statically-empty frame with the physical schema — no scan
+            # at all, and downstream plans can fold the branch away
+            return empty_frame(self.spark, schema)
         # explicit schema: partition columns resolve from the Hive
         # directory names under basePath, and files written before an
         # ALTER TABLE ADD COLUMN null-fill — the same semantics as the
@@ -1983,7 +1985,10 @@ class SparkConnector(BaseConnector):
             raise ValueError(msg)
 
         ddl_schema = ", ".join(f"`{c}` {t}" for c, t in parsed.column_types)
-        empty = self.spark.createDataFrame([], schema=ddl_schema)
+        # statically-empty (LocalRelation): the optimizer folds this
+        # branch out of every later union/join, and scans never touch a
+        # Python worker — see ops.empty_frame
+        empty = empty_frame(self.spark, ddl_schema)
         self._meta[parsed.name] = parsed
         self._appends.setdefault(parsed.name, [])
 
@@ -2000,8 +2005,8 @@ class SparkConnector(BaseConnector):
                 self._committed_empty[parsed.name] = True
             elif parsed.name not in self._committed_empty:
                 self._committed_empty[parsed.name] = False  # unknown content
-            with_epoch = self.spark.createDataFrame(
-                [], schema=ddl_schema + f", `{_COMMIT_COL}` BIGINT"
+            with_epoch = empty_frame(
+                self.spark, ddl_schema + f", `{_COMMIT_COL}` BIGINT"
             )
             create_writer = self._apply_layout(
                 with_epoch.write.mode("ignore"), parsed.name

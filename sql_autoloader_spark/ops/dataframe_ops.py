@@ -53,6 +53,34 @@ def _col(df: DataFrame, name: str) -> Column:
     return df[_q(name)]
 
 
+def empty_frame(spark, schema) -> DataFrame:  # noqa: ANN001
+    """A statically-empty DataFrame with *schema* (DDL string or
+    ``StructType``), built so the optimizer can PROVE it is empty.
+
+    ``spark.createDataFrame([], schema)`` yields a ``LogicalRDD`` over a
+    pickled Python RDD: its row count is opaque to Catalyst (a union or
+    join keeps the empty branch forever) and every task that scans it
+    pays a Python-worker round-trip — thread dumps of the loader showed
+    whole 33-task stages blocked in ``BasePythonRunner$ReaderInputStream``
+    at near-zero CPU.  A ``limit(0)`` over a one-row projection instead
+    optimizes to ``LocalRelation <empty>`` (``OptimizeLimitZero``), which
+    ``PropagateEmptyRelation`` then folds out of unions and joins
+    entirely: the empty-table branch of every freshly-created table
+    vanishes from load plans, and nothing ever leaves the JVM.
+    """
+    if isinstance(schema, str):
+        # schema-string parse only — never executed, so the Python-RDD
+        # backing of this throwaway frame is irrelevant
+        schema = spark.createDataFrame([], schema).schema
+    return (
+        spark.range(1)
+        .select(
+            [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        .limit(0)
+    )
+
+
 def preprocess(
     data: DataFrame, columns: dict[str, str] | None, *, dedup: bool = True
 ) -> DataFrame:
