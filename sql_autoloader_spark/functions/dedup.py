@@ -749,6 +749,12 @@ def minhash_lsh_pairs(
     else:
         star = None
 
+    # candidate dedup keyed on id_a ALONE: hashpartitioning(id_a)
+    # satisfies the (id_a, id_b) clustering the aggregate needs AND the
+    # id_a equi-join the verify stage opens with, so the dedup and that
+    # join share one exchange instead of shuffling the pair set twice
+    # (guide: two operations keyed the same way can share an exchange;
+    # plan-pinned in tests/test_plans.py).
     pairs = (
         banded.alias("l")
         .join(
@@ -762,10 +768,15 @@ def minhash_lsh_pairs(
         .select(
             F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b")
         )
-        .distinct()
+        .repartition(F.col("id_a"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     if star is not None:
-        pairs = pairs.unionByName(star).distinct()
+        pairs = (
+            pairs.unionByName(star)
+            .repartition(F.col("id_a"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     if not verify:
         return pairs
@@ -775,14 +786,18 @@ def minhash_lsh_pairs(
     # risk into the plan); AQE broadcasts it at runtime when small —
     # measured identical locally.
     sh = signed.select("doc", "sh")
+    # union size derived as |a| + |b| - |intersect| (exact: both sides
+    # are array_distinct sets, and the integer arithmetic is lossless in
+    # doubles) — one array traversal per pair instead of two; the
+    # quotient is bit-identical to the array_union form.
+    isect = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     return (
         pairs.join(sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({"doc": "id_b", "sh": "sh_b"}), on="id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                isect / (F.size("sh_a") + F.size("sh_b") - isect),
                 6,
             ),
         )

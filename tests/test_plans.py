@@ -563,6 +563,11 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
         # r13: one data-sized exchange (the source window) + the tiny
         # mass/feasible aggregates and two broadcasts of budget rows
         "docs_mixture_weights": 6,
+        # r15: banded self-join (2) + ONE pair-set exchange (the
+        # repartition(id_a) serves both the candidate dedup and the
+        # first verify join) + the id_b verify join side.  Was 5 when
+        # the dedup keyed on (id_a, id_b) and shuffled the pairs twice.
+        "docs_minhash_pairs": 4,
     }
     # the overlay points the LSH names at their pure scale paths — the
     # registered certificates embed quadratic exact twins by design,
