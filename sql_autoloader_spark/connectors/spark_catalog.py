@@ -65,7 +65,7 @@ from sql_autoloader_spark.connectors.ddl import (
     parse_script_actions,
 )
 from sql_autoloader_spark.exceptions import InvalidTableError
-from sql_autoloader_spark.ops.dataframe_ops import empty_frame
+from sql_autoloader_spark.ops.dataframe_ops import empty_frame, local_frame
 from sql_autoloader_spark.schema import ReferenceDict, Schema, TableDict
 
 if TYPE_CHECKING:
@@ -1056,8 +1056,8 @@ class SparkConnector(BaseConnector):
         tokens = self._visible_tokens(upper)
         if len(tokens) <= _TOKEN_INLINE_LIMIT:
             return frame.where(F.col(_COMMIT_COL).isin(tokens))
-        tok_df = self.spark.createDataFrame(
-            [(t,) for t in tokens], f"`{_COMMIT_COL}` BIGINT"
+        tok_df = local_frame(
+            self.spark, [(t,) for t in tokens], f"`{_COMMIT_COL}` BIGINT"
         )
         return frame.join(F.broadcast(tok_df), _COMMIT_COL, "left_semi")
 
@@ -1243,8 +1243,8 @@ class SparkConnector(BaseConnector):
                 "_commit_id", cid_col.cast("bigint")
             )
         else:
-            tok_df = self.spark.createDataFrame(
-                pairs, f"`{_COMMIT_COL}` BIGINT, _commit_id BIGINT"
+            tok_df = local_frame(
+                self.spark, pairs, f"`{_COMMIT_COL}` BIGINT, _commit_id BIGINT"
             )
             out = frame.join(F.broadcast(tok_df), _COMMIT_COL, "inner")
         return self._decode_adapters(

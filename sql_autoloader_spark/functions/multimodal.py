@@ -326,14 +326,20 @@ def synthetic_png_media(
     disagree on negatives).
 
     Execution: the ≤``modulus`` distinct PNGs are generated ONCE on
-    the driver and broadcast-joined to the ids — the per-row plan is
-    pure JVM (no Python stage, no per-row Arrow transfer of repeated
-    bytes); NULL ids get NULL content through the left join.  The
-    decode-side operators (resize, pixel_stats, features) still run
-    their real Arrow ``mapInPandas`` stages over the content.
+    the driver and broadcast-joined to the ids as a JVM
+    ``LocalRelation`` (``ops.local_frame`` — a plain ``createDataFrame``
+    would pin a Python-RDD scan into every broadcast build) — the
+    per-row plan is pure JVM (no Python stage, no per-row Arrow
+    transfer of repeated bytes); NULL ids get NULL content through the
+    left join.  The decode-side operators (resize, pixel_stats,
+    features) still run their real Arrow ``mapInPandas`` stages over
+    the content.
     """
+    from sql_autoloader_spark.ops.dataframe_ops import local_frame
+
     spark = df.sparkSession
-    mapping = spark.createDataFrame(
+    mapping = local_frame(
+        spark,
         [(k, synthesize_png(k)) for k in range(modulus)],
         "__k long, content binary",
     )
