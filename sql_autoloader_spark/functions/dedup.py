@@ -720,6 +720,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    # One (band, bucket) exchange, computed once into cache: both sides
+    # of the self-join (and, on the capped path, the bucket-count
+    # aggregate and its join back) consume this partitioning, so the
+    # banded frame crosses the network once instead of once per
+    # consumer — ReuseExchange does not deduplicate the self-join's two
+    # ensured exchanges on its own (measured x10: 3.7 s → 2.5 s).  The
+    # cache rides the same leaked-persist precedent as ``signed`` above
+    # and is the smaller of the two (3 numeric cols/row vs full shingle
+    # arrays + signatures).
+    banded = banded.repartition(F.col("band"), F.col("bucket")).persist()
 
     if max_bucket_size is not None:
         # one map-side-combined count per (band, bucket); the join back is
