@@ -175,9 +175,16 @@ def fingerprint_dedup_stats(
     The normalization+hash is the CPU; spread it across cores first —
     a single-file (or single-row-group) corpus otherwise serializes the
     whole regex pass onto one scan task (no-op at real scale).
+    ``barrier=False``: nothing downstream filters a computed column, so
+    the checkpoint barrier would only materialize the raw documents
+    into executor storage for no pushdown protection — a plain
+    repartition hashes them straight off the shuffle (x10: 0.88 →
+    0.71 s, and no corpus-sized cache write at real scale).
     """
     return (
-        spread_for_compute(df.select(id_col, text_col)).select(
+        spread_for_compute(
+            df.select(id_col, text_col), barrier=False
+        ).select(
             fingerprint_md5(F.col(text_col)).alias("fp"),
             F.col(id_col),
         )
