@@ -3862,6 +3862,8 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = dedup.simhash_fingerprints(
         docs, id_col="doc_id", text_col="text"
     ).persist()
+    # one-generation pin lifetime (r16): the next invocation releases it
+    dedup._fresh_pins("q_docs_simhash_pairs_cert").append(fps)
     exact = (
         fps.alias("l")
         .join(fps.alias("r"), F.col("l.doc") < F.col("r.doc"))
@@ -4257,8 +4259,10 @@ def q_docs_semantic_clusters_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     # pin the (small) approx pair list: the recall flag, the CC edge
-    # list, and the keep policy all derive from it
+    # list, and the keep policy all derive from it.  One-generation
+    # lifetime (r16): the next invocation releases it.
     approx = approx.persist()
+    dedup._fresh_pins("q_docs_semantic_clusters_lsh_cert").append(approx)
     comp = dedup.connected_components(approx.select("id_a", "id_b"))
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(

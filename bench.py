@@ -61,7 +61,42 @@ X10_SUBSET = [
     "docs_token_stats",
     "emb_cosine_topk",
     "events_sessionize",
+    # round 16: both received scale-motivated changes in r15 (shared
+    # banded exchange / LocalRelation broadcast) whose payoff is at x10;
+    # tracking them here makes the scale side mechanically visible
+    "emb_lsh_topk",
+    "media_byte_stats",
 ]
+
+
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line.
+
+    Round 16 telemetry: the container shares a hypervisor and /proc/stat
+    sampling during r15 showed 15-26% steal bursts that ballooned
+    32-task barrier stages 2-5x.  Sampling around each query (not just
+    the pre-loop calibration job) lets a reader separate "code got
+    slower" from "the host was stolen during this query's reps".
+    Read failures return (0, 0) — telemetry must never fail the bench.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        # fields: user nice system idle iowait irq softirq steal ...
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # noqa: BLE001 — telemetry only
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    """Percent of elapsed cpu ticks stolen between two snapshots."""
+    dsteal = after[0] - before[0]
+    dtotal = after[1] - before[1]
+    if dtotal <= 0:
+        return 0.0
+    return round(100.0 * dsteal / dtotal, 1)
 
 
 def main() -> None:
@@ -137,21 +172,26 @@ def main() -> None:
         return time.time() - t0
 
     calibration_job()  # untimed: the first rep measures JIT, not the host
+    cal_s0 = _steal_snapshot()
     calibration = round(min(calibration_job() for _ in range(5)), 3)
+    calibration_steal = _steal_pct(cal_s0, _steal_snapshot())
 
     # overlay: time the pure LSH scale paths, not the registered
     # recall certificates (which embed quadratic exact twins)
     queries = {**entry_mod.queries(), **entry_mod.scale_path_queries()}
     timings: dict[str, float] = {}
+    steal: dict[str, float] = {}
     for name in HEADLINE:
         # the minimum measures the code, the rest measure the neighbors
         best, n = None, 0
+        s0 = _steal_snapshot()
         for _ in range(BEST_OF):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             n = df.count()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+        steal[name] = _steal_pct(s0, _steal_snapshot())
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
@@ -165,6 +205,7 @@ def main() -> None:
     # key offsets, cached under /tmp across runs); best-of-2 keeps the
     # added wall time bounded.  Disable with SPARK_GRAFT_X10=0.
     x10_timings: dict[str, float] = {}
+    x10_steal: dict[str, float] = {}
     x10_total = None
     if os.environ.get("SPARK_GRAFT_X10", "1") != "0":
         try:
@@ -174,11 +215,13 @@ def main() -> None:
             scale_probe.build_blowup(spark)
             for name in X10_SUBSET:
                 best = None
+                s0 = _steal_snapshot()
                 for _ in range(2):
                     t0 = time.time()
                     queries[name](spark, scale_probe.OUT).count()
                     elapsed = time.time() - t0
                     best = elapsed if best is None else min(best, elapsed)
+                x10_steal[name] = _steal_pct(s0, _steal_snapshot())
                 x10_timings[name] = round(best, 3)
                 print(
                     f"# x10 {name}: {x10_timings[name]}s", file=sys.stderr
@@ -195,10 +238,13 @@ def main() -> None:
                 "unit": "sec",
                 "best_of": BEST_OF,
                 "calibration": calibration,
+                "calibration_steal_pct": calibration_steal,
                 "queries": timings,
+                "queries_steal_pct": steal,
                 "sf": sf,
                 "headline_total_x10": x10_total,
                 "queries_x10": x10_timings,
+                "queries_x10_steal_pct": x10_steal,
             }
         )
     )

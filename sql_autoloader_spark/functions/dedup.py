@@ -16,10 +16,12 @@ Design rules for 100 TB:
   the JVM expression forms (differential-tested).
 - **Pin lifetime**: the fuzzy builders ``persist()`` internal frames
   (signatures, counted buckets) so multi-consumer plans compute them
-  once.  Those pins live in the session CacheManager until
-  ``spark.catalog.clearCache()`` — a long-lived session calling these
-  per batch should clear between batches (or run the streaming
-  admission path, which manages its own per-batch checkpoints).
+  once.  Each builder releases the pins of its own PREVIOUS invocation
+  (one live generation per operator — see ``_fresh_pins``), and
+  :func:`release_pins` drops everything; a long-lived session calling
+  these per batch therefore holds at most one generation per operator
+  (or run the streaming admission path, which manages its own
+  per-batch checkpoints).
 """
 
 from __future__ import annotations
@@ -40,6 +42,47 @@ from sql_autoloader_spark.functions.text import (
 # permutation product a*h < 2^62 stays inside int64 even under ANSI
 # overflow checking (a 61-bit prime would overflow the multiply).
 _MERSENNE31 = (1 << 31) - 1
+
+# -- persist-pin lifetime (round 16, guide §5) -------------------------------
+#
+# The fuzzy builders persist() internal frames (signatures, banded
+# buckets, counted buckets) so multi-consumer plans compute them once.
+# The RESULT frame is lazy — the pins must outlive the builder call and
+# survive until the caller's action — so they cannot be released inside
+# the builder.  Without any release, a long-lived session issuing these
+# per batch accumulates dead cache in the session CacheManager and
+# forces eviction churn at scale.  The registry below bounds that to ONE
+# live generation per operator: each new invocation releases the
+# previous invocation's pins, and :func:`release_pins` drops everything
+# (for callers that know their actions are done).  Unpersist only drops
+# the cache — a late consumer of an old frame recomputes correctly.
+
+_PIN_REGISTRY: dict[str, list[DataFrame]] = {}
+
+
+def _fresh_pins(op: str) -> list[DataFrame]:
+    """Release the previous invocation's pins for *op*; return (and
+    register) the list the new invocation should append its pins to."""
+    for f in _PIN_REGISTRY.pop(op, []):
+        try:
+            f.unpersist()
+        except Exception:  # noqa: BLE001, S110 — session may be gone
+            pass
+    pins: list[DataFrame] = []
+    _PIN_REGISTRY[op] = pins
+    return pins
+
+
+def release_pins() -> None:
+    """Release every internal persist() pin the fuzzy builders (here and
+    in :mod:`similarity`) have recorded.  Safe at any time: downstream
+    frames recompute from lineage if re-executed after release."""
+    for op in list(_PIN_REGISTRY):
+        for f in _PIN_REGISTRY.pop(op, []):
+            try:
+                f.unpersist()
+            except Exception:  # noqa: BLE001, S110 — session may be gone
+                pass
 
 
 def spread_for_compute(df: DataFrame, *, barrier: bool = True) -> DataFrame:
@@ -243,7 +286,9 @@ def token_jaccard_pairs(
     # (plan audits and tests construct without executing), and persist
     # keeps the lineage inspectable and recomputable — partitions
     # materialize on the query's first action and are reused after
+    pins = _fresh_pins("token_jaccard_pairs")
     sets = sets.persist()
+    pins.append(sets)
     sizes = sets.select("doc", F.size("sh").cast("bigint").alias("sz"))
     exploded = sets.select("doc", F.explode("sh").alias("s"))
 
@@ -374,6 +419,7 @@ def dup_span_coverage(
         # through this pin), partitions still materialize exactly once
         .persist()
     )
+    _fresh_pins("dup_span_coverage").append(per_doc)
     # corpus vocabulary: in how many distinct docs does each gram occur?
     # (input is already distinct per (doc, gram), so a plain count)
     vocab = per_doc.groupBy("g").agg(
@@ -706,7 +752,9 @@ def minhash_lsh_pairs(
     # persist (not localCheckpoint): no job at build time, lineage stays
     # inspectable, and the signature table it holds is tiny
     # (~(8*num_hashes + shingles) bytes per doc).
+    pins = _fresh_pins("minhash_lsh_pairs")
     signed = signed.persist()
+    pins.append(signed)
 
     banded = signed.select(
         "doc",
@@ -733,10 +781,11 @@ def minhash_lsh_pairs(
     # banded frame crosses the network once instead of once per
     # consumer — ReuseExchange does not deduplicate the self-join's two
     # ensured exchanges on its own (measured x10: 3.7 s → 2.5 s).  The
-    # cache rides the same leaked-persist precedent as ``signed`` above
-    # and is the smaller of the two (3 numeric cols/row vs full shingle
-    # arrays + signatures).
+    # cache lives one generation like ``signed`` above and is the
+    # smaller of the two (3 numeric cols/row vs full shingle arrays +
+    # signatures).
     banded = banded.repartition(F.col("band"), F.col("bucket")).persist()
+    pins.append(banded)
 
     if max_bucket_size is not None:
         # one map-side-combined count per (band, bucket); the join back is
@@ -750,6 +799,7 @@ def minhash_lsh_pairs(
         # the bucket-count aggregate + join ONCE instead of per consumer
         # (lazy: no job until the query's first action)
         sized = banded.join(counts, on=["band", "bucket"]).persist()
+        pins.append(sized)
         banded = sized.where(F.col("__f") <= max_bucket_size).drop(
             "__f", "__rep"
         )
@@ -978,7 +1028,9 @@ def simhash_pairs(
     # aggregate tree is large and would otherwise run once per join side.
     # persist: lazy (no build-time job), lineage inspectable, reused by
     # every chunk of the self-join once materialized
+    pins = _fresh_pins("simhash_pairs")
     fingerprinted = fingerprinted.persist()
+    pins.append(fingerprinted)
     chunked = fingerprinted.select(
         "doc",
         "fp",
@@ -1007,6 +1059,7 @@ def simhash_pairs(
         # pin (see minhash_lsh_pairs): filter, star, and both self-join
         # sides consume this frame — one bucket-count aggregate, not four
         sized = chunked.join(counts, on=["ci", "cv"]).persist()
+        pins.append(sized)
         chunked = sized.where(F.col("__f") <= max_bucket_size).drop(
             "__f", "__rep", "__rep_fp"
         )

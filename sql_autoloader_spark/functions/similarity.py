@@ -870,8 +870,14 @@ def embedding_neardup_pairs(
     # pin before the self-join: the hyperplane-signature tree (tables ×
     # planes dot products) would otherwise execute once per join side.
     # persist: lazy (no job until the query's first action), lineage
-    # inspectable, partitions reused across both join sides
+    # inspectable, partitions reused across both join sides.  Pins live
+    # one generation (released by the next invocation or
+    # dedup.release_pins) — see dedup._fresh_pins.
+    from sql_autoloader_spark.functions.dedup import _fresh_pins
+
+    pins = _fresh_pins("embedding_neardup_pairs")
     banded = banded.persist()
+    pins.append(banded)
 
     # Vectors are looked up AFTER candidate dedup: the bucket self-join
     # emits each pair once per shared (table, signature), and deduping
@@ -890,6 +896,7 @@ def embedding_neardup_pairs(
         # pin (see minhash_lsh_pairs): filter, star, and both self-join
         # sides consume this frame — one bucket-count aggregate, not four
         sized = keys.join(counts, on=["tbl", "sig"]).persist()
+        pins.append(sized)
         keys = sized.where(F.col("__f") <= max_bucket_size).drop(
             "__f", "__rep"
         )
@@ -922,6 +929,7 @@ def embedding_neardup_pairs(
     # pin the deduped vector lookup: the id_a and id_b joins each scan
     # it — one dedup aggregate over the vector payload, not two
     vecs = banded.select("doc", "v").dropDuplicates(["doc"]).persist()
+    pins.append(vecs)
     pairs = id_pairs.join(
         vecs.select(F.col("doc").alias("id_a"), F.col("v").alias("va")),
         on="id_a",

@@ -2328,3 +2328,72 @@ def test_merge_rollup_topk_misra_gries_combinator(
                 keys=["g"],
                 combine={"hh": bad},
             )
+
+
+# --- persist-pin lifetime (r16, guide §5) ------------------------------------
+
+
+def test_fuzzy_builder_pins_release_per_generation(
+    spark: SparkSession,
+) -> None:
+    """The fuzzy builders' internal persist() pins must not accumulate
+    across invocations in a long-lived session: each call releases the
+    previous call's pins, and release_pins() drops everything — after
+    it, the CacheManager holds nothing from these operators and no RDD
+    stays pinned in executor storage."""
+    spark.catalog.clearCache()
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "different words entirely")],
+        "doc_id long, text string",
+    )
+
+    def persistent_rdds() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def cache_empty() -> bool:
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # first invocation: pins live so the caller's action(s) reuse them
+    dedup.minhash_lsh_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.3
+    ).count()
+    assert not cache_empty()
+    assert persistent_rdds() > 0
+
+    # second invocation rotates: the first generation is released
+    first_gen = persistent_rdds()
+    out2 = dedup.minhash_lsh_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.3
+    )
+    out2.count()
+    assert persistent_rdds() <= first_gen  # no accumulation across calls
+
+    # explicit release: nothing pinned anywhere afterwards
+    dedup.release_pins()
+    assert cache_empty()
+    assert persistent_rdds() == 0
+
+    # released pins only drop the cache — the frame still recomputes
+    assert out2.count() == out2.count()
+    dedup.release_pins()
+
+
+def test_embedding_neardup_pins_release(spark: SparkSession) -> None:
+    """similarity.embedding_neardup_pairs shares the dedup pin registry."""
+    spark.catalog.clearCache()
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.embedding_neardup_pairs(
+        vecs, id_col="vec_id", vec_col="embedding", dim=4, threshold=0.9
+    ).count()
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    dedup.release_pins()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
