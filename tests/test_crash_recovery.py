@@ -41,6 +41,7 @@ import os
 import signal
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import pytest
@@ -283,18 +284,238 @@ def _assert_killed_mid_batch(proc: subprocess.CompletedProcess) -> None:
     assert "SURVIVED" not in proc.stdout  # died inside batch 1
 
 
+# -- concurrent scenario execution (round 16) ---------------------------------
+#
+# Every test in this module drives subprocess drivers (fresh JVMs,
+# ~20-30 s each); run sequentially the module dominated the whole
+# suite's wall time.  The SCENARIOS are mutually independent — each
+# owns its tmp root, warehouse, checkpoint, and (where applicable)
+# embedded PG server — while WITHIN a scenario the kill phase still
+# strictly precedes the recover phase.  The module fixture below runs
+# all scenario choreographies concurrently (one thread each, the
+# guide §2.6 overlap-independent-jobs shape applied to test JVMs) and
+# each test keeps ITS OWN assertions over its scenario's captured
+# output — coverage identical, wall time collapses to the slowest
+# single scenario.
+
+
+def _catalog_scenario(tmp: Path) -> dict:
+    script = tmp / "cat_child.py"
+    script.write_text(_CATALOG_CHILD)
+    root = str(tmp / "shared")
+    os.makedirs(root)
+    killed = _run_child(script, ["kill", root])
+    recovered = _run_child(script, ["recover", root])
+    return {"killed": killed, "recovered": recovered, "root": root}
+
+
+def _postgres_scenario(tmp: Path) -> dict | None:
+    if not EmbeddedPostgres.available():
+        return None
+    script = tmp / "pg_child.py"
+    script.write_text(_POSTGRES_CHILD)
+    root = str(tmp / "shared")
+    os.makedirs(root)
+    # the server lives in THIS process, outside the children's process
+    # groups — it survives the SIGKILL like a real warehouse would
+    with EmbeddedPostgres(tcp=True) as server:
+        server.createdb("crashpg")
+        args = [root, server.host, str(server.port)]
+        killed = _run_child(script, ["kill", *args])
+        recovered = _run_child(script, ["recover", *args])
+    return {"killed": killed, "recovered": recovered, "root": root}
+
+
+def _fuzzy_scenario(tmp: Path) -> dict:
+    script = tmp / "fuzzy_child.py"
+    script.write_text(_FUZZY_CHILD)
+    root = str(tmp / "shared")
+    os.makedirs(root)
+    killed = _run_child(script, ["kill", root])
+    # snapshot the mid-crash filesystem state BEFORE recovery mutates it
+    corpus = f"{root}/corpus"
+    corpus_listing = os.listdir(corpus) if os.path.isdir(corpus) else []
+    recovered = _run_child(script, ["recover", root])
+    return {
+        "killed": killed,
+        "recovered": recovered,
+        "root": root,
+        "corpus_listing": corpus_listing,
+    }
+
+
+def _rewrite_scenario(tmp: Path) -> dict:
+    script = tmp / "rewrite_child.py"
+    script.write_text(_REWRITE_CHILD)
+    root = str(tmp / "shared")
+    os.makedirs(root)
+    killed = _run_child(script, ["kill", root])
+    staging_mid = os.path.isdir(f"{root}/rwdb/cmp_t__recovery_staging")
+    recovered = _run_child(script, ["recover", root])
+    return {
+        "killed": killed,
+        "recovered": recovered,
+        "root": root,
+        "staging_mid": staging_mid,
+    }
+
+
+def _spawn_role(
+    script: Path, role: str, db_location: str, barrier: Path
+) -> subprocess.Popen:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(  # noqa: S603 - our own script
+        [sys.executable, str(script), role, db_location, str(barrier)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+        start_new_session=True,
+    )
+
+
+def _race_pair(
+    script: Path,
+    roles: tuple[str, str],
+    db_location: str,
+    barrier: Path,
+) -> dict:
+    """Barrier-synchronized two-child race; returns per-role outputs."""
+    import time as _time
+
+    children = {role: _spawn_role(script, role, db_location, barrier) for role in roles}
+    try:
+        deadline = _time.time() + 900
+        while _time.time() < deadline:
+            if all((barrier / f"ready_{r}").exists() for r in roles):
+                break
+            _time.sleep(0.1)
+        else:
+            # surface the children's own stderr — a crash inside
+            # SparkConnector.__init__ is diagnosable only from there
+            diag = []
+            for role, child in children.items():
+                child.kill()
+                c_out, c_err = child.communicate(timeout=60)
+                diag.append(
+                    f"--- {role} (rc={child.returncode}) stdout ---\n"
+                    f"{c_out[-2000:]}\n--- {role} stderr ---\n"
+                    f"{c_err[-4000:]}"
+                )
+            msg = "children never became ready\n" + "\n".join(diag)
+            raise AssertionError(msg)
+        (barrier / "go").touch()
+        out: dict = {}
+        for role, child in children.items():
+            c_out, c_err = child.communicate(timeout=1200)
+            out[role] = {
+                "returncode": child.returncode,
+                "stdout": c_out,
+                "stderr": c_err,
+            }
+        return out
+    finally:
+        for child in children.values():
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+
+
+def _racing_scenario(spark, tmp: Path) -> dict:  # noqa: ANN001
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    db_location = str(tmp / "rwdb.db")
+    barrier = tmp / "barrier"
+    barrier.mkdir()
+    # migrations are single-writer: DDL + persisted metadata exist first
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS rwrace LOCATION '{db_location}'")
+    ddl_conn = SparkConnector(spark, database="rwrace")
+    ddl_conn.execute_ddl(
+        "CREATE TABLE rw_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
+    )
+    script = tmp / "racer_child.py"
+    script.write_text(_RACER_CHILD)
+    out = _race_pair(script, ("victim", "survivor"), db_location, barrier)
+    return {"db_location": db_location, **out}
+
+
+def _open_scenario(spark, tmp: Path) -> dict:  # noqa: ANN001
+    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
+
+    db_location = str(tmp / "codb.db")
+    barrier = tmp / "barrier"
+    barrier.mkdir()
+    # several tables persisted up front: each one is a separate
+    # persist call in the adopt loop, widening the collision window
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS coparent LOCATION '{db_location}'")
+    ddl_conn = SparkConnector(spark, database="coparent")
+    for i in range(6):
+        ddl_conn.execute_ddl(
+            f"CREATE TABLE co_t{i} (id INTEGER PRIMARY KEY, name TEXT);"
+        )
+    with ddl_conn:
+        ddl_conn.insert(
+            spark.createDataFrame([("a",), ("b",)], ["name"]), table="co_t0"
+        )
+    script = tmp / "opener_child.py"
+    script.write_text(_OPENER_CHILD)
+    out = _race_pair(script, ("left", "right"), db_location, barrier)
+    return {"db_location": db_location, **out}
+
+
+@pytest.fixture(scope="module")
+def crash_runs(spark, tmp_path_factory) -> dict:  # noqa: ANN001
+    """All six scenarios' subprocess choreography, run concurrently.
+
+    A scenario that raises is captured and re-raised by ITS test only
+    (a shared fixture error would otherwise fail the whole module)."""
+    scenarios = {
+        "catalog": lambda: _catalog_scenario(
+            tmp_path_factory.mktemp("crash_catalog")
+        ),
+        "postgres": lambda: _postgres_scenario(
+            tmp_path_factory.mktemp("crash_pg")
+        ),
+        "fuzzy": lambda: _fuzzy_scenario(tmp_path_factory.mktemp("crash_fuzzy")),
+        "rewrite": lambda: _rewrite_scenario(
+            tmp_path_factory.mktemp("crash_rewrite")
+        ),
+        "racing": lambda: _racing_scenario(
+            spark, tmp_path_factory.mktemp("crash_racing")
+        ),
+        "open": lambda: _open_scenario(
+            spark, tmp_path_factory.mktemp("crash_open")
+        ),
+    }
+
+    def guarded(fn):  # noqa: ANN001, ANN202
+        try:
+            return fn()
+        except BaseException as exc:  # noqa: BLE001 — owned by the test
+            return {"error": exc}
+
+    with ThreadPoolExecutor(max_workers=len(scenarios)) as pool:
+        futures = {k: pool.submit(guarded, fn) for k, fn in scenarios.items()}
+        return {k: f.result() for k, f in futures.items()}
+
+
+def _scenario(crash_runs: dict, name: str) -> dict:
+    sc = crash_runs[name]
+    if sc is not None and "error" in sc:
+        raise sc["error"]
+    return sc
+
+
 @pytest.mark.slow
-def test_sigkill_mid_commit_managed_catalog_converges(tmp_path) -> None:  # noqa: ANN001
+def test_sigkill_mid_commit_managed_catalog_converges(crash_runs) -> None:  # noqa: ANN001
     """Managed catalog: SIGKILL at the journal-flip point, restart from
     the same checkpoint → exactly the batch-oracle content, physically
     (the crashed token's invisible rows are swept, the replay lands
     once)."""
-    script = tmp_path / "cat_child.py"
-    script.write_text(_CATALOG_CHILD)
-    root = str(tmp_path / "shared")
-    os.makedirs(root)
-
-    killed = _run_child(script, ["kill", root])
+    sc = _scenario(crash_runs, "catalog")
+    killed = sc["killed"]
     _assert_killed_mid_batch(killed)
     # the journal must show ONLY batch 0's commit (the flip never landed)
     phase1 = json.loads(
@@ -304,7 +525,7 @@ def test_sigkill_mid_commit_managed_catalog_converges(tmp_path) -> None:  # noqa
     )
     assert phase1 == {"cars": 2, "commits": 1}
 
-    recovered = _run_child(script, ["recover", root])
+    recovered = sc["recovered"]
     assert recovered.returncode == 0, (
         f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
     )
@@ -321,43 +542,33 @@ def test_sigkill_mid_commit_managed_catalog_converges(tmp_path) -> None:  # noqa
 
 
 @pytest.mark.slow
-def test_sigkill_between_copy_and_merge_postgres_converges(tmp_path) -> None:  # noqa: ANN001
+def test_sigkill_between_copy_and_merge_postgres_converges(crash_runs) -> None:  # noqa: ANN001
     """Live-PG sink: SIGKILL after the staging COPY, before the merge.
     The orphan staging table must not block the restarted stream
     (random staging names, autocommit schema creation), the replay must
     converge to the batch oracle, and ``sweep_staging`` must reclaim
     the orphan — the multi-writer staging contract (OPERATIONS.md)."""
-    if not EmbeddedPostgres.available():
+    sc = _scenario(crash_runs, "postgres")
+    if sc is None:
         pytest.skip("PostgreSQL server binaries not available")
-    script = tmp_path / "pg_child.py"
-    script.write_text(_POSTGRES_CHILD)
-    root = str(tmp_path / "shared")
-    os.makedirs(root)
 
-    # the server lives in THIS process, outside the children's process
-    # groups — it survives the SIGKILL like a real warehouse would
-    with EmbeddedPostgres(tcp=True) as server:
-        server.createdb("crashpg")
-        args = [root, server.host, str(server.port)]
+    _assert_killed_mid_batch(sc["killed"])
 
-        killed = _run_child(script, ["kill", *args])
-        _assert_killed_mid_batch(killed)
-
-        recovered = _run_child(script, ["recover", *args])
-        assert recovered.returncode == 0, (
-            f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
-        )
-        res = _result(recovered)
-        # the crash left its staging orphan; the restarted stream ran
-        # anyway (not blocked), then the sweep reclaimed exactly it
-        assert len(res["orphans_before"]) >= 1
-        assert res["swept"] == len(res["orphans_before"])
-        assert res["orphans_after"] == []
-        assert res["brands"] == 3
-        assert res["cars"] == 5
-        assert sorted(map(tuple, res["flat"])) == sorted(
-            map(tuple, EXPECTED_FLAT)
-        )
+    recovered = sc["recovered"]
+    assert recovered.returncode == 0, (
+        f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
+    )
+    res = _result(recovered)
+    # the crash left its staging orphan; the restarted stream ran
+    # anyway (not blocked), then the sweep reclaimed exactly it
+    assert len(res["orphans_before"]) >= 1
+    assert res["swept"] == len(res["orphans_before"])
+    assert res["orphans_after"] == []
+    assert res["brands"] == 3
+    assert res["cars"] == 5
+    assert sorted(map(tuple, res["flat"])) == sorted(
+        map(tuple, EXPECTED_FLAT)
+    )
 
 
 _FUZZY_CHILD = """
@@ -465,7 +676,7 @@ else:
 
 
 @pytest.mark.slow
-def test_sigkill_before_commit_marker_fuzzy_dedup_converges(tmp_path) -> None:  # noqa: ANN001
+def test_sigkill_before_commit_marker_fuzzy_dedup_converges(crash_runs) -> None:  # noqa: ANN001
     """Streaming near-dup admission: SIGKILL after BOTH sink writes
     (corpus partition + store keys) but before the commit marker — the
     worst instant of the per-batch commit protocol.  The replayed batch
@@ -475,12 +686,8 @@ def test_sigkill_before_commit_marker_fuzzy_dedup_converges(tmp_path) -> None:  
     exactly the deterministic admission set.  Complements the in-process
     fake-crash test (tests/test_streaming.py) with a REAL process
     kill driven through the public fuzzy_dedup_stream surface."""
-    script = tmp_path / "fuzzy_child.py"
-    script.write_text(_FUZZY_CHILD)
-    root = str(tmp_path / "shared")
-    os.makedirs(root)
-
-    killed = _run_child(script, ["kill", root])
+    sc = _scenario(crash_runs, "fuzzy")
+    killed = sc["killed"]
     _assert_killed_mid_batch(killed)
     phase1 = json.loads(
         next(
@@ -489,14 +696,15 @@ def test_sigkill_before_commit_marker_fuzzy_dedup_converges(tmp_path) -> None:  
     )
     assert phase1 == {"admitted": [1, 2, 3]}
     # the crash left the uncommitted batch-1 corpus partition in place
+    # (filesystem snapshot captured between the kill and the recovery)
     crashed_rows = [
         p
-        for p in os.listdir(f"{root}/corpus")
+        for p in sc["corpus_listing"]
         if p.startswith("__batch=") and p.endswith("_1")
     ]
-    assert crashed_rows, os.listdir(f"{root}/corpus")
+    assert crashed_rows, sc["corpus_listing"]
 
-    recovered = _run_child(script, ["recover", root])
+    recovered = sc["recovered"]
     assert recovered.returncode == 0, (
         f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
     )
@@ -583,7 +791,7 @@ else:
 
 @pytest.mark.slow
 def test_sigkill_mid_rewrite_recovers_from_staging_cross_process(
-    tmp_path,  # noqa: ANN001
+    crash_runs,  # noqa: ANN001
 ) -> None:
     """A compaction rewrite SIGKILLed at its worst instant — staging
     copy complete, target dropped and its location cleared — must be
@@ -592,17 +800,15 @@ def test_sigkill_mid_rewrite_recovers_from_staging_cross_process(
     this is the cross-process form, which additionally exercises the
     round-12 ``_overwrite_table`` fix: the restore itself rewrites an
     ADOPTED external-location table)."""
-    script = tmp_path / "rewrite_child.py"
-    script.write_text(_REWRITE_CHILD)
-    root = str(tmp_path / "shared")
-    os.makedirs(root)
-
-    killed = _run_child(script, ["kill", root])
+    sc = _scenario(crash_runs, "rewrite")
+    root = sc["root"]
+    killed = sc["killed"]
     _assert_killed_mid_batch(killed)
-    # the staging copy is the only surviving content
-    assert os.path.isdir(f"{root}/rwdb/cmp_t__recovery_staging")
+    # the staging copy is the only surviving content (snapshot taken
+    # between the kill and the recovery)
+    assert sc["staging_mid"]
 
-    recovered = _run_child(script, ["recover", root])
+    recovered = sc["recovered"]
     assert recovered.returncode == 0, (
         f"{recovered.stdout}\n{recovered.stderr[-4000:]}"
     )
@@ -687,7 +893,7 @@ else:
 @pytest.mark.slow
 def test_sigkill_one_of_two_racing_writers_mid_claim(
     spark,  # noqa: ANN001
-    tmp_path,  # noqa: ANN001
+    crash_runs,  # noqa: ANN001
 ) -> None:
     """Two driver processes commit concurrently to ONE warehouse; one is
     SIGKILLed the instant its link(2) claim lands — commit file
@@ -702,78 +908,20 @@ def test_sigkill_one_of_two_racing_writers_mid_claim(
     - ``vacuum_commits`` folds the dead claim's token like any other:
       no row of the killed-but-published commit is ever collected.
     """
-    import time as _time
-
     from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
 
-    db_location = str(tmp_path / "rwdb.db")
-    barrier = tmp_path / "barrier"
-    barrier.mkdir()
-
-    # migrations are single-writer: DDL + persisted metadata exist first
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS rwrace LOCATION '{db_location}'")
-    ddl_conn = SparkConnector(spark, database="rwrace")
-    ddl_conn.execute_ddl(
-        "CREATE TABLE rw_t (id INTEGER PRIMARY KEY, name TEXT UNIQUE);"
-    )
-
-    script = tmp_path / "racer_child.py"
-    script.write_text(_RACER_CHILD)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-
-    def spawn(role: str) -> subprocess.Popen:
-        return subprocess.Popen(  # noqa: S603 - our own script
-            [sys.executable, str(script), role, db_location, str(barrier)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-            env=env,
-            start_new_session=True,
-        )
-
-    victim = spawn("victim")
-    survivor = spawn("survivor")
-    try:
-        deadline = _time.time() + 900
-        while _time.time() < deadline:
-            if all(
-                (barrier / f"ready_{r}").exists()
-                for r in ("victim", "survivor")
-            ):
-                break
-            _time.sleep(0.1)
-        else:
-            # surface the children's own stderr — a crash inside
-            # SparkConnector.__init__ (e.g. the pre-r14 shared-tmp
-            # metadata-persist race) is diagnosable only from there
-            diag = []
-            for role, child in (("victim", victim), ("survivor", survivor)):
-                child.kill()
-                c_out, c_err = child.communicate(timeout=60)
-                diag.append(
-                    f"--- {role} (rc={child.returncode}) stdout ---\n"
-                    f"{c_out[-2000:]}\n--- {role} stderr ---\n"
-                    f"{c_err[-4000:]}"
-                )
-            msg = "children never became ready\n" + "\n".join(diag)
-            raise AssertionError(msg)
-        (barrier / "go").touch()
-
-        v_out, v_err = victim.communicate(timeout=1200)
-        s_out, s_err = survivor.communicate(timeout=1200)
-    finally:
-        for child in (victim, survivor):
-            try:
-                os.killpg(child.pid, signal.SIGKILL)
-            except ProcessLookupError:
-                pass
+    sc = _scenario(crash_runs, "racing")
+    db_location = sc["db_location"]
+    v_out, v_err = sc["victim"]["stdout"], sc["victim"]["stderr"]
+    s_out, s_err = sc["survivor"]["stdout"], sc["survivor"]["stderr"]
 
     # the victim really died BY SIGKILL inside its second commit
-    assert victim.returncode == -signal.SIGKILL, f"{v_out}\n{v_err[-3000:]}"
+    assert sc["victim"]["returncode"] == -signal.SIGKILL, (
+        f"{v_out}\n{v_err[-3000:]}"
+    )
     assert "PHASE1" in v_out and "SURVIVED" not in v_out, v_out
     # the survivor was never disturbed: 8 commits, distinct ids, rc 0
-    assert survivor.returncode == 0, f"{s_out}\n{s_err[-3000:]}"
+    assert sc["survivor"]["returncode"] == 0, f"{s_out}\n{s_err[-3000:]}"
     line = [ln for ln in s_out.splitlines() if ln.startswith("RESULT ")]
     assert line, f"no RESULT:\n{s_out}\n{s_err[-2000:]}"
     claimed = json.loads(line[-1][len("RESULT ") :])["claimed"]
@@ -856,8 +1004,7 @@ spark.stop()
 
 @pytest.mark.slow
 def test_concurrent_open_same_warehouse(
-    spark,  # noqa: ANN001
-    tmp_path,  # noqa: ANN001
+    crash_runs,  # noqa: ANN001
 ) -> None:
     """Two driver processes OPEN the same warehouse simultaneously.
 
@@ -870,77 +1017,13 @@ def test_concurrent_open_same_warehouse(
     this test pins that two simultaneous opens both succeed and both
     see every table (the judge's r13 repro, now a regression gate).
     """
-    import time as _time
+    sc = _scenario(crash_runs, "open")
+    db_location = sc["db_location"]
+    l_out, l_err = sc["left"]["stdout"], sc["left"]["stderr"]
+    r_out, r_err = sc["right"]["stdout"], sc["right"]["stderr"]
 
-    from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
-
-    db_location = str(tmp_path / "codb.db")
-    barrier = tmp_path / "barrier"
-    barrier.mkdir()
-
-    # several tables persisted up front: each one is a separate
-    # persist call in the adopt loop, widening the collision window
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS coparent LOCATION '{db_location}'")
-    ddl_conn = SparkConnector(spark, database="coparent")
-    for i in range(6):
-        ddl_conn.execute_ddl(
-            f"CREATE TABLE co_t{i} (id INTEGER PRIMARY KEY, name TEXT);"
-        )
-    with ddl_conn:
-        ddl_conn.insert(
-            spark.createDataFrame([("a",), ("b",)], ["name"]), table="co_t0"
-        )
-
-    script = tmp_path / "opener_child.py"
-    script.write_text(_OPENER_CHILD)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-
-    def spawn(role: str) -> subprocess.Popen:
-        return subprocess.Popen(  # noqa: S603 - our own script
-            [sys.executable, str(script), role, db_location, str(barrier)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-            env=env,
-            start_new_session=True,
-        )
-
-    left = spawn("left")
-    right = spawn("right")
-    try:
-        deadline = _time.time() + 900
-        while _time.time() < deadline:
-            if all(
-                (barrier / f"ready_{r}").exists() for r in ("left", "right")
-            ):
-                break
-            _time.sleep(0.1)
-        else:
-            diag = []
-            for role, child in (("left", left), ("right", right)):
-                child.kill()
-                c_out, c_err = child.communicate(timeout=60)
-                diag.append(
-                    f"--- {role} (rc={child.returncode}) stdout ---\n"
-                    f"{c_out[-2000:]}\n--- {role} stderr ---\n"
-                    f"{c_err[-4000:]}"
-                )
-            msg = "children never became ready\n" + "\n".join(diag)
-            raise AssertionError(msg)
-        (barrier / "go").touch()
-
-        l_out, l_err = left.communicate(timeout=1200)
-        r_out, r_err = right.communicate(timeout=1200)
-    finally:
-        for child in (left, right):
-            try:
-                os.killpg(child.pid, signal.SIGKILL)
-            except ProcessLookupError:
-                pass
-
-    assert left.returncode == 0, f"{l_out}\n{l_err[-4000:]}"
-    assert right.returncode == 0, f"{r_out}\n{r_err[-4000:]}"
+    assert sc["left"]["returncode"] == 0, f"{l_out}\n{l_err[-4000:]}"
+    assert sc["right"]["returncode"] == 0, f"{r_out}\n{r_err[-4000:]}"
     expected = "OPENED " + ",".join(f"co_t{i}" for i in range(6))
     for out, err in ((l_out, l_err), (r_out, r_err)):
         line = [ln for ln in out.splitlines() if ln.startswith("OPENED ")]

@@ -10,8 +10,13 @@ let a fresh process ADOPT existing tables into its session catalog
 reference sqlite_connector.py).
 
 These tests spawn real subprocesses, each with its own SparkSession
-(~20 s JVM start each) — they are the slowest tests in the suite and
-deliberately so.
+(~20 s JVM start each) — the slowest machinery in the suite.  Round
+16: the five scenarios are mutually independent (own database
+location, own barrier dir, own child tags), so the module fixture
+below runs ALL their choreography concurrently (guide §2.6's
+overlap-independent-jobs shape applied to test JVMs); each test keeps
+its own assertions over its scenario's captured output.  Coverage is
+identical — only the wall time collapses to the slowest scenario.
 """
 
 from __future__ import annotations
@@ -21,8 +26,10 @@ import os
 import subprocess
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
+import pytest
 from pyspark.sql import SparkSession
 
 from sql_autoloader_spark.connectors.spark_catalog import SparkConnector
@@ -161,15 +168,12 @@ def _release(barrier: Path, n_children: int, tags: list[str]) -> None:
     (barrier / "go").touch()
 
 
-def test_cross_process_commit_race(
-    spark: SparkSession, tmp_path: Path
-) -> None:
-    """Two separate driver processes committing to ONE warehouse: every
-    commit lands exactly once under a distinct id, and a third process
-    (this one) agrees — the link(2) claim is atomic ACROSS processes,
-    not just across threads."""
-    db_location = str(tmp_path / "xdb.db")
-    barrier = tmp_path / "barrier"
+# -- concurrent scenario choreography (round 16) -------------------------------
+
+
+def _commit_race_scenario(spark: SparkSession, tmp: Path) -> dict:
+    db_location = str(tmp / "xdb.db")
+    barrier = tmp / "barrier"
     barrier.mkdir()
 
     # this process plays DDL writer (migrations are single-writer):
@@ -182,80 +186,33 @@ def test_cross_process_commit_race(
 
     n = 5
     kids = [
-        _spawn(_COMMIT_RACE_CHILD, tmp_path, f"racer{t}",
+        _spawn(_COMMIT_RACE_CHILD, tmp, f"racer{t}",
                str(t), db_location, str(barrier), str(n))
         for t in (1, 2)
     ]
     _release(barrier, 2, ["1", "2"])
     results = [_result(k) for k in kids]
-
-    # third-process verification: a FRESH connector in this process
-    # re-lists the journal and reads the files the children renamed in
-    fresh = SparkConnector(spark, database="xrace")
-    rows = sorted(r["name"] for r in fresh._read_table("xp_t").collect())
-    expected = sorted(f"{t}-{i}" for t in (1, 2) for i in range(n))
-    assert rows == expected  # every commit's rows exactly once
-    history = fresh.commit_history()
-    assert len(history) == len(set(history)) == 2 * n
-    # each child saw every commit id it claimed in the shared history
-    for res in results:
-        assert set(res["history"]) <= set(history)
+    return {"results": results, "n": n}
 
 
-def test_cross_process_writer_during_journal_vacuum(
-    spark: SparkSession, tmp_path: Path
-) -> None:
-    """A writer process claiming commits WHILE another process vacuums
-    the journal (intent + floor markers, commit-file deletion): the
-    writer must never abort and never land at or below a floor — the
-    race where a conflicting commit file vanishes between the failed
-    rename and its verification resolves by re-reading the floor."""
-    db_location = str(tmp_path / "xvac.db")
-    barrier = tmp_path / "barrier"
+def _vacuum_scenario(spark: SparkSession, tmp: Path) -> dict:
+    db_location = str(tmp / "xvac.db")
+    barrier = tmp / "barrier"
     barrier.mkdir()
 
-    writer = _spawn(_JOURNAL_WRITER_CHILD, tmp_path, "writer",
+    writer = _spawn(_JOURNAL_WRITER_CHILD, tmp, "writer",
                     "1", db_location, str(barrier), "25")
-    vac = _spawn(_JOURNAL_VACUUM_CHILD, tmp_path, "vac",
+    vac = _spawn(_JOURNAL_VACUUM_CHILD, tmp, "vac",
                  "2", db_location, str(barrier), "12")
     _release(barrier, 2, ["1", "2"])
     wres = _result(writer)
     vres = _result(vac)
-
-    claimed = wres["claimed"]
-    assert len(claimed) == 25
-    vac_claimed = vres["claimed"]
-    # BOTH processes' claims are mutually distinct — no id ever reused,
-    # even ids whose commit files a fold deleted mid-claim
-    all_claims = claimed + vac_claimed
-    assert len(all_claims) == len(set(all_claims))
-    assert claimed == sorted(claimed)
-    floors = vres["floors"]
-    assert floors, "vacuum child never vacuumed — race shape broken"
-    spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS xvacv LOCATION '{db_location}'"
-    )
-    from sql_autoloader_spark.connectors.spark_catalog import (
-        _CommitJournal,
-    )
-
-    jr = _CommitJournal(spark, "xvacv")
-    visible, floor, _ = jr.state()
-    assert floor == max(floors)
-    assert all(cid > floor for cid in visible)
-    # every surviving journal entry is one of the two writers' claims
-    assert set(visible) == {c for c in all_claims if c > floor}
+    return {"wres": wres, "vres": vres, "db_location": db_location}
 
 
-def test_cross_process_reopen_adopts_tables(
-    spark: SparkSession, tmp_path: Path
-) -> None:
-    """A fresh PROCESS reopening the database adopts every table from
-    the file-persisted metadata — schema, constraints, committed
-    content, commit history — with no access to the writer's session
-    catalog (the reference's reopen-the-SQLite-file semantics)."""
-    db_location = str(tmp_path / "xadopt.db")
-    barrier = tmp_path / "barrier"
+def _reopen_scenario(spark: SparkSession, tmp: Path) -> dict:
+    db_location = str(tmp / "xadopt.db")
+    barrier = tmp / "barrier"
     barrier.mkdir()
     (barrier / "go").touch()  # no race here — run the child immediately
 
@@ -298,20 +255,10 @@ print("RESULT " + json.dumps({
     "history": conn.commit_history(),
 }))
 """,
-        tmp_path, "adopter", "9", db_location, str(barrier),
+        tmp, "adopter", "9", db_location, str(barrier),
     )
     res = _result(child)
-    assert res["brands"] == ["Ford", "Toyota"]
-    assert res["n_cars"] == 2
-    assert res["refs"] == [["brand_id", "ad_brand", "id"]]
-    assert res["brands_after"] == ["Ford", "Toyota", "Volvo"]
-
-    # and the ORIGINAL process sees the child's commit after refresh
-    fresh = SparkConnector(spark, database="xadopt")
-    assert sorted(
-        r["brand"] for r in fresh._read_table("ad_brand").collect()
-    ) == ["Ford", "Toyota", "Volvo"]
-    assert set(res["history"]) <= set(fresh.commit_history())
+    return {"res": res}
 
 
 _CDC_WRITER_CHILD = _CHILD_PRELUDE + """
@@ -367,17 +314,9 @@ print("RESULT " + json.dumps(
 """
 
 
-def test_cross_process_cdc_consumer_converges(
-    spark: SparkSession, tmp_path: Path
-) -> None:
-    """A consumer PROCESS maintaining a RollupConsumer from the changes
-    feed while a separate writer PROCESS commits to the same warehouse:
-    the rollup must converge to exactly the writer's rows (no torn
-    reads of half-committed batches, no double counts across refreshes,
-    no stale cached file listings), with the bookmark at the writer's
-    final commit."""
-    db_location = str(tmp_path / "xcdc.db")
-    barrier = tmp_path / "barrier"
+def _cdc_consumer_scenario(spark: SparkSession, tmp: Path) -> dict:
+    db_location = str(tmp / "xcdc.db")
+    barrier = tmp / "barrier"
     barrier.mkdir()
     spark.sql(f"CREATE DATABASE IF NOT EXISTS xcdc LOCATION '{db_location}'")
     bootstrap = SparkConnector(spark, database="xcdc")
@@ -388,41 +327,22 @@ def test_cross_process_cdc_consumer_converges(
 
     n = 12
     writer = _spawn(
-        _CDC_WRITER_CHILD, tmp_path, "cdc_writer", "w", db_location,
+        _CDC_WRITER_CHILD, tmp, "cdc_writer", "w", db_location,
         str(barrier), str(n),
     )
     consumer = _spawn(
-        _CDC_CONSUMER_CHILD, tmp_path, "cdc_consumer", "c", db_location,
+        _CDC_CONSUMER_CHILD, tmp, "cdc_consumer", "c", db_location,
         str(barrier), str(n),
     )
     _release(barrier, 2, ["w", "c"])
     wrote = _result(writer)
     read = _result(consumer)
-
-    assert len(wrote["history"]) == n
-    assert read["total"] == n, read
-    # per-category counts match the writer's i%4 pattern exactly
-    assert read["by_cat"] == {str(c): n // 4 for c in (1, 2, 3, 4)}
-    assert read["head"]["bookmark"] == wrote["history"][-1]
-    assert read["folds"] >= 1
+    return {"wrote": wrote, "read": read, "n": n}
 
 
-def test_cross_process_streaming_cdc_subscription(
-    spark: SparkSession, tmp_path: Path
-) -> None:
-    """THIS process subscribes to the changes feed via the r14
-    streaming source while a separate WRITER PROCESS commits to the
-    same warehouse.  Pins the subscription scenario end to end: the
-    reader's per-trigger journal listing picks up the other process's
-    commits live, repeated availableNow drains on one checkpoint
-    converge to exactly the writer's rows (each commit served once,
-    none skipped, no torn reads of half-committed batches), and —
-    unlike a Spark-scan consumer — the pyarrow read path needs no
-    refreshTable between polls (no cached file index to go stale)."""
-    import time as _time
-
-    db_location = str(tmp_path / "xscdc.db")
-    barrier = tmp_path / "barrier"
+def _streaming_cdc_scenario(spark: SparkSession, tmp: Path) -> dict:
+    db_location = str(tmp / "xscdc.db")
+    barrier = tmp / "barrier"
     barrier.mkdir()
     spark.sql(f"CREATE DATABASE IF NOT EXISTS xscdc LOCATION '{db_location}'")
     bootstrap = SparkConnector(spark, database="xscdc")
@@ -435,17 +355,16 @@ def test_cross_process_streaming_cdc_subscription(
 
     n = 10
     writer = _spawn(
-        _CDC_WRITER_CHILD, tmp_path, "scdc_writer", "w", db_location,
+        _CDC_WRITER_CHILD, tmp, "scdc_writer", "w", db_location,
         str(barrier), str(n),
     )
     _release(barrier, 1, ["w"])
 
     got: list = []
-    ckpt = str(tmp_path / "ckpt")
-    seen_cids: set = set()
-    deadline = _time.time() + 600
+    ckpt = str(tmp / "ckpt")
+    deadline = time.time() + 600
     drains = 0
-    while _time.time() < deadline and len(got) < n:
+    while time.time() < deadline and len(got) < n:
         q = (
             read_changes_stream(bootstrap, "xc_t")
             .writeStream.foreachBatch(
@@ -457,11 +376,9 @@ def test_cross_process_streaming_cdc_subscription(
         )
         q.awaitTermination()
         drains += 1
-        seen_cids = {r["_commit_id"] for r in got}
-        _time.sleep(0.3)
+        time.sleep(0.3)
 
     wrote = _result(writer)
-    assert len(wrote["history"]) == n
 
     # drain once more after the writer finished: everything lands
     q = (
@@ -472,6 +389,161 @@ def test_cross_process_streaming_cdc_subscription(
         .start()
     )
     q.awaitTermination()
+    return {"wrote": wrote, "got": got, "drains": drains, "n": n}
+
+
+@pytest.fixture(scope="module")
+def xp_runs(spark: SparkSession, tmp_path_factory) -> dict:  # noqa: ANN001
+    """All five scenarios' choreography, run concurrently.  A scenario
+    that raises is captured and re-raised by ITS test only."""
+    scenarios = {
+        "commit_race": lambda: _commit_race_scenario(
+            spark, tmp_path_factory.mktemp("xp_commit_race")
+        ),
+        "vacuum": lambda: _vacuum_scenario(
+            spark, tmp_path_factory.mktemp("xp_vacuum")
+        ),
+        "reopen": lambda: _reopen_scenario(
+            spark, tmp_path_factory.mktemp("xp_reopen")
+        ),
+        "cdc_consumer": lambda: _cdc_consumer_scenario(
+            spark, tmp_path_factory.mktemp("xp_cdc")
+        ),
+        "streaming_cdc": lambda: _streaming_cdc_scenario(
+            spark, tmp_path_factory.mktemp("xp_scdc")
+        ),
+    }
+
+    def guarded(fn):  # noqa: ANN001, ANN202
+        try:
+            return fn()
+        except BaseException as exc:  # noqa: BLE001 — owned by the test
+            return {"error": exc}
+
+    with ThreadPoolExecutor(max_workers=len(scenarios)) as pool:
+        futures = {k: pool.submit(guarded, fn) for k, fn in scenarios.items()}
+        return {k: f.result() for k, f in futures.items()}
+
+
+def _scenario(xp_runs: dict, name: str) -> dict:
+    sc = xp_runs[name]
+    if "error" in sc:
+        raise sc["error"]
+    return sc
+
+
+def test_cross_process_commit_race(
+    spark: SparkSession, xp_runs: dict
+) -> None:
+    """Two separate driver processes committing to ONE warehouse: every
+    commit lands exactly once under a distinct id, and a third process
+    (this one) agrees — the link(2) claim is atomic ACROSS processes,
+    not just across threads."""
+    sc = _scenario(xp_runs, "commit_race")
+    results, n = sc["results"], sc["n"]
+
+    # third-process verification: a FRESH connector in this process
+    # re-lists the journal and reads the files the children renamed in
+    fresh = SparkConnector(spark, database="xrace")
+    rows = sorted(r["name"] for r in fresh._read_table("xp_t").collect())
+    expected = sorted(f"{t}-{i}" for t in (1, 2) for i in range(n))
+    assert rows == expected  # every commit's rows exactly once
+    history = fresh.commit_history()
+    assert len(history) == len(set(history)) == 2 * n
+    # each child saw every commit id it claimed in the shared history
+    for res in results:
+        assert set(res["history"]) <= set(history)
+
+
+def test_cross_process_writer_during_journal_vacuum(
+    spark: SparkSession, xp_runs: dict
+) -> None:
+    """A writer process claiming commits WHILE another process vacuums
+    the journal (intent + floor markers, commit-file deletion): the
+    writer must never abort and never land at or below a floor — the
+    race where a conflicting commit file vanishes between the failed
+    rename and its verification resolves by re-reading the floor."""
+    sc = _scenario(xp_runs, "vacuum")
+    wres, vres, db_location = sc["wres"], sc["vres"], sc["db_location"]
+
+    claimed = wres["claimed"]
+    assert len(claimed) == 25
+    vac_claimed = vres["claimed"]
+    # BOTH processes' claims are mutually distinct — no id ever reused,
+    # even ids whose commit files a fold deleted mid-claim
+    all_claims = claimed + vac_claimed
+    assert len(all_claims) == len(set(all_claims))
+    assert claimed == sorted(claimed)
+    floors = vres["floors"]
+    assert floors, "vacuum child never vacuumed — race shape broken"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS xvacv LOCATION '{db_location}'"
+    )
+    from sql_autoloader_spark.connectors.spark_catalog import (
+        _CommitJournal,
+    )
+
+    jr = _CommitJournal(spark, "xvacv")
+    visible, floor, _ = jr.state()
+    assert floor == max(floors)
+    assert all(cid > floor for cid in visible)
+    # every surviving journal entry is one of the two writers' claims
+    assert set(visible) == {c for c in all_claims if c > floor}
+
+
+def test_cross_process_reopen_adopts_tables(
+    spark: SparkSession, xp_runs: dict
+) -> None:
+    """A fresh PROCESS reopening the database adopts every table from
+    the file-persisted metadata — schema, constraints, committed
+    content, commit history — with no access to the writer's session
+    catalog (the reference's reopen-the-SQLite-file semantics)."""
+    sc = _scenario(xp_runs, "reopen")
+    res = sc["res"]
+    assert res["brands"] == ["Ford", "Toyota"]
+    assert res["n_cars"] == 2
+    assert res["refs"] == [["brand_id", "ad_brand", "id"]]
+    assert res["brands_after"] == ["Ford", "Toyota", "Volvo"]
+
+    # and the ORIGINAL process sees the child's commit after refresh
+    fresh = SparkConnector(spark, database="xadopt")
+    assert sorted(
+        r["brand"] for r in fresh._read_table("ad_brand").collect()
+    ) == ["Ford", "Toyota", "Volvo"]
+    assert set(res["history"]) <= set(fresh.commit_history())
+
+
+def test_cross_process_cdc_consumer_converges(xp_runs: dict) -> None:
+    """A consumer PROCESS maintaining a RollupConsumer from the changes
+    feed while a separate writer PROCESS commits to the same warehouse:
+    the rollup must converge to exactly the writer's rows (no torn
+    reads of half-committed batches, no double counts across refreshes,
+    no stale cached file listings), with the bookmark at the writer's
+    final commit."""
+    sc = _scenario(xp_runs, "cdc_consumer")
+    wrote, read, n = sc["wrote"], sc["read"], sc["n"]
+
+    assert len(wrote["history"]) == n
+    assert read["total"] == n, read
+    # per-category counts match the writer's i%4 pattern exactly
+    assert read["by_cat"] == {str(c): n // 4 for c in (1, 2, 3, 4)}
+    assert read["head"]["bookmark"] == wrote["history"][-1]
+    assert read["folds"] >= 1
+
+
+def test_cross_process_streaming_cdc_subscription(xp_runs: dict) -> None:
+    """THIS process subscribes to the changes feed via the r14
+    streaming source while a separate WRITER PROCESS commits to the
+    same warehouse.  Pins the subscription scenario end to end: the
+    reader's per-trigger journal listing picks up the other process's
+    commits live, repeated availableNow drains on one checkpoint
+    converge to exactly the writer's rows (each commit served once,
+    none skipped, no torn reads of half-committed batches), and —
+    unlike a Spark-scan consumer — the pyarrow read path needs no
+    refreshTable between polls (no cached file index to go stale)."""
+    sc = _scenario(xp_runs, "streaming_cdc")
+    wrote, got, drains, n = sc["wrote"], sc["got"], sc["drains"], sc["n"]
+    assert len(wrote["history"]) == n
 
     names = sorted(r["name"] for r in got)
     assert names == sorted(f"w-{i:03d}" for i in range(n))  # exactly once
