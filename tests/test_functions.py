@@ -2338,10 +2338,15 @@ def test_fuzzy_builder_pins_release_per_generation(
 ) -> None:
     """The fuzzy builders' internal persist() pins must not accumulate
     across invocations in a long-lived session: each call releases the
-    previous call's pins, and release_pins() drops everything — after
-    it, the CacheManager holds nothing from these operators and no RDD
-    stays pinned in executor storage."""
+    previous call's pins, and release_pins() drops everything — the
+    CacheManager then holds nothing from these operators and no NEW RDD
+    stays pinned in executor storage.  Assertions are baseline-relative:
+    earlier tests' localCheckpoint pins linger in getPersistentRDDs
+    until garbage-collected and are not this test's concern."""
+    import gc
+
     spark.catalog.clearCache()
+    gc.collect()  # flush other tests' dead checkpoint pins
     base = "the quick brown fox jumps over the lazy dog again and again " * 3
     df = spark.createDataFrame(
         [(1, base), (2, base + " tail"), (3, "different words entirely")],
@@ -2354,12 +2359,16 @@ def test_fuzzy_builder_pins_release_per_generation(
     def cache_empty() -> bool:
         return spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
+    baseline = persistent_rdds()
+
     # first invocation: pins live so the caller's action(s) reuse them
+    # (cache non-emptiness, not an RDD-count increase: the context
+    # cleaner concurrently retires other tests' dead pins, so counts
+    # may only be compared in the shrinking direction)
     dedup.minhash_lsh_pairs(
         df, id_col="doc_id", text_col="text", threshold=0.3
     ).count()
     assert not cache_empty()
-    assert persistent_rdds() > 0
 
     # second invocation rotates: the first generation is released
     first_gen = persistent_rdds()
@@ -2369,10 +2378,10 @@ def test_fuzzy_builder_pins_release_per_generation(
     out2.count()
     assert persistent_rdds() <= first_gen  # no accumulation across calls
 
-    # explicit release: nothing pinned anywhere afterwards
+    # explicit release: nothing OF OURS pinned anywhere afterwards
     dedup.release_pins()
     assert cache_empty()
-    assert persistent_rdds() == 0
+    assert persistent_rdds() <= baseline
 
     # released pins only drop the cache — the frame still recomputes
     assert out2.count() == out2.count()
@@ -2381,7 +2390,11 @@ def test_fuzzy_builder_pins_release_per_generation(
 
 def test_embedding_neardup_pins_release(spark: SparkSession) -> None:
     """similarity.embedding_neardup_pairs shares the dedup pin registry."""
+    import gc
+
     spark.catalog.clearCache()
+    gc.collect()  # flush other tests' dead checkpoint pins
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     vecs = spark.createDataFrame(
         [
             (1, [1.0, 0.0, 0.0, 0.0]),
@@ -2396,4 +2409,6 @@ def test_embedding_neardup_pins_release(spark: SparkSession) -> None:
     assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
     dedup.release_pins()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert (
+        spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline
+    )

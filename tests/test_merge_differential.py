@@ -72,7 +72,7 @@ def _model(
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=12,
+    max_examples=8,  # r16: suite wall-time budget (derandomized stream)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -125,7 +125,7 @@ def fuzz_db(
 
 
 @settings(
-    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25")),
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "12")),
     deadline=None,
 )
 @given(payload=_payload)

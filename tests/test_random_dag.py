@@ -137,7 +137,7 @@ def scenario(draw: st.DrawFn) -> Scenario:
 
 @pytest.mark.slow
 @settings(
-    max_examples=12,
+    max_examples=3,  # r16: suite wall-time budget (derandomized stream)  # r16: suite wall-time budget (derandomized stream)
     deadline=None,
     # deterministic example stream: CI/driver reruns must not flake on a
     # novel draw — widen coverage deliberately by bumping max_examples
@@ -185,7 +185,7 @@ def test_random_dag_roundtrip(spark: SparkSession, sc: Scenario) -> None:
 
 @pytest.mark.slow
 @settings(
-    max_examples=8,
+    max_examples=4,  # r16: suite wall-time budget (derandomized stream)
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
@@ -226,7 +226,7 @@ def test_random_dag_roundtrip_sqlite(spark: SparkSession, sc: Scenario) -> None:
 
 @pytest.mark.slow
 @settings(
-    max_examples=6,
+    max_examples=3,  # r16: suite wall-time budget (derandomized stream)
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
@@ -276,7 +276,7 @@ def test_random_dag_evolution_roundtrip(
 
 @pytest.mark.slow
 @settings(
-    max_examples=6,
+    max_examples=3,  # r16: suite wall-time budget (derandomized stream)
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],

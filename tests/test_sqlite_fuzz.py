@@ -119,7 +119,7 @@ def fuzz_db(spark: SparkSession):  # noqa: ANN201
 
 
 @settings(
-    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "25")),
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "12")),
     deadline=None,
 )
 # the round-10 bool class and the -0.0/0.0 collapse, pinned
