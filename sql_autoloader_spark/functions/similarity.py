@@ -518,6 +518,22 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # AQE sizes the distinct's output by BYTES, but the stage built on
+    # it scores a dim-length cosine per row — a ~16 B/pair list always
+    # coalesces to one partition and serializes ALL scoring onto one
+    # task (measured x10: 1 task, 2.76 s of a 4.2 s query, 31 cores
+    # idle).  Re-spread with an EXPLICIT width (REPARTITION_BY_NUM —
+    # AQE must not re-coalesce it), keyed on the neighbor id so the
+    # vector lookup below consumes the clustering when the corpus side
+    # is too big to broadcast.  Width derives from the session, never a
+    # constant.
+    try:
+        width = corpus.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — Connect sessions have no context
+        from sql_autoloader_spark.functions.scale import shuffle_partitions
+
+        width = shuffle_partitions(corpus)
+    id_pairs = id_pairs.repartition(width, F.col("neighbor_id"))
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_id_v")
     )
@@ -862,6 +878,12 @@ def embedding_neardup_pairs(
     so only degenerate near-identical clusters exceed it).  Returns
     ``(id_a, id_b, sim)`` with ``id_a < id_b``.
     """
+    # under-split inputs would serialize the signature matmul (tables ×
+    # planes per row) and every downstream stage onto 1-2 scan tasks;
+    # no-op when the corpus arrives properly split (guide §2.5) — the
+    # same guard lsh_topk carries (measured there: x10 signature stages
+    # 2 tasks → full width)
+    df = _spread(df)
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     sigs = hyperplane_signatures_vectorized(
         F.col("v"), dim=dim, planes=planes, tables=tables, seed_base=2000

@@ -552,7 +552,11 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
         # groups; it also SHRINKS the quadratic-risk LSH input to the
         # distinct-vector set)
         "media_neardup": 12,
-        "emb_neardup_lsh": 7,
+        # r16: +1 for the deliberate under-split-corpus spread before
+        # the hyperplane-signature stage (guide §2.5 — no-op at real
+        # scale, raw-row shuffle at fixture scale; same guard as
+        # lsh_topk/minhash/fingerprint)
+        "emb_neardup_lsh": 8,
         "q8_market_share": 7,
         "q21_sole_returned_supplier": 7,
         # r12: the capped pigeonhole scale path (the certificate's
@@ -589,6 +593,21 @@ def test_exchange_count_ceilings(spark: SparkSession) -> None:
         assert got <= ceiling, (
             f"{name}: {got} unique exchanges > pinned ceiling {ceiling}"
         )
+
+
+def test_lsh_pair_respread_survives_aqe(spark: SparkSession) -> None:
+    """The LSH candidate-pair dedup must feed scoring through an
+    EXPLICIT-width repartition (REPARTITION_BY_NUM): AQE sizes the
+    distinct's output by bytes, and a ~16 B/pair list coalesces to ONE
+    partition while the downstream stage computes a dim-length cosine
+    per row — measured x10 (r16): one 2.76 s single-task stage in a
+    4.2 s query, 31 cores idle; with the explicit respread the query
+    reads 1.4-1.7 s.  REPARTITION_BY_NUM is the one origin AQE may not
+    re-coalesce, so this pin fails if the repartition loses its
+    explicit width."""
+    queries = {**entry_mod.queries(), **entry_mod.scale_path_queries()}
+    plan = formatted_plan(queries["emb_lsh_topk"](spark, SF_DIR))
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_minhash_banded_self_join_shares_one_exchange(
