@@ -51,5 +51,8 @@ def test_guarded_set_is_exactly_the_reviewed_one() -> None:
     assert guarded == {
         ("functions/scale.py", "shuffle_partitions"),
         ("functions/dedup.py", "spread_for_compute"),
+        # r16: the lsh pair-respread width — same try/except →
+        # shuffle_partitions fallback pattern as spread_for_compute
+        ("functions/similarity.py", "lsh_topk"),
         ("logutil.py", "silence_benign_scheduler_spam"),
     }
