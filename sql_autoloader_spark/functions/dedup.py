@@ -55,7 +55,11 @@ _MERSENNE31 = (1 << 31) - 1
 # live generation per operator: each new invocation releases the
 # previous invocation's pins, and :func:`release_pins` drops everything
 # (for callers that know their actions are done).  Unpersist only drops
-# the cache — a late consumer of an old frame recomputes correctly.
+# the cache — a late consumer of an old frame recomputes correctly, so
+# even two THREADS racing the same operator (one rotating the other's
+# pins away mid-query) degrade to recompute, never to wrong results.
+# No registered query calls the same pinned operator twice in one
+# composed plan (statically checked in r16).
 
 _PIN_REGISTRY: dict[str, list[DataFrame]] = {}
 
