@@ -1114,6 +1114,18 @@ def simhash_pairs(
 #: shuffle per round.
 STAR_EDGE_THRESHOLD = 50_000_000
 
+#: ``algorithm="auto"`` solves the labeling on the driver at or below
+#: this many (symmetric) edges.  Every distributed round costs 2 driver
+#: jobs + a keyed shuffle regardless of size — on the small edge lists
+#: near-dup dedup actually produces (pairs ≪ corpus), the whole loop is
+#: scheduling floor, measured 2.2–2.8 s / ~43 jobs on a 144-pair graph.
+#: Below the bound the edge list is collected ONCE (same contract as a
+#: broadcast-join build side: ≤ ~16 MB at the bound vs Spark's own 8 GB
+#: broadcast cap), labeled with vectorized numpy min-relax + pointer
+#: jumping, and returned as a JVM ``LocalRelation`` — one job, zero
+#: shuffles, exact same labels.  Above the bound nothing changes.
+LOCAL_EDGE_THRESHOLD = 1_000_000
+
 
 def connected_components(
     pairs: DataFrame,
@@ -1147,15 +1159,21 @@ def connected_components(
       minimum, collapsing components into stars in O(log²)
       rounds **independent of graph diameter** — the scale path for
       adversarial chains.
-    - ``"auto"`` (default) — picks by edge count: at or below
-      :data:`STAR_EDGE_THRESHOLD` edges, label propagation first
-      (cheapest on the shallow graphs dedup produces), falling back to
-      the star algorithm if the cap is hit instead of raising; above
-      the threshold, the star algorithm from the start — at corpus
-      scale an undetected deep chain would waste ``max_iterations``
-      full edge-list shuffles before the fallback kicks in, and the
-      star rounds are diameter-independent (the count is free: the
-      edge list was just eagerly checkpointed).
+    - ``"auto"`` (default) — picks by edge count: above
+      :data:`STAR_EDGE_THRESHOLD` edges, the star algorithm from the
+      start — at corpus scale an undetected deep chain would waste
+      ``max_iterations`` full edge-list shuffles before the fallback
+      kicks in, and the star rounds are diameter-independent (the
+      count is free: the edge list was just eagerly checkpointed).  At
+      or below :data:`LOCAL_EDGE_THRESHOLD` edges, the labeling is
+      solved on the driver instead (:func:`_local_components`): every
+      distributed round is 2 driver jobs + a keyed shuffle whatever
+      the size, so on the small pair graphs dedup produces the loop is
+      pure scheduling floor — the bounded edge list is collected once
+      (broadcast-build-sized by contract) and labeled in vectorized
+      numpy, exactly.  Between the bounds, label propagation (cheapest
+      on shallow graphs), falling back to the star algorithm if the
+      cap is hit instead of raising.
 
     Each round's state is pinned with ``localCheckpoint`` to keep the
     plan flat (iterative lineage otherwise grows exponentially;
@@ -1175,10 +1193,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if algorithm == "star" or (
-        algorithm == "auto" and edges.count() > STAR_EDGE_THRESHOLD
-    ):
+    if algorithm == "star":
         return _star_components(edges, max_iterations=max_iterations)
+    if algorithm == "auto":
+        n_edges = edges.count()
+        if n_edges > STAR_EDGE_THRESHOLD:
+            return _star_components(edges, max_iterations=max_iterations)
+        if n_edges <= LOCAL_EDGE_THRESHOLD:
+            local = _local_components(edges)
+            if local is not None:
+                return local
     labels = (
         edges.select("a")
         .distinct()
@@ -1196,6 +1220,10 @@ def connected_components(
             .agg(F.min("nbr_comp").alias("min_nbr"))
             .withColumnsRenamed({"a": "id"})
         )
+        # the change flag rides the same checkpointed pass (new < old
+        # iff a neighbor label undercuts the current one), so detecting
+        # convergence is a limit-1 scan of the cached partitions — not
+        # the old-vs-new join (a full extra shuffle) per round
         new_labels = (
             labels.join(nbr, on="id", how="left")
             .select(
@@ -1203,18 +1231,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("min_nbr", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce("min_nbr", F.col("comp")) < F.col("comp")
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnsRenamed({"comp": "old"}), on="id"
-            )
-            .where(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break
@@ -1232,6 +1256,72 @@ def connected_components(
         )
         raise RuntimeError(msg)
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def _local_components(edges: DataFrame) -> DataFrame | None:
+    """Exact min-id components of a bounded symmetric edge list, solved
+    on the driver (``algorithm="auto"`` at or below
+    :data:`LOCAL_EDGE_THRESHOLD` — see that constant for the economics).
+
+    The caller has already materialized (``localCheckpoint``) and
+    counted *edges*, proving the collect below is bounded the way a
+    broadcast-join build side is; the result rows (≤ node count ≤ edge
+    count) return as a JVM ``LocalRelation`` via :func:`local_frame`.
+
+    Labeling is vectorized numpy.  Ids map to dense ranks over the
+    SORTED node vector (rank order == id order, so the min rank per
+    component is the min id), then edge min-relaxation alternates with
+    pointer jumping until fixpoint.  Every step only lowers a label and
+    keeps it inside its own component, so at the fixpoint each edge has
+    equal labels on both ends (the edge list is symmetric), labels are
+    constant per component, and the shared value is the component
+    minimum — identical to the distributed propagation's answer.
+
+    Returns ``None`` for inputs the vectorized path does not cover
+    (NULL ids); the caller falls through to the distributed loop.
+    """
+    from sql_autoloader_spark.ops.dataframe_ops import (
+        _CONF_LOCK,
+        local_frame,
+    )
+
+    spark = edges.sparkSession
+    id_type = edges.schema["a"].dataType.simpleString()
+    schema = f"id {id_type}, component {id_type}"
+    conf = spark.conf
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    with _CONF_LOCK:
+        prev = conf.get(key)
+        conf.set(key, "true")
+        try:
+            pdf = edges.toPandas()
+        finally:
+            conf.set(key, prev)
+    if len(pdf) == 0:
+        return local_frame(spark, pdf, schema)
+    if pdf["a"].isna().any() or pdf["b"].isna().any():
+        return None
+    nodes = np.sort(pdf["a"].drop_duplicates().to_numpy())
+    # the edge list is symmetric, so column a alone covers every node
+    a = np.searchsorted(nodes, pdf["a"].to_numpy())
+    b = np.searchsorted(nodes, pdf["b"].to_numpy())
+    labels = np.arange(len(nodes))
+    while True:
+        before = labels
+        relaxed = labels.copy()
+        # unbuffered min: duplicate a-ranks each apply (SPARK's groupBy
+        # min equivalent); symmetric edges make one direction enough
+        np.minimum.at(relaxed, a, labels[b])
+        labels = relaxed
+        while True:  # full path compression
+            jumped = labels[labels]
+            if np.array_equal(jumped, labels):
+                break
+            labels = jumped
+        if np.array_equal(labels, before):
+            break
+    out = pd.DataFrame({"id": nodes, "component": nodes[labels]})
+    return local_frame(spark, out, schema)
 
 
 def _star_components(edges: DataFrame, *, max_iterations: int) -> DataFrame:

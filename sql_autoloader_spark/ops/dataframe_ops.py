@@ -94,14 +94,19 @@ def local_frame(spark, rows, schema: str) -> DataFrame:  # noqa: ANN001
     0.20 s on the media-fixture broadcast join).  Spark's built-in
     non-Arrow fallback keeps semantics identical if the conversion
     cannot handle a type.  Callers pass simple exactly-typed rows
-    (longs / binary); driver-side readbacks with richer types keep the
-    classic path deliberately.
+    (longs / binary) or an already-built pandas DataFrame; driver-side
+    readbacks with richer types keep the classic path deliberately.
     """
-    if not rows:
-        return empty_frame(spark, schema)
     import pandas as pd
 
-    pdf = pd.DataFrame(rows)
+    if isinstance(rows, pd.DataFrame):
+        if rows.empty:
+            return empty_frame(spark, schema)
+        pdf = rows
+    elif not rows:
+        return empty_frame(spark, schema)
+    else:
+        pdf = pd.DataFrame(rows)
     conf = spark.conf
     key = "spark.sql.execution.arrow.pyspark.enabled"
     with _CONF_LOCK:

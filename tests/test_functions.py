@@ -1207,6 +1207,75 @@ def test_auto_picks_star_above_edge_threshold(spark, monkeypatch) -> None:
     assert got2 == got
 
 
+def test_local_components_fast_path_and_parity(spark, monkeypatch) -> None:
+    """At or below LOCAL_EDGE_THRESHOLD symmetric edges, algorithm='auto'
+    solves the labeling on the driver (one collect, zero distributed
+    rounds); labels are identical to the distributed label path; above
+    the bound the distributed loop still runs; NULL ids fall through to
+    the distributed loop rather than the vectorized path."""
+    from sql_autoloader_spark.functions import dedup
+
+    calls: list[str] = []
+    orig_local = dedup._local_components
+
+    def spy(edges):  # noqa: ANN001, ANN202
+        calls.append("local")
+        return orig_local(edges)
+
+    monkeypatch.setattr(dedup, "_local_components", spy)
+    # scrambled chain (min mid-chain — worst case for naive relax;
+    # diameter 20 stays inside the explicit label path's round budget)
+    # + a separate triple + a self-loop singleton
+    scramble = [(i * 8) % 21 for i in range(21)]
+    edges = [(scramble[i], scramble[i + 1]) for i in range(20)]
+    edges += [(100, 101), (101, 102), (200, 200)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(
+            pairs, algorithm="label"
+        ).collect()
+    }
+    calls.clear()  # the explicit-label run above must not have used it
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert calls == ["local"]
+    assert got == want
+    assert (200, 200) in got  # self-loop keeps its own component
+
+    # above the bound, auto stays on the distributed loop
+    calls.clear()
+    monkeypatch.setattr(dedup, "LOCAL_EDGE_THRESHOLD", 0)
+    got2 = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert calls == []
+    assert got2 == want
+    monkeypatch.setattr(dedup, "LOCAL_EDGE_THRESHOLD", 1_000_000)
+
+    # NULL ids: the vectorized path declines (returns None) and the
+    # distributed loop answers — same rows either way
+    withnull = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    calls.clear()
+    got3 = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(withnull).collect()
+    }
+    assert calls == ["local"]  # tried, declined, fell through
+    want3 = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(
+            withnull, algorithm="label"
+        ).collect()
+    }
+    assert got3 == want3
+
+
 def test_pil_decode_path_with_fake_codec(monkeypatch) -> None:
     """The import-gated real-codec path: with a (fake) PIL installed the
     decoder produces a pixel histogram; undecodable bytes fall back to

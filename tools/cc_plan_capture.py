@@ -1,0 +1,48 @@
+"""Capture explain("formatted") for the CC consumers (r16 CC change).
+
+Usage: R16_TAG=before|after python tools/cc_plan_capture.py
+Writes plans/r16/docs_dup_clusters_<tag>.txt and
+plans/r16/docs_semantic_clusters_<tag>.txt.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TAG = os.environ.get("R16_TAG", "after")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("cc-plan-capture")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in ("docs_dup_clusters", "docs_semantic_clusters"):
+        fn = getattr(entry_mod, f"q_{name}")
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        out = f"plans/r16/{name}_{TAG}.txt"
+        with open(out, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {out} ({len(plan)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
