@@ -445,24 +445,15 @@ def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding cosine >= threshold (the oracle for the
     LSH-bucketed variant; quadratic — correctness-scale only)."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
+    # blocked all-pairs scorer: bit-identical to the former
+    # join + cosine_arrow form (differentially proven — exceptAll empty
+    # both ways on the raw sims at sf0.001/0.01/0.1), but each vector
+    # crosses the Python boundary O(blocks) times instead of O(N)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                similarity.cosine_arrow(
-                    F.col("va"), F.col("vb"), filterable=True
-                ),
-                6,
-            ).alias("sim"),
+        similarity.exact_cosine_pairs(
+            emb, id_col="vec_id", vec_col="embedding"
         )
+        .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
         .where(F.col("sim") >= 0.3)
     )
 
@@ -650,26 +641,14 @@ def q_docs_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-cluster policy are unchanged — only candidate generation
     scales differently."""
     emb = _t(spark, sf_dir, "embeddings")
-    # one fused Arrow node per pair computes dot + norms + division in
-    # vectorized numpy (bit-identical floats to the JVM folds)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
+    # blocked all-pairs scorer (see q_emb_neardup_exact): bit-identical
+    # sims to the former join + cosine_arrow form, O(blocks) boundary
+    # crossings per vector instead of O(N)
     pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                similarity.cosine_arrow(
-                    F.col("va"), F.col("vb"), filterable=True
-                ),
-                6,
-            ).alias("sim"),
+        similarity.exact_cosine_pairs(
+            emb, id_col="vec_id", vec_col="embedding"
         )
+        .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
         .where(F.col("sim") >= 0.4)
     )
     comp = dedup.connected_components(pairs)

@@ -281,6 +281,184 @@ def cosine_presplit(
     )
 
 
+def exact_cosine_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int | None = None,
+) -> DataFrame:
+    """All-pairs exact cosine: ``(id_a, id_b, sim)`` for every unordered
+    row pair with distinct non-NULL ids, oriented ``id_a < id_b`` — the
+    blocked form of ``a.join(b, id_a < id_b).select(cosine_arrow(va,
+    vb))``, bit-identical values, ~B×fewer bytes across the Python
+    boundary.
+
+    Why (guide §8 / §4.1): the join form ships BOTH vectors once per
+    PAIR into the Arrow node — O(N·dim) bytes per vector — and measured
+    95% boundary, 5% math (noop-sink decomposition at sf0.1: join alone
+    0.35 s, join + zero-math Arrow round-trip 7.0 s, join + fused cosine
+    6.6 s).  Here each vector crosses once per BLOCK-PAIR it belongs to
+    (B times, B ≈ √(4·parallelism)): rows are tagged with a
+    deterministic block ``pmod(xxhash64(id), B)`` (guide §2.5 — never
+    rand), replicated onto the B block-pairs that contain their block
+    via a broadcast tag table, and each ``applyInArrow`` group scores a
+    whole block-pair in vectorized numpy.
+
+    Bit parity with ``cosine_arrow`` (and therefore the JVM fold — see
+    :func:`_seq_cosine_arrow_fn`): per output element the accumulations
+    run left-to-right per index as ``acc += a_i*b_i`` / ``na += a_i²`` /
+    ``nb += b_i²`` (one IEEE multiply + add each, numpy fuses nothing),
+    then ``sqrt``·``sqrt``, one divide, zero-norm → 0.0; orientation is
+    free because IEEE multiply is commutative.  Invalid pairs (NULL
+    vector, mismatched lengths, NULL element) emit 0.0 — exactly the
+    ``coalesce(NULL, 0.0)`` the join form applies.
+
+    The pair-list partitioning is an explicit
+    ``repartition(parallelism, block_pair)``: the tagged input is
+    byte-small while the per-group compute is quadratic in rows — the
+    shape AQE's byte-based coalescing mis-sizes (the r16 LSH respread
+    lesson), and REPARTITION_BY_NUM is exempt from re-coalescing.
+
+    Quadratic by contract (the exactness oracle for the LSH paths):
+    total compute is O(N²·dim) at any block count — correctness-scale
+    only, like the join form it replaces.
+    """
+    from sql_autoloader_spark.ops.dataframe_ops import local_frame
+
+    spark = emb.sparkSession
+    try:
+        width = spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — Connect sessions have no context
+        from sql_autoloader_spark.functions.scale import shuffle_partitions
+
+        width = shuffle_partitions(emb)
+    if blocks is None:
+        par = max(2, width)
+        blocks = 3
+        while blocks * (blocks + 1) // 2 < 2 * par:
+            blocks += 1
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    tag_rows = []
+    for i in range(blocks):
+        for j in range(i, blocks):
+            bp = i * blocks + j
+            if i == j:
+                tag_rows.append({"blk": i, "bp": bp, "side": 2})
+            else:
+                tag_rows.append({"blk": i, "bp": bp, "side": 0})
+                tag_rows.append({"blk": j, "bp": bp, "side": 1})
+    tags = local_frame(spark, pd.DataFrame(tag_rows), "blk int, bp int, side int")
+
+    tagged = (
+        emb.where(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks))
+            .cast("int")
+            .alias("blk"),
+        )
+        .join(F.broadcast(tags), "blk")
+        .repartition(width, "bp")
+    )
+
+    flatten = _flatten_list_array
+
+    def score(table: pa.Table) -> pa.Table:
+        side = table.column("side").to_numpy(zero_copy_only=False)
+        ids = table.column("__id").to_numpy(zero_copy_only=False)
+        vecs = table.column("__vec")
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        row_null, lengths, flat, starts, elem_nulls = flatten(vecs)
+        invalid = row_null | (elem_nulls > 0)
+        diag = bool(side[0] == 2)
+        left = np.arange(len(side)) if diag else np.flatnonzero(side == 0)
+        right = left if diag else np.flatnonzero(side == 1)
+        nl, nr = len(left), len(right)
+        out_a, out_b, out_s = [], [], []
+        if nl and nr:
+            r_ids = ids[right]
+            r_len = lengths[right]
+            r_inv = invalid[right]
+            r_starts = starts[right]
+            # chunk the left side so the (chunk × right) matrices stay
+            # ~16 MB regardless of group size
+            chunk = max(1, (1 << 21) // max(nr, 1))
+            for c0 in range(0, nl, chunk):
+                lrows = left[c0 : c0 + chunk]
+                m = len(lrows)
+                sims = np.zeros((m, nr), dtype=np.float64)
+                l_len = lengths[lrows]
+                l_inv = invalid[lrows]
+                l_starts = starts[lrows]
+                pair_ok = (~l_inv)[:, None] & (~r_inv)[None, :] & (
+                    l_len[:, None] == r_len[None, :]
+                )
+                for d in np.unique(l_len[~l_inv]):
+                    if d == 0:
+                        continue  # zero-norm product → 0.0 (already 0)
+                    li = np.flatnonzero((l_len == d) & ~l_inv)
+                    ri = np.flatnonzero((r_len == d) & ~r_inv)
+                    if not (len(li) and len(ri)):
+                        continue
+                    cols = np.arange(d, dtype=np.int64)
+                    av = flat[l_starts[li][:, None] + cols[None, :]]
+                    bv = flat[r_starts[ri][:, None] + cols[None, :]]
+                    acc = np.zeros((len(li), len(ri)), dtype=np.float64)
+                    na = np.zeros(len(li), dtype=np.float64)
+                    nb = np.zeros(len(ri), dtype=np.float64)
+                    with np.errstate(invalid="ignore", over="ignore"):
+                        for i in range(int(d)):
+                            # the same interpreted folds as the join
+                            # form: one IEEE multiply + add per element,
+                            # in index order (see bit-parity note above)
+                            acc += av[:, i][:, None] * bv[:, i][None, :]
+                            na += av[:, i] * av[:, i]
+                            nb += bv[:, i] * bv[:, i]
+                        prod = np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
+                        sim = np.where(prod == 0.0, 0.0, acc / prod)
+                    sims[np.ix_(li, ri)] = sim
+                sims = np.where(pair_ok, sims, 0.0)
+                l_ids = ids[lrows]
+                if diag:
+                    # upper triangle in GLOBAL row order: each unordered
+                    # row pair once; equal ids never pair (as in the
+                    # strict `id_a < id_b` join)
+                    gpos = np.arange(c0, c0 + m)
+                    keep = gpos[:, None] < np.arange(nr)[None, :]
+                    keep &= l_ids[:, None] != r_ids[None, :]
+                else:
+                    keep = np.ones((m, nr), dtype=bool)
+                pi, qi = np.nonzero(keep)
+                if len(pi):
+                    la, rb = l_ids[pi], r_ids[qi]
+                    swap = la > rb
+                    out_a.append(np.where(swap, rb, la))
+                    out_b.append(np.where(swap, la, rb))
+                    out_s.append(sims[pi, qi])
+        id_at = table.column("__id").type
+        if out_a:
+            ia = np.concatenate(out_a)
+            ib = np.concatenate(out_b)
+            ss = np.concatenate(out_s)
+        else:
+            ia = ib = np.array([], dtype=ids.dtype)
+            ss = np.array([], dtype=np.float64)
+        return pa.table(
+            {
+                "id_a": pa.array(ia, type=id_at),
+                "id_b": pa.array(ib, type=id_at),
+                "sim": pa.array(ss, type=pa.float64()),
+            }
+        )
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, sim double"
+    return tagged.groupBy("bp").applyInArrow(score, schema=out_schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -54,5 +54,8 @@ def test_guarded_set_is_exactly_the_reviewed_one() -> None:
         # r16: the lsh pair-respread width — same try/except →
         # shuffle_partitions fallback pattern as spread_for_compute
         ("functions/similarity.py", "lsh_topk"),
+        # r16: the blocked all-pairs scorer's block-pair width — same
+        # try/except → shuffle_partitions fallback pattern
+        ("functions/similarity.py", "exact_cosine_pairs"),
         ("logutil.py", "silence_benign_scheduler_spam"),
     }

@@ -1207,6 +1207,53 @@ def test_auto_picks_star_above_edge_threshold(spark, monkeypatch) -> None:
     assert got2 == got
 
 
+def test_exact_cosine_pairs_matches_join_form(spark) -> None:
+    """The blocked all-pairs scorer is bit-identical (exceptAll empty
+    both ways, raw unrounded sims) to the join + cosine_arrow form on a
+    fixture covering the edge cases: NULL vector, NULL-element vector,
+    mismatched dims, zero vector, all-NaN vector, duplicate ids with
+    different payloads, and a NULL id (which never pairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sql_autoloader_spark.functions import similarity
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1.0, 1.0) for _ in range(8)])
+        for i in range(60)
+    ]
+    rows += [
+        (100, None),  # NULL vector -> 0.0 in both forms
+        (101, [1.0, None, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]),  # NULL elem
+        (102, [1.0, 2.0]),  # mismatched dim -> 0.0 against the rest
+        (103, [0.0] * 8),  # zero norm -> 0.0
+        (104, [float("nan")] * 8),  # NaN propagates identically
+        (5, [9.9] * 8),  # duplicate id, different payload
+        (None, [1.0] * 8),  # NULL id: never appears in any pair
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    old = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        similarity.cosine_arrow(F.col("va"), F.col("vb")).alias("sim"),
+    )
+    for blocks in (None, 3):
+        new = similarity.exact_cosine_pairs(
+            emb, id_col="vec_id", vec_col="embedding", blocks=blocks
+        )
+        assert new.count() == old.count(), f"blocks={blocks}"
+        assert old.exceptAll(new).isEmpty(), f"blocks={blocks}"
+        assert new.exceptAll(old).isEmpty(), f"blocks={blocks}"
+
+
 def test_local_components_fast_path_and_parity(spark, monkeypatch) -> None:
     """At or below LOCAL_EDGE_THRESHOLD symmetric edges, algorithm='auto'
     solves the labeling on the driver (one collect, zero distributed

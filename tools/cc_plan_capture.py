@@ -29,7 +29,8 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for name in ("docs_dup_clusters", "docs_semantic_clusters"):
+    names = sys.argv[1:] or ["docs_dup_clusters", "docs_semantic_clusters"]
+    for name in names:
         fn = getattr(entry_mod, f"q_{name}")
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(

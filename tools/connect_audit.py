@@ -87,6 +87,10 @@ CLASSIFICATION: dict[tuple[str, str], tuple[str, str]] = {
         "guarded",
         "pair-respread width: try/except → shuffle_partitions fallback",
     ),
+    ("functions/similarity.py", "exact_cosine_pairs"): (
+        "guarded",
+        "block-pair width: try/except → shuffle_partitions fallback",
+    ),
     ("logutil.py", "silence_benign_scheduler_spam"): (
         "guarded",
         "best-effort log4j tuning; whole body try/except-pass",

@@ -103,7 +103,9 @@ def main() -> None:
         exch = uniq("Exchange") + uniq("BroadcastExchange")
         py = (
             "arrow"
-            if "ArrowEvalPython" in plan or "MapInPandas" in plan
+            if "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInArrow" in plan
             else ("row!" if "BatchEvalPython" in plan else "—")
         )
         joins = ", ".join(
