@@ -451,7 +451,7 @@ def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crosses the Python boundary O(blocks) times instead of O(N)
     return (
         similarity.exact_cosine_pairs(
-            emb, id_col="vec_id", vec_col="embedding"
+            emb, id_col="vec_id", vec_col="embedding", min_sim=0.3
         )
         .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
         .where(F.col("sim") >= 0.3)
@@ -646,7 +646,7 @@ def q_docs_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crossings per vector instead of O(N)
     pairs = (
         similarity.exact_cosine_pairs(
-            emb, id_col="vec_id", vec_col="embedding"
+            emb, id_col="vec_id", vec_col="embedding", min_sim=0.4
         )
         .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
         .where(F.col("sim") >= 0.4)

@@ -287,6 +287,7 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     blocks: int | None = None,
+    min_sim: float | None = None,
 ) -> DataFrame:
     """All-pairs exact cosine: ``(id_a, id_b, sim)`` for every unordered
     row pair with distinct non-NULL ids, oriented ``id_a < id_b`` — the
@@ -323,6 +324,18 @@ def exact_cosine_pairs(
     Quadratic by contract (the exactness oracle for the LSH paths):
     total compute is O(N²·dim) at any block count — correctness-scale
     only, like the join form it replaces.
+
+    ``min_sim`` prunes the RETURN stream, which otherwise carries all
+    N²/2 scored rows back through the boundary only for the caller's
+    threshold filter to drop ~99% (measured x10: 200M rows ≈ 4.8 GB):
+    the scorer emits only ``sim ≥ min_sim − 1e-6``.  That is a provable
+    SUPERSET of what the callers' exact JVM filter
+    ``round(sim, 6) ≥ t`` keeps — any x with round-half-up(x,6) ≥ t
+    satisfies x ≥ t − 5e-7 > t − 1e-6, with ~9 orders of magnitude of
+    float margin — so callers keep their JVM round+filter as the exact
+    arbiter and results are unchanged.  Pass the same threshold the
+    caller filters on; ``None`` returns every pair (the differential-
+    parity contract).
     """
     from sql_autoloader_spark.ops.dataframe_ops import local_frame
 
@@ -365,6 +378,8 @@ def exact_cosine_pairs(
     )
 
     flatten = _flatten_list_array
+    # superset-safe pre-filter margin: see the min_sim docstring note
+    cutoff = None if min_sim is None else min_sim - 1e-6
 
     def score(table: pa.Table) -> pa.Table:
         side = table.column("side").to_numpy(zero_copy_only=False)
@@ -432,6 +447,13 @@ def exact_cosine_pairs(
                     keep &= l_ids[:, None] != r_ids[None, :]
                 else:
                     keep = np.ones((m, nr), dtype=bool)
+                if cutoff is not None:
+                    # NaN must SURVIVE the pre-filter: Spark SQL orders
+                    # NaN greater than every value, so the caller's
+                    # `sim >= t` KEEPS NaN rows — numpy's IEEE compare
+                    # (False) would silently drop them
+                    with np.errstate(invalid="ignore"):
+                        keep &= (sims >= cutoff) | np.isnan(sims)
                 pi, qi = np.nonzero(keep)
                 if len(pi):
                     la, rb = l_ids[pi], r_ids[qi]

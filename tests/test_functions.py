@@ -1253,6 +1253,23 @@ def test_exact_cosine_pairs_matches_join_form(spark) -> None:
         assert old.exceptAll(new).isEmpty(), f"blocks={blocks}"
         assert new.exceptAll(old).isEmpty(), f"blocks={blocks}"
 
+    # min_sim prunes the return stream as a SUPERSET of the caller's
+    # exact round+filter: the filtered results must be identical
+    def filtered(frame):  # noqa: ANN001, ANN202
+        return frame.select(
+            "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")
+        ).where(F.col("sim") >= 0.2)
+
+    want_f = filtered(old)
+    got_f = filtered(
+        similarity.exact_cosine_pairs(
+            emb, id_col="vec_id", vec_col="embedding", min_sim=0.2
+        )
+    )
+    assert want_f.exceptAll(got_f).isEmpty()
+    assert got_f.exceptAll(want_f).isEmpty()
+    assert got_f.count() == want_f.count() > 0
+
 
 def test_local_components_fast_path_and_parity(spark, monkeypatch) -> None:
     """At or below LOCAL_EDGE_THRESHOLD symmetric edges, algorithm='auto'
