@@ -1277,26 +1277,49 @@ def _local_components(edges: DataFrame) -> DataFrame | None:
     constant per component, and the shared value is the component
     minimum — identical to the distributed propagation's answer.
 
-    Returns ``None`` for inputs the vectorized path does not cover
-    (NULL ids); the caller falls through to the distributed loop.
+    Returns ``None`` for inputs the vectorized path does not cover —
+    non-fixed-width ids (string/binary/decimal: the edge-count bound
+    would no longer bound the collected BYTES) and NULL ids — letting
+    the caller fall through to the distributed loop.
     """
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
     from sql_autoloader_spark.ops.dataframe_ops import (
-        _CONF_LOCK,
+        arrow_driver_transfer,
         local_frame,
     )
 
     spark = edges.sparkSession
-    id_type = edges.schema["a"].dataType.simpleString()
+    id_dt = edges.schema["a"].dataType
+    if not isinstance(
+        id_dt,
+        (
+            ByteType,
+            ShortType,
+            IntegerType,
+            LongType,
+            FloatType,
+            DoubleType,
+            DateType,
+            TimestampType,
+            TimestampNTZType,
+        ),
+    ):
+        return None  # wide ids: keep the ≤16 MB collect contract
+    id_type = id_dt.simpleString()
     schema = f"id {id_type}, component {id_type}"
-    conf = spark.conf
-    key = "spark.sql.execution.arrow.pyspark.enabled"
-    with _CONF_LOCK:
-        prev = conf.get(key)
-        conf.set(key, "true")
-        try:
-            pdf = edges.toPandas()
-        finally:
-            conf.set(key, prev)
+    with arrow_driver_transfer(spark):
+        pdf = edges.toPandas()
     if len(pdf) == 0:
         return local_frame(spark, pdf, schema)
     if pdf["a"].isna().any() or pdf["b"].isna().any():

@@ -351,6 +351,10 @@ def exact_cosine_pairs(
         blocks = 3
         while blocks * (blocks + 1) // 2 < 2 * par:
             blocks += 1
+    elif blocks < 1:
+        # an empty tag table would silently drop every row in the join
+        msg = f"blocks must be >= 1, got {blocks}"
+        raise ValueError(msg)
     id_type = emb.schema[id_col].dataType.simpleString()
 
     tag_rows = []
@@ -399,6 +403,21 @@ def exact_cosine_pairs(
             r_len = lengths[right]
             r_inv = invalid[right]
             r_starts = starts[right]
+            # the right block is shared by every left chunk: gather its
+            # per-dim matrices and norm folds ONCE (the fold order is
+            # unchanged — i ascending — so the values are bit-identical)
+            r_by_d = {}
+            for d in np.unique(r_len[~r_inv]):
+                if d == 0:
+                    continue  # zero-norm product → 0.0 (sims already 0)
+                ri = np.flatnonzero((r_len == d) & ~r_inv)
+                cols = np.arange(d, dtype=np.int64)
+                bv = flat[r_starts[ri][:, None] + cols[None, :]]
+                nb = np.zeros(len(ri), dtype=np.float64)
+                with np.errstate(invalid="ignore", over="ignore"):
+                    for i in range(int(d)):
+                        nb += bv[:, i] * bv[:, i]
+                r_by_d[int(d)] = (ri, bv, nb)
             # chunk the left side so the (chunk × right) matrices stay
             # ~16 MB regardless of group size
             chunk = max(1, (1 << 21) // max(nr, 1))
@@ -413,18 +432,16 @@ def exact_cosine_pairs(
                     l_len[:, None] == r_len[None, :]
                 )
                 for d in np.unique(l_len[~l_inv]):
-                    if d == 0:
-                        continue  # zero-norm product → 0.0 (already 0)
+                    if int(d) not in r_by_d:
+                        continue
+                    ri, bv, nb = r_by_d[int(d)]
                     li = np.flatnonzero((l_len == d) & ~l_inv)
-                    ri = np.flatnonzero((r_len == d) & ~r_inv)
-                    if not (len(li) and len(ri)):
+                    if not len(li):
                         continue
                     cols = np.arange(d, dtype=np.int64)
                     av = flat[l_starts[li][:, None] + cols[None, :]]
-                    bv = flat[r_starts[ri][:, None] + cols[None, :]]
                     acc = np.zeros((len(li), len(ri)), dtype=np.float64)
                     na = np.zeros(len(li), dtype=np.float64)
-                    nb = np.zeros(len(ri), dtype=np.float64)
                     with np.errstate(invalid="ignore", over="ignore"):
                         for i in range(int(d)):
                             # the same interpreted folds as the join
@@ -432,7 +449,6 @@ def exact_cosine_pairs(
                             # in index order (see bit-parity note above)
                             acc += av[:, i][:, None] * bv[:, i][None, :]
                             na += av[:, i] * av[:, i]
-                            nb += bv[:, i] * bv[:, i]
                         prod = np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
                         sim = np.where(prod == 0.0, 0.0, acc / prod)
                     sims[np.ix_(li, ri)] = sim

@@ -107,15 +107,8 @@ def local_frame(spark, rows, schema: str) -> DataFrame:  # noqa: ANN001
         return empty_frame(spark, schema)
     else:
         pdf = pd.DataFrame(rows)
-    conf = spark.conf
-    key = "spark.sql.execution.arrow.pyspark.enabled"
-    with _CONF_LOCK:
-        prev = conf.get(key)
-        conf.set(key, "true")
-        try:
-            return spark.createDataFrame(pdf, schema)
-        finally:
-            conf.set(key, prev)
+    with arrow_driver_transfer(spark):
+        return spark.createDataFrame(pdf, schema)
 
 
 def preprocess(
@@ -542,6 +535,26 @@ def _aqe_disabled(spark):  # noqa: ANN001, ANN202
         finally:
             for k, p in zip(keys, prev):
                 conf.set(k, p)
+
+
+@contextmanager
+def arrow_driver_transfer(spark):  # noqa: ANN001, ANN202
+    """``spark.sql.execution.arrow.pyspark.enabled=true`` for one
+    bounded driver transfer (``createDataFrame(pandas)`` / ``toPandas``
+    — guide §6: orders of magnitude faster than the pickled-row path).
+    Shared by :func:`local_frame` and the dedup driver fast path so the
+    toggle/restore logic lives once; serialized on the session-conf
+    lock like every other toggle.
+    """
+    conf = spark.conf
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    with _CONF_LOCK:
+        prev = conf.get(key)
+        conf.set(key, "true")
+        try:
+            yield
+        finally:
+            conf.set(key, prev)
 
 
 @contextmanager

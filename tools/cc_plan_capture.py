@@ -9,7 +9,8 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import __spark_entry__ as entry_mod
 
@@ -38,7 +39,7 @@ def main() -> None:
                 "formatted"
             )
         )
-        out = f"plans/r16/{name}_{TAG}.txt"
+        out = os.path.join(_REPO, f"plans/r16/{name}_{TAG}.txt")
         with open(out, "w") as fh:
             fh.write(plan)
         print(f"wrote {out} ({len(plan)} bytes)")

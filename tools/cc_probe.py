@@ -13,9 +13,11 @@ from __future__ import annotations
 import sys
 import time
 
+import os
+
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sql_autoloader_spark.functions import dedup, similarity  # noqa: E402
 
